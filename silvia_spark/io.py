@@ -1,0 +1,37 @@
+"""Table loading — the engine's scan layer.
+
+All contract queries load inputs through ``load_table`` so the events
+TIMESTAMP(NANOS) hazard (SURVEY.md §1.2) is fixed in exactly one place:
+ts is read as LongType nanoseconds (``nanosAsLong`` conf, set in
+session.configure_session) and rebuilt with ``timestamp_micros(ts div 1000)``
+— integer ``div``, never float division, which was observed off-by-1 µs vs
+the DuckDB oracle.
+
+Scale posture: plain ``spark.read.parquet`` keeps the vectorized reader and
+lets Catalyst push filters/projections into the scan; the loader adds no
+caching or repartitioning — operators decide their own partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.session import configure_session
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table; fixes events.ts (nanos → exact µs timestamp)."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,69 @@
+"""SparkSession construction and required runtime configuration.
+
+Two hard requirements (SURVEY.md §1.2, FIXTURES.md):
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: events.parquet stores ts as
+  TIMESTAMP(NANOS) which PySpark 4.1.2 cannot read natively; with this conf
+  it reads as LongType nanoseconds and silvia_spark.io rebuilds exact
+  microsecond timestamps.
+- UTC session timezone so timestamp arithmetic matches the DuckDB oracle.
+
+Scale posture: AQE on (runtime partition coalescing, broadcast switching,
+skew-join splitting) so the same declarative plans re-optimize themselves on
+a 1000-executor cluster; shuffle partitions default to cores locally but are
+meant to be overridden (≈2-3× total cores) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that MUST be set before any parquet read of events; settable on an
+# existing session via spark.conf.set (runtime-mutable).
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (e.g. the
+    driver-provided one). Idempotent."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be fixed at session build time; ignore if so.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "silvia_spark", master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a configured SparkSession.
+
+    Local default: local[$SPARK_GRAFT_CPUS or *]; shuffle partitions sized to
+    core count (small data locally; on a cluster pass an explicit value).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())
