@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation operators — SURVEY.md §2.D (contracts D1–D9).
+
+Spark always plans partial→final aggregation (map-side combine before the
+shuffle), so every groupBy here ships only partial states across the wire —
+the property that makes these hold at 100 TB. ROLLUP/CUBE/GROUPING SETS
+expand in the optimizer to a single shuffle with grouping-id, not N passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table, load_tables
+from silvia_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from silvia_spark.registry import contract
+
+
+# --- D1: TPC-H Q1 pricing summary -------------------------------------------
+
+_D1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+       {sql_davg("l_quantity", "avg_qty")},
+       {sql_davg("l_extendedprice", "avg_price")},
+       {sql_davg("l_discount", "avg_disc")},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@contract("agg_pricing_summary", oracle=_D1_ORACLE)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. One shuffle on a 6-value grouping key; all arithmetic stays
+    in whole-stage codegen; date filter pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- D2: exact count distinct ------------------------------------------------
+
+_D2_ORACLE = f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS distinct_users,
+       {sql_davg("value", "avg_value")}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("agg_count_distinct", oracle=_D2_ORACLE)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark expands to a two-stage agg (dedup on
+    (event_type,user_id), then count) — correct but a full extra shuffle at
+    100 TB; D3 is the cheap approximate alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"),
+             davg("value", "avg_value"))
+        .orderBy("event_type")
+    )
+
+
+# --- D3: approximate distinct (HLL) ------------------------------------------
+
+
+@contract("agg_approx_distinct")  # rows-only: HLL sketches differ by engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users at 2% rsd: single-pass, fixed-size sketch
+    per group — the 100-TB path where exact distinct would shuffle TBs.
+    Rows-only check (sketch estimates are engine-specific); the in-repo test
+    asserts the estimate is within rsd bounds of the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+             .alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# --- D4: ROLLUP --------------------------------------------------------------
+
+_D4_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@contract("agg_rollup", oracle=_D4_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# --- D5: CUBE ----------------------------------------------------------------
+
+_D5_ORACLE = f"""
+SELECT c_mktsegment, n_name,
+       count(*) AS cust_cnt,
+       {sql_dsum("c_acctbal", "sum_bal")}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE(c_mktsegment, n_name)
+ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@contract("agg_cube", oracle=_D5_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"), dsum("c_acctbal", "sum_bal"))
+        .orderBy(F.col("c_mktsegment").asc_nulls_first(),
+                 F.col("n_name").asc_nulls_first())
+    )
+
+
+# --- D6: GROUPING SETS -------------------------------------------------------
+
+_D6_ORACLE = f"""
+SELECT p_brand, p_type,
+       count(*) AS part_cnt,
+       {sql_davg("p_retailprice", "avg_price")}
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST
+"""
+
+
+@contract("agg_grouping_sets", oracle=_D6_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the SQL-friendlier construct —
+    SURVEY §3 entry point 2): by-brand, by-type, and grand-total in one
+    shuffle with grouping-id expansion."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(f"""
+        SELECT p_brand, p_type,
+               count(*) AS part_cnt,
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(p_retailprice), 6) AS avg_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        ORDER BY p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST
+    """)
+
+
+# --- D7: HAVING --------------------------------------------------------------
+
+_D7_ORACLE = """
+SELECT o_custkey, count(*) AS order_cnt
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+ORDER BY order_cnt DESC, o_custkey
+"""
+
+
+@contract("agg_having", oracle=_D7_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .where(F.col("order_cnt") >= 15)
+        .orderBy(F.col("order_cnt").desc(), "o_custkey")
+    )
+
+
+# --- D8: statistical aggregates ----------------------------------------------
+
+_D8_ORACLE = """
+SELECT o_orderpriority,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price,
+       round(var_samp(o_totalprice), 2) AS var_price,
+       round(median(o_totalprice), 4) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@contract("agg_stats", oracle=_D8_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/stddev/variance/median per priority. ``F.median`` is Spark's
+    exact percentile (sort-based within group); stddev/var rounded because
+    the one-pass moment formulas differ across engines in last ulps."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- D9: sorted collect ------------------------------------------------------
+
+_D9_ORACLE = """
+SELECT n_name,
+       list(s_name ORDER BY s_name) AS suppliers,
+       count(*) AS supplier_cnt
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@contract("agg_collect_sorted", oracle=_D9_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation sorted supplier list. collect_list is shuffle-order
+    nondeterministic, so sort_array makes the result canonical — required
+    for hash-matching and good hygiene at scale anyway."""
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count(F.lit(1)).alias("supplier_cnt"),
+        )
+        .orderBy("n_name")
+    )
