@@ -1,1 +1,392 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function operators — SURVEY.md §2.H (H1–H10).
+
+One contract query per function family. All row-level expressions run inside
+whole-stage codegen (no Python). Oracle SQL is written per-key in DuckDB's
+dialect, never transliterated — the known drift points (SURVEY §7 hard part
+5) are called out inline: regexp_replace global flag, int division, cast
+double→int rounding vs truncation, double→string formatting, day-of-week
+numbering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table, load_tables
+from silvia_spark.registry import contract
+
+
+# --- H1: string functions ----------------------------------------------------
+
+_H1_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       lower(p_type) AS ltype,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       substr(p_name, 1, 5) AS sub5,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS underscored,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+       string_split(p_name, ' ')[1] AS first_word
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+@contract("scalar_string", oracle=_H1_ORACLE)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.lower("p_type").alias("ltype"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")))
+            .alias("trimmed"),
+            F.substring("p_name", 1, 5).alias("sub5"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_"))
+            .alias("underscored"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --- H2: regexp --------------------------------------------------------------
+
+# Drift: DuckDB regexp_replace replaces FIRST match unless the 'g' flag is
+# given; Spark's is global by default.
+_H2_ORACLE = """
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       CAST(regexp_matches(p_name, '^(red|blue|hot|cold)') AS INTEGER) AS has_temp_color
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+@contract("scalar_regexp", oracle=_H2_ORACLE)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return (
+        p.select(
+            "p_partkey", "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+            F.col("p_name").rlike("^(red|blue|hot|cold)").cast("int")
+            .alias("has_temp_color"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --- H3: date/time functions -------------------------------------------------
+
+# Drift: Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6.
+# We emit ISO day-of-week (1=Monday..7): Spark weekday()+1 == DuckDB isodow.
+_H3_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mth,
+       day(o_orderdate) AS dy,
+       quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) AS iso_dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_date", oracle=_H3_ORACLE)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz")
+            .alias("month_start"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1995-01-01").cast("date"))
+            .alias("days_since_95"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- H4: math functions ------------------------------------------------------
+
+# floor/ceil/abs/sign/mod are exact; sqrt is IEEE-exact; ln/log10/pow are
+# libm-dependent in the last ulp → rounded to 6dp (transcendental outputs
+# never sit on half-way decimal boundaries, unlike money values).
+_H4_ORACLE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice) AS BIGINT) AS fl,
+       CAST(ceil(o_totalprice) AS BIGINT) AS cl,
+       abs(o_totalprice - 100000) AS dist_100k,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       round(ln(o_totalprice), 6) AS ln_price,
+       round(log10(o_totalprice), 6) AS log10_price,
+       round(pow(o_totalprice / 100000, 2), 6) AS pow2,
+       o_orderkey % 7 AS mod7,
+       CAST(sign(o_totalprice - 150000) AS INTEGER) AS sign_150k
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_math", oracle=_H4_ORACLE)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    tp = F.col("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            F.floor(tp).alias("fl"),
+            F.ceil(tp).alias("cl"),
+            F.abs(tp - 100000).alias("dist_100k"),
+            F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+            F.round(F.log(tp), 6).alias("ln_price"),
+            F.round(F.log10(tp), 6).alias("log10_price"),
+            F.round(F.pow(tp / 100000, 2), 6).alias("pow2"),
+            (F.col("o_orderkey") % 7).alias("mod7"),
+            F.signum(tp - 150000).cast("int").alias("sign_150k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- H5: conditional ---------------------------------------------------------
+
+_H5_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       greatest(o_totalprice, 150000.0) AS at_least_150k,
+       least(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS min_key
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_conditional", oracle=_H5_ORACLE)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 300000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low").alias("tier"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                       F.lit("OPEN")).alias("status_or_open"),
+            F.greatest(F.col("o_totalprice"), F.lit(150000.0))
+            .alias("at_least_150k"),
+            F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- H6: array functions -----------------------------------------------------
+
+_H6_ORACLE = """
+WITH nl AS (
+  SELECT n_name, list(s_name ORDER BY s_name) AS suppliers
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       len(suppliers) AS n_sup,
+       list_contains(suppliers, 'supplier_0') AS has_sup0,
+       len(list_distinct(suppliers)) AS n_distinct,
+       suppliers[1:3] AS first3,
+       list_reverse_sort(suppliers)[1] AS max_name
+FROM nl
+ORDER BY n_name
+"""
+
+
+@contract("scalar_array", oracle=_H6_ORACLE)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernel over per-nation supplier lists: size/contains/distinct/
+    slice/sort. Lists are canonical (sorted at build) so hashes match."""
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    nl = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("suppliers"))
+    )
+    return (
+        nl.select(
+            "n_name",
+            F.size("suppliers").alias("n_sup"),
+            F.array_contains("suppliers", "supplier_0").alias("has_sup0"),
+            F.size(F.array_distinct("suppliers")).alias("n_distinct"),
+            F.slice("suppliers", 1, 3).alias("first3"),
+            F.element_at(F.sort_array("suppliers", asc=False), 1)
+            .alias("max_name"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- H7: map functions -------------------------------------------------------
+
+_H7_ORACLE = """
+SELECT event_type, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("scalar_map", oracle=_H7_ORACLE)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips counts through a MapType column (map_from_entries →
+    map_keys → element_at → explode back to long form) so the map kernel is
+    exercised while the emitted rows stay oracle-comparable (DuckDB map
+    syntax differs — SURVEY §2.H7)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = counts.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return (
+        as_map.select(F.explode(F.map_keys(F.col("m"))).alias("event_type"),
+                      F.col("m").alias("m"))
+        .select("event_type",
+                F.element_at(F.col("m"), F.col("event_type")).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# --- H8: JSON ----------------------------------------------------------------
+
+_H8_ORACLE = """
+SELECT event_type,
+       round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                 AS DECIMAL(38,10))) AS DOUBLE)
+             / count(props), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("scalar_json", oracle=_H8_ORACLE)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-VARCHAR: get_json_object path extraction plus a typed
+    from_json struct read of the same field (both paths exercised; the
+    struct column feeds max_k)."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    k_struct = F.from_json(F.col("props"), "k INT")
+    return (
+        ev.select("event_type", "props",
+                  k_str.cast("double").alias("k_dbl"),
+                  k_struct.getField("k").alias("k_int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("k_dbl").cast("decimal(38,10)")).cast("double")
+                / F.count("props"), 6).alias("avg_k"),
+            F.max("k_int").alias("max_k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- H9: casts ---------------------------------------------------------------
+
+# Drift: CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB →
+# floor() first on both sides. double→string formatting also differs
+# (scientific notation thresholds) → never cast double to string directly.
+_H9_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor_int,
+       CAST('3.5' AS DOUBLE) AS str_to_dbl,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_cast", oracle=_H9_ORACLE)
+def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("string").cast("bigint")
+            .alias("key_roundtrip"),
+            F.floor(F.col("o_totalprice")).cast("bigint")
+            .alias("price_floor_int"),
+            F.lit("3.5").cast("double").alias("str_to_dbl"),
+            F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            .alias("ts_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- H10: hashing ------------------------------------------------------------
+
+_H10_ORACLE = """
+SELECT c_custkey,
+       sha256(c_name) AS sha,
+       md5(c_name) AS md5_hex,
+       ascii(substr(c_name, length(c_name), 1)) % 8 AS bucket
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+"""
+
+
+@contract("scalar_hash", oracle=_H10_ORACLE)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hashes match across engines (sha256/md5 are specs);
+    Spark's ``hash()`` (Murmur3-with-Spark-seed) deliberately does NOT
+    appear in the contract — it's engine-specific. Bucketing here derives
+    from a portable expression instead."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return (
+        c.select(
+            "c_custkey",
+            F.sha2(F.col("c_name"), 256).alias("sha"),
+            F.md5(F.col("c_name")).alias("md5_hex"),
+            (F.ascii(F.substring(F.col("c_name"), -1, 1)) % 8).alias("bucket"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Scan / source / sink operators — SURVEY.md §2.A (A1–A6; A7 lives in
+silvia_spark.streaming.streams with the other streaming ops).
+
+The scan layer is deliberately thin: spark.read.parquet keeps the vectorized
+columnar reader, predicate pushdown, and column pruning. Sinks write
+partitioned parquet (the 100-TB layout: partition by a low-cardinality,
+filter-relevant key so dynamic partition pruning applies downstream).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+from silvia_spark.schemas import EVENTS
+
+
+# --- A1: full parquet scan ---------------------------------------------------
+
+_A1_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       l_shipdate
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@contract("scan_parquet", oracle=_A1_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, all columns, deterministic order. The one query where
+    reading every column is correct; everything else projects first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- A2: schema-enforced scan with the nanos fix -----------------------------
+
+_A2_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
+@contract("scan_schema_enforce", oracle=_A2_ORACLE)
+def scan_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan through the §1.2 hazard fix: TIMESTAMP(NANOS) parquet read
+    as long ns (nanosAsLong conf) and rebuilt as exact µs timestamps with
+    integer `div` — hash-matches DuckDB's native nanos read because the
+    corpus nanos are exact µs multiples."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select("event_id", "ts", "user_id", "event_type",
+                     "value", "props").orderBy("event_id")
+
+
+# --- A3: TSV round-trip ------------------------------------------------------
+
+
+@contract("source_csv_tsv")  # rows-only: involves a filesystem side effect
+def source_csv_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowplow-style TSV ingestion: dump events to TSV, re-read with an
+    explicit schema (no inference — fail fast on drift), prove lossless
+    round-trip by aggregating. The enriched-event TSV is the reference's
+    canonical wire format."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_tsv_"), "events_tsv")
+    ev.write.mode("overwrite").option("sep", "\t").option("header", "false") \
+        .csv(out)
+    tsv_schema = ("event_id BIGINT, ts STRING, user_id BIGINT, "
+                  "event_type STRING, value DOUBLE, props STRING")
+    back = (
+        spark.read.schema(tsv_schema)
+        .option("sep", "\t").option("header", "false").option("quote", '"')
+        .csv(out)
+        .withColumn("ts", F.to_timestamp_ntz("ts",
+                                             F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.countDistinct("event_id").alias("distinct_ids"),
+             F.max("ts").alias("max_ts"))
+        .orderBy("event_type")
+    )
+
+
+# --- A4: JSON-lines parsing --------------------------------------------------
+
+_A4_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       event_type
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
+@contract("source_json_lines", oracle=_A4_ORACLE)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-text column parsed into typed columns via from_json with an
+    explicit schema (the schema-on-read surface of the data model)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return (
+        ev.select(
+            "event_id",
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+            "event_type",
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- A5: JDBC sink (Postgres) ------------------------------------------------
+
+
+@contract("sink_jdbc_postgres")  # rows-only: no Postgres in the harness
+def sink_jdbc_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """silvia's load stage: write a computed aggregate to PostgreSQL.
+
+    The JDBC URL comes from $SILVIA_JDBC_URL; absent (this harness), the
+    sink degrades to returning the frame that would have been written, so
+    the contract still row-checks. With a URL: one JDBC connection per
+    partition — coalesce bounds Postgres connection fan-in, the knob that
+    matters when 1000 executors all hold connections.
+    """
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"),
+             F.countDistinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+    url = os.environ.get("SILVIA_JDBC_URL")
+    if url:
+        (agg.coalesce(8).write.mode("append")
+         .option("batchsize", "10000")
+         .jdbc(url, table=os.environ.get("SILVIA_JDBC_TABLE", "event_summary"),
+               properties={"driver": "org.postgresql.Driver"}))
+    return agg
+
+
+# --- A6: partitioned parquet sink --------------------------------------------
+
+_A6_ORACLE = """
+SELECT event_type, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_parquet_partitioned", oracle=_A6_ORACLE)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type, read BACK from the sink, count
+    per partition — the count comes from the round-tripped files, so the
+    oracle hash also proves sink losslessness. At 100 TB the partition key
+    would be event date (+ type): low cardinality, prunable."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_sink_"), "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("event_type", F.col("event_type").cast("string"))
+        .orderBy("event_type")
+    )

@@ -1,1 +1,291 @@
-"""Placeholder — populated in a later milestone."""
+"""Live Structured Streaming variants — SURVEY.md §2.I (+A7).
+
+Each contract here actually runs an incremental query: readStream over the
+events parquet (or a rate source), trigger(availableNow=True), memory sink,
+then returns the materialized result. These are the rows-only proofs that
+the batch-twin logic (batch_twins.py, hash-checked) executes identically
+under IncrementalExecution with watermark-bounded state.
+
+Checkpoints go to fresh temp dirs — in production they'd be durable paths,
+the crash-recovery boundary (SURVEY §3 entry point 3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from silvia_spark.registry import contract
+from silvia_spark.schemas import EVENTS_RAW
+from silvia_spark.session import configure_session
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the §1.2 nanos fix applied
+    identically to the batch loader."""
+    configure_session(spark)
+    # The file-stream source requires a directory; the corpus stores one
+    # file per table, so stage a per-sf symlink dir (idempotent, /tmp).
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "silvia_stream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(stage)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession,
+                   output_mode: str = "append") -> DataFrame:
+    """Execute a streaming frame to completion into a memory sink."""
+    name = "m" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+# --- A7: rate-source smoke ---------------------------------------------------
+
+
+@contract("source_rate_stream")  # rows-only: synthetic clock source
+def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming smoke on the rate-micro-batch source (deterministic rows per
+    batch) → 10-second tumbling count. Proves the source factory's
+    non-file path without Kafka."""
+    configure_session(spark)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "100")
+        .option("numPartitions", "2")
+        .option("startTimestamp", "0")
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    agg = (
+        stream.groupBy(F.window("timestamp", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("max_value"))
+        .select(F.col("w.start").alias("wstart"), "cnt", "max_value")
+    )
+    out = _run_to_memory(agg, spark, output_mode="complete")
+    return out.orderBy("wstart")
+
+
+# --- I1 live: tumbling window under watermark --------------------------------
+
+
+@contract("stream_tumbling_live")  # rows-only: live twin of stream_tumbling_1h
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "cnt")
+    )
+    return _run_to_memory(agg, spark).orderBy("wstart", "event_type")
+
+
+# --- I4: watermark late-data drop --------------------------------------------
+
+
+@contract("stream_watermark_late")  # rows-only: watermark semantics ∉ DuckDB
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min watermark before a windowed count: in availableNow replay of a
+    single file all rows arrive in one batch (nothing is late), so the
+    result equals the batch count — the assertion the in-repo test makes.
+    With a live out-of-order source, rows >10 min behind max(ts) would be
+    dropped from closed windows."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("survivors"))
+        .select(F.col("w.start").alias("wstart"), "survivors")
+    )
+    return _run_to_memory(agg, spark).orderBy("wstart")
+
+
+# --- I3 live: session_window -------------------------------------------------
+
+
+@contract("stream_session_live")  # rows-only: live twin of stream_session_30m
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: session_window merges events <30 min
+    apart per user — state is (user, open-session) only, closed by the
+    watermark; contrast with the batch twin's full-sort lag/cumsum."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events")
+    )
+    return _run_to_memory(agg, spark).orderBy("user_id", "session_start")
+
+
+# --- I5 live: dedup within watermark -----------------------------------------
+
+
+@contract("stream_dedup_live")  # rows-only: live twin of stream_dedup_exact
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state for event_id is evicted
+    once the watermark passes — bounded memory under at-least-once
+    redelivery, unlike plain dropDuplicates whose state grows forever."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    out = _run_to_memory(deduped, spark)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("event_type"))
+
+
+# --- I6 live: arbitrary stateful funnel --------------------------------------
+
+_FUNNEL_STATE = StructType([StructField("stage", IntegerType())])
+_FUNNEL_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("funnel_stage", IntegerType()),
+])
+
+
+def _funnel_fn(key, pdf_iter, state):
+    """GroupState per user: advance view(1)→click(2)→purchase(3) in event-time
+    order within the arriving batches."""
+    stage = state.get[0] if state.exists else 0
+    rank = {"view": 1, "click": 2, "purchase": 3}
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for et in pdf["event_type"]:
+            want = rank.get(et)
+            if want is not None and want == stage + 1:
+                stage = want
+    state.update((stage,))
+    import pandas as pd
+    yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+
+@contract("stream_funnel_live")  # rows-only: arbitrary stateful op
+def stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState funnel: per-user GroupState advanced by
+    event-time-ordered arrivals. Arrow-batched; state is one int per user.
+    The batch twin (stream_stateful_funnel) is the hash-checked semantics;
+    this proves the arbitrary-stateful plumbing. Update-mode emissions are
+    per-batch snapshots; with availableNow's single batch the final table
+    is one row per user."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    result = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn, outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="update", timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_memory(result, spark, output_mode="update")
+    return (out.groupBy("user_id")
+            .agg(F.max("funnel_stage").alias("funnel_stage"))
+            .orderBy("user_id"))
+
+
+# --- I7 live: stream-static enrichment ---------------------------------------
+
+
+@contract("stream_static_join_live")  # rows-only: live twin of stream_static_join
+def stream_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from silvia_spark.io import load_table
+    ev = _events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        ev.join(F.broadcast(nation),
+                (F.col("user_id") % 25) == F.col("n_nationkey"))
+        .select("event_id", "n_name")
+    )
+    out = _run_to_memory(joined, spark)
+    return (out.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("n_name"))
+
+
+# --- I8 live: stream-stream interval join ------------------------------------
+
+
+@contract("stream_stream_join_live")  # rows-only: live twin of stream_stream_join
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides watermarked; the time-range condition lets Spark bound each
+    side's join state to the interval width plus watermark delay."""
+    p = (_events_stream(spark, sf_dir)
+         .where(F.col("event_type") == "purchase")
+         .withWatermark("ts", "20 minutes")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    c = (_events_stream(spark, sf_dir)
+         .where(F.col("event_type") == "click")
+         .withWatermark("ts", "20 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("user_id", "purchase_id", "click_id")
+    out = _run_to_memory(joined, spark)
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+# --- I9: foreachBatch idempotent upsert --------------------------------------
+
+
+@contract("stream_foreachbatch_upsert")  # rows-only: sink side effect
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """silvia's load stage: per-micro-batch upsert keyed on event_type.
+
+    With $SILVIA_JDBC_URL set this would stage + INSERT ... ON CONFLICT via
+    JDBC; offline it degrades to an idempotent parquet overwrite keyed by
+    batch (dynamic partitionOverwriteMode) — re-running a batch replaces,
+    never duplicates, which is the exactly-once property the JDBC merge
+    provides in production.
+    """
+    ev = _events_stream(spark, sf_dir)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"), "tbl")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        (agg.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+    ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
+    q = (ev.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    back = spark.read.parquet(out_dir)
+    return (back.groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy("event_type"))
