@@ -1,1 +1,481 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators — SURVEY.md §2.J (J1–J10).
+
+Design rules for this family:
+- Vector math (cosine, centroids) stays JVM-side via zip_with/aggregate
+  higher-order functions — no Python boundary, full codegen.
+- MinHash-LSH is hand-rolled in DataFrame ops (explode → min-per-permutation
+  → banded re-hash → bucket join), not spark.ml's MinHashLSH: the DataFrame
+  form shuffles candidates by (band, key) — linear in data + candidate pairs
+  — instead of ml's memory-heavy model broadcast, and AQE handles skewed
+  buckets. At 100 TB only band-bucket grouping and the verified-candidate
+  join shuffle; no all-pairs stage exists anywhere.
+- Exact all-pairs forms (J4's cross join) are correctness baselines at test
+  scale; scale paths are the LSH/blocked variants (see llm_extras).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table, load_tables
+from silvia_spark.registry import contract
+
+# --- shared vector kernels (JVM-side, no Python) -----------------------------
+
+
+def dot64(a, b):
+    """Σ a_i·b_i in double, sequential fold — matches the oracle's
+    list_sum(list_transform(...)) element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm64(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return dot64(a, b) / (norm64(a) * norm64(b))
+
+
+_SQL_COS = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+"""
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return _SQL_COS.format(a=a, b=b)
+
+
+# --- J1: exact document dedup ------------------------------------------------
+
+_J1_ORACLE = """
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS distinct_texts,
+       count(*) - count(DISTINCT text) AS dup_docs
+FROM documents
+"""
+
+
+@contract("dedup_docs_exact", oracle=_J1_ORACLE)
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup stats on text. At 100 TB: dedup on sha2(text) instead of
+    the full text so the shuffle carries 32 bytes per row, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_docs"),
+    )
+
+
+# --- J2: MinHash-LSH near-dup pairs ------------------------------------------
+
+_NUM_PERM = 64
+_BAND_ROWS = 2  # 32 bands × 2 rows: recall ≈ 1 at jaccard ≥ 0.8
+_MH_PRIME = 2147483647  # 2^31-1, keeps a*h+b inside int64
+_rng = random.Random(42)
+_MH_A = [_rng.randrange(1, _MH_PRIME) for _ in range(_NUM_PERM)]
+_MH_B = [_rng.randrange(0, _MH_PRIME) for _ in range(_NUM_PERM)]
+
+_J2_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            "transform(sequence(0, size(w)-3),"
+            " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+        )).alias("sh"),
+    )
+
+
+@contract("dedup_docs_minhash", oracle=_J2_ORACLE)
+def dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at 3-word-shingle Jaccard ≥ 0.8 via banded MinHash.
+
+    Pipeline (all DataFrame ops): shingle → xxhash64 → 64 permutation mins
+    (one groupBy) → 32 band keys → bucket join for candidates → exact
+    Jaccard verify. The oracle is the exact all-pairs query, so the hash
+    check also proves LSH recall = 1 on this corpus (planted pairs are all
+    ≥0.8; 32×2 banding detects jaccard 0.8 with p ≈ 1-5e-15).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w"))
+    sh = _shingles(d)
+    h = sh.select(
+        "doc_id",
+        F.explode("sh").alias("s"),
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_MH_PRIME)).alias("h"))
+    sig = h.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i]),
+                     F.lit(_MH_PRIME))).alias(f"m{i}")
+        for i in range(_NUM_PERM)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col(f"m{b * _BAND_ROWS + r}")
+                         for r in range(_BAND_ROWS)], F.lit(b))
+            for b in range(_NUM_PERM // _BAND_ROWS)
+        ])).alias("band_id", "band_key"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("j"))
+        .where(F.col("j") >= 0.8)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- J3: brute-force cosine top-k --------------------------------------------
+
+_J3_ORACLE = f"""
+SELECT b.vec_id, round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id = 0 AND b.vec_id <> 0
+ORDER BY {_sql_cos('a.embedding', 'b.embedding')} DESC, b.vec_id
+LIMIT 10
+"""
+
+
+@contract("sim_topk_cosine", oracle=_J3_ORACLE)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec 0, brute force: broadcast the query vector,
+    one pass over embeddings, TakeOrderedAndProject top-k — the exact-
+    search baseline every ANN variant is measured against. Scales linearly;
+    the 100-TB path is llm_extras' LSH/IVF pruned variants."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    c = cosine(F.col("q_emb"), F.col("embedding"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", c.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- J4: similarity self-join at threshold -----------------------------------
+
+_J4_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@contract("sim_join_threshold", oracle=_J4_ORACLE)
+def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.4 (corpus max ≈ 0.51 — 0.95 would be
+    vacuous). Exact quadratic form as the correctness baseline; at scale
+    this becomes hyperplane-LSH bucketing (llm_extras.sim_ann_lsh) so only
+    same-bucket pairs are scored."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", c.alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- J5: per-label centroids + intra-label coherence -------------------------
+
+_J5_ORACLE = f"""
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 8)
+           AS cv
+  FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+)
+SELECT e.label, count(*) AS n_vecs,
+       round(CAST(sum(CAST({_sql_cos('e.embedding', 'c.centroid')}
+                 AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS mean_cos
+FROM embeddings e JOIN centroids c ON e.label = c.label
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+def label_centroids(e: DataFrame) -> DataFrame:
+    """label → centroid (array<double>), elements rounded to 8dp so both
+    engines derive the identical vector (decimal sums are order-exact)."""
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("v"), 8).alias("cv"))
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.cv)").alias("centroid"))
+    )
+
+
+@contract("sim_centroids", oracle=_J5_ORACLE)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + mean cosine-to-centroid. posexplode→groupBy is
+    the scale path: the (label, pos) shuffle is 64× rows but tiny width,
+    and partial aggregation collapses it map-side; no vectors ever
+    concentrate on one node."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(e)
+    c = cosine(F.col("embedding"), F.col("centroid"))
+    return (
+        e.join(F.broadcast(cents), "label")
+        .select("label", c.alias("cos_raw"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.sum(F.col("cos_raw").cast("decimal(38,10)"))
+                     .cast("double") / F.count(F.lit(1)), 6).alias("mean_cos"))
+        .orderBy("label")
+    )
+
+
+# --- J6: tokenize stats ------------------------------------------------------
+
+_J6_ORACLE = """
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+       round(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                          t -> CAST(length(t) AS BIGINT)))
+                  AS DOUBLE)
+             / len(string_split(lower(text), ' ')), 6) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@contract("text_tokenize_stats", oracle=_J6_ORACLE)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.round(total_len.cast("double") / F.size(toks), 6)
+            .alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- J7: corpus term frequency -----------------------------------------------
+
+_J7_ORACLE = """
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 20
+"""
+
+
+@contract("text_term_freq", oracle=_J7_ORACLE)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by corpus frequency with document frequency — the tf-idf
+    precursor. explode → one shuffle on term; partial counts map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id",
+                 F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+    )
+
+
+# --- J8: language profile ----------------------------------------------------
+
+_J8_ORACLE = """
+SELECT lang, source, count(*) AS docs,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE)
+             / count(n_chars), 6) AS mean_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@contract("text_lang_profile", oracle=_J8_ORACLE)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) doc count and mean size. Exercises Spark's pivot
+    internally (wide per-lang view) then unpivots back to long form so the
+    oracle stays dialect-neutral (DuckDB PIVOT syntax differs)."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        d.groupBy("source").pivot("lang", langs)
+        .agg(F.struct(F.count(F.lit(1)).alias("docs"),
+                      F.round(F.sum(F.col("n_chars").cast("decimal(38,10)"))
+                              .cast("double") / F.count("n_chars"), 6)
+                      .alias("mean_chars")))
+    )
+    stack_expr = "stack({n}, {args}) as (lang, st)".format(
+        n=len(langs),
+        args=", ".join(f"'{lg}', `{lg}`" for lg in langs))
+    return (
+        wide.select("source", F.expr(stack_expr))
+        .where(F.col("st.docs") > 0)
+        .select("lang", "source", F.col("st.docs").alias("docs"),
+                F.col("st.mean_chars").alias("mean_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+# --- J9: multimodal join (text metadata × vector compute) --------------------
+
+_J9_ORACLE = f"""
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 8) AS cv
+  FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+)
+SELECT d.lang, count(*) AS n_docs,
+       round(CAST(sum(CAST({_sql_cos('e.embedding', 'c.centroid')}
+                 AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS mean_cos
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+JOIN centroids c ON e.label = c.label
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@contract("multimodal_join", oracle=_J9_ORACLE)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings (doc_id = vec_id): per-language mean coherence
+    to label centroid — text metadata and vector compute in one plan. The
+    doc↔vec join shuffles on the shared key; centroids broadcast."""
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    cents = label_centroids(t["embeddings"])
+    c = cosine(F.col("embedding"), F.col("centroid"))
+    return (
+        t["documents"]
+        .join(t["embeddings"],
+              F.col("doc_id") == F.col("vec_id"))
+        .join(F.broadcast(cents), "label")
+        .select("lang", c.alias("cos_raw"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.sum(F.col("cos_raw").cast("decimal(38,10)"))
+                     .cast("double") / F.count(F.lit(1)), 6).alias("mean_cos"))
+        .orderBy("lang")
+    )
+
+
+# --- J10: quality filter -----------------------------------------------------
+
+_J10_ORACLE = """
+WITH flagged AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 'too_short'
+              WHEN n_chars > 450 THEN 'too_long'
+              WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_filtered'
+              WHEN count(*) OVER (PARTITION BY text) > 1 THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM documents
+)
+SELECT reason, count(*) AS docs
+FROM flagged
+GROUP BY reason
+ORDER BY reason
+"""
+
+
+@contract("text_quality_filter", oracle=_J10_ORACLE)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: length bounds, language allowlist, exact-dup
+    removal — each drop attributed to its first matching reason so the
+    report explains corpus shrinkage (the number every pipeline owner
+    asks for)."""
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents")
+    dup_cnt = F.count(F.lit(1)).over(Window.partitionBy("text"))
+    reason = (
+        F.when(F.col("n_chars") < 150, "too_short")
+        .when(F.col("n_chars") > 450, "too_long")
+        .when(~F.col("lang").isin("en", "de", "es", "fr"), "lang_filtered")
+        .when(dup_cnt > 1, "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        d.select(reason.alias("reason"))
+        .groupBy("reason").agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("reason")
+    )
