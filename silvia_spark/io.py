@@ -21,15 +21,26 @@ from silvia_spark.session import configure_session
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# (session id, sf_dir, table) → DataFrame. A DataFrame is an immutable plan,
+# so sharing the base relation across queries is safe and skips the footer
+# read + relation resolution Py4J round-trips on every contract call.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table; fixes events.ts (nanos → exact µs timestamp)."""
+    """Load one corpus table; fixes events.ts (nanos → exact µs timestamp).
+    Memoized per (session, sf_dir, table)."""
+    key = (id(spark), sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    _table_cache[key] = df
     return df
 
 

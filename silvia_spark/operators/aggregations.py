@@ -59,6 +59,47 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q3 composite (C1+D1+F2): shipping priority ------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@contract("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join, revenue per order,
+    top-10. Customer (filtered, dimension-sized) broadcasts; lineitem
+    shuffles once on orderkey; top-k avoids the global sort."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    li = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz"))
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 # --- D2: exact count distinct ------------------------------------------------
 
 _D2_ORACLE = f"""
@@ -170,11 +211,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §3 entry point 2): by-brand, by-type, and grand-total in one
     shuffle with grouping-id expansion."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(f"""
+    return spark.sql("""
         SELECT p_brand, p_type,
                count(*) AS part_cnt,
-               round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE)
-                     / count(p_retailprice), 6) AS avg_price
+               ((sum(CAST(round(p_retailprice * 1000000) AS BIGINT))
+                 / CAST(1000000 AS DOUBLE)) / count(p_retailprice))
+                 AS avg_price
         FROM part
         GROUP BY GROUPING SETS ((p_brand), (p_type), ())
         ORDER BY p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST

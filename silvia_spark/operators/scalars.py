@@ -289,9 +289,9 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H8_ORACLE = """
 SELECT event_type,
-       round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                 AS DECIMAL(38,10))) AS DOUBLE)
-             / count(props), 6) AS avg_k,
+       ((sum(CAST(round(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                        * 1000000) AS BIGINT)) / 1000000.0)
+        / count(props)) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
        count(*) AS cnt
 FROM events
@@ -314,9 +314,8 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                   k_struct.getField("k").alias("k_int"))
         .groupBy("event_type")
         .agg(
-            F.round(
-                F.sum(F.col("k_dbl").cast("decimal(38,10)")).cast("double")
-                / F.count("props"), 6).alias("avg_k"),
+            ((F.sum(F.round(F.col("k_dbl") * 1_000_000).cast("bigint"))
+              / F.lit(1_000_000.0)) / F.count("props")).alias("avg_k"),
             F.max("k_int").alias("max_k"),
             F.count(F.lit(1)).alias("cnt"),
         )

@@ -32,15 +32,24 @@ RUNTIME_CONFS = {
 }
 
 
+_configured: "set[int]" = set()
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (e.g. the
-    driver-provided one). Idempotent."""
+    driver-provided one). Idempotent, and cached per session object: each
+    conf.set is a Py4J round-trip, so repeat calls must be free — this runs
+    on every table load."""
+    key = id(spark)
+    if key in _configured:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Some confs may be fixed at session build time; ignore if so.
             pass
+    _configured.add(key)
     return spark
 
 
