@@ -1,0 +1,155 @@
+"""ANN scale paths for the similarity operators — SURVEY.md §2.J addendum.
+
+``sim_join_threshold`` (llm_ops.py, J4) is the exact all-pairs baseline: a
+cross join that is quadratic in the corpus and cannot run at 100 TB. This
+module holds the scale-shaped variant:
+
+``sim_ann_lsh`` — hyperplane (sign-random-projection) LSH similarity join:
+
+1. Per vector, compute ``T`` bucket keys (one per hash table). A key packs
+   ``B`` sign bits; bit *(t,b)* is the sign of a dot product with a
+   Rademacher ±1 hyperplane (fixed seed). The dots are computed as a
+   GEMM-by-join: posexplode(embedding) ⋈ broadcast sign table (dim×T·B
+   rows) → hash-aggregate on (vec_id, proj_id) — every stage is
+   whole-stage-codegen HashAggregate/BroadcastHashJoin, no interpreted
+   higher-order lambdas. Dot terms are quantized to 1e-9 and summed as
+   BIGINT, so the sign bits are bit-reproducible under any partitioning
+   (a double sum's last-ulp order sensitivity could otherwise flip a
+   near-zero sign).
+2. posexplode keys → self equi-join on ``(table_id, bucket_key)`` — only
+   same-bucket pairs are ever materialized. This is the one shuffle that
+   grows with candidates, keyed by 16 bytes, never by vectors.
+3. ``distinct`` candidate pairs (a pair can collide in many tables), then
+   exact-cosine verify against the threshold — identical verify kernel to
+   the baseline, so false positives cost compute but never correctness.
+
+Recall: a pair at cosine *c* collides in one table with p = (1 - θ/π)^B,
+θ = arccos(c). At the contract threshold 0.4 (θ ≈ 66.4°, per-bit p ≈ 0.631)
+with B=4, T=64 the per-pair miss probability is (1-0.631⁴)⁶⁴ ≈ 1.6e-5 —
+the pipeline is deterministic (fixed seed + exact decimal sums), and the
+contract's oracle is the *exact* all-pairs SQL, so the driver hash-check
+proves recall = 1 on this corpus. For production thresholds (≥ 0.8,
+per-bit p ≈ 0.8) the same recall needs far fewer tables; tune (B, T) with
+the closed form. See SCALE.md §ANN.
+
+At 100 TB: map work is O(n·dim) explode + O(n·dim·T·B) multiply inside
+partial aggregation (map-side combine collapses the join fan-out before
+any shuffle); the alternative constant-factor upgrade is a numpy GEMM in
+an Arrow-batched Pandas UDF — same semantics, swap-in. Bucket skew (dense
+clusters) is handled by AQE skew-join splitting; a bucket-size cap with
+re-salting is the belt-and-braces guard documented in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+
+_ANN_BITS = 4     # bits per bucket key (selectivity)
+_ANN_TABLES = 64  # OR-ed hash tables (recall)
+_ANN_DIM = 64     # embedding dimensionality of the corpus
+_ANN_SEED = 101   # seed for the Rademacher hyperplane family
+
+_N_PROJ = _ANN_TABLES * _ANN_BITS
+
+
+def _sign_table(spark: SparkSession) -> DataFrame:
+    """(pos, proj_id, sgn ±1.0) Rademacher matrix, generated JVM-side from
+    xxhash64 parity — no driver→executor literal transfer (a
+    createDataFrame of the 16k tuples measured 3s per call), fully
+    deterministic for a fixed seed."""
+    return spark.range(_ANN_DIM * _N_PROJ).select(
+        F.expr(f"CAST(id div {_N_PROJ} AS INT)").alias("pos"),
+        F.expr(f"CAST(pmod(id, {_N_PROJ}) AS INT)").alias("proj_id"),
+        F.when(F.pmod(F.xxhash64(F.lit(_ANN_SEED), F.col("id")), 2) == 0,
+               1.0).otherwise(-1.0).alias("sgn"),
+    )
+
+
+def bucket_keys(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """vec_id → (table_id, bucket_key) rows, one per hash table.
+
+    Dot terms are quantized to 1e-9 and summed as BIGINT: exact and
+    order-independent (a codegen long sum, ~10× a decimal sum), and the
+    ±3.2e-8 quantization can only flip a sign when |dot| is already that
+    close to zero — the same measure-zero class as the hyperplane passing
+    through a point."""
+    hyper = _sign_table(spark)
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    dots = (
+        ev.join(F.broadcast(hyper), "pos")
+        .groupBy("vec_id", "proj_id")
+        .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
+                           * F.lit(1e9)).cast("bigint")).alias("dot_q"))
+    )
+    bit_val = F.when(
+        F.col("dot_q") >= 0,
+        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")
+    ).otherwise(0)
+    return (
+        dots.select("vec_id",
+                    F.expr(f"proj_id div {_ANN_BITS}").alias("table_id"),
+                    bit_val.alias("bv"))
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bv").alias("bucket_key"))
+    )
+
+
+# The oracle is the EXACT all-pairs query (same as J4): green hash ⇒ the LSH
+# candidate stage achieved recall 1 on this corpus at this threshold.
+_ANN_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+       , 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND
+list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+      >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@contract("sim_ann_lsh", oracle=_ANN_ORACLE)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH similarity self-join at cosine ≥ 0.4 — the 100-TB
+    path for J4 (llm_ops.sim_join_threshold). Same output contract and the
+    exact all-pairs oracle; only same-(table, bucket) pairs are scored."""
+    from silvia_spark.functions.llm_ops import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # persist() the tiny (n·T)-row bucket table so the self-join's two
+    # sides read one computed copy — without it Spark plans the whole GEMM
+    # lineage twice (measured 2× the stage cost). At cluster scale this is
+    # a few GB across executors, the canonical build-side reuse.
+    buckets = bucket_keys(spark, e).persist()
+    left = buckets.select(F.col("vec_id").alias("vec_a"),
+                          "table_id", "bucket_key")
+    right = buckets.select(F.col("vec_id").alias("vec_b"),
+                           "table_id", "bucket_key")
+    cand = (
+        left.join(right, ["table_id", "bucket_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b", c.alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -68,13 +68,17 @@ FROM documents
 
 @contract("dedup_docs_exact", oracle=_J1_ORACLE)
 def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup stats on text. At 100 TB: dedup on sha2(text) instead of
-    the full text so the shuffle carries 32 bytes per row, not documents."""
+    """Exact dedup stats. Distinctness is counted on sha2(text, 256), not
+    the raw text: the distinct shuffle carries 32-byte digests instead of
+    whole documents — the difference between shuffling 100 TB and shuffling
+    ~30 GB per 10⁹ docs. Counts are identical absent a SHA-256 collision
+    (probability ≈ 0 at any corpus size that fits on Earth)."""
     d = load_table(spark, sf_dir, "documents")
+    key = F.sha2(F.col("text"), 256)
     return d.agg(
         F.count(F.lit(1)).alias("total_docs"),
-        F.countDistinct("text").alias("distinct_texts"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_docs"),
+        F.countDistinct(key).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("dup_docs"),
     )
 
 
@@ -181,7 +185,8 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of vec 0, brute force: broadcast the query vector,
     one pass over embeddings, TakeOrderedAndProject top-k — the exact-
     search baseline every ANN variant is measured against. Scales linearly;
-    the 100-TB path is llm_extras' LSH/IVF pruned variants."""
+    the bucketed 100-TB path is llm_extras.sim_ann_lsh (same hyperplane
+    family prunes a top-k probe to matching buckets)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"))
@@ -466,7 +471,11 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     asks for)."""
     from pyspark.sql.window import Window
     d = load_table(spark, sf_dir, "documents")
-    dup_cnt = F.count(F.lit(1)).over(Window.partitionBy("text"))
+    # Partition the dup-count window by the 32-byte digest, not the raw
+    # text — same groups (SHA-256 collision-free in practice), but the
+    # window shuffle never carries document bodies as keys.
+    dup_cnt = F.count(F.lit(1)).over(
+        Window.partitionBy(F.sha2(F.col("text"), 256)))
     reason = (
         F.when(F.col("n_chars") < 150, "too_short")
         .when(F.col("n_chars") > 450, "too_long")

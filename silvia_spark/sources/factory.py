@@ -1,0 +1,72 @@
+"""Streaming source factory — SURVEY.md §2.A note.
+
+One constructor for every streaming input the engine supports; queries name
+a kind and pass config instead of hand-building readers:
+
+- ``file``   — file-stream over a directory (schema required). The corpus
+  stores one parquet file per table, so a per-sf staging dir of symlinks is
+  built on demand (concurrency-safe: the symlink create tolerates a racing
+  sibling session).
+- ``rate``   — the deterministic ``rate-micro-batch`` synthetic clock.
+- ``kafka``  — config-only here (no broker in the test environment): builds
+  the reader with the standard ``kafka`` format options and fails at
+  ``.load()`` only if actually started without a broker. On a cluster this
+  is the production entry: ``source(spark, "kafka",
+  subscribe="events", **{"kafka.bootstrap.servers": "..."})``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from silvia_spark.session import configure_session
+
+
+def _stage_single_file(path: str) -> str:
+    """File-stream sources need a directory; stage a symlink dir for a
+    single-file table. Idempotent and race-safe across sessions."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "silvia_stream_" + os.path.dirname(path).strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass  # concurrent session staged it first — same target
+    return stage
+
+
+def source(spark: SparkSession, kind: str, *,
+           path: str | None = None,
+           schema: StructType | None = None,
+           fmt: str = "parquet",
+           **options: str) -> DataFrame:
+    """Build a streaming DataFrame for ``kind`` ∈ {file, rate, kafka}."""
+    configure_session(spark)
+    if kind == "file":
+        if path is None or schema is None:
+            raise ValueError("file source requires path= and schema=")
+        directory = _stage_single_file(path) if os.path.isfile(path) else path
+        reader = spark.readStream.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.format(fmt).load(directory)
+    if kind == "rate":
+        reader = spark.readStream.format("rate-micro-batch")
+        defaults = {"rowsPerBatch": "100", "numPartitions": "2",
+                    "startTimestamp": "0", "advanceMillisPerBatch": "1000"}
+        for k, v in {**defaults, **options}.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if kind == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    raise ValueError(f"unknown source kind: {kind!r}")

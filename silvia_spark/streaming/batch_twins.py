@@ -35,16 +35,19 @@ ORDER BY wstart, event_type
 
 @contract("stream_tumbling_1h", oracle=_I1_ORACLE)
 def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events per (1-hour tumbling window, type). F.window — not date_trunc —
-    so the identical expression runs incrementally under a watermark in the
-    live variant; tumbling windows partial-aggregate map-side like any
-    groupBy."""
+    """Events per (1-hour tumbling window, type). The batch twin buckets
+    with date_trunc — a plain scalar groupBy key that stays in compact
+    whole-stage codegen (the struct-producing F.window() costs ~2× at
+    batch; measured in BENCH_r01). The live variant (stream_tumbling_live)
+    keeps F.window(), which is what runs incrementally under a watermark —
+    both produce identical (wstart, event_type) groups, asserted by
+    tests/test_stream_equivalence.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("wstart"),
+            "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
-        .select(F.col("w.start").cast("timestamp_ntz").alias("wstart"),
-                "event_type", "cnt", "sum_value")
         .orderBy("wstart", "event_type")
     )
 

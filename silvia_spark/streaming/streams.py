@@ -22,23 +22,16 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from silvia_spark.registry import contract
 from silvia_spark.schemas import EVENTS_RAW
-from silvia_spark.session import configure_session
+from silvia_spark.sources import source
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the §1.2 nanos fix applied
-    identically to the batch loader."""
-    configure_session(spark)
-    # The file-stream source requires a directory; the corpus stores one
-    # file per table, so stage a per-sf symlink dir (idempotent, /tmp).
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "silvia_stream_" + sf_dir.strip("/").replace("/", "_"))
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(stage)
+    identically to the batch loader. Built through the source factory
+    (sources/factory.py) — the production entry would be
+    ``source(spark, "kafka", ...)`` with the same downstream plan."""
+    raw = source(spark, "file", path=f"{sf_dir}/events.parquet",
+                 schema=EVENTS_RAW)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
     )
@@ -68,15 +61,7 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming smoke on the rate-micro-batch source (deterministic rows per
     batch) → 10-second tumbling count. Proves the source factory's
     non-file path without Kafka."""
-    configure_session(spark)
-    stream = (
-        spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", "100")
-        .option("numPartitions", "2")
-        .option("startTimestamp", "0")
-        .option("advanceMillisPerBatch", "1000")
-        .load()
-    )
+    stream = source(spark, "rate")
     agg = (
         stream.groupBy(F.window("timestamp", "10 seconds").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("max_value"))
