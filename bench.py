@@ -60,13 +60,26 @@ def main() -> None:
     spark = get_session("silvia_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Engine warmup, the analogue of the baseline's pre-timing view
+    # registration (BASELINE.md §Method): first job (executor init) and
+    # base-relation construction for every table happen before any query
+    # is timed or its plan-build measured.
+    t0 = time.perf_counter()
+    spark.range(1).selectExpr("id + 1 AS x").toArrow()  # analyzer + Arrow init
+    from silvia_spark.io import load_table
+    from silvia_spark.schemas import TABLE_NAMES
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t)
+    warmup_sec = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
-    compile_total = 0.0
+    compiles: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)          # build + compile the plan once
-        compile_total += time.perf_counter() - t0
+        df.schema                       # force analysis into the measurement
+        compiles[name] = round(time.perf_counter() - t0, 4)
         df.toArrow()                    # warm-up: codegen + IO cache
         best = float("inf")
         for _ in range(3):
@@ -76,12 +89,20 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    compile_total = round(sum(compiles.values()), 4)
+    # Both gradings reported: "value" is warm plan re-execution (the
+    # prepared-statement analogue, scale-representative); value_with_compile
+    # adds the one-time per-shape plan build+analysis so the sweep can also
+    # be read as cold end-to-end.
     print(json.dumps({
         "metric": "headline_sweep_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "plan_compile_sec": round(compile_total, 4),
+        "plan_compile_sec": compile_total,
+        "queries_compile_sec": compiles,
+        "value_with_compile": round(total + compile_total, 4),
+        "warmup_sec": warmup_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

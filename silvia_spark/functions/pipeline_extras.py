@@ -1,0 +1,407 @@
+"""Training-data pipeline operators beyond the reference surface —
+SURVEY.md §2.J addendum (brief: dedup variants, ANN variants, multimodal
+plumbing, text analysis).
+
+Contracts here:
+
+- ``dedup_docs_simhash`` — SimHash near-dup candidates + exact-Jaccard
+  verify (the other classic dedup family next to MinHash-LSH J2).
+- ``sim_ann_ivf``       — IVF-style pruned top-k (coarse quantizer =
+  per-label centroids, nprobe lists probed) vs J3's exact oracle.
+- ``text_fingerprint``  — rolling-hash (Rabin-Karp) document fingerprint,
+  pure integer math so DuckDB reproduces it exactly.
+- ``text_lang_detect``  — marker-token language scoring with a
+  deterministic argmax (the operator shape of n-gram lang-ID; this
+  corpus's text is synthetic so predictions are structural, not
+  linguistic — see docstring).
+- ``multimodal_decode`` — opaque binary payload → Arrow-batched
+  mapInPandas decode returning typed metadata. The decode itself is a
+  clearly-marked deterministic STUB (no image/audio libs in this
+  environment); the Spark-side plumbing — binary column, batch iterator,
+  schema, typed output — is real and oracle-checked.
+- ``text_token_bpe``    — BPE-ish regex tokenization counts (letters /
+  digits / punctuation runs), the token-budget estimator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+
+# --- SimHash near-dup dedup ---------------------------------------------------
+
+# Band geometry trades candidate volume against recall: P(band match) ≈
+# (1 - f)^bits for per-bit flip probability f, which GROWS as feature sets
+# shrink (each differing feature perturbs every bit's ±1 sum). This corpus
+# has ~10² shingle features per doc (tiny shared vocabulary), so narrow
+# 4-bit bands are needed for recall ≈ 1; real corpora (10³–10⁴ features)
+# run 16-bit bands with far fewer candidates. See SCALE.md §ANN.
+_SH_BANDS = 16
+_SH_BAND_BITS = 4
+
+# Oracle: the exact all-pairs shingle-Jaccard join (same as J2) — a green
+# hash proves the banded-SimHash candidate stage had recall 1 here.
+_SIMHASH_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@contract("dedup_docs_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash banding, verified by exact
+    3-shingle Jaccard ≥ 0.8.
+
+    SimHash: per distinct 3-shingle (the same features the verify stage
+    measures), xxhash64; per bit position j, sum ±1 by the shingle hash's
+    bit j; sign of the sum is fingerprint bit j. All codegen (explode →
+    HashAggregate), no interpreted lambdas. Banding: the 64 bits pack
+    into 16 × 4-bit band keys; near-dup docs agree on ≥1 band
+    with overwhelming probability (geometry note above), so candidates =
+    same (band, key) — one small shuffle, no all-pairs stage.
+    Verification is the same exact-Jaccard kernel as J2, so false
+    candidates never reach the output. At 100 TB the per-band bucket
+    cap/salting guard of SCALE.md §ANN applies identically."""
+    from silvia_spark.functions.llm_ops import _shingles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w"))
+    sh = _shingles(d)
+    th = (sh.select("doc_id", F.explode("sh").alias("t"))
+          .select("doc_id", F.xxhash64("t").alias("h")))
+    bits = (
+        th.select("doc_id", "h",
+                  F.explode(F.expr("sequence(0, 63)")).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(F.expr("(shiftright(h, j) & 1) = 1"), 1)
+                   .otherwise(-1)).alias("s"))
+    )
+    bands = (
+        bits.select(
+            "doc_id",
+            F.expr(f"j div {_SH_BAND_BITS}").alias("band_id"),
+            F.expr(f"CASE WHEN s >= 0 THEN shiftleft(1, pmod(j, "
+                   f"{_SH_BAND_BITS})) ELSE 0 END").alias("bv"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.sum("bv").alias("band_key"))
+    ).persist()  # computed once, read by both self-join sides
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("j"))
+        .where(F.col("j") >= 0.8)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- IVF-pruned top-k ---------------------------------------------------------
+
+_IVF_NPROBE = 3
+
+_SQL_COS_QE = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+"""
+
+# The oracle replicates the PROBE SEMANTICS (same quantizer, same nprobe,
+# same in-list ranking) — IVF is approximate by definition, so the checkable
+# contract is "both engines probe identically", not equality with the exact
+# scan (J3 is the exact baseline; measured recall@10 here is 4/10 at
+# nprobe=3 because this corpus's labels are a random, non-geometric
+# partition — the worst case for a provided quantizer).
+_IVF_ORACLE = f"""
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 8) AS cv
+  FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probed AS (
+  SELECT c.label
+  FROM centroids c, q
+  ORDER BY {_SQL_COS_QE.format(a='q.qe', b='c.centroid')} DESC, c.label
+  LIMIT {_IVF_NPROBE}
+)
+SELECT e.vec_id,
+       round({_SQL_COS_QE.format(a='q.qe', b='e.embedding')}, 6) AS cos_sim
+FROM embeddings e JOIN probed USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY {_SQL_COS_QE.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@contract("sim_ann_ivf", oracle=_IVF_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-10 neighbors of vec 0: coarse quantizer = per-label
+    centroids (the labels partition the corpus into inverted lists), probe
+    the _IVF_NPROBE lists whose centroids are closest to the query,
+    brute-force only inside them. The oracle replicates the identical
+    probe in DuckDB, so the hash check proves probe-semantics parity;
+    recall vs the exact scan (J3) is the IVF quality metric, not a
+    correctness gate — on this corpus labels are a random partition
+    (recall@10 = 4/10 at nprobe=3); production IVF k-means-trains the
+    quantizer, which is 2–3 assign/recompute rounds of exactly these
+    DataFrame ops. At 100 TB the scan prunes to nprobe/nlists of the
+    corpus; lists live as partition directories so pruning happens at the
+    parquet scan."""
+    from silvia_spark.functions.llm_ops import cosine, label_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    cents = label_centroids(e)
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("q_emb"), F.col("centroid")).alias("qc"))
+        .orderBy(F.col("qc").desc(), "label")
+        .limit(_IVF_NPROBE)
+        .select("label")
+    )
+    c = cosine(F.col("q_emb"), F.col("embedding"))
+    return (
+        e.join(F.broadcast(probed), "label", "left_semi")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", c.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- Rolling-hash document fingerprint ---------------------------------------
+
+_FP_BASE = 131
+_FP_MOD = 1_000_000_007
+_FP_K = 8  # gram length
+
+# Each term CAST to BIGINT: ascii() is INT32 in both engines and
+# 127 × 131⁴ already overflows it (ANSI Spark throws, DuckDB too).
+_POLY = " + ".join(
+    f"CAST(ascii(substr(text, i+{j}, 1)) AS BIGINT) * {_FP_BASE ** j}"
+    for j in range(_FP_K))
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_min([({_POLY}) % {_FP_MOD}
+                 for i in generate_series(1, length(text) - {_FP_K - 1})])
+         AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@contract("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum Rabin-Karp rolling
+    hash over all 8-grams (base 131, mod 1e9+7). Pure integer arithmetic,
+    bit-identical across engines and partitionings; the min is
+    order-independent. Per-row map work, zero shuffle — the fingerprint
+    column is then the 8-byte dedup/cluster key a pipeline shards on
+    (contrast J1's full-content sha2: this one is robust to small edits
+    at the gram granularity)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {_FP_K - 1}),"
+        f" i -> pmod({_POLY}, {_FP_MOD}))")
+    return (
+        d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# --- Marker-based language scoring -------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "value", "fast", "big"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def _score_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (f"len(list_intersect(list_distinct(string_split(lower(text),"
+            f" ' ')), [{arr}]))")
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_score_sql('en')} AS s_en, {_score_sql('de')} AS s_de,
+         {_score_sql('es')} AS s_es, {_score_sql('fr')} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, labeled_lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS detected
+  FROM scored
+)
+SELECT labeled_lang, detected, count(*) AS docs
+FROM pred
+GROUP BY labeled_lang, detected
+ORDER BY labeled_lang, detected
+"""
+
+
+@contract("text_lang_detect", oracle=_LANG_ORACLE)
+def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token overlap: score each doc against
+    per-language marker sets, argmax with a fixed preference order
+    (en→de→es→fr) as the deterministic tie-break. This corpus's text is
+    SYNTHETIC (same English-ish vocabulary for every labeled lang), so
+    the confusion matrix it emits shows structure, not linguistics — the
+    operator is the shape of real n-gram lang-ID: per-row scoring, no
+    shuffle until the final tiny confusion-matrix groupBy; marker sets
+    swap for real char-n-gram profiles unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    detected = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
+               & (scores["en"] >= scores["fr"]), "en")
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
+              "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select(F.col("lang").alias("labeled_lang"),
+                 detected.alias("detected"))
+        .groupBy("labeled_lang", "detected")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("labeled_lang", "detected")
+    )
+
+
+# --- Multimodal decode plumbing ----------------------------------------------
+
+_DECODE_SCHEMA = ("doc_id long, n_bytes int, width int, height int, "
+                  "n_frames int")
+
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 31) % 577 AS INT) AS height,
+       CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _decode_batches(batches: Iterator) -> Iterator:
+    """STUB decoder: a real deployment would decode image/video bytes here
+    (PIL / pyav are not in this environment). The metadata is a
+    deterministic function of the payload so the Arrow plumbing is
+    oracle-checkable; the signature, batch iteration, and typed output
+    are exactly what the real decoder uses."""
+    import pandas as pd
+
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int32")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n,
+            "width": (64 + n % 577).astype("int32"),
+            "height": (64 + (n * 31) % 577).astype("int32"),
+            "n_frames": (1 + n % 24).astype("int32"),
+        })
+
+
+@contract("multimodal_decode", oracle=_DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion plumbing: an opaque ``binary`` payload column
+    flows through an Arrow-batched ``mapInPandas`` decode stage emitting
+    typed media metadata (dims, frame count). The decode body is a
+    deterministic STUB (see _decode_batches); everything Spark-side —
+    binary columns, batch shapes, schema contract, per-partition
+    parallelism with zero shuffle — is the production path. At 100 TB
+    decode cost dominates and is embarrassingly parallel; partition count
+    (not data layout) is the throughput knob."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return d.mapInPandas(_decode_batches, _DECODE_SCHEMA).orderBy("doc_id")
+
+
+# --- BPE-ish token counting ---------------------------------------------------
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_TOKBPE_ORACLE = f"""
+SELECT lang,
+       count(*) AS docs,
+       CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) * 1.0
+         / count(*) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@contract("text_token_bpe", oracle=_TOKBPE_ORACLE)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation with a BPE-ish lexer regex (letter runs /
+    digit runs / single punctuation), the pre-tokenizer shape GPT-style
+    BPE vocabularies assume. Per-row regexp (JVM, codegen) then one tiny
+    per-lang aggregate; avg is exact-integer total over exact count so
+    the double division is bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(ntok).alias("total_tokens"))
+        .select("lang", "docs", "total_tokens",
+                (F.col("total_tokens") * F.lit(1.0) / F.col("docs"))
+                .alias("avg_tokens"))
+        .orderBy("lang")
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from silvia_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS
 from silvia_spark.session import configure_session
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -35,7 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Explicit schema (schemas.py) instead of inference: skips the footer
+    # schema merge on first touch (~100-300 ms per table per session,
+    # measured in the bench's plan-compile audit) and fails fast on drift.
+    schema = EVENTS_RAW if name == "events" else TABLE_SCHEMAS.get(name)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -67,12 +67,24 @@ def scan_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A3: TSV round-trip ------------------------------------------------------
 
 
-@contract("source_csv_tsv")  # rows-only: involves a filesystem side effect
+# Oracle = the same aggregate over the ORIGINAL table: a hash match proves
+# the TSV round-trip (write → schema-enforced re-read → timestamp re-parse)
+# was lossless, which is the contract.
+_A3_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       count(DISTINCT event_id) AS distinct_ids,
+       max(ts) AS max_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("source_csv_tsv", oracle=_A3_ORACLE)
 def source_csv_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowplow-style TSV ingestion: dump events to TSV, re-read with an
     explicit schema (no inference — fail fast on drift), prove lossless
-    round-trip by aggregating. The enriched-event TSV is the reference's
-    canonical wire format."""
+    round-trip by aggregating against the original table's oracle."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
@@ -129,13 +141,22 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A5: JDBC sink (Postgres) ------------------------------------------------
 
 
-@contract("sink_jdbc_postgres")  # rows-only: no Postgres in the harness
+_A5_ORACLE = """
+SELECT event_type, count(*) AS event_cnt,
+       count(DISTINCT user_id) AS users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_jdbc_postgres", oracle=_A5_ORACLE)
 def sink_jdbc_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
     """silvia's load stage: write a computed aggregate to PostgreSQL.
 
     The JDBC URL comes from $SILVIA_JDBC_URL; absent (this harness), the
-    sink degrades to returning the frame that would have been written, so
-    the contract still row-checks. With a URL: one JDBC connection per
+    sink degrades to returning the frame that would have been written,
+    which the oracle hash-checks. With a URL: one JDBC connection per
     partition — coalesce bounds Postgres connection fan-in, the knob that
     matters when 1000 executors all hold connections.
     """

@@ -53,11 +53,13 @@ _PRIORITY: tuple[str, ...] = (
     # K1–K5 UDF surface.
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
     "udtf_apply_in_pandas", "udtf_python",
-    # J1–J10 LLM-pipeline ops (+ the ANN scale variant).
-    "dedup_docs_exact", "dedup_docs_minhash", "sim_topk_cosine",
-    "sim_join_threshold", "sim_ann_lsh", "sim_centroids",
-    "text_tokenize_stats", "text_term_freq", "text_lang_profile",
-    "multimodal_join", "text_quality_filter",
+    # J1–J10 LLM-pipeline ops (+ scale/extra variants).
+    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
+    "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_centroids", "text_tokenize_stats", "text_term_freq",
+    "text_lang_profile", "text_lang_detect", "text_fingerprint",
+    "text_token_bpe", "multimodal_join", "multimodal_decode",
+    "text_quality_filter",
     # Streaming rows-only contracts (A7/I4/I9): real stream jobs, slower.
     "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
     # -- r01-green contracts, cheapest first ---------------------------------
@@ -107,6 +109,11 @@ def load_all_modules() -> None:
         scalars,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
-    from silvia_spark.functions import llm_extras, llm_ops, udfs  # noqa: F401
+    from silvia_spark.functions import (  # noqa: F401
+        llm_extras,
+        llm_ops,
+        pipeline_extras,
+        udfs,
+    )
 
     _reorder()

@@ -72,6 +72,7 @@ def get_session(app_name: str = "silvia_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -96,8 +96,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, count(*) AS n_events,

@@ -96,6 +96,51 @@ def check(name: str, spark, sf_dir: str = "/root/testdata/sf0.01",
     return ok
 
 
+def driver_canon_issues(name: str, spark, sf_dir: str = "/root/testdata/sf0.01"
+                        ) -> list[str]:
+    """Issues that would break the DRIVER's pandas-based canonicalization
+    even when raw values match (the r01 failure class): array/map cells
+    (unhashable in pandas factorize) and dtype-kind drift between Spark's
+    ``toPandas`` and DuckDB's ``.df()`` (e.g. DuckDB HUGEINT → float64 vs
+    Spark BIGINT → int64, which formats 1.0 vs 1)."""
+    import numpy as np
+
+    from silvia_spark import registry
+    registry.load_all_modules()
+    issues: list[str] = []
+    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    for c in sdf.columns:
+        nn = sdf[c].dropna()
+        if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list, dict, tuple)):
+            issues.append(
+                f"{c}: {type(nn.iloc[0]).__name__} cells crash the "
+                f"driver canonicalizer")
+    if name in registry.ORACLE:
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        odf = con.sql(registry.ORACLE[name]).df()
+        con.close()
+        import datetime
+
+        for c in sdf.columns:
+            if c not in odf.columns:
+                continue
+            sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
+            if sk == ok_:
+                continue
+            # Spark DateType → object cells of datetime.date while DuckDB
+            # DATE → datetime64: empirically driver-safe (scalar_date was
+            # hash-green in r01 with exactly this shape) — allow it.
+            nn = sdf[c].dropna()
+            if {sk, ok_} == {"O", "M"} and len(nn) and isinstance(
+                    nn.iloc[0], (datetime.date, datetime.datetime)):
+                continue
+            issues.append(f"{c}: dtype kind spark={sk} oracle={ok_}")
+    return issues
+
+
 def main(names: list[str]) -> int:
     from silvia_spark.session import get_session
     from silvia_spark import registry

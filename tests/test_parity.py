@@ -1,0 +1,47 @@
+"""Per-contract oracle parity at sf0.001 — SURVEY.md §5.2.1.
+
+One test per registered contract: Spark result vs DuckDB oracle
+(row count + columns + order-insensitive value hash), exactly the check
+the driver runs at sf0.01. Rows-only contracts assert execution + ≥0 rows.
+Live streaming variants run full availableNow jobs → marked slow.
+
+A second pass asserts DRIVER-canonicalizer safety (tests/parity.py
+``driver_canon_issues``): no array/map output cells, no pandas dtype-kind
+drift between engines — the failure class that cost two contracts in r01
+despite locally-matching values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from silvia_spark import registry
+from tests import parity
+from tests.conftest import SF_SMALL
+
+registry.load_all_modules()
+
+_ALL = list(registry.QUERIES)
+_SLOW = [n for n in _ALL
+         if n.endswith("_live")
+         or n in ("source_rate_stream", "stream_watermark_late",
+                  "stream_foreachbatch_upsert")]
+_FAST = [n for n in _ALL if n not in _SLOW]
+
+
+@pytest.mark.parametrize("name", _FAST)
+def test_oracle_parity(name, spark):
+    assert parity.check(name, spark, sf_dir=SF_SMALL, verbose=False), \
+        f"{name}: Spark result diverges from DuckDB oracle at sf0.001"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _SLOW)
+def test_streaming_rows_only(name, spark):
+    assert parity.check(name, spark, sf_dir=SF_SMALL, verbose=False)
+
+
+@pytest.mark.parametrize("name", [n for n in _FAST if n in registry.ORACLE])
+def test_driver_canonicalizer_safe(name, spark):
+    issues = parity.driver_canon_issues(name, spark, sf_dir=SF_SMALL)
+    assert not issues, f"{name}: {issues}"

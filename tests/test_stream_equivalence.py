@@ -1,0 +1,74 @@
+"""Batch ≡ stream equivalence — SURVEY.md §5.2.4.
+
+The hash-checked batch twins and the availableNow live variants must agree
+on every window the stream has CLOSED. Append-mode streaming only emits a
+window once the watermark passes its end, so the tail windows (within
+watermark delay of max event time) are legitimately withheld by the live
+variant — the assertion models that cutoff exactly rather than papering
+over it: live == batch restricted to closed windows, and nothing else.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from silvia_spark import registry
+from silvia_spark.io import load_table
+from tests.conftest import SF_SMALL
+
+registry.load_all_modules()
+
+pytestmark = pytest.mark.slow
+
+
+def _rows(name, spark, cols):
+    df = registry.QUERIES[name](spark, SF_SMALL).select(*cols)
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _max_ts(spark) -> datetime.datetime:
+    import pyspark.sql.functions as F
+    return load_table(spark, SF_SMALL, "events").agg(
+        F.max("ts")).collect()[0][0]
+
+
+def test_tumbling_batch_eq_live(spark):
+    """date_trunc batch buckets == F.window() streaming buckets for every
+    window closed by the 1h watermark; the open tail windows are exactly
+    the batch-minus-live difference."""
+    batch = _rows("stream_tumbling_1h", spark, ["wstart", "event_type", "cnt"])
+    live = _rows("stream_tumbling_live", spark, ["wstart", "event_type", "cnt"])
+    # window closed ⇔ wstart + 1h (end) ≤ max_ts − 1h (watermark)
+    cutoff = _max_ts(spark) - datetime.timedelta(hours=2)
+    closed = [r for r in batch
+              if datetime.datetime.fromisoformat(r[0]) <= cutoff]
+    assert live == closed
+    assert set(live) <= set(batch)
+
+
+def test_session_batch_eq_live(spark):
+    """lag/cumsum sessionization == native session_window on every closed
+    session: same (user, session_start=min ts, n_events). (session_window's
+    *end* is max(ts)+gap by definition, the batch twin's is max(ts); a
+    session is closed once the 30m watermark passes end+gap.)"""
+    batch_df = registry.QUERIES["stream_session_30m"](spark, SF_SMALL) \
+        .select("user_id", "session_start", "session_end", "n_events")
+    batch_full = [tuple(r) for r in batch_df.collect()]
+    live = _rows("stream_session_live", spark,
+                 ["user_id", "session_start", "n_events"])
+    cutoff = _max_ts(spark) - datetime.timedelta(minutes=60)
+    closed = sorted(
+        (str(u), str(s), str(n))
+        for (u, s, e, n) in batch_full if e <= cutoff)
+    assert live == closed
+
+
+def test_dedup_batch_eq_live(spark):
+    """Doubled-input dropDuplicates == dropDuplicatesWithinWatermark on
+    per-type counts (row-level operator: nothing is withheld — every
+    arriving row is emitted or dropped immediately)."""
+    batch = _rows("stream_dedup_exact", spark, ["event_type", "cnt"])
+    live = _rows("stream_dedup_live", spark, ["event_type", "cnt"])
+    assert batch == live
