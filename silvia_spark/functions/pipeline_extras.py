@@ -405,3 +405,46 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("avg_tokens"))
         .orderBy("lang")
     )
+
+
+# --- Blocked fuzzy-match pairs (edit distance) --------------------------------
+
+_FUZZY_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_name, substr(p_name, 1, 6) AS blk
+  FROM part WHERE p_partkey < 1500
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY key_a, key_b
+"""
+
+
+@contract("text_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: name pairs within edit distance 2, candidates
+    blocked by a 6-char prefix so the join is an EQUI-join on the block
+    key — the blocking pattern that keeps record linkage linear-ish at
+    scale (levenshtein runs only inside blocks; an unblocked version is a
+    cross join). Prefix blocking misses pairs whose edit is in the first 6
+    chars — the standard multi-pass fix (prefix + suffix + phonetic
+    blocks, union) layers the same operator; the oracle applies the
+    identical single block so the contract is exact."""
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_partkey") < 1500)
+         .select("p_partkey", "p_name",
+                 F.substring("p_name", 1, 6).alias("blk")))
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"), "blk")
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b",
+                F.levenshtein("name_a", "name_b").alias("dist"))
+        .where(F.col("dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )

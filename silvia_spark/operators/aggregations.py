@@ -311,3 +311,82 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- D10: exact percentiles ---------------------------------------------------
+
+_D10_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       quantile_cont(l_extendedprice, 0.75)
+         - quantile_cont(l_extendedprice, 0.25) AS iqr,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@contract("agg_percentiles", oracle=_D10_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation): Spark ``percentile()`` and
+    DuckDB ``quantile_cont`` implement the same (n-1)p rank interpolation —
+    verified bit-identical on this corpus. Exact percentile is a full sort
+    per group (Spark collects per-group value buffers); the 100-TB form is
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) traded in
+    exactly like D3's HLL swap — documented here, exact kept for the
+    oracle gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9D)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99D)").alias("p99"),
+            F.expr("percentile(l_extendedprice, 0.75D)"
+                   " - percentile(l_extendedprice, 0.25D)").alias("iqr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- D11: multi-resolution time rollup (hypertable-style) --------------------
+
+_D11_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN NULL
+            ELSE CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_level,
+       count(*) AS cnt,
+       {sql_dsum("value", "sum_value")}
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                        (date_trunc('day', ts)))
+ORDER BY day, is_day_level, hour
+"""
+
+
+@contract("agg_rollup_multires", oracle=_D11_ORACLE)
+def agg_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups of
+    the event stream in ONE pass — GROUPING SETS expands to a single
+    shuffle with a grouping id, not two scans. This is the batch form of
+    the multi-resolution materialized rollup a time-series store keeps;
+    at 100 TB the day partitions of the sink are exactly these grouping
+    keys, so refresh is partition-aligned."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    g = (
+        ev.select(day.alias("day"), hour.alias("hour"), "value")
+        .groupingSets([["day", "hour"], ["day"]], "day", "hour")
+        .agg(F.grouping("hour").cast("int").alias("is_day_level"),
+             F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+    )
+    return (
+        g.select("day", "hour", "is_day_level", "cnt", "sum_value")
+        .orderBy("day", "is_day_level", "hour")
+    )

@@ -232,3 +232,37 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+# --- E7: distribution window functions ---------------------------------------
+
+_E7_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_in_nation
+FROM customer
+WHERE c_custkey < 500
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@contract("window_percent_rank", oracle=_E7_ORACLE)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank ((rank-1)/(n-1)) and cume_dist (rows≤current / n): both
+    are one integer division on exact ranks, bit-identical cross-engine.
+    The tie-break (c_acctbal, c_custkey) is total, so ranks are
+    deterministic. Same single-shuffle window shape as E1–E6."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    return (
+        c.select(
+            "c_custkey", "c_nationkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.count(F.lit(1)).over(wn).alias("n_in_nation"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -46,6 +46,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
     # r01 FAILs, both fixed (BIGINT cast / de-arrayed output): cheap.
     "filter_null_semantics", "agg_collect_sorted",
+    # r02 additions (never driver-verified): cheap single-shuffle plans.
+    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
     # I1–I8 batch twins: plain DataFrame plans (no stream job).
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
@@ -58,8 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh", "sim_ann_ivf",
     "sim_centroids", "text_tokenize_stats", "text_term_freq",
     "text_lang_profile", "text_lang_detect", "text_fingerprint",
-    "text_token_bpe", "multimodal_join", "multimodal_decode",
-    "text_quality_filter",
+    "text_token_bpe", "text_fuzzy_pairs", "multimodal_join",
+    "multimodal_decode", "text_quality_filter",
     # Streaming rows-only contracts (A7/I4/I9): real stream jobs, slower.
     "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
     # -- r01-green contracts, cheapest first ---------------------------------

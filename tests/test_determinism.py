@@ -25,6 +25,7 @@ _NUMERIC = [
     "sim_centroids", "multimodal_join", "text_tokenize_stats",
     "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh",
     "window_moving_frame", "q3_shipping_priority",
+    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
 ]
 
 
