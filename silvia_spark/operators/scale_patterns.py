@@ -1,0 +1,163 @@
+"""Executable scale patterns — the shuffle-discipline claims of SCALE.md
+as oracle-checked contracts.
+
+Each contract here demonstrates a technique the 100-TB posture depends on,
+in a form the correctness harness can hash-check (results must equal the
+plain formulation) and whose plan can be inspected for the structural
+property (no exchange / no skewed partition / pruned scan):
+
+- ``join_bucketed_colocated`` — pre-bucketed tables joined WITHOUT a
+  shuffle: both sides written ``bucketBy(8, key)``, so the sort-merge join
+  reads co-located buckets and the plan has no Exchange on either side.
+- ``join_skew_salted``       — a join onto a 5-value hot key, salted: the
+  build side is replicated per salt, the probe side picks a deterministic
+  salt, so the hot key spreads over ``salt × partitions`` reducers.
+- ``scan_partition_pruned``  — a date/type-partitioned sink re-read with a
+  partition predicate: the scan lists only matching directories
+  (PartitionFilters), the I/O-elimination pattern every 100-TB layout is
+  built around.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table
+from silvia_spark.functions.numeric import dsum, sql_dsum
+from silvia_spark.registry import contract
+
+
+# --- bucketed co-located join -------------------------------------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS line_cnt,
+       {sql_dsum("l_extendedprice", "sum_price")}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 5000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@contract("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides pre-bucketed on the join key:
+    ``bucketBy(8, key)`` at write time makes bucket i of each table hold
+    the same key partition, so the sort-merge join reads matching buckets
+    in place — verified: with autoBroadcast off the plan is
+    SortMergeJoin over two ``Bucketed: true`` scans with NO Exchange
+    between scan and join (shuffle paid once at layout time, amortized
+    over every subsequent join). At test scale AQE correctly prefers a
+    broadcast join for the tiny filtered sides — at 100 TB, where neither
+    side broadcasts, the bucketed SMJ is the plan, and re-shuffling
+    100 TB per query is the difference between minutes and hours. The
+    result hash-matches the plain join, proving the layout is
+    semantically free."""
+    t_orders, t_lineitem = "silvia_b_orders", "silvia_b_lineitem"
+    base = os.path.join(tempfile.gettempdir(),
+                        "silvia_bucketed_" + sf_dir.strip("/").replace("/", "_"))
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
+    for name, df, key in ((t_orders, o, "o_orderkey"),
+                          (t_lineitem, li, "l_orderkey")):
+        if not spark.catalog.tableExists(name) or not os.path.isdir(
+                os.path.join(base, name)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.write.mode("overwrite")
+             .option("path", os.path.join(base, name))
+             .bucketBy(8, key).sortBy(key)
+             .saveAsTable(name))
+    ob = spark.table(t_orders)
+    lb = spark.table(t_lineitem)
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("line_cnt"),
+             dsum("l_extendedprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- salted skew join ---------------------------------------------------------
+
+_SALT = 8
+
+_SALTED_ORACLE = f"""
+SELECT e.event_type, d.weight, count(*) AS cnt,
+       {sql_dsum("e.value", "sum_value")}
+FROM events e
+JOIN (SELECT DISTINCT event_type,
+             length(event_type) * 1.5 AS weight
+      FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type, d.weight
+ORDER BY e.event_type
+"""
+
+
+@contract("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fact join onto a 5-value key — the textbook skew shape (every
+    reducer for 'view' gets ~40% of the table). Salting: the dimension
+    side is replicated ×8 with an explicit salt column, each fact row
+    picks a deterministic salt from event_id, and the join key becomes
+    (event_type, salt) — the hot key now spreads over 8× the reducers.
+    The oracle is the UNSALTED join, so the hash proves salting is
+    result-invariant. (AQE skew-join does this splitting adaptively;
+    explicit salting is the belt-and-braces form for known-hot keys and
+    for aggregation skew AQE can't split.)"""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+           .select("event_type",
+                   (F.length("event_type") * 1.5).alias("weight")))
+    dim_salted = dim.crossJoin(
+        F.broadcast(spark.range(_SALT).select(F.col("id").cast("int")
+                                              .alias("salt"))))
+    ev_salted = ev.select(
+        "event_type", "value",
+        F.pmod(F.col("event_id"), F.lit(_SALT)).cast("int").alias("salt"))
+    return (
+        ev_salted.join(dim_salted, ["event_type", "salt"])
+        .groupBy("event_type", "weight")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# --- partition-pruned scan ----------------------------------------------------
+
+_PRUNED_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@contract("scan_partition_pruned", oracle=_PRUNED_ORACLE)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type, re-read with an equality
+    predicate on the partition column: Spark lists ONLY the matching
+    directory (PartitionFilters in the scan node) — zero I/O for the
+    other partitions. At 100 TB this is the first-order optimization:
+    a date+type layout turns full scans into single-partition reads.
+    The per-day counts hash-match the unpartitioned oracle, proving the
+    layout round-trip is lossless."""
+    base = os.path.join(tempfile.gettempdir(),
+                        "silvia_pruned_" + sf_dir.strip("/").replace("/", "_"))
+    out = os.path.join(base, "events_by_type")
+    if not os.path.isdir(out):
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    return (
+        back.groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz")
+                     .alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day")
+    )

@@ -48,6 +48,8 @@ _PRIORITY: tuple[str, ...] = (
     "filter_null_semantics", "agg_collect_sorted",
     # r02 additions (never driver-verified): cheap single-shuffle plans.
     "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
+    # r02 scale-pattern demos (bucketing / salting / partition pruning).
+    "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
     # I1–I8 batch twins: plain DataFrame plans (no stream job).
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
@@ -109,6 +111,7 @@ def load_all_modules() -> None:
         sorts,
         setops,
         scalars,
+        scale_patterns,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
     from silvia_spark.functions import (  # noqa: F401
