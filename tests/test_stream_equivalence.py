@@ -72,3 +72,20 @@ def test_dedup_batch_eq_live(spark):
     batch = _rows("stream_dedup_exact", spark, ["event_type", "cnt"])
     live = _rows("stream_dedup_live", spark, ["event_type", "cnt"])
     assert batch == live
+
+
+def test_transform_with_state_eq_batch(spark):
+    """Arbitrary-stateful running (count, max) snapshot == trivial batch
+    groupBy (row-level state: nothing watermark-withheld)."""
+    import pyspark.sql.functions as F
+    live = _rows("stream_transform_with_state", spark,
+                 ["user_id", "n_events", "max_value"])
+    batch_df = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.round(F.max("value") * 100) / 100).alias("max_value"))
+    )
+    batch = sorted(tuple(str(v) for v in r) for r in batch_df.collect())
+    assert live == batch
