@@ -390,3 +390,89 @@ def agg_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("day", "hour", "is_day_level", "cnt", "sum_value")
         .orderBy("day", "is_day_level", "hour")
     )
+
+
+# --- Q6-style forecast revenue (composite: range filters + global agg) -------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+       count(*) AS qualifying_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@contract("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical scan-dominated query — three range
+    predicates and a global sum, no join, no grouping. The whole plan is
+    one codegen stage; every predicate reaches the parquet scan
+    (PushedFilters), which at 100 TB makes this query I/O-bound on
+    exactly the row groups whose statistics overlap the ranges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("qualifying_lines"))
+    )
+
+
+# --- Q18-style large orders (composite: agg-filter join + top-k) -------------
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum("l_quantity", "total_qty")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN big ON big.l_orderkey = o_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+@contract("q18_large_orders", oracle=_Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: aggregate-derived semi-join (orders whose line quantity
+    exceeds 300) feeding a 3-table join and a top-20. The HAVING subquery
+    becomes a left-semi join on the aggregated key set — lineitem is
+    scanned twice but shuffled on the same key both times, and the final
+    ordering is a TakeOrderedAndProject, never a global sort. Quantity
+    sums ride the 1e-6 grid so the >300 cut is partition-order-exact."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg((F.sum(F.round(F.col("l_quantity") * 1_000_000).cast("bigint"))
+              / 1_000_000.0).alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey",
+              "left_semi")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+    )

@@ -57,9 +57,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB per query is the difference between minutes and hours. The
     result hash-matches the plain join, proving the layout is
     semantically free."""
-    t_orders, t_lineitem = "silvia_b_orders", "silvia_b_lineitem"
-    base = os.path.join(tempfile.gettempdir(),
-                        "silvia_bucketed_" + sf_dir.strip("/").replace("/", "_"))
+    # Table names carry the sf tag: a session that runs several scale
+    # factors must not resolve one sf's catalog entry for another's data.
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_orders, t_lineitem = f"silvia_b_orders_{tag}", f"silvia_b_lineitem_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "silvia_bucketed_" + tag)
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
     for name, df, key in ((t_orders, o, "o_orderkey"),

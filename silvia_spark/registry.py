@@ -52,6 +52,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
     # r02 custom Python Data Source (Spark 4 DataSource API).
     "source_python_datasource",
+    # r02 TPC-H composites.
+    "q6_forecast_revenue", "q18_large_orders",
     # I1–I8 batch twins: plain DataFrame plans (no stream job).
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
