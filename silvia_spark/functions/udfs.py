@@ -177,3 +177,49 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.mapInPandas(chunker, "doc_id BIGINT, chunk_no INT, chunk STRING")
         .orderBy("doc_id", "chunk_no")
     )
+
+
+# --- K6: Arrow-native mapInArrow ---------------------------------------------
+
+_K6_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net,
+       CAST(l_quantity AS BIGINT) AS qty_int
+FROM lineitem
+WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def _arrow_net(batches):
+    """pyarrow compute kernels directly on RecordBatches — no pandas
+    conversion at all, the lowest-overhead Python boundary Spark offers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        net = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"),
+             net, qty],
+            names=["l_orderkey", "l_linenumber", "net", "qty_int"])
+
+
+@contract("udf_arrow_map", oracle=_K6_ORACLE)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: per-partition iterator of Arrow RecordBatches processed
+    with pyarrow compute kernels — completes the Python-boundary matrix
+    (K1 row UDF → K2/K3 pandas → K4/K5 group shapes → K6 Arrow-native).
+    Zero pandas materialization; per-row double math is IEEE-identical to
+    the JVM expression, so the oracle hash matches the built-in form."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") < 500)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                  "l_discount", "l_quantity"))
+    out_schema = ("l_orderkey BIGINT, l_linenumber INT, net DOUBLE, "
+                  "qty_int BIGINT")
+    return (li.mapInArrow(_arrow_net, out_schema)
+            .orderBy("l_orderkey", "l_linenumber"))

@@ -58,9 +58,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
     "stream_stream_join",
-    # K1–K5 UDF surface.
+    # K1–K6 UDF surface.
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
-    "udtf_apply_in_pandas", "udtf_python",
+    "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
     # J1–J10 LLM-pipeline ops (+ scale/extra variants).
     "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
     "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh", "sim_ann_ivf",
