@@ -32,16 +32,14 @@ RUNTIME_CONFS = {
 }
 
 
-_configured: "set[int]" = set()
-
-
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (e.g. the
     driver-provided one). Idempotent, and cached per session object: each
     conf.set is a Py4J round-trip, so repeat calls must be free — this runs
-    on every table load."""
-    key = id(spark)
-    if key in _configured:
+    on every table load. The marker is an instance attribute, not an
+    id()-keyed set: ids are reused after garbage collection, which could
+    make a fresh session silently skip the nanos conf."""
+    if getattr(spark, "_silvia_configured", False):
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -49,7 +47,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # Some confs may be fixed at session build time; ignore if so.
             pass
-    _configured.add(key)
+    try:
+        spark._silvia_configured = True
+    except Exception:
+        pass  # frozen session object: repeat calls just re-set confs
     return spark
 
 
