@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, managed_persist
 from silvia_spark.registry import contract
 
 _ANN_BITS = 4     # bits per bucket key (selectivity)
@@ -128,11 +128,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silvia_spark.functions.llm_ops import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
-    # persist() the tiny (n·T)-row bucket table so the self-join's two
+    # Persist the tiny (n·T)-row bucket table so the self-join's two
     # sides read one computed copy — without it Spark plans the whole GEMM
     # lineage twice (measured 2× the stage cost). At cluster scale this is
     # a few GB across executors, the canonical build-side reuse.
-    buckets = bucket_keys(spark, e).persist()
+    # managed_persist bounds a long-lived session to one live cache here
+    # (each run unpersists the previous run's copy).
+    buckets = managed_persist(bucket_keys(spark, e), "sim_ann_lsh.buckets")
     left = buckets.select(F.col("vec_id").alias("vec_a"),
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),

@@ -110,11 +110,15 @@ ORDER BY doc_a, doc_b
 
 
 def _shingles(df: DataFrame) -> DataFrame:
+    # Guarded against <3-word docs: sequence(0, n) with n < 0 is DESCENDING
+    # (never empty) in Spark, which would fabricate out-of-range shingles.
     return df.select(
         "doc_id",
         F.array_distinct(F.expr(
-            "transform(sequence(0, size(w)-3),"
-            " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            "if(size(w) >= 3,"
+            " transform(sequence(0, size(w)-3),"
+            " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),"
+            " cast(array() as array<string>))"
         )).alias("sh"),
     )
 

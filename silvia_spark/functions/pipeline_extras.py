@@ -30,7 +30,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, managed_persist
 from silvia_spark.registry import contract
 
 # --- SimHash near-dup dedup ---------------------------------------------------
@@ -101,7 +101,10 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"{_SH_BAND_BITS})) ELSE 0 END").alias("bv"))
         .groupBy("doc_id", "band_id")
         .agg(F.sum("bv").alias("band_key"))
-    ).persist()  # computed once, read by both self-join sides
+    )
+    # Computed once, read by both self-join sides; managed_persist frees the
+    # previous run's copy so long-lived sessions hold one cache, not N.
+    bands = managed_persist(bands, "dedup_docs_simhash.bands")
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cand = (
@@ -239,9 +242,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contrast J1's full-content sha2: this one is robust to small edits
     at the gram granularity)."""
     d = load_table(spark, sf_dir, "documents")
+    # Guarded: Spark's sequence(1, n) with n < 1 yields a DESCENDING [1..n]
+    # (never empty), whereas the oracle's generate_series yields empty →
+    # NULL fingerprint. Short docs must produce an empty gram set here too.
     grams = F.expr(
-        f"transform(sequence(1, length(text) - {_FP_K - 1}),"
-        f" i -> pmod({_POLY}, {_FP_MOD}))")
+        f"if(length(text) >= {_FP_K},"
+        f" transform(sequence(1, length(text) - {_FP_K - 1}),"
+        f" i -> pmod({_POLY}, {_FP_MOD})),"
+        f" cast(array() as array<bigint>))")
     return (
         d.select("doc_id", F.array_min(grams).alias("fingerprint"))
         .orderBy("doc_id")

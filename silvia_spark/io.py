@@ -52,3 +52,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# --- bounded persist for self-join build sides -------------------------------
+#
+# Contracts that persist() an intermediate (LSH bucket tables, SimHash bands)
+# return a DataFrame whose action runs later, driver-side — so they cannot
+# unpersist in a try/finally without defeating the cache. Instead each call
+# site names a slot: re-invoking the contract frees the previous invocation's
+# cache first, bounding a long-lived session to ONE live cache per slot
+# instead of one per run.
+
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def managed_persist(df: DataFrame, slot: str) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with at most one live cache per slot."""
+    from pyspark import StorageLevel
+
+    prev = _LIVE_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES[slot] = out
+    return out

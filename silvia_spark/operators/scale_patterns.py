@@ -66,8 +66,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
     for name, df, key in ((t_orders, o, "o_orderkey"),
                           (t_lineitem, li, "l_orderkey")):
-        if not spark.catalog.tableExists(name) or not os.path.isdir(
-                os.path.join(base, name)):
+        # Reuse only committed output: Spark writes _SUCCESS at job commit,
+        # so a crashed partial write (dir exists, no marker) is rewritten
+        # instead of silently re-read.
+        committed = os.path.isfile(os.path.join(base, name, "_SUCCESS"))
+        if not spark.catalog.tableExists(name) or not committed:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             (df.write.mode("overwrite")
              .option("path", os.path.join(base, name))
@@ -153,7 +156,9 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(),
                         "silvia_pruned_" + sf_dir.strip("/").replace("/", "_"))
     out = os.path.join(base, "events_by_type")
-    if not os.path.isdir(out):
+    # _SUCCESS is written at job commit — a partial dir from a crashed write
+    # must be rewritten, not re-read (mode=overwrite cleans it).
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).where(F.col("event_type") == "click")

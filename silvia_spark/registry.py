@@ -35,42 +35,27 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (r01 stopped at exactly 50 of 86), so ordering
-# is part of the contract surface: contracts with the least accumulated
-# driver evidence go first, cheap-to-verify ones before expensive ones, and
-# the six ``*_live`` variants (each a full availableNow streaming job,
-# rows-only credit) go dead last.
+# order under a bounded budget (50 of 105+ per round), so ordering is part of
+# the contract surface. Rotation policy (r03): contracts with ZERO driver
+# evidence across all rounds go first, then contracts whose only oracle-grade
+# evidence predates the current code (oldest-evidence-first), then contracts
+# hash-green in the immediately preceding round go dead last. Contracts
+# registered but absent from this list (i.e. newly added mid-round) slot in at
+# the ``_NEW_CONTRACTS_HERE`` sentinel — never after the tail.
+_NEW_CONTRACTS_HERE = "__new_contracts_here__"
+
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified (r01 cutoff) + r01 canonicalization FAILs --
-    # H6–H10 scalar tail: cheap single-table scans.
-    "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
-    # r01 FAILs, both fixed (BIGINT cast / de-arrayed output): cheap.
-    "filter_null_semantics", "agg_collect_sorted",
-    # r02 additions (never driver-verified): cheap single-shuffle plans.
-    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
-    # r02 scale-pattern demos (bucketing / salting / partition pruning).
-    "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
-    # r02 custom Python Data Source (Spark 4 DataSource API).
-    "source_python_datasource",
-    # r02 TPC-H composites.
-    "q6_forecast_revenue", "q18_large_orders",
-    # I1–I8 batch twins: plain DataFrame plans (no stream job).
-    "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
-    "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join",
-    # K1–K6 UDF surface.
-    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
-    "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
-    # J1–J10 LLM-pipeline ops (+ scale/extra variants).
-    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
-    "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh", "sim_ann_ivf",
-    "sim_centroids", "text_tokenize_stats", "text_term_freq",
-    "text_lang_profile", "text_lang_detect", "text_fingerprint",
-    "text_token_bpe", "text_fuzzy_pairs", "multimodal_join",
-    "multimodal_decode", "text_quality_filter",
-    # Streaming rows-only contracts (A7/I4/I9): real stream jobs, slower.
-    "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
-    # -- r01-green contracts, cheapest first ---------------------------------
+    # -- tier 0: never sampled by any driver round (I10 + six *_live) --------
+    # Each *_live is a real availableNow streaming job (seconds, not ms) but
+    # seven slots of a 50-query budget buys their first-ever driver rows.
+    "stream_transform_with_state",
+    "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
+    "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
+    # -- tier 1: oracles written in r02 but last driver-run as rows-only (r01)
+    "source_csv_tsv", "sink_jdbc_postgres",
+    # -- tier 2: contracts added after r02 (sentinel) ------------------------
+    _NEW_CONTRACTS_HERE,
+    # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
     "sink_parquet_partitioned", "proj_select_alias", "filter_compound",
     "proj_distinct", "filter_like_regexp", "scalar_string", "scalar_regexp",
@@ -84,22 +69,39 @@ _PRIORITY: tuple[str, ...] = (
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_stats",
     "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
     "window_moving_frame", "window_range_frame", "window_first_last",
-    # rows-only non-streaming extras.
-    "source_csv_tsv", "sink_jdbc_postgres", "agg_approx_distinct",
-    # -- expensive rows-only live streaming variants: dead last --------------
-    "stream_transform_with_state",
-    "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
-    "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
+    "agg_approx_distinct",
+    # -- tier 4: hash-green in r02 — freshest evidence, dead last ------------
+    "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
+    "filter_null_semantics", "agg_collect_sorted",
+    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
+    "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
+    "source_python_datasource",
+    "q6_forecast_revenue", "q18_large_orders",
+    "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
+    "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
+    "stream_stream_join",
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
+    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
+    "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_centroids", "text_tokenize_stats", "text_term_freq",
+    "text_lang_profile", "text_lang_detect", "text_fingerprint",
+    "text_token_bpe", "text_fuzzy_pairs", "multimodal_join",
+    "multimodal_decode", "text_quality_filter",
+    "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
 )
 
 
 def _reorder() -> None:
-    """Rebuild QUERIES/ORACLE in _PRIORITY order (unlisted names keep their
-    registration order at the point their priority tier would place them —
-    i.e. they append after the listed ones)."""
-    ordered = [n for n in _PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY]
-    for name in ordered:
+    """Rebuild QUERIES/ORACLE in _PRIORITY order. Registered names absent from
+    _PRIORITY slot in at the _NEW_CONTRACTS_HERE sentinel (registration order
+    preserved within the slot) so new contracts are always driver-reachable."""
+    sentinel_idx = _PRIORITY.index(_NEW_CONTRACTS_HERE)
+    head = [n for n in _PRIORITY[:sentinel_idx] if n in QUERIES]
+    tail = [n for n in _PRIORITY[sentinel_idx + 1:] if n in QUERIES]
+    listed = set(head) | set(tail)
+    new = [n for n in QUERIES if n not in listed]
+    for name in head + new + tail:
         QUERIES[name] = QUERIES.pop(name)
         if name in ORACLE:
             ORACLE[name] = ORACLE.pop(name)

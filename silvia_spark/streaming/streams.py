@@ -18,7 +18,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
+                               StructType)
 
 from silvia_spark.registry import contract
 from silvia_spark.schemas import EVENTS_RAW
@@ -322,7 +323,7 @@ def _tws_available() -> bool:
 
 
 _CWS_STATE = StructType([StructField("c", LongType()),
-                         StructField("m", IntegerType())])
+                         StructField("m", DoubleType())])
 
 
 @contract("stream_transform_with_state")  # rows-only: arbitrary stateful op
@@ -353,16 +354,17 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         def count_fn(key, pdf_iter, state):
+            # Raw-double state so this path and the TWS path emit bit-identical
+            # max_value (events.value has >2dp rows; rounding here diverged).
             import pandas as pd
-            c, m100 = (state.get if state.exists else (0, -1))
+            c, m = (state.get if state.exists else (0, float("-inf")))
             for pdf in pdf_iter:
                 c += len(pdf)
                 if len(pdf):
-                    m100 = max(m100, int(round(float(pdf["value"].max())
-                                               * 100)))
-            state.update((c, m100))
+                    m = max(m, float(pdf["value"].max()))
+            state.update((c, m))
             yield pd.DataFrame({"user_id": [key[0]], "n_events": [c],
-                                "max_value": [m100 / 100.0]})
+                                "max_value": [m]})
 
         result = ev.groupBy("user_id").applyInPandasWithState(
             count_fn, outputStructType=out_schema,

@@ -45,3 +45,17 @@ def test_streaming_rows_only(name, spark):
 def test_driver_canonicalizer_safe(name, spark):
     issues = parity.driver_canon_issues(name, spark, sf_dir=SF_SMALL)
     assert not issues, f"{name}: {issues}"
+
+
+def test_registry_priority_covers_all_contracts():
+    """Every registered contract must be explicitly placed in _PRIORITY.
+
+    New contracts are still driver-reachable without a listing (the
+    _NEW_CONTRACTS_HERE sentinel slots them mid-list), but this test forces
+    a deliberate placement decision before a round ships."""
+    listed = set(registry._PRIORITY) - {registry._NEW_CONTRACTS_HERE}
+    registered = set(registry.QUERIES)
+    assert registered <= listed, \
+        f"unlisted contracts (add to _PRIORITY): {sorted(registered - listed)}"
+    assert listed <= registered, \
+        f"stale _PRIORITY entries: {sorted(listed - registered)}"
