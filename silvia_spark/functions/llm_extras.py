@@ -36,8 +36,10 @@ At 100 TB: map work is O(n·dim) explode + O(n·dim·T·B) multiply inside
 partial aggregation (map-side combine collapses the join fan-out before
 any shuffle); the alternative constant-factor upgrade is a numpy GEMM in
 an Arrow-batched Pandas UDF — same semantics, swap-in. Bucket skew (dense
-clusters) is handled by AQE skew-join splitting; a bucket-size cap with
-re-salting is the belt-and-braces guard documented in SCALE.md.
+clusters) is handled by AQE skew-join splitting PLUS the explicit
+``cap_buckets`` guard: buckets over ``_ANN_BUCKET_CAP`` members are excluded
+from candidate generation, bounding the worst bucket's pair count at cap²
+regardless of corpus pathology.
 """
 
 from __future__ import annotations
@@ -53,7 +55,31 @@ _ANN_TABLES = 64  # OR-ed hash tables (recall)
 _ANN_DIM = 64     # embedding dimensionality of the corpus
 _ANN_SEED = 101   # seed for the Rademacher hyperplane family
 
+# Degenerate-bucket guard: a bucket of size s yields s² candidate pairs, so
+# one boilerplate-heavy bucket of 10⁶ vectors is 10¹² pairs — the classic
+# LSH blow-up. Buckets over the cap are EXCLUDED from candidate generation
+# (disclosed recall loss on pathological near-constant regions; every vector
+# still participates via its other T-1 tables). The cap is far above any
+# bucket this corpus produces (max observed ≪ 10³ at sf0.1), so the guarded
+# and unguarded outputs are identical here — the exact all-pairs oracle
+# stays the correctness gate while the guard rides the production path.
+_ANN_BUCKET_CAP = 100_000
+
 _N_PROJ = _ANN_TABLES * _ANN_BITS
+
+
+def cap_buckets(buckets: DataFrame, cap: int,
+                keys: tuple[str, str] = ("table_id", "bucket_key")) -> DataFrame:
+    """Drop rows of (key-)buckets larger than ``cap`` members.
+
+    One window count partitioned by the bucket key — hash-partitioned on the
+    SAME key as the candidate self-join that follows, so the exchange is
+    reused, not added."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (buckets.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= cap).drop("__bn"))
 
 
 def _sign_table(spark: SparkSession) -> DataFrame:
@@ -134,7 +160,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a few GB across executors, the canonical build-side reuse.
     # managed_persist bounds a long-lived session to one live cache here
     # (each run unpersists the previous run's copy).
-    buckets = managed_persist(bucket_keys(spark, e), "sim_ann_lsh.buckets")
+    buckets = managed_persist(
+        cap_buckets(bucket_keys(spark, e), _ANN_BUCKET_CAP),
+        "sim_ann_lsh.buckets")
     left = buckets.select(F.col("vec_id").alias("vec_a"),
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),

@@ -104,7 +104,13 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Computed once, read by both self-join sides; managed_persist frees the
     # previous run's copy so long-lived sessions hold one cache, not N.
-    bands = managed_persist(bands, "dedup_docs_simhash.bands")
+    # cap_buckets: same degenerate-bucket guard as sim_ann_lsh (a band bucket
+    # of s docs is s² candidates); the cap never triggers on this corpus.
+    from silvia_spark.functions.llm_extras import _ANN_BUCKET_CAP, cap_buckets
+
+    bands = managed_persist(
+        cap_buckets(bands, _ANN_BUCKET_CAP, keys=("band_id", "band_key")),
+        "dedup_docs_simhash.bands")
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cand = (
@@ -201,6 +207,156 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cosine(F.col("q_emb"), F.col("embedding"))
     return (
         e.join(F.broadcast(probed), "label", "left_semi")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", c.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- k-means-trained IVF quantizer -------------------------------------------
+#
+# sim_ann_ivf uses the corpus's provided labels as inverted lists — honest
+# about its recall (labels are a random partition, the quantizer worst case).
+# This contract TRAINS the quantizer: _KM_ROUNDS Lloyd iterations of cosine
+# k-means, expressed as the same DataFrame ops (crossJoin-with-broadcast
+# score → max_by assign → decimal-sum recompute), then probes as IVF does.
+# Determinism across engines: centroid elements are rounded to 8dp after an
+# order-exact DECIMAL(38,10) sum (label_centroids precedent), and cosine is
+# a sequential index-order fold in both engines, so assignments compare
+# bit-identical doubles; ties break on the smaller cluster id.
+
+_KM_K = 8        # clusters; seeds = vectors with vec_id < _KM_K
+_KM_ROUNDS = 2   # Lloyd iterations (production: until centroid drift < eps)
+_KM_NPROBE = 2   # lists probed at query time
+
+_KM_ASSIGN_SQL = """
+{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, s.cid) AS rn
+    FROM embeddings e, {cents} s) t WHERE rn = 1)
+"""
+
+_KM_RECOMPUTE_SQL = """
+{name} AS (
+  SELECT cid, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT cid,
+           round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 8)
+             AS cv, pos
+    FROM (SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos,
+                 unnest(e.embedding) AS v
+          FROM embeddings e JOIN {assign} a USING (vec_id)) u
+    GROUP BY cid, pos) g
+  GROUP BY cid)
+"""
+
+_KM_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS centroid FROM embeddings
+  WHERE vec_id < {_KM_K}),
+{_KM_ASSIGN_SQL.format(name='a1', cents='seeds',
+                       cos=_SQL_COS_QE.format(a='e.embedding', b='s.centroid'))},
+{_KM_RECOMPUTE_SQL.format(name='c1', assign='a1')},
+{_KM_ASSIGN_SQL.format(name='a2', cents='c1',
+                       cos=_SQL_COS_QE.format(a='e.embedding', b='s.centroid'))},
+{_KM_RECOMPUTE_SQL.format(name='c2', assign='a2')},
+{_KM_ASSIGN_SQL.format(name='a3', cents='c2',
+                       cos=_SQL_COS_QE.format(a='e.embedding', b='s.centroid'))},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probed AS (
+  SELECT c.cid FROM c2 c, q
+  ORDER BY {_SQL_COS_QE.format(a='q.qe', b='c.centroid')} DESC, c.cid
+  LIMIT {_KM_NPROBE})
+SELECT e.vec_id,
+       round({_SQL_COS_QE.format(a='q.qe', b='e.embedding')}, 6) AS cos_sim
+FROM embeddings e JOIN a3 USING (vec_id) JOIN probed USING (cid), q
+WHERE e.vec_id <> 0
+ORDER BY {_SQL_COS_QE.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """vec_id → nearest cluster (cosine argmax, ties to the smaller cid).
+
+    crossJoin with a BROADCAST K-row centroid table: n·K scored rows,
+    collapsed map-side by the partial max — no shuffle grows with K. For
+    large-K production quantizers swap in llm_extras' GEMM-by-join."""
+    from silvia_spark.functions.llm_ops import cosine
+
+    c = cosine(F.col("embedding"), F.col("centroid"))
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct(c.alias("cs"),
+                                   (-F.col("cid")).alias("ncid")).alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("best"))
+        .select("vec_id", (-F.col("best.ncid")).cast("long").alias("cid"))
+    )
+
+
+def _km_recompute(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """cid → mean centroid, elements rounded to 8dp after an order-exact
+    decimal sum (the cross-engine determinism anchor)."""
+    pos = (e.join(assign, "vec_id")
+           .select("cid", F.posexplode("embedding").alias("pos", "v")))
+    cent = (
+        pos.groupBy("cid", "pos")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("v"), 8).alias("cv"))
+    )
+    return (
+        cent.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("cid", F.expr("transform(pc, x -> x.cv)").alias("centroid"))
+    )
+
+
+@contract("sim_ann_ivf_kmeans", oracle=_KM_ORACLE)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with a TRAINED coarse quantizer: seed centroids = the
+    first _KM_K vectors, _KM_ROUNDS Lloyd rounds (assign → decimal-mean
+    recompute), final assignment = the inverted lists, probe the
+    _KM_NPROBE lists nearest the query, brute-force inside. The oracle
+    replicates the full training loop in DuckDB CTEs, so the hash check
+    proves both engines train the identical quantizer AND probe it
+    identically — closing sim_ann_ivf's 'production trains the quantizer'
+    gap with the training loop itself under the correctness gate.
+
+    100 TB shape: each Lloyd round is one crossJoin-with-broadcast-K scan +
+    one (cid,pos)-keyed narrow shuffle (64·K cells); rounds are a fixed
+    driver-side loop over IMMUTABLE plans (no collect — the loop composes
+    one lazy DAG). Lists then live as partition directories so the probe
+    prunes at the parquet scan, exactly as sim_ann_ivf documents."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (e.where(F.col("vec_id") < _KM_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("centroid")))
+    for _ in range(_KM_ROUNDS):
+        cents = _km_recompute(e, _km_assign(e, cents))
+    lists = _km_assign(e, cents)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+    from silvia_spark.functions.llm_ops import cosine
+
+    qc = cosine(F.col("q_emb"), F.col("centroid"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", qc.alias("qcs"))
+        .orderBy(F.col("qcs").desc(), "cid")
+        .limit(_KM_NPROBE)
+        .select("cid")
+    )
+    c = cosine(F.col("q_emb"), F.col("embedding"))
+    return (
+        e.join(lists, "vec_id")
+        .join(F.broadcast(probed), "cid", "left_semi")
         .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", c.alias("cos_raw"))

@@ -53,7 +53,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
     # -- tier 1: oracles written in r02 but last driver-run as rows-only (r01)
     "source_csv_tsv", "sink_jdbc_postgres",
-    # -- tier 2: contracts added after r02 (sentinel) ------------------------
+    # -- tier 2: contracts added in r03 (+ sentinel for later additions) -----
+    "sim_ann_ivf_kmeans",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
