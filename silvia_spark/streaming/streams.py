@@ -56,12 +56,27 @@ def _run_to_memory(df: DataFrame, spark: SparkSession,
 
 # --- A7: rate-source smoke ---------------------------------------------------
 
+# rate-micro-batch is fully deterministic arithmetic: under availableNow the
+# query plans exactly one micro-batch (batch 0: values 0..rowsPerBatch-1, all
+# stamped startTimestamp=0) — verified stable across runs. The oracle redoes
+# that arithmetic with generate_series: ts_ms(v) = (v // rowsPerBatch) ·
+# advanceMillisPerBatch, windowed to 10 s buckets.
+_A7_ORACLE = """
+WITH r AS (
+  SELECT v, (v // 100) * 1000 AS ts_ms FROM generate_series(0, 99) t(v)
+)
+SELECT CAST(epoch_ms(ts_ms - ts_ms % 10000) AS TIMESTAMP) AS wstart,
+       count(*) AS cnt, max(v) AS max_value
+FROM r GROUP BY 1 ORDER BY wstart
+"""
 
-@contract("source_rate_stream")  # rows-only: synthetic clock source
+
+@contract("source_rate_stream", oracle=_A7_ORACLE)
 def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming smoke on the rate-micro-batch source (deterministic rows per
     batch) → 10-second tumbling count. Proves the source factory's
-    non-file path without Kafka."""
+    non-file path without Kafka; hash-checked because the source IS
+    arithmetic (see _A7_ORACLE)."""
     stream = source(spark, "rate")
     agg = (
         stream.groupBy(F.window("timestamp", "10 seconds").alias("w"))
@@ -69,7 +84,9 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("wstart"), "cnt", "max_value")
     )
     out = _run_to_memory(agg, spark, output_mode="complete")
-    return out.orderBy("wstart")
+    return (out.select(F.col("wstart").cast("timestamp_ntz").alias("wstart"),
+                       "cnt", "max_value")
+            .orderBy("wstart"))
 
 
 # --- I1 live: tumbling window under watermark --------------------------------
@@ -89,14 +106,31 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- I4: watermark late-data drop --------------------------------------------
 
+# Append-mode watermark semantics ARE SQL-expressible for an availableNow
+# replay: all rows arrive in one batch (nothing is dropped as late), the final
+# watermark settles at max(ts) - delay, and only windows CLOSED by it
+# (window_end <= watermark) are emitted — trailing open windows are withheld.
+# The oracle replicates exactly that cutoff, so the hash check pins the
+# watermark/window-close semantics, not just the counts.
+_I4_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+       count(*) AS survivors
+FROM events
+GROUP BY 1
+HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+ORDER BY wstart
+"""
 
-@contract("stream_watermark_late")  # rows-only: watermark semantics ∉ DuckDB
+
+@contract("stream_watermark_late", oracle=_I4_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-min watermark before a windowed count: in availableNow replay of a
-    single file all rows arrive in one batch (nothing is late), so the
-    result equals the batch count — the assertion the in-repo test makes.
-    With a live out-of-order source, rows >10 min behind max(ts) would be
-    dropped from closed windows."""
+    """10-min watermark before a windowed count, append mode: in availableNow
+    replay of a single file all rows arrive in one batch (nothing is late);
+    the final watermark = max(ts) - 10 min emits every window it closes and
+    withholds the trailing open one(s) — the exact cutoff _I4_ORACLE
+    replays. With a live out-of-order source, rows >10 min behind max(ts)
+    would additionally be dropped from closed windows."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -104,7 +138,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("survivors"))
         .select(F.col("w.start").alias("wstart"), "survivors")
     )
-    return _run_to_memory(agg, spark).orderBy("wstart")
+    out = _run_to_memory(agg, spark)
+    return (out.select(F.col("wstart").cast("timestamp_ntz").alias("wstart"),
+                       "survivors")
+            .orderBy("wstart"))
 
 
 # --- I3 live: session_window -------------------------------------------------
