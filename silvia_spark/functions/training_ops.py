@@ -1,0 +1,277 @@
+"""Training-data-pipeline operators — SURVEY.md §2.J additions (J20–J23).
+
+These fill out the corpus-curation surface a 100 TB pretraining pipeline
+needs beyond the J1–J19 dedup/similarity/text family:
+
+- J20 ``dedup_docs_embedding`` — embedding-cosine near-dup REMOVAL (not just
+  pair listing): LSH-bucketed candidates, exact verify, smallest-id-canonical
+  keep rule, per-lang kept/dropped accounting against document metadata.
+- J21 ``text_ngram_jaccard`` — EXACT n-gram Jaccard similarity join via an
+  inverted-index equi-join (shuffle keyed on shingle), the third distinct
+  algorithm for the same near-dup contract (J2 = banded MinHash, J13 =
+  SimHash) — all three hash-check against the same exact all-pairs oracle.
+- J22 ``text_pack_sequences`` — context-window packing: documents packed
+  into 2048-token bins per language shard via a windowed running sum; the
+  sequence-assembly step of a pretraining data loader.
+- J23 ``sample_stratified`` — deterministic stratified sampling: exactly k
+  docs per language by md5 order (the distributed, rerun-stable equivalent
+  of per-stratum reservoir sampling).
+
+Scale notes inline per contract; none of these leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table, managed_persist
+from silvia_spark.registry import contract
+
+# --- J20: embedding-cosine near-dup removal ----------------------------------
+
+_EMB_TAU = 0.95
+
+_J20_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+        >= {_EMB_TAU}
+), dups AS (SELECT DISTINCT vb FROM p)
+SELECT d.lang,
+       count(*) AS docs_total,
+       count(dups.vb) AS dups_removed,
+       count(*) - count(dups.vb) AS docs_kept
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.vb
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@contract("dedup_docs_embedding", oracle=_J20_ORACLE)
+def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal at cosine ≥ 0.95: a document is a
+    duplicate iff some smaller-id document sits within the threshold
+    (smallest-id canonical — a deterministic, non-iterative keep rule that
+    needs no connected-components pass). Candidates come from the J11
+    hyperplane-LSH buckets (recall 1 at ≥ 0.4 ⟹ at ≥ 0.95), verified
+    exactly, then joined back to documents for per-lang accounting.
+
+    100 TB: the only super-linear stage is the bucket self-join, which is
+    capped (cap_buckets) and AQE-skew-split; dedup bookkeeping is one
+    broadcast-able distinct dup-id set per billion docs (8 B/id) joined to
+    the corpus — the shuffle carries ids, never vectors or text. Oracle is
+    the exact all-pairs form, so green = recall 1 end-to-end."""
+    from silvia_spark.functions.llm_extras import (
+        _ANN_BUCKET_CAP, bucket_keys, cap_buckets)
+    from silvia_spark.functions.llm_ops import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = managed_persist(
+        cap_buckets(bucket_keys(spark, e), _ANN_BUCKET_CAP),
+        "dedup_docs_embedding.buckets")
+    left = buckets.select(F.col("vec_id").alias("va"),
+                          "table_id", "bucket_key")
+    right = buckets.select(F.col("vec_id").alias("vb"),
+                           "table_id", "bucket_key")
+    cand = (
+        left.join(right, ["table_id", "bucket_key"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb").distinct()
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dups = (
+        cand.join(a, "va").join(b, "vb")
+        .where(cosine(F.col("ea"), F.col("eb")) >= _EMB_TAU)
+        .select("vb").distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(dups, d.doc_id == dups.vb, "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_total"),
+             F.count("vb").alias("dups_removed"),
+             (F.count(F.lit(1)) - F.count("vb")).alias("docs_kept"))
+        .orderBy("lang")
+    )
+
+
+# --- J21: exact n-gram Jaccard join (inverted index) -------------------------
+
+# Same exact all-pairs oracle as J2/J13 — three algorithms, one contract.
+_J21_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@contract("text_ngram_jaccard", oracle=_J21_ORACLE)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-word-shingle Jaccard ≥ 0.8 pairs via an inverted-index
+    equi-join: explode distinct shingles, self-join on the shingle (only
+    pairs sharing ≥ 1 shingle are ever materialized), count shared shingles
+    per pair (= |A∩B| because shingle sets are distinct), then
+    |A∪B| = |A|+|B|-|A∩B| from precomputed set sizes. A size-ratio prune
+    (J ≥ τ ⟹ min/max ≥ τ) drops candidates before the division.
+
+    vs J2 (MinHash) / J13 (SimHash): no signatures, no probabilistic
+    recall argument — exactness by construction, at the cost of a shuffle
+    keyed on raw shingles. 100 TB: cost is Σ df(s)² over shingles, fine on
+    natural text where df is near-1; boilerplate-heavy corpora need a
+    document-frequency cap (stop-shingle removal) — J2 is the guaranteed
+    sub-quadratic path there. Oracle is the same exact all-pairs SQL as
+    J2's, so green here cross-proves both algorithms."""
+    from silvia_spark.functions.llm_ops import _shingles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w"))
+    sh = _shingles(d)
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("sz"))
+    tok = sized.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        tok.alias("a").join(tok.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sized.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sz").alias("sz_a"))
+    sz_b = sized.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sz").alias("sz_b"))
+    jacc = (F.col("inter") * F.lit(1.0)
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (
+        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .where(F.least("sz_a", "sz_b")
+               >= F.greatest("sz_a", "sz_b") * F.lit(0.8))
+        .where(jacc >= 0.8)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- J22: context-window packing ---------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_J22_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, tok,
+         coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT lang,
+       CAST(floor(cum_excl / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       count(*) AS docs,
+       sum(tok) AS tokens,
+       round(sum(tok) * 1.0 / {_PACK_BUDGET}, 6) AS fill_ratio
+FROM c
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+@contract("text_pack_sequences", oracle=_J22_ORACLE)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents are packed, in deterministic
+    doc_id order within each language shard, into 2048-token bins — a
+    doc opens a new bin when the running token count crosses a bin
+    boundary (quantized running-sum packing: a bin may overflow by at most
+    one document, the standard streaming-packer relaxation of first-fit;
+    strict first-fit needs sequential state and buys < one doc of slack).
+
+    100 TB: ONE window shuffle partitioned by the shard key (lang here;
+    date×source in production — thousands of independent shards), then a
+    partial-aggregated groupBy on the same key prefix. No global order, no
+    driver loop, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.lower("text"), " ")).alias("tok"))
+    c = t.withColumn("cum_excl", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return (
+        c.select(
+            "lang", "tok",
+            F.floor(F.col("cum_excl") / F.lit(float(_PACK_BUDGET)))
+            .cast("bigint").alias("bin_id"))
+        .groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("tok").alias("tokens"),
+             F.round(F.sum("tok") * F.lit(1.0) / F.lit(_PACK_BUDGET), 6)
+             .alias("fill_ratio"))
+        .orderBy("lang", "bin_id")
+    )
+
+
+# --- J23: deterministic stratified sampling ----------------------------------
+
+_SAMPLE_K = 20
+
+_J23_ORACLE = f"""
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars
+FROM r WHERE rk <= {_SAMPLE_K}
+ORDER BY lang, doc_id
+"""
+
+
+@contract("sample_stratified", oracle=_J23_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly k=20 docs per language, selected by
+    md5(doc_id) order — a keyed hash order that is uniform-ish, engine-
+    independent, and stable across reruns/repartitions (the property
+    random() sampling lacks and training-data lineage needs). This is the
+    distributed equivalent of per-stratum reservoir sampling: rank ≤ k
+    under a hash order ≡ reservoir membership under that order.
+
+    100 TB: Spark plans the rank-filter as WindowGroupLimit — each map
+    task keeps only its local top-k per stratum BEFORE the shuffle, so the
+    exchange carries k·strata·partitions rows, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _SAMPLE_K)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )

@@ -238,3 +238,42 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
         .orderBy("bucket")
     )
+
+
+# --- A9: ORC round-trip ------------------------------------------------------
+
+# Oracle reads the ORIGINAL parquet events — a green hash proves the ORC
+# write→read round-trip is lossless for every column type it carries.
+def _a9_oracle() -> str:
+    from silvia_spark.functions.numeric import sql_dsum
+    return f"""
+SELECT event_type, count(*) AS cnt,
+       count(DISTINCT user_id) AS distinct_users,
+       {sql_dsum("value", "sum_value")}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("source_orc", oracle=_a9_oracle())
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar interchange format: dump events to ORC
+    (Spark's built-in vectorized ORC writer), re-read, and aggregate —
+    hash-checked against the original parquet, so the round-trip is proven
+    lossless, not assumed. A fresh mkdtemp per run avoids the stale-/tmp
+    reuse hazard entirely (nothing is ever re-read across runs)."""
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_orc_"), "events_orc")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.countDistinct("user_id").alias("distinct_users"),
+             dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

@@ -51,10 +51,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_transform_with_state",
     "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
     "stream_funnel_live", "stream_static_join_live", "stream_stream_join_live",
-    # -- tier 1: oracles written in r02 but last driver-run as rows-only (r01)
+    # -- tier 1: oracles written after their last rows-only driver run --------
     "source_csv_tsv", "sink_jdbc_postgres",
+    "source_rate_stream", "stream_watermark_late",
     # -- tier 2: contracts added in r03 (+ sentinel for later additions) -----
     "sim_ann_ivf_kmeans",
+    "dedup_docs_embedding", "text_ngram_jaccard", "text_pack_sequences",
+    "sample_stratified", "source_orc",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
@@ -88,8 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_centroids", "text_tokenize_stats", "text_term_freq",
     "text_lang_profile", "text_lang_detect", "text_fingerprint",
     "text_token_bpe", "text_fuzzy_pairs", "multimodal_join",
-    "multimodal_decode", "text_quality_filter",
-    "source_rate_stream", "stream_watermark_late", "stream_foreachbatch_upsert",
+    "multimodal_decode", "text_quality_filter", "stream_foreachbatch_upsert",
 )
 
 
@@ -126,6 +128,7 @@ def load_all_modules() -> None:
         llm_extras,
         llm_ops,
         pipeline_extras,
+        training_ops,
         udfs,
     )
 
