@@ -57,6 +57,8 @@ EXTENDED = [
     "dedup_docs_simhash",
     "sim_ann_lsh",
     "text_fuzzy_pairs",
+    "text_ngram_jaccard",
+    "etl_events_enriched",
 ]
 
 

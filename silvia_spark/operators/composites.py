@@ -1,0 +1,235 @@
+"""Composite pipelines — multi-stage queries exercising many operators at
+once (SURVEY.md §2 M-rows).
+
+- M1 ``etl_events_enriched`` — the reference's actual job shape end-to-end
+  in one plan (BASELINE.json north star: Snowplow/Adjust event ETL): dedup →
+  JSON parse → quality filter → broadcast-dim enrich → aggregate. The batch
+  twin of the I-family stages composed; the streaming forms of every stage
+  exist in streaming/streams.py.
+- M2 ``q10_returned_items`` — TPC-H Q10: 4-table join, returnflag filter,
+  revenue top-20 (joins + agg + top-k in one plan).
+- M3 ``agg_time_gapfill`` — gap-filled hourly rollup (TimescaleDB
+  time_bucket_gapfill): a generated dense hour×type grid left-joined onto
+  the data so empty buckets surface as explicit zero rows.
+- M4 ``text_tfidf`` — tf-idf scoring on top of J7's tf-df machinery:
+  corpus-size N and document frequency feed ln(N/df), top-3 terms per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from silvia_spark.functions.numeric import dsum, sql_dsum
+from silvia_spark.io import load_table, load_tables
+from silvia_spark.registry import contract
+
+# --- M1: the silvia job, composed --------------------------------------------
+
+_M1_ORACLE = f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+    FROM events) WHERE rn = 1
+), parsed AS (
+  SELECT user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM dedup
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), enriched AS (
+  SELECT n.n_name, p.event_type, p.value, p.k
+  FROM parsed p JOIN nation n ON p.user_id % 25 = n.n_nationkey
+)
+SELECT n_name, event_type, count(*) AS cnt,
+       {sql_dsum("value", "sum_value")},
+       sum(k) AS sum_k
+FROM enriched
+GROUP BY n_name, event_type
+ORDER BY n_name, event_type
+"""
+
+
+@contract("etl_events_enriched", oracle=_M1_ORACLE)
+def etl_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's job shape in ONE declarative plan: at-least-once
+    dedup (deterministic keep-first-by-ts, I5's semantics) → typed JSON
+    parse (single from_json per row) → quality filter → broadcast
+    dimension enrich (I7's shape) → partial-aggregated rollup. Catalyst
+    sees the whole pipeline, so the JSON parse and filters run before the
+    dedup shuffle, the dim join is a map-side hash lookup, and exactly two
+    shuffles exist end-to-end (event_id dedup, final groupBy) — at stream
+    rate the same plan runs under foreachBatch with the JDBC upsert sink
+    (I9)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    rn = F.row_number().over(
+        Window.partitionBy("event_id").orderBy("ts"))
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    dedup = (ev.withColumn("rn", rn).where(F.col("rn") == 1)
+             .withColumn("k", k)
+             .where(F.col("value").isNotNull() & F.col("k").isNotNull()))
+    return (
+        dedup.join(F.broadcast(n),
+                   (F.col("user_id") % 25) == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             dsum("value", "sum_value"),
+             F.sum("k").alias("sum_k"))
+        .orderBy("n_name", "event_type")
+    )
+
+
+# --- M2: TPC-H Q10 -----------------------------------------------------------
+
+_M2_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@contract("q10_returned_items", oracle=_M2_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers ranked by revenue lost to returned items in a
+    quarter. lineitem (returnflag-filtered) shuffles once on orderkey;
+    date-filtered orders joins there; the result (customer grain) joins
+    broadcast customer+nation; TakeOrderedAndProject caps the output.
+    Deterministic under ties via the c_custkey tiebreak (revenue is an
+    exact grid sum, so tie behavior is engine-identical)."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- M3: gap-filled hourly rollup --------------------------------------------
+
+_M3_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type AS event_type, g.h AS bucket, coalesce(a.c, 0) AS cnt
+FROM grid g CROSS JOIN types t
+LEFT JOIN agg a ON a.h = g.h AND a.event_type = t.event_type
+ORDER BY t.event_type, bucket
+"""
+
+
+@contract("agg_time_gapfill", oracle=_M3_ORACLE)
+def agg_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable time_bucket_gapfill
+    surface): a dense hour grid is GENERATED from the observed bounds
+    (sequence + explode — one row in, rows out, no driver loop), crossed
+    with the observed type dimension, and the real rollup left-joins onto
+    it so silent gaps become explicit zeros — what downstream forecasting
+    (q6) and anomaly scoring need.
+
+    Scale: grid size = hours×types (~10⁵/decade) — broadcast-sized
+    regardless of fact volume; the only full-data pass is the rollup
+    itself. The bounds agg is a 1-row all-reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(F.min(hour).alias("mn"), F.max(hour).alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    types = ev.select("event_type").distinct()
+    agg = (ev.groupBy(hour.alias("bucket"), "event_type")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["bucket", "event_type"], "left")
+        .select("event_type", "bucket",
+                F.coalesce("c", F.lit(0)).alias("cnt"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --- M4: tf-idf --------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n * 1.0 / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 25
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, term, round(score, 6) AS tfidf
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@contract("text_tfidf", oracle=_M4_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: term frequency × ln(N/df), top-3 terms per document (J7's
+    tf-df tables composed into a score). The idf factor is computed once
+    per TERM (df grain, ~vocabulary-sized) and joined in — never
+    recomputed per (doc, term) row. N arrives via a broadcast 1-row cross
+    join. Rank ties (equal tf and df ⟹ bit-identical scores) break on the
+    term itself, so ordering is engine-deterministic; ln() on identical
+    double inputs agrees across engines well inside the 6-dp rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    score = F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term"))
+    return (
+        tf.where(F.col("doc_id") < 25)
+        .join(df, "term").crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", F.round("score", 6).alias("tfidf"))
+        .orderBy("doc_id", "rk")
+    )

@@ -58,6 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_kmeans",
     "dedup_docs_embedding", "text_ngram_jaccard", "text_pack_sequences",
     "sample_stratified", "source_orc",
+    "etl_events_enriched", "q10_returned_items", "agg_time_gapfill",
+    "text_tfidf",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
@@ -122,6 +124,7 @@ def load_all_modules() -> None:
         setops,
         scalars,
         scale_patterns,
+        composites,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
     from silvia_spark.functions import (  # noqa: F401
