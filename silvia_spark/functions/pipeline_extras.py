@@ -612,3 +612,75 @@ def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+# --- multimodal frame sampling (1 -> N expansion) ----------------------------
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sig bigint"
+
+_FRAME_ORACLE = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, n, 1 + n % 24 AS n_frames,
+         least(1 + n % 24, 4) AS k
+  FROM b
+), e AS (
+  SELECT doc_id, n, n_frames, k,
+         unnest(generate_series(0, k - 1)) AS i
+  FROM f
+)
+SELECT doc_id,
+       CAST((i * n_frames) // k AS INTEGER) AS frame_idx,
+       CAST((n * 2654435761 + ((i * n_frames) // k) * 40503) % 2147483647
+            AS BIGINT) AS frame_sig
+FROM e
+ORDER BY doc_id, frame_idx
+"""
+
+
+def _frame_batches(batches: Iterator) -> Iterator:
+    """STUB frame extractor: a real deployment decodes video bytes and
+    emits sampled frames (pyav absent here). Frame count, evenly-spaced
+    sample indices, and per-frame signatures are deterministic functions
+    of the payload so the 1->N Arrow plumbing is oracle-checkable; the
+    row-expansion shape (each input row yields a variable number of
+    output rows) is exactly the production frame-sampler's."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = pdf["payload"].map(len).to_numpy(dtype="int64")
+        nf = 1 + n % 24
+        k = np.minimum(nf, 4)
+        reps = k.astype("int64")
+        doc = np.repeat(pdf["doc_id"].to_numpy(dtype="int64"), reps)
+        n_r = np.repeat(n, reps)
+        nf_r = np.repeat(nf, reps)
+        k_r = np.repeat(k, reps)
+        i = np.concatenate([np.arange(x, dtype="int64") for x in reps]) \
+            if len(reps) else np.array([], dtype="int64")
+        idx = (i * nf_r) // k_r
+        sig = (n_r * 2654435761 + idx * 40503) % 2147483647
+        yield pd.DataFrame({
+            "doc_id": doc,
+            "frame_idx": idx.astype("int32"),
+            "frame_sig": sig,
+        })
+
+
+@contract("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: each opaque video payload expands to ≤ 4
+    evenly-spaced sampled frames via mapInPandas — the 1->N row-expansion
+    surface (J16 multimodal_decode is the 1->1 metadata shape). The
+    output row count is data-dependent, which is the property that rules
+    out a scalar UDF and makes this the canonical mapInPandas use.
+
+    100 TB: zero shuffle — expansion happens inside each input partition;
+    output partition sizing (frames are big, inputs small) is the knob,
+    set via repartition AFTER sampling only if the sink needs it."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return (d.mapInPandas(_frame_batches, _FRAME_SCHEMA)
+            .orderBy("doc_id", "frame_idx"))

@@ -59,7 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_docs_embedding", "text_ngram_jaccard", "text_pack_sequences",
     "sample_stratified", "source_orc",
     "etl_events_enriched", "q10_returned_items", "agg_time_gapfill",
-    "text_tfidf",
+    "text_tfidf", "multimodal_frame_sample",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
