@@ -148,3 +148,36 @@ def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_type")
         .orderBy("p_partkey")
     )
+
+
+# --- B6: correlated scalar subquery ------------------------------------------
+
+# Identical SQL text runs on BOTH engines: Spark parses it through the SQL
+# entry point (SURVEY.md §3 EP2) and Catalyst decorrelates the scalar
+# subquery (RewriteCorrelatedScalarSubquery) into the aggregate+join the
+# DataFrame form would hand-write; DuckDB runs its own decorrelation. The
+# per-group mean is a grid sum (numeric.py discipline) so the comparison
+# threshold is bit-identical in both engines.
+_B6_SQL = """
+SELECT o.o_orderpriority AS priority, count(*) AS n_above
+FROM orders o
+WHERE o.o_totalprice >
+      (SELECT sum(CAST(round(o2.o_totalprice * 1000000) AS BIGINT))
+              / 1000000.0 / count(*)
+       FROM orders o2
+       WHERE o2.o_orderpriority = o.o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@contract("subquery_scalar", oracle=_B6_SQL)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their priority class's
+    mean price) through the SQL entry point — the oracle IS the query,
+    verbatim, so the contract pins Spark's subquery decorrelation against
+    an independent implementation of the same ANSI semantics. At scale
+    the decorrelated plan is one partial-agg shuffle on the correlation
+    key plus a broadcast-able 5-row join — no per-row re-execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_B6_SQL)

@@ -390,3 +390,37 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- H11: pivot → unpivot round-trip -----------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_H11_ORACLE = """
+SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, priority
+"""
+
+
+@contract("pivot_unpivot", oracle=_H11_ORACLE)
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to a wide per-year × priority count matrix (explicit value
+    list — never let pivot scan for distinct values at scale), then melt
+    back to long form with unpivot. Hash-checked against the direct long
+    aggregation, so the round-trip is proven lossless. Empty cells become
+    NULL under unpivot and are filtered, matching the group-by's absent
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot("yr", _PRIORITIES, "priority", "cnt")
+        .where(F.col("cnt").isNotNull())
+        .orderBy("yr", "priority")
+    )
