@@ -26,6 +26,10 @@ _NUMERIC = [
     "sim_topk_cosine", "sim_join_threshold", "sim_ann_lsh",
     "window_moving_frame", "q3_shipping_priority",
     "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
+    # r03 additions with double outputs or divisions:
+    "etl_events_enriched", "q10_returned_items", "text_tfidf",
+    "text_ngram_jaccard", "text_pack_sequences", "source_orc",
+    "dedup_docs_embedding", "subquery_scalar",
 ]
 
 
