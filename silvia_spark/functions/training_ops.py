@@ -189,7 +189,7 @@ WITH t AS (
 SELECT lang,
        CAST(floor(cum_excl / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
        count(*) AS docs,
-       sum(tok) AS tokens,
+       CAST(sum(tok) AS BIGINT) AS tokens,
        round(sum(tok) * 1.0 / {_PACK_BUDGET}, 6) AS fill_ratio
 FROM c
 GROUP BY lang, bin_id

@@ -44,7 +44,7 @@ WITH dedup AS (
 )
 SELECT n_name, event_type, count(*) AS cnt,
        {sql_dsum("value", "sum_value")},
-       sum(k) AS sum_k
+       CAST(sum(k) AS BIGINT) AS sum_k
 FROM enriched
 GROUP BY n_name, event_type
 ORDER BY n_name, event_type

@@ -398,3 +398,38 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "next_event_id", "next_event_type")
         .orderBy("user_id", "event_id")
     )
+
+
+# --- C12: null-safe equi-join ------------------------------------------------
+
+_C12_ORACLE = """
+WITH a AS (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
+     b AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier)
+SELECT a.nk AS nk, count(*) AS pairs
+FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+GROUP BY a.nk
+ORDER BY nk NULLS FIRST
+"""
+
+
+@contract("join_null_safe", oracle=_C12_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics ETL needs when an
+    unknown dimension key must still land in an 'unknown' bucket rather
+    than silently dropping rows. eqNullSafe keys still hash-partition
+    (NULLs co-locate in one partition), so the join stays a standard
+    shuffle/broadcast hash join — no fallback to a theta join; a
+    NULL-heavy key column is a skew hazard handled by the L2 salting
+    pattern."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk"))
+    b = t["supplier"].select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_b"))
+    return (
+        a.join(F.broadcast(b), a.nk.eqNullSafe(F.col("nk_b")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy(F.col("nk").asc_nulls_first())
+    )

@@ -168,3 +168,55 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("day")
     )
+
+
+# --- L4: dynamic partition pruning -------------------------------------------
+
+_DPP_ORACLE = f"""
+SELECT event_type, count(*) AS cnt, {sql_dsum("value", "sum_value")}
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("scan_dpp_join", oracle=_DPP_ORACLE)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the event_type-
+    partitioned layout (L3's sink, reused), the dimension carries the
+    selective predicate on a NON-partition attribute (conv_flag), and the
+    partition filter on the fact scan is INJECTED AT RUNTIME from the
+    joined dim's values (dynamicpruningexpression in PartitionFilters —
+    asserted in tests/test_scale_guards.py). Static pruning can't do this:
+    the pruned set is only known after evaluating the dim filter. At
+    100 TB with a date×type layout this is what makes 'join facts to this
+    month's campaign dims' read 0.1% of the table.
+
+    Two findings the hard way (both required for the rule to fire):
+    the dim must be a REAL source (a LocalRelation's filter is folded
+    away before PartitionPruning runs — no predicate, no DPP), and the
+    predicate must pass isLikelySelective — a bare boolean attribute
+    does NOT qualify, an integer equality does."""
+    base = os.path.join(tempfile.gettempdir(),
+                        "silvia_pruned_" + sf_dir.strip("/").replace("/", "_"))
+    out = os.path.join(base, "events_by_type")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim_path = os.path.join(base, "type_dim")
+    if not os.path.isfile(os.path.join(dim_path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "events")
+         .select("event_type").distinct()
+         .withColumn("conv_flag",
+                     F.when(F.col("event_type").isin("purchase", "signup"), 1)
+                     .otherwise(0))
+         .write.mode("overwrite").parquet(dim_path))
+    dim = spark.read.parquet(dim_path).where(F.col("conv_flag") == 1)
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

@@ -39,3 +39,15 @@ def test_production_cap_is_noop_on_corpus(spark):
     from silvia_spark.functions.llm_extras import _ANN_BUCKET_CAP
     raw = bucket_keys(spark, e)
     assert cap_buckets(raw, _ANN_BUCKET_CAP).count() == raw.count()
+
+
+def test_dpp_fires_in_scan_dpp_join(spark):
+    """L4's contract claim: the fact scan's PartitionFilters must carry a
+    runtime dynamicpruningexpression injected from the dim filter."""
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["scan_dpp_join"](spark, SF_SMALL)
+    df.toArrow()  # settle AQE so the final plan is inspectable
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "DPP did not fire on the fact scan"
