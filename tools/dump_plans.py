@@ -59,6 +59,11 @@ AUDITED = [
     ("scan_partition_pruned", ["PartitionFilters"],
      "the partition predicate lands in PartitionFilters — pruned at "
      "listing time, unmatched directories never open."),
+    ("scan_dpp_join", ["dynamicpruning"],
+     "dynamic partition pruning: the dim's conv_flag filter injects a "
+     "runtime partition filter into the fact scan (needs a real source "
+     "dim and an isLikelySelective predicate — see the contract "
+     "docstring)."),
 ]
 
 
