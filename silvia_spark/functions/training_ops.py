@@ -125,26 +125,18 @@ ORDER BY doc_a, doc_b
 """
 
 
-@contract("text_ngram_jaccard", oracle=_J21_ORACLE)
-def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-word-shingle Jaccard ≥ 0.8 pairs via an inverted-index
-    equi-join: explode distinct shingles, self-join on the shingle (only
-    pairs sharing ≥ 1 shingle are ever materialized), count shared shingles
-    per pair (= |A∩B| because shingle sets are distinct), then
-    |A∪B| = |A|+|B|-|A∩B| from precomputed set sizes. A size-ratio prune
-    (J ≥ τ ⟹ min/max ≥ τ) drops candidates before the division.
+def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
+    """Exact 3-word-shingle Jaccard ≥ tau pairs via an inverted-index
+    equi-join over ``docs(doc_id, text)``. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b, jaccard a raw double (callers round for output).
 
-    vs J2 (MinHash) / J13 (SimHash): no signatures, no probabilistic
-    recall argument — exactness by construction, at the cost of a shuffle
-    keyed on raw shingles. 100 TB: cost is Σ df(s)² over shingles, fine on
-    natural text where df is near-1; boilerplate-heavy corpora need a
-    document-frequency cap (stop-shingle removal) — J2 is the guaranteed
-    sub-quadratic path there. Oracle is the same exact all-pairs SQL as
-    J2's, so green here cross-proves both algorithms."""
+    Only pairs sharing ≥ 1 shingle are ever materialized; the per-pair
+    shared-shingle count IS |A∩B| (shingle sets are distinct), and
+    |A∪B| = |A|+|B|-|A∩B| comes from precomputed set sizes. A size-ratio
+    prune (J ≥ tau ⟹ min/max ≥ tau) drops candidates pre-division."""
     from silvia_spark.functions.llm_ops import _shingles
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("w"))
+    d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     sh = _shingles(d)
     sized = sh.select("doc_id", "sh", F.size("sh").alias("sz"))
     tok = sized.select("doc_id", F.explode("sh").alias("s"))
@@ -164,9 +156,29 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
         .where(F.least("sz_a", "sz_b")
-               >= F.greatest("sz_a", "sz_b") * F.lit(0.8))
-        .where(jacc >= 0.8)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+               >= F.greatest("sz_a", "sz_b") * F.lit(tau))
+        .where(jacc >= tau)
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+    )
+
+
+@contract("text_ngram_jaccard", oracle=_J21_ORACLE)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-word-shingle Jaccard ≥ 0.8 pairs via the inverted-index
+    equi-join kernel (``jaccard_pairs``).
+
+    vs J2 (MinHash) / J13 (SimHash): no signatures, no probabilistic
+    recall argument — exactness by construction, at the cost of a shuffle
+    keyed on raw shingles. 100 TB: cost is Σ df(s)² over shingles, fine on
+    natural text where df is near-1; boilerplate-heavy corpora need a
+    document-frequency cap (stop-shingle removal) — J2 is the guaranteed
+    sub-quadratic path there. Oracle is the same exact all-pairs SQL as
+    J2's, so green here cross-proves both algorithms."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d.select("doc_id", "text"), 0.8)
+    return (
+        pairs.select("doc_a", "doc_b",
+                     F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

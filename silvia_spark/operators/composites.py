@@ -233,3 +233,103 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "term", F.round("score", 6).alias("tfidf"))
         .orderBy("doc_id", "rk")
     )
+
+
+# --- M5: the full corpus-curation pipeline -----------------------------------
+
+_M5_ORACLE = """
+WITH tgt AS (
+  SELECT * FROM documents WHERE lang IN ('en', 'de', 'es', 'fr')
+), q AS (
+  SELECT * FROM tgt WHERE n_chars BETWEEN 150 AND 450
+), e AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1
+), s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM e)
+), dups AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh)) * 1.0
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+), kept AS (
+  SELECT e.* FROM e LEFT JOIN dups ON e.doc_id = dups.doc_id
+  WHERE dups.doc_id IS NULL
+)
+SELECT t.lang,
+       count(*) AS total,
+       count(*) - (SELECT count(*) FROM q WHERE q.lang = t.lang)
+         AS q_dropped,
+       (SELECT count(*) FROM q WHERE q.lang = t.lang)
+         - (SELECT count(*) FROM e WHERE e.lang = t.lang) AS exact_dropped,
+       (SELECT count(*) FROM e WHERE e.lang = t.lang)
+         - (SELECT count(*) FROM kept WHERE kept.lang = t.lang)
+         AS neardup_dropped,
+       (SELECT count(*) FROM kept WHERE kept.lang = t.lang) AS kept,
+       coalesce((SELECT CAST(sum(len(string_split(lower(kept.text), ' ')))
+                        AS BIGINT)
+                 FROM kept WHERE kept.lang = t.lang), 0) AS kept_tokens
+FROM tgt t
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
+@contract("curation_pipeline", oracle=_M5_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline end-to-end with per-stage, per-lang
+    accounting: language allowlist → length bounds (J10's rules) → exact
+    dedup (keep-min-doc_id per sha2 digest) → near-dup removal (exact
+    3-gram Jaccard ≥ 0.8 via the J21 inverted-index kernel, smaller-id
+    canonical) → kept docs + token budget. This is the whole
+    training-data story in one declarative plan; the report row per lang
+    is what a dataset card publishes.
+
+    100 TB: every stage is the scale-documented form — digest-keyed dedup
+    shuffle (32-byte keys), inverted-index candidates (see SCALE.md
+    §Curation for the df-cap hazard; swap J2's MinHash kernel in for
+    boilerplate-heavy corpora), and the accounting aggregates are
+    lang-grained (broadcast-sized)."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.where(F.col("lang").isin("en", "de", "es", "fr"))
+    q = tgt.where(F.col("n_chars").between(150, 450))
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id"))
+    e = q.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    dups = (jaccard_pairs(e.select("doc_id", "text"), 0.8)
+            .select(F.col("doc_b").alias("dup_id")).distinct())
+    kept = e.join(dups, e.doc_id == dups.dup_id, "left_anti")
+
+    def per_lang(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(alias))
+
+    tok = F.size(F.split(F.lower("text"), " "))
+    kept_stats = (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum(tok).alias("kept_tokens"))
+    )
+    out = (
+        per_lang(tgt, "total")
+        .join(per_lang(q, "n_q"), "lang", "left")
+        .join(per_lang(e, "n_e"), "lang", "left")
+        .join(kept_stats, "lang", "left")
+        .na.fill(0, ["n_q", "n_e", "n_kept", "kept_tokens"])
+    )
+    return (
+        out.select(
+            "lang", "total",
+            (F.col("total") - F.col("n_q")).alias("q_dropped"),
+            (F.col("n_q") - F.col("n_e")).alias("exact_dropped"),
+            (F.col("n_e") - F.col("n_kept")).alias("neardup_dropped"),
+            F.col("n_kept").alias("kept"),
+            "kept_tokens")
+        .orderBy("lang")
+    )

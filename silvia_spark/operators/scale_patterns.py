@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, load_tables
 from silvia_spark.functions.numeric import dsum, sql_dsum
 from silvia_spark.registry import contract
 
@@ -219,4 +219,53 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
         .orderBy("event_type")
+    )
+
+
+# --- L5: pure banded range join ----------------------------------------------
+
+_BAND_W = 5  # covers the ±2 band: each probe row lands in ≤ 2 buckets
+
+_L5_ORACLE = """
+SELECT p_brand, count(*) AS pair_cnt
+FROM (SELECT l_quantity FROM lineitem WHERE l_orderkey < 2000) l,
+     (SELECT p_size, p_brand FROM part WHERE p_partkey <= 200) p
+WHERE l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@contract("join_range_banded", oracle=_L5_ORACLE)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key: |l_quantity − p_size| ≤ 2) decomposed
+    into an equi-join on quantized bands: facts key on floor(q/w); each
+    probe row replicates to the ≤ ceil(range/w)+1 bands its window can
+    touch; the exact BETWEEN predicate re-filters after the band match.
+    Replicas occupy DISTINCT bands and a fact has ONE band, so no pair
+    can match twice — no distinct pass needed.
+
+    Without this, Catalyst plans BroadcastNestedLoopJoin — O(n·m)
+    comparisons. Banding makes it a standard shuffle/broadcast HASH join:
+    O(n + m·2) rows through a hash table. The oracle is the plain
+    inequality cross-filter, so green proves the decomposition exact.
+    The band width trades replication (range/w) against per-bucket pair
+    density — at 100 TB pick w ≈ the predicate range, as here."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    li = t["lineitem"].where(F.col("l_orderkey") < 2000).select("l_quantity")
+    p = t["part"].where(F.col("p_partkey") <= 200).select("p_size", "p_brand")
+    fact = li.withColumn(
+        "band", F.floor(F.col("l_quantity") / F.lit(float(_BAND_W))))
+    probe = p.withColumn(
+        "band",
+        F.explode(F.sequence(
+            F.floor((F.col("p_size") - 2) / F.lit(float(_BAND_W))),
+            F.floor((F.col("p_size") + 2) / F.lit(float(_BAND_W))))))
+    return (
+        fact.join(F.broadcast(probe), "band")
+        .where((F.col("l_quantity") >= F.col("p_size") - 2)
+               & (F.col("l_quantity") <= F.col("p_size") + 2))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .orderBy("p_brand")
     )

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "etl_events_enriched", "q10_returned_items", "agg_time_gapfill",
     "text_tfidf", "multimodal_frame_sample",
     "subquery_scalar", "pivot_unpivot", "scan_dpp_join", "join_null_safe",
+    "curation_pipeline", "join_range_banded",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
