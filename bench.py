@@ -59,6 +59,7 @@ EXTENDED = [
     "text_fuzzy_pairs",
     "text_ngram_jaccard",
     "etl_events_enriched",
+    "curation_pipeline",
 ]
 
 

@@ -59,6 +59,10 @@ AUDITED = [
     ("scan_partition_pruned", ["PartitionFilters"],
      "the partition predicate lands in PartitionFilters — pruned at "
      "listing time, unmatched directories never open."),
+    ("join_range_banded", ["BroadcastHashJoin"],
+     "the pure range predicate runs as a HASH join on quantized band "
+     "keys (probe rows replicated to adjacent bands), not the "
+     "BroadcastNestedLoopJoin Catalyst would otherwise plan."),
     ("scan_dpp_join", ["dynamicpruning"],
      "dynamic partition pruning: the dim's conv_flag filter injects a "
      "runtime partition filter into the fact scan (needs a real source "
