@@ -277,3 +277,50 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+# --- A10: dynamic partition overwrite (upsert-by-partition) ------------------
+
+# Final state after replacing ONE partition: untouched types keep their
+# original rows, the replaced type carries the transformed rows — the
+# oracle recomputes that merged state from the source table directly.
+def _a10_oracle() -> str:
+    from silvia_spark.functions.numeric import sql_dsum
+    return f"""
+SELECT event_type, count(*) AS cnt,
+       {sql_dsum("CASE WHEN event_type = 'error' THEN value * 2.0 "
+                 "ELSE value END", "sum_value")}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_partition_overwrite", oracle=_a10_oracle())
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-by-partition: with partitionOverwriteMode=dynamic, an
+    overwrite-mode write replaces ONLY the partitions present in the
+    incoming frame (here: the reprocessed 'error' slice with doubled
+    values) and leaves every other partition's files untouched — the
+    idempotent batch-reprocess primitive for a date/type-partitioned
+    100 TB lake (re-run one day's pipeline without rewriting the table).
+    The conf is set per-write via the DataFrameWriter option so the
+    session default (static = whole-table truncate!) is never changed.
+    Hash-checked against the merged-state oracle, so both the replace and
+    the don't-touch halves are proven."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type")
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_dpo_"), "events_dpo")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fixed = (ev.where(F.col("event_type") == "error")
+             .withColumn("value", F.col("value") * 2.0))
+    (fixed.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+    back = spark.read.parquet(out)
+    from silvia_spark.functions.numeric import dsum
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

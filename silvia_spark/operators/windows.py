@@ -266,3 +266,41 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- E8: IGNORE NULLS window navigation --------------------------------------
+
+_E8_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events WHERE user_id < 40
+)
+SELECT user_id, ts, event_id, purchase_value,
+       last_value(purchase_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM e
+ORDER BY user_id, ts, event_id
+"""
+
+
+@contract("window_ignore_nulls", oracle=_E8_ORACLE)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value IGNORE NULLS — the gaps-carry-forward idiom (each event
+    row carries the user's most recent purchase value; non-purchase rows
+    are NULL and must be skipped, not propagated). This is the standard
+    'last observation carried forward' enrichment in event analytics;
+    RESPECT NULLS (the default) would erase the carried value on every
+    non-purchase row. Same single user_id window shuffle as E1-E7."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.select("user_id", "ts", "event_id", pv.alias("purchase_value"))
+        .withColumn("last_purchase_value",
+                    F.last("purchase_value", ignorenulls=True).over(w))
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf", "multimodal_frame_sample",
     "subquery_scalar", "pivot_unpivot", "scan_dpp_join", "join_null_safe",
     "curation_pipeline", "join_range_banded",
+    "window_ignore_nulls", "sink_partition_overwrite",
     _NEW_CONTRACTS_HERE,
     # -- tier 3: r01-era evidence, stale against r02 refactors; cheap first --
     "scan_parquet", "scan_schema_enforce", "source_json_lines",
