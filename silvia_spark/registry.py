@@ -55,6 +55,12 @@ _PRIORITY: tuple[str, ...] = (
     "source_csv_tsv", "sink_jdbc_postgres",
     "source_rate_stream", "stream_watermark_late",
     # -- tier 2: contracts added in r03 (+ sentinel for later additions) -----
+    # Window math: tiers 0-2 fill ~32 of the driver's 50 slots, leaving ~18
+    # r1-era refreshes this round. Deliberate: a first-ever driver row for a
+    # new contract is strictly more evidence than re-confirming a green one,
+    # and every contract is re-proven at sf0.001 by the in-repo parity suite
+    # each round (recorded in PROGRESS.jsonl). r04 should demote this tier
+    # to the tail and spend its window on the remaining refreshes.
     "sim_ann_ivf_kmeans",
     "dedup_docs_embedding", "text_ngram_jaccard", "text_pack_sequences",
     "sample_stratified", "source_orc",
