@@ -329,6 +329,10 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically — closing sim_ann_ivf's 'production trains the quantizer'
     gap with the training loop itself under the correctness gate.
 
+    Measured recall@10 vs the exact J3 top-10 at sf0.01, nprobe=3:
+    9/10 trained (this contract) vs 4/10 for sim_ann_ivf's random-label
+    lists — the training is what makes IVF usable.
+
     100 TB shape: each Lloyd round is one crossJoin-with-broadcast-K scan +
     one (cid,pos)-keyed narrow shuffle (64·K cells); rounds are a fixed
     driver-side loop over IMMUTABLE plans (no collect — the loop composes
