@@ -191,7 +191,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame ops. At 100 TB the scan prunes to nprobe/nlists of the
     corpus; lists live as partition directories so pruning happens at the
     parquet scan."""
-    from silvia_spark.functions.llm_ops import cosine, label_centroids
+    from silvia_spark.functions.llm_ops import cosine_expr, label_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
@@ -199,12 +199,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = label_centroids(e)
     probed = (
         cents.crossJoin(F.broadcast(q))
-        .select("label", cosine(F.col("q_emb"), F.col("centroid")).alias("qc"))
+        .select("label", cosine_expr(F.col("q_emb"), F.col("centroid")).alias("qc"))
         .orderBy(F.col("qc").desc(), "label")
         .limit(_IVF_NPROBE)
         .select("label")
     )
-    c = cosine(F.col("q_emb"), F.col("embedding"))
+    c = cosine_expr(F.col("q_emb"), F.col("embedding"))
     return (
         e.join(F.broadcast(probed), "label", "left_semi")
         .where(F.col("vec_id") != 0)
@@ -286,9 +286,9 @@ def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     crossJoin with a BROADCAST K-row centroid table: n·K scored rows,
     collapsed map-side by the partial max — no shuffle grows with K. For
     large-K production quantizers swap in llm_extras' GEMM-by-join."""
-    from silvia_spark.functions.llm_ops import cosine
+    from silvia_spark.functions.llm_ops import cosine_expr
 
-    c = cosine(F.col("embedding"), F.col("centroid"))
+    c = cosine_expr(F.col("embedding"), F.col("centroid"))
     return (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cents))
@@ -347,9 +347,9 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _km_assign(e, cents)
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
-    from silvia_spark.functions.llm_ops import cosine
+    from silvia_spark.functions.llm_ops import cosine_expr
 
-    qc = cosine(F.col("q_emb"), F.col("centroid"))
+    qc = cosine_expr(F.col("q_emb"), F.col("centroid"))
     probed = (
         cents.crossJoin(F.broadcast(q))
         .select("cid", qc.alias("qcs"))
@@ -357,7 +357,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KM_NPROBE)
         .select("cid")
     )
-    c = cosine(F.col("q_emb"), F.col("embedding"))
+    c = cosine_expr(F.col("q_emb"), F.col("embedding"))
     return (
         e.join(lists, "vec_id")
         .join(F.broadcast(probed), "cid", "left_semi")

@@ -47,3 +47,61 @@ def _fingerprint(name, spark, partitions: int):
 def test_partitioning_invariance(name, spark):
     assert _fingerprint(name, spark, 4) == _fingerprint(name, spark, 17), \
         f"{name}: result depends on shuffle partitioning"
+
+
+# --- cosine kernel equivalence (r04) -----------------------------------------
+# Three implementations of the same math: the GEMM-by-join partial sums
+# accumulate in posexplode order and are BIT-identical to the expression
+# fold; the Arrow/numpy kernel's einsum uses SIMD partial sums, so it is
+# held to a ≤4-ulp bound instead (measured max 1.7e-16 absolute at
+# sf0.001 — nine orders below the 0.5e-6 rounding margin the 6-dp
+# contracts emit). A numpy regression (e.g. a summation-strategy change)
+# would trip the bound long before it could flip a hash.
+
+def test_cosine_arrow_within_ulp_of_expr(spark):
+    from pyspark.sql import functions as F
+
+    from silvia_spark.functions.llm_ops import cosine, cosine_expr
+    from silvia_spark.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    both = (e.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    cosine(F.col("q"), F.col("embedding")).alias("ca"),
+                    cosine_expr(F.col("q"), F.col("embedding")).alias("ce")))
+    bad = both.where(
+        F.abs(F.col("ca") - F.col("ce")) > 1e-15).count()
+    assert bad == 0, f"{bad} rows: arrow kernel >4 ulp from expression kernel"
+
+
+def test_cosine_gemm_matches_expr(spark):
+    """sim_topk_cosine's GEMM-by-join cosine equals the expression fold at
+    full precision across the whole corpus (not only the top 10)."""
+    from pyspark.sql import functions as F
+
+    from silvia_spark.functions.llm_ops import cosine_expr
+    from silvia_spark.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    qpos = (e.where(F.col("vec_id") == 0)
+            .select(F.posexplode("embedding").alias("pos", "qx"))
+            .select("pos", F.col("qx").cast("double").alias("qx")))
+    ev = (e.where(F.col("vec_id") != 0)
+          .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+          .select("vec_id", "pos", F.col("x").cast("double").alias("x")))
+    gemm = (ev.join(F.broadcast(qpos), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"),
+                 F.sum(F.col("x") * F.col("x")).alias("nx"),
+                 F.sum(F.col("qx") * F.col("qx")).alias("nq"))
+            .select("vec_id", (F.col("dot") / (F.sqrt("nx") * F.sqrt("nq")))
+                    .alias("cg")))
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    ref = (e.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(q))
+           .select("vec_id",
+                   cosine_expr(F.col("q"), F.col("embedding")).alias("ce")))
+    bad = gemm.join(ref, "vec_id").where(F.col("cg") != F.col("ce")).count()
+    assert bad == 0, f"{bad} rows: GEMM-by-join != expression kernel (bitwise)"
