@@ -125,7 +125,18 @@ ORDER BY doc_a, doc_b
 """
 
 
-def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
+# Stop-shingle guard: the inverted-index self-join generates Σ df(s)²
+# candidate pairs, so ONE boilerplate shingle shared by 10⁶ docs is 10¹²
+# pairs — the Jaccard twin of the LSH hot-bucket blow-up. Shingles with
+# document frequency above the cap are dropped BEFORE the self-join
+# (symmetric to llm_extras._ANN_BUCKET_CAP). Far above any df this corpus
+# produces (max observed ≪ 10³ at sf0.1), so guarded and unguarded outputs
+# are identical here and the exact all-pairs oracle stays the gate.
+_JACCARD_DF_CAP = 100_000
+
+
+def jaccard_pairs(docs: DataFrame, tau: float,
+                  df_cap: int | None = _JACCARD_DF_CAP) -> DataFrame:
     """Exact 3-word-shingle Jaccard ≥ tau pairs via an inverted-index
     equi-join over ``docs(doc_id, text)``. Returns (doc_a, doc_b, jaccard)
     with doc_a < doc_b, jaccard a raw double (callers round for output).
@@ -133,13 +144,30 @@ def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
     Only pairs sharing ≥ 1 shingle are ever materialized; the per-pair
     shared-shingle count IS |A∩B| (shingle sets are distinct), and
     |A∪B| = |A|+|B|-|A∩B| comes from precomputed set sizes. A size-ratio
-    prune (J ≥ tau ⟹ min/max ≥ tau) drops candidates pre-division."""
+    prune (J ≥ tau ⟹ min/max ≥ tau) drops candidates pre-division.
+
+    ``df_cap`` drops shingles with document frequency > cap before the
+    self-join (stop-shingle removal), bounding candidates at cap·Σdf
+    instead of Σdf². DISCLOSED one-sided error: a dropped shingle only
+    lowers a pair's computed intersection (set sizes stay uncapped), so
+    capping can lose recall on pairs whose overlap hides in boilerplate,
+    never emit a false pair. On corpora where hot shingles carry real
+    signal, use J2 (MinHash) — guaranteed sub-quadratic. ``None`` = the
+    exact uncapped form (the oracle's semantics)."""
+    from pyspark.sql.window import Window
+
     from silvia_spark.functions.llm_ops import _shingles
 
     d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     sh = _shingles(d)
     sized = sh.select("doc_id", "sh", F.size("sh").alias("sz"))
     tok = sized.select("doc_id", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        # One window count partitioned by the shingle — hash-partitioned on
+        # the SAME key as the self-join below, so the exchange is reused.
+        wdf = Window.partitionBy("s")
+        tok = (tok.withColumn("__df", F.count(F.lit(1)).over(wdf))
+               .where(F.col("__df") <= df_cap).drop("__df"))
     inter = (
         tok.alias("a").join(tok.alias("b"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -170,10 +198,12 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs J2 (MinHash) / J13 (SimHash): no signatures, no probabilistic
     recall argument — exactness by construction, at the cost of a shuffle
     keyed on raw shingles. 100 TB: cost is Σ df(s)² over shingles, fine on
-    natural text where df is near-1; boilerplate-heavy corpora need a
-    document-frequency cap (stop-shingle removal) — J2 is the guaranteed
-    sub-quadratic path there. Oracle is the same exact all-pairs SQL as
-    J2's, so green here cross-proves both algorithms."""
+    natural text where df is near-1; the kernel's df_cap (stop-shingle
+    removal, default 10⁵) bounds boilerplate-heavy corpora at cap·Σdf with
+    disclosed one-sided recall loss — J2 is the guaranteed sub-quadratic
+    path when hot shingles carry signal. Oracle is the same exact
+    all-pairs SQL as J2's, so green here cross-proves both algorithms
+    (and that the cap is a no-op on this corpus)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d.select("doc_id", "text"), 0.8)
     return (

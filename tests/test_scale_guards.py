@@ -51,3 +51,55 @@ def test_dpp_fires_in_scan_dpp_join(spark):
     df.toArrow()  # settle AQE so the final plan is inspectable
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, "DPP did not fire on the fact scan"
+
+
+# --- jaccard_pairs document-frequency cap (r04) -------------------------------
+
+def _boilerplate_corpus(spark, n_hot=40):
+    """n_hot docs sharing ONE hot shingle ('lorem ipsum dolor') plus unique
+    filler, + 2 genuine near-dup docs that share no hot shingle. Uncapped,
+    the hot shingle alone generates n_hot·(n_hot-1)/2 candidate pairs."""
+    hot = [(i, f"lorem ipsum dolor unique{i}a unique{i}b unique{i}c")
+           for i in range(n_hot)]
+    near = [(1000, "alpha beta gamma delta epsilon zeta"),
+            (1001, "alpha beta gamma delta epsilon eta")]
+    return spark.createDataFrame(hot + near, "doc_id long, text string")
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """With the cap below the hot shingle's df, the planted boilerplate
+    must produce ZERO candidate pairs (its df² blow-up is gone), while the
+    genuine near-dup pair — whose shingles are all rare — still surfaces."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+
+    docs = _boilerplate_corpus(spark)
+    got = jaccard_pairs(docs, 0.6, df_cap=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1000, 1001)]
+
+
+def test_jaccard_df_cap_error_is_one_sided(spark):
+    """Capped output ⊆ uncapped output (stop-shingle removal may lose
+    pairs, never fabricate them), and pair-level jaccard never increases."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+
+    docs = _boilerplate_corpus(spark, n_hot=12)
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in jaccard_pairs(docs, 0.3, df_cap=None).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in jaccard_pairs(docs, 0.3, df_cap=10).collect()}
+    assert set(capped) <= set(uncapped)
+    assert all(capped[k] <= uncapped[k] + 1e-12 for k in capped)
+
+
+def test_jaccard_production_cap_is_noop_on_corpus(spark):
+    """The default 10⁵ cap must not change J21's output on the test corpus
+    — the exact all-pairs oracle stays the correctness gate."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+    from silvia_spark.io import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    a = sorted((r.doc_a, r.doc_b, round(r.jaccard, 6))
+               for r in jaccard_pairs(d, 0.8).collect())
+    b = sorted((r.doc_a, r.doc_b, round(r.jaccard, 6))
+               for r in jaccard_pairs(d, 0.8, df_cap=None).collect())
+    assert a == b
