@@ -423,6 +423,12 @@ _LANG_MARKERS = {
     "de": ["der", "die", "und", "das", "ist"],
     "es": ["el", "la", "los", "que", "es"],
     "fr": ["le", "les", "et", "des", "un"],
+    # zh has no latin-token stopwords; on this synthetic corpus (same
+    # English-ish vocabulary for every label) any marker set is a stand-in,
+    # but without one zh could NEVER be predicted — all five corpus
+    # languages must be reachable outcomes for the confusion matrix to be
+    # honest. Real deployments swap these for char-n-gram profiles.
+    "zh": ["vector", "stream", "hash", "scan", "window"],
 }
 
 
@@ -436,15 +442,18 @@ _LANG_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang AS labeled_lang,
          {_score_sql('en')} AS s_en, {_score_sql('de')} AS s_de,
-         {_score_sql('es')} AS s_es, {_score_sql('fr')} AS s_fr
+         {_score_sql('es')} AS s_es, {_score_sql('fr')} AS s_fr,
+         {_score_sql('zh')} AS s_zh
   FROM documents
 ),
 pred AS (
   SELECT doc_id, labeled_lang,
-         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-              WHEN s_es >= s_fr THEN 'es'
-              ELSE 'fr' END AS detected
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                   AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS detected
   FROM scored
 )
 SELECT labeled_lang, detected, count(*) AS docs
@@ -458,7 +467,7 @@ ORDER BY labeled_lang, detected
 def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-token overlap: score each doc against
     per-language marker sets, argmax with a fixed preference order
-    (en→de→es→fr) as the deterministic tie-break. This corpus's text is
+    (en→de→es→fr→zh) as the deterministic tie-break. This corpus's text is
     SYNTHETIC (same English-ish vocabulary for every labeled lang), so
     the confusion matrix it emits shows structure, not linguistics — the
     operator is the shape of real n-gram lang-ID: per-row scoring, no
@@ -473,11 +482,14 @@ def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     detected = (
         F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
-               & (scores["en"] >= scores["fr"]), "en")
-        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
-              "de")
-        .when(scores["es"] >= scores["fr"], "es")
-        .otherwise("fr")
+               & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
+               "en")
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"])
+              & (scores["de"] >= scores["zh"]), "de")
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]),
+              "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
     )
     return (
         d.select(F.col("lang").alias("labeled_lang"),

@@ -194,17 +194,29 @@ _FUNNEL_OUT = StructType([
 
 def _funnel_fn(key, pdf_iter, state):
     """GroupState per user: advance view(1)→click(2)→purchase(3) in event-time
-    order within the arriving batches."""
+    order within the arriving batches. Vectorized: per batch, one numpy
+    nonzero scan per remaining stage (≤ 3 total) replaces the per-event
+    Python loop — "find the first stage+1 event after where stage was
+    reached" is a masked scan, and stage depth, not event count, bounds
+    the Python-level iteration."""
+    import numpy as np
+    import pandas as pd
+
     stage = state.get[0] if state.exists else 0
     rank = {"view": 1, "click": 2, "purchase": 3}
     for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        for et in pdf["event_type"]:
-            want = rank.get(et)
-            if want is not None and want == stage + 1:
-                stage = want
+        if stage >= 3:
+            continue  # drain the iterator; state can no longer advance
+        r = (pdf.sort_values("ts")["event_type"]
+             .map(rank).fillna(0).astype("int64").to_numpy())
+        start = 0
+        for want in range(stage + 1, 4):
+            hits = np.nonzero(r[start:] == want)[0]
+            if hits.size == 0:
+                break
+            start += hits[0] + 1
+            stage = want
     state.update((stage,))
-    import pandas as pd
     yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
 
 

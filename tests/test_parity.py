@@ -59,3 +59,27 @@ def test_registry_priority_covers_all_contracts():
         f"unlisted contracts (add to _PRIORITY): {sorted(registered - listed)}"
     assert listed <= registered, \
         f"stale _PRIORITY entries: {sorted(listed - registered)}"
+
+
+def test_approx_distinct_within_hll_bounds(spark):
+    """D3 (agg_approx_distinct) is rows-only for the driver — HLL sketches
+    are engine-specific — but the ESTIMATE is still checkable: per group,
+    |spark_approx − exact| / exact must be ≤ 3·rsd (rsd=0.02; three
+    standard errors ≈ p<0.003 per group under the HLL++ error model).
+    Exact counts come from DuckDB so the bound also cross-checks the
+    events-table read path."""
+    import duckdb
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["agg_approx_distinct"](
+            spark, SF_SMALL).collect()
+    }
+    exact = dict(duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) FROM "
+        f"'{SF_SMALL}/events.parquet' GROUP BY event_type").fetchall())
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        rel = abs(approx[et] - ex) / ex
+        assert rel <= 3 * 0.02, \
+            f"{et}: approx {approx[et]} vs exact {ex} — rel err {rel:.4f}"
