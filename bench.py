@@ -185,6 +185,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
+    # Free the persisted LSH/SimHash build sides (one live cache per slot
+    # survives the sweep otherwise — harmless at exit here, but the bench
+    # doubles as the long-lived-session usage example).
+    from silvia_spark.io import clear_caches
+    clear_caches()
+
 
 if __name__ == "__main__":
     main()

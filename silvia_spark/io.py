@@ -14,6 +14,8 @@ caching or repartitioning — operators decide their own partitioning.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,18 +66,37 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 # instead of one per run.
 
 _LIVE_CACHES: dict[str, DataFrame] = {}
+_LIVE_CACHES_LOCK = threading.Lock()
 
 
 def managed_persist(df: DataFrame, slot: str) -> DataFrame:
-    """persist(MEMORY_AND_DISK) with at most one live cache per slot."""
+    """persist(MEMORY_AND_DISK) with at most one live cache per slot.
+    Lock-guarded: concurrent contract runs (e.g. a threaded driver) must
+    not interleave the pop/insert and leak an unpersisted cache."""
     from pyspark import StorageLevel
 
-    prev = _LIVE_CACHES.pop(slot, None)
+    with _LIVE_CACHES_LOCK:
+        prev = _LIVE_CACHES.pop(slot, None)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES[slot] = out
+    with _LIVE_CACHES_LOCK:
+        _LIVE_CACHES[slot] = out
     return out
+
+
+def clear_caches() -> None:
+    """Unpersist every live slot. Call at end-of-round / end-of-session:
+    without it the LAST invocation of each persisting contract pins its
+    cache in executor memory for the rest of the session."""
+    with _LIVE_CACHES_LOCK:
+        slots = list(_LIVE_CACHES)
+        dfs = [_LIVE_CACHES.pop(s) for s in slots]
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free

@@ -30,7 +30,9 @@ from silvia_spark.registry import contract
 _M1_ORACLE = f"""
 WITH dedup AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY ts, value NULLS FIRST,
+                                          props NULLS FIRST) AS rn
     FROM events) WHERE rn = 1
 ), parsed AS (
   SELECT user_id, event_type, value,
@@ -56,16 +58,26 @@ def etl_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's job shape in ONE declarative plan: at-least-once
     dedup (deterministic keep-first-by-ts, I5's semantics) → typed JSON
     parse (single from_json per row) → quality filter → broadcast
-    dimension enrich (I7's shape) → partial-aggregated rollup. Catalyst
-    sees the whole pipeline, so the JSON parse and filters run before the
-    dedup shuffle, the dim join is a map-side hash lookup, and exactly two
-    shuffles exist end-to-end (event_id dedup, final groupBy) — at stream
-    rate the same plan runs under foreachBatch with the JDBC upsert sink
-    (I9)."""
+    dimension enrich (I7's shape) → partial-aggregated rollup. The value/k
+    filters run AFTER the event_id Window — Catalyst cannot push a
+    non-partition-key predicate below it, and that ordering is REQUIRED:
+    the oracle also dedups first, and filtering first could let a
+    different row survive rn=1. The dim join is a map-side hash lookup and
+    exactly two shuffles exist end-to-end (event_id dedup, final groupBy)
+    — at stream rate the same plan runs under foreachBatch with the JDBC
+    upsert sink (I9)."""
     ev = load_table(spark, sf_dir, "events")
     n = load_table(spark, sf_dir, "nation")
+    # Full ordering inside the dedup window: replayed duplicates share
+    # (event_id, ts), so ts alone would leave the survivor to partition
+    # luck — value/props break the tie identically in both engines
+    # (NULLS FIRST matches Spark's asc default; DuckDB defaults NULLS
+    # LAST, hence the explicit markers in _M1_ORACLE).
     rn = F.row_number().over(
-        Window.partitionBy("event_id").orderBy("ts"))
+        Window.partitionBy("event_id").orderBy(
+            F.col("ts").asc(),
+            F.col("value").asc_nulls_first(),
+            F.col("props").asc_nulls_first()))
     k = F.from_json(F.col("props"), "k INT").getField("k")
     dedup = (ev.withColumn("rn", rn).where(F.col("rn") == 1)
              .withColumn("k", k)

@@ -29,6 +29,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas UDF / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # stream_watermark_late's availableNow semantics depend on the final
+    # EMPTY micro-batch advancing the watermark to max(ts)-delay and
+    # flushing closed windows. True is Spark's default, but _I4_ORACLE's
+    # window-close cutoff silently emits nothing if it is ever off — pin it
+    # so a cluster-side override can't turn a conf drift into a confusing
+    # hash mismatch.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
 }
 
 

@@ -112,6 +112,16 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (window_end <= watermark) are emitted — trailing open windows are withheld.
 # The oracle replicates exactly that cutoff, so the hash check pins the
 # watermark/window-close semantics, not just the counts.
+#
+# Two environmental assumptions behind that cutoff, both pinned:
+# - The final EMPTY micro-batch must run to advance the watermark and flush
+#   closed windows — spark.sql.streaming.noDataMicroBatches.enabled=true
+#   (Spark's default, force-set in session.RUNTIME_CONFS: if off, the
+#   availableNow run emits nothing and this oracle mismatches confusingly).
+# - Spark truncates the watermark to whole milliseconds; the oracle's
+#   `wend <= max(ts) - delay` comparison matches only while no window end
+#   falls strictly inside the sub-millisecond truncation gap. Hour-aligned
+#   windows on microsecond timestamps keep that distance ≥ minutes here.
 _I4_ORACLE = """
 WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
