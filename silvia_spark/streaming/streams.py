@@ -370,10 +370,14 @@ class _CountProcessor:
 
 
 def _tws_available() -> bool:
-    """transformWithStateInPandas spawns a protobuf-based state-server
-    worker; this container ships a broken google.protobuf (no
-    ``descriptor`` module), which crashes the runner at query start.
-    Gate on the actual import the runner performs."""
+    """transformWithStateInPandas spawns a protobuf-based state-server in
+    every Python worker; this container has NO installed google.protobuf,
+    which crashes the runner at query start. Gate on the actual import the
+    runner performs. The gate opens when tools/tws_shim/sitecustomize.py is
+    active (PYTHONPATH + SILVIA_TWS_PB_SHIM=1): it exposes the modern
+    protobuf bundled with the locally-installed Cloud SDK to driver AND
+    workers — tests/test_stream_equivalence.py proves the real TWS path
+    there and pins its output to the fallback's."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True
@@ -391,18 +395,29 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformWithStateInPandas, Spark 4's arbitrary-stateful API (typed
     ValueState handles, the successor to stream_funnel_live's
     applyInPandasWithState). ENVIRONMENT GATE: the TWS runner needs a
-    working protobuf, which this container lacks (_tws_available), so the
-    same per-user state program runs through applyInPandasWithState when
-    TWS can't initialize — identical state semantics (one (count, max)
-    record per user), identical output; the TWS path is taken wherever
-    protobuf exists. With availableNow's single batch the final table is
-    one snapshot per user."""
+    working protobuf, absent from this container's site-packages
+    (_tws_available), so the same per-user state program runs through
+    applyInPandasWithState when TWS can't initialize — identical state
+    semantics (one (count, max) record per user), identical output. The
+    TWS path is taken wherever protobuf exists — including under the
+    tools/tws_shim probe, where test_stream_equivalence.py executes it for
+    real (RocksDB state store) and asserts bit-identical output vs the
+    fallback. With availableNow's single batch the final table is one
+    snapshot per user."""
     ev = _events_stream(spark, sf_dir).where(F.col("user_id") < 40).select(
         "user_id", "value")
     out_schema = "user_id LONG, n_events LONG, max_value DOUBLE"
     if _tws_available():
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+        # TWS keeps each typed state handle in its own column family, which
+        # the default HDFSBackedStateStoreProvider rejects — RocksDB is the
+        # supported provider (and the right one at scale: sorted CF scans,
+        # incremental snapshots). Session-scoped conf, restored after.
+        _prov_key = "spark.sql.streaming.stateStore.providerClass"
+        _prev_prov = spark.conf.get(_prov_key, None)
+        spark.conf.set(_prov_key, "org.apache.spark.sql.execution.streaming."
+                                  "state.RocksDBStateStoreProvider")
         proc = type("CountProc", (StatefulProcessor,),
                     dict(_CountProcessor.__dict__))()
         result = ev.groupBy("user_id").transformWithStateInPandas(
@@ -411,6 +426,17 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+        try:
+            out = _run_to_memory(result, spark, output_mode="update")
+        finally:
+            if _prev_prov is None:
+                spark.conf.unset(_prov_key)
+            else:
+                spark.conf.set(_prov_key, _prev_prov)
+        return (out.groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.max("max_value").alias("max_value"))
+                .orderBy("user_id"))
     else:
         def count_fn(key, pdf_iter, state):
             # Raw-double state so this path and the TWS path emit bit-identical

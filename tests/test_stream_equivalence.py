@@ -142,3 +142,59 @@ def test_funnel_fn_vectorization_matches_per_event_loop():
                               state))
         assert state.updated == (want,), f"trial {trial}: {state.updated} != {want}"
         assert out[0]["funnel_stage"].iloc[0] == want
+
+
+TWS_SHIM_DIR = "/root/repo/tools/tws_shim"
+_CLOUDSDK_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_CLOUDSDK_PB),
+    reason="no local protobuf copy to shim — TWS runner cannot start here")
+def test_transform_with_state_real_runner_eq_fallback(tmp_path):
+    """Execute the REAL transformWithStateInPandas runner (not the
+    applyInPandasWithState fallback) and pin its output to the fallback's.
+
+    The runner needs google.protobuf in driver + every Python worker; the
+    container's site-packages has none, but tools/tws_shim/sitecustomize.py
+    exposes the Cloud SDK's bundled 6.32 runtime when SILVIA_TWS_PB_SHIM=1.
+    sitecustomize runs at interpreter start of each forked worker — the only
+    hook early enough — so the probe needs a fresh subprocess with the shim
+    dir on PYTHONPATH; patching sys.path in this pytest process would reach
+    the driver but not the workers' proto import. Inside the subprocess the
+    contract takes the TWS branch (RocksDB state store, typed ValueState
+    column families); forcing _tws_available→False re-runs the same state
+    program through the fallback, and the two row sets must be identical."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+                 .appName("tws-real-runner").config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+        from silvia_spark.streaming import streams
+        assert streams._tws_available(), "shim failed: protobuf not importable"
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # gencode loads
+        real = sorted((r.user_id, r.n_events, round(r.max_value, 6))
+                      for r in streams.stream_transform_with_state(
+                          spark, "/root/testdata/sf0.001").collect())
+        streams._tws_available = lambda: False
+        fb = sorted((r.user_id, r.n_events, round(r.max_value, 6))
+                    for r in streams.stream_transform_with_state(
+                        spark, "/root/testdata/sf0.001").collect())
+        assert real == fb, f"TWS != fallback:\\n{real}\\n{fb}"
+        assert len(real) > 0
+        print("TWS_REAL_OK", len(real))
+    """)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = TWS_SHIM_DIR + os.pathsep + "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    env["SILVIA_TWS_PB_SHIM"] = "1"
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=600,
+                          cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TWS_REAL_OK" in proc.stdout
