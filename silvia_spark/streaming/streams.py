@@ -302,19 +302,10 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- I9: foreachBatch idempotent upsert --------------------------------------
 
 
-@contract("stream_foreachbatch_upsert")  # rows-only: sink side effect
-def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """silvia's load stage: per-micro-batch upsert keyed on event_type.
-
-    With $SILVIA_JDBC_URL set this would stage + INSERT ... ON CONFLICT via
-    JDBC; offline it degrades to an idempotent parquet overwrite keyed by
-    batch (dynamic partitionOverwriteMode) — re-running a batch replaces,
-    never duplicates, which is the exactly-once property the JDBC merge
-    provides in production.
-    """
-    ev = _events_stream(spark, sf_dir)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"), "tbl")
-
+def parquet_upsert_factory(out_dir: str):
+    """The offline upsert: dynamic partition-overwrite keyed by batch_id —
+    re-running a batch replaces its own partition, never duplicates
+    (tests/test_pg_sink.py replays a batch to prove it)."""
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         agg = (batch_df.groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("cnt")))
@@ -323,6 +314,46 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id")
          .parquet(out_dir))
+    return upsert
+
+
+def pg_upsert_factory(host: str, table: str):
+    """The live-PostgreSQL upsert: per-batch staged COPY + INSERT ... ON
+    CONFLICT DO UPDATE keyed (batch_id, event_type) — the production merge,
+    executed against a real server (silvia_spark/pg.py)."""
+    from silvia_spark import pg
+
+    pg.ensure_upsert_table(host, table)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        rows = [(int(batch_id), r["event_type"], int(r["cnt"]))
+                for r in agg.collect()]
+        pg.copy_upsert(host, table, rows)
+    return upsert
+
+
+@contract("stream_foreachbatch_upsert")  # rows-only: sink side effect
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """silvia's load stage: per-micro-batch upsert keyed on event_type.
+
+    With $SILVIA_PG_HOST set (tests boot an embedded server; production
+    points it at the warehouse) every micro-batch stages + merges via
+    INSERT ... ON CONFLICT into PostgreSQL and the result is read back FROM
+    the database — the sink round-trip is part of the contract. Offline it
+    degrades to an idempotent parquet overwrite keyed by batch. Both paths
+    share the exactly-once property: re-running a batch replaces, never
+    duplicates (proven by replay in tests/test_pg_sink.py)."""
+    ev = _events_stream(spark, sf_dir)
+    host = os.environ.get("SILVIA_PG_HOST")
+    if host:
+        table = os.environ.get("SILVIA_PG_TABLE", "event_summary")
+        upsert = pg_upsert_factory(host, table)
+    else:
+        out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"),
+                               "tbl")
+        upsert = parquet_upsert_factory(out_dir)
 
     ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
     q = (ev.writeStream.foreachBatch(upsert)
@@ -330,7 +361,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(300)
-    back = spark.read.parquet(out_dir)
+    if host:
+        from silvia_spark import pg
+        back = spark.createDataFrame(
+            [(t, c) for _, t, c in pg.read_upsert_table(host, table)],
+            "event_type string, cnt long")
+    else:
+        back = spark.read.parquet(out_dir)
     return (back.groupBy("event_type")
             .agg(F.sum("cnt").alias("cnt"))
             .orderBy("event_type"))

@@ -1,0 +1,137 @@
+"""I9 against a REAL PostgreSQL — boot an embedded server, run the staged
+COPY + ``INSERT ... ON CONFLICT`` merge, and prove the exactly-once
+property by replaying micro-batches.
+
+The container ships full PostgreSQL 15 server binaries (initdb/pg_ctl/
+postgres/psql) but no JDBC jar and no Python driver, so the transport is
+psql over a private unix socket (silvia_spark/pg.py). The server runs as
+the unprivileged ``postgres`` user (PostgreSQL refuses root) with trust
+auth scoped to a mode-0700 tmpdir socket — test-only wiring; the merge SQL
+under test is exactly what production runs.
+"""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import subprocess
+
+import pytest
+
+from silvia_spark import registry
+from tests.conftest import SF_SMALL
+
+registry.load_all_modules()
+
+pytestmark = pytest.mark.slow
+
+PG_BIN = "/usr/local/bin"
+
+
+def _have_pg() -> bool:
+    if not all(shutil.which(b, path=PG_BIN) for b in ("initdb", "pg_ctl")):
+        return False
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        return os.geteuid() != 0  # non-root can run the server directly
+    return True
+
+
+def _run_as_pg(cmd: str) -> subprocess.CompletedProcess:
+    """PostgreSQL refuses to start as root; drop to the postgres user."""
+    if os.geteuid() == 0:
+        return subprocess.run(["su", "postgres", "-c", cmd], cwd="/tmp",
+                              capture_output=True, text=True)
+    return subprocess.run(cmd, shell=True, cwd="/tmp",
+                          capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    if not _have_pg():
+        pytest.skip("no usable PostgreSQL server binaries in this container")
+    # Not tmp_path_factory: its pytest-of-root parents are mode 0700, which
+    # the unprivileged postgres user cannot traverse.
+    import tempfile
+    root_s = tempfile.mkdtemp(prefix="silvia_pg_", dir="/tmp")
+    os.chmod(root_s, 0o777)  # postgres user needs to create data/ + socket
+    root = root_s
+    data = f"{root}/data"
+    p = _run_as_pg(f"{PG_BIN}/initdb -A trust -U postgres -D {data}")
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_as_pg(
+        f"{PG_BIN}/pg_ctl -D {data} "
+        f"-o '-c listen_addresses= -c unix_socket_directories={root}' "
+        f"-l {root}/pg.log -w start")
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_as_pg(f"psql -h {root} -U postgres -d postgres "
+                   f"-c 'CREATE DATABASE silvia;'")
+    assert p.returncode == 0, p.stderr[-2000:]
+    try:
+        yield root
+    finally:
+        _run_as_pg(f"{PG_BIN}/pg_ctl -D {data} -m fast stop")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_copy_upsert_replay_is_exactly_once(pg_server):
+    """The merge keyed (batch_id, event_type): replaying an identical batch
+    changes nothing; replaying a REVISED batch (Spark retry after partial
+    upstream failure) replaces that batch's rows — never appends."""
+    from silvia_spark import pg
+
+    pg.ensure_upsert_table(pg_server, "replay_t")
+    b7 = [(7, "click", 100), (7, "view", 240)]
+    pg.copy_upsert(pg_server, "replay_t", b7)
+    pg.copy_upsert(pg_server, "replay_t", [(8, "click", 11)])
+    first = pg.read_upsert_table(pg_server, "replay_t")
+    assert first == [(7, "click", 100), (7, "view", 240), (8, "click", 11)]
+
+    pg.copy_upsert(pg_server, "replay_t", b7)          # identical replay
+    assert pg.read_upsert_table(pg_server, "replay_t") == first
+
+    pg.copy_upsert(pg_server, "replay_t", [(7, "click", 101),
+                                           (7, "view", 240)])  # revised
+    assert pg.read_upsert_table(pg_server, "replay_t") == [
+        (7, "click", 101), (7, "view", 240), (8, "click", 11)]
+
+
+def test_parquet_upsert_replay_is_exactly_once(spark, tmp_path):
+    """The offline degradation holds the same property via dynamic
+    partition overwrite: re-running a batch replaces its partition."""
+    from silvia_spark.streaming.streams import parquet_upsert_factory
+
+    out = str(tmp_path / "tbl")
+    upsert = parquet_upsert_factory(out)
+    batch = spark.createDataFrame(
+        [("click",), ("click",), ("view",)], "event_type string")
+    upsert(batch, 3)
+    upsert(batch, 4)
+    upsert(batch, 3)  # replay
+    back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert back == [("click", 2, 3), ("click", 2, 4),
+                    ("view", 1, 3), ("view", 1, 4)]
+
+
+def test_contract_through_postgres_matches_parquet_path(pg_server, spark,
+                                                        monkeypatch):
+    """stream_foreachbatch_upsert end-to-end through the real server equals
+    the parquet degradation: same availableNow stream, same final summary —
+    and the PG-path rows were read back FROM the database, so the
+    stage+merge+readback round-trip is what's being hashed."""
+    monkeypatch.delenv("SILVIA_PG_HOST", raising=False)
+    offline = sorted(
+        tuple(r) for r in
+        registry.QUERIES["stream_foreachbatch_upsert"](spark, SF_SMALL)
+        .collect())
+
+    monkeypatch.setenv("SILVIA_PG_HOST", pg_server)
+    monkeypatch.setenv("SILVIA_PG_TABLE", "event_summary_live")
+    live = sorted(
+        tuple(r) for r in
+        registry.QUERIES["stream_foreachbatch_upsert"](spark, SF_SMALL)
+        .collect())
+    assert live == offline
+    assert len(live) > 0
