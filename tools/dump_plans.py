@@ -56,6 +56,24 @@ AUDITED = [
      "sign-projection GEMM folds into partial HashAggregates (codegen); "
      "candidates come from the bucket self-join, never an all-pairs "
      "product."),
+    ("sim_topk_cosine", ["HashAggregate", "BroadcastHashJoin",
+                         "TakeOrderedAndProject"],
+     "r04 kernel swap: corpus-vs-query scoring is GEMM-by-join — "
+     "posexplode both sides, broadcast the query's (pos, qx) pairs, and "
+     "fold the products in partial→final HashAggregates. 100% "
+     "whole-stage-codegen JVM arithmetic (no interpreted zip_with/"
+     "aggregate HOFs, no Python stage at all); top-k stays "
+     "TakeOrderedAndProject."),
+    ("sim_join_threshold", ["ArrowEvalPython"],
+     "pair scoring runs the Arrow-batched numpy cosine — an "
+     "ArrowEvalPython stage (not a row-at-a-time BatchEvalPython, not "
+     "interpreted HOFs); the expression form survives only where argmax "
+     "tie-semantics must replicate the oracle's fold order."),
+    ("text_ngram_jaccard", ["HashAggregate", "HashJoin"],
+     "inverted-index EQUI-join on shingle (plus the r04 document-frequency "
+     "cap aggregate) — candidate pairs are hash-joined on the shingle key "
+     "(AQE broadcasts the posting list at audit SF; shuffled hash/SMJ at "
+     "scale), never an all-pairs product."),
     ("scan_partition_pruned", ["PartitionFilters"],
      "the partition predicate lands in PartitionFilters — pruned at "
      "listing time, unmatched directories never open."),
