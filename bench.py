@@ -181,7 +181,13 @@ def main() -> None:
         "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
         "note": ("per-query min across sweeps*3 warm runs; r02's uniform +35% "
                  "was concurrent driver load (idle rerun of identical code: "
-                 "0.724s) — loadavg recorded to make that diagnosable"),
+                 "0.724s) — loadavg recorded to make that diagnosable. "
+                 "Decomposition for ms-scale 2x gates: every query time = "
+                 "fixed scheduling floor + marginal work; floor_sec is the "
+                 "no-scan floor, floor_scan_sec the 1-row-scan floor, so a "
+                 "query's marginal cost is (t - floor_scan_sec) and THAT is "
+                 "the scale-representative number to ratio against DuckDB "
+                 "(whose floor is ~0.1ms)."),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
