@@ -1,0 +1,179 @@
+"""Corpus-curation extras — SURVEY.md §2 J25–J26.
+
+- J25 ``dedup_cluster_cc`` — near-duplicate CLUSTERING: the pair lists the
+  J2/J13/J21 family emits answer "which docs are similar"; cluster-level
+  dedup ("keep one doc per duplicate GROUP") needs the transitive closure.
+  Connected components over the exact-Jaccard candidate graph via
+  distributed min-label propagation; the oracle recomputes the closure with
+  a recursive CTE, so the iteration's fixpoint is hash-proven, not assumed.
+- J26 ``text_unicode_normalize`` — NFC normalization, the canonical first
+  pass of a multilingual pretraining pipeline (decomposed e + U+0301 and
+  precomposed é must dedup/fingerprint identically). Arrow-batched pandas
+  UDF over Python's unicodedata vs DuckDB's utf8proc ``nfc_normalize`` —
+  two independent Unicode implementations pinned to the same answer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+
+# --- J25: connected-components dedup clustering ------------------------------
+
+_CC_TAU = 0.5
+_CC_MAX_ITERS = 20
+
+# Same shingle/pair CTEs as J21's oracle (tau relaxed to 0.5 so size-3
+# components with a missing transitive edge exist in the corpus — the case
+# where clustering differs from pair listing), then the closure: reach is
+# seeded with (src, src) and saturated through the symmetric edge set;
+# UNION (not UNION ALL) dedups paths so the recursion terminates.
+_J25_ORACLE = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh)) * 1.0
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {_CC_TAU}
+), e AS (
+  SELECT da AS src, db AS dst FROM p
+  UNION ALL SELECT db, da FROM p
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), cc AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc
+ORDER BY doc_id
+"""
+
+
+@contract("dedup_cluster_cc", oracle=_J25_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: every document that has at least one
+    Jaccard ≥ 0.5 partner is labeled with its connected component's
+    smallest doc_id (the canonical survivor) plus the component size.
+
+    Min-label propagation: labels start as own id; each round every node
+    takes min(own label, neighbors' labels) until a round changes
+    nothing. Each round is one equi-join + one partial-min aggregate on
+    the edge list — all label state stays distributed; the driver sees
+    only the per-round changed-count (the same driver-composes /
+    executors-compute split as J19's Lloyd loop). Converges in
+    O(component diameter) rounds; near-dup graphs are overwhelmingly
+    tiny cliques (diameter ≤ 2 here, _CC_MAX_ITERS=20 is a hard fail
+    bound, not a truncation — non-convergence raises rather than
+    returning wrong labels).
+
+    100 TB: candidate edges come from the capped J21 kernel (swap in J2
+    banded-MinHash edges for boilerplate-heavy corpora — the CC stage is
+    source-agnostic); per round the shuffle carries (id, id) pairs only.
+    For adversarial long-chain graphs the production upgrade is
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which this module's loop structure accommodates —
+    natural dedup corpora never need it. Oracle: recursive-CTE closure,
+    so the fixpoint labels are exactly the transitive closure's."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d.select("doc_id", "text"), _CC_TAU)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.persist()
+    try:
+        labels = (edges.select("src").distinct()
+                  .withColumn("lbl", F.col("src")).persist())
+        labels.count()  # materialize before the loop
+        for _ in range(_CC_MAX_ITERS):
+            nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
+                                  "dst")
+                       .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
+            merged = (labels.join(nbr_min, "src", "left")
+                      .select("src",
+                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl")).persist())
+            changed = (merged.alias("m")
+                       .join(labels.alias("o"), "src")
+                       .where(F.col("m.lbl") != F.col("o.lbl")).count())
+            labels.unpersist()
+            labels = merged
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_cluster_cc: no fixpoint in {_CC_MAX_ITERS} rounds")
+        size_w = Window.partitionBy("cluster_id")
+        return (labels
+                .select(F.col("src").alias("doc_id"),
+                        F.col("lbl").alias("cluster_id"))
+                .withColumn("cluster_size",
+                            F.count(F.lit(1)).over(size_w))
+                .orderBy("doc_id"))
+    finally:
+        edges.unpersist()
+
+
+# --- J26: Unicode NFC normalization ------------------------------------------
+
+# Both engines BUILD the same decomposed input (every 'e' in the first 60
+# chars gains a combining acute, U+0301), then normalize independently —
+# DuckDB through utf8proc, Spark through Python's unicodedata. length() is
+# code points in both, so the before/after counts pin the recomposition.
+_J26_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+         replace(substr(lower(text), 1, 60), 'e', 'e' || chr(769)) AS raw
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+       length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
+FROM synth
+ORDER BY doc_id
+"""
+
+
+@contract("text_unicode_normalize", oracle=_J26_ORACLE)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization over a deliberately decomposed corpus slice:
+    combining sequences (e + U+0301) must recompose to precomposed é so
+    downstream digests/shingles/fingerprints treat visually identical
+    text identically — run this BEFORE J1/J2/J21 on any multilingual
+    corpus. The kernel is an Arrow-batched pandas UDF (unicodedata.
+    normalize is C-speed per string; no JVM equivalent exists in Spark's
+    function library); everything else stays codegen. Zero shuffle — a
+    pure map stage that pipelines into whatever consumes it. The n_raw /
+    n_nfc code-point counts prove actual recomposition happened (n_nfc <
+    n_raw wherever an 'e' existed), not a pass-through."""
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.regexp_replace(
+        F.substring(F.lower(F.col("text")), 1, 60), "e", "e\u0301")
+    return (d.select("doc_id", raw.alias("raw"))
+            .select("doc_id", nfc("raw").alias("nfc_text"),
+                    F.length("raw").alias("n_raw"))
+            .select("doc_id", "nfc_text", "n_raw",
+                    F.length("nfc_text").alias("n_nfc"))
+            .orderBy("doc_id"))

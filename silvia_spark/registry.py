@@ -55,6 +55,13 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
     "curation_pipeline", "etl_events_enriched", "stream_watermark_late",
     "stream_funnel_live",
+    # -- tier 0b: contracts NEW in r04 (8 slots) — olap_extras (M6-M10, D12)
+    #    + curation_extras (J25-J26); never driver-checked, so they outrank
+    #    stale refreshes. Their 8 slots displace the tail of tier 2 (which
+    #    keeps unchanged-code r02 hash-green evidence) out of the window. --
+    "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
+    "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
+    "dedup_cluster_cc", "text_unicode_normalize",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
@@ -135,9 +142,11 @@ def load_all_modules() -> None:
         scalars,
         scale_patterns,
         composites,
+        olap_extras,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
     from silvia_spark.functions import (  # noqa: F401
+        curation_extras,
         llm_extras,
         llm_ops,
         pipeline_extras,
