@@ -86,6 +86,34 @@ AUDITED = [
      "runtime partition filter into the fact scan (needs a real source "
      "dim and an isLikelySelective predicate — see the contract "
      "docstring)."),
+    ("q5_local_supplier", ["BroadcastHashJoin"],
+     "TPC-H Q5: one fact shuffle (orderkey), every dim a broadcast build "
+     "side — the c_nationkey = s_nationkey constraint rides the supplier "
+     "broadcast as a second equi-key instead of forcing its own "
+     "exchange."),
+    ("q4_order_priority", ["LeftSemi"],
+     "EXISTS compiles to LEFT SEMI keyed on orderkey with the non-equi "
+     "lateness residual evaluated per probe — no row multiplication "
+     "reaches the aggregate."),
+    ("q14_promo_revenue", ["BroadcastHashJoin", "HashAggregate"],
+     "conditional promo/total grid sums fold map-side around the "
+     "broadcast part join."),
+    ("q19_disjunctive", ["Or(Or(And("],
+     "the OR-of-ANDs predicate is FACTORED by Catalyst: each scan's "
+     "PushedFilters carries its side's disjunctive bands (quantity "
+     "ranges on lineitem, brand×size on part) — only the cross-side "
+     "residual waits for the join."),
+    ("q22_dormant_customers", ["LeftAnti", "BroadcastNestedLoopJoin"],
+     "the 1-row threshold attaches as a broadcast nested-loop cross "
+     "(constant-size build side — the degenerate case where BNLJ is "
+     "correct), dormancy is LEFT ANTI against distinct recent buyers."),
+    ("text_unicode_normalize", ["ArrowEvalPython"],
+     "the NFC kernel is an Arrow-batched pandas UDF stage "
+     "(ArrowEvalPython, never row-at-a-time BatchEvalPython); the rest "
+     "of the projection stays codegen. dedup_cluster_cc is audited by "
+     "its fixpoint oracle rather than dumped here: its final plan "
+     "prints the per-iteration cached lineages recursively (hundreds "
+     "of repeated joins in toString), which would bury the signal."),
 ]
 
 
