@@ -62,6 +62,46 @@ ORDER BY doc_id
 """
 
 
+def min_label_components(pairs: DataFrame,
+                         max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Connected components of an undirected pair list ``(doc_a, doc_b)``
+    by distributed min-label propagation. Returns ``(doc_id, cluster_id)``
+    for every node appearing in ≥ 1 pair, where cluster_id is the
+    component's minimum doc_id. Raises if no fixpoint within
+    ``max_iters`` rounds (bound = worst-case component diameter)."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.persist()
+    try:
+        labels = (edges.select("src").distinct()
+                  .withColumn("lbl", F.col("src")).persist())
+        labels.count()  # materialize before the loop
+        for _ in range(max_iters):
+            nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
+                                  "dst")
+                       .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
+            merged = (labels.join(nbr_min, "src", "left")
+                      .select("src",
+                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl")).persist())
+            changed = (merged.alias("m")
+                       .join(labels.alias("o"), "src")
+                       .where(F.col("m.lbl") != F.col("o.lbl")).count())
+            labels.unpersist()
+            labels = merged
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"min_label_components: no fixpoint in {max_iters} rounds")
+        return labels.select(F.col("src").alias("doc_id"),
+                             F.col("lbl").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 @contract("dedup_cluster_cc", oracle=_J25_ORACLE)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: every document that has at least one
@@ -91,42 +131,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d.select("doc_id", "text"), _CC_TAU)
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst"))))
-    edges = edges.persist()
-    try:
-        labels = (edges.select("src").distinct()
-                  .withColumn("lbl", F.col("src")).persist())
-        labels.count()  # materialize before the loop
-        for _ in range(_CC_MAX_ITERS):
-            nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
-                                  "dst")
-                       .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
-            merged = (labels.join(nbr_min, "src", "left")
-                      .select("src",
-                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl")).persist())
-            changed = (merged.alias("m")
-                       .join(labels.alias("o"), "src")
-                       .where(F.col("m.lbl") != F.col("o.lbl")).count())
-            labels.unpersist()
-            labels = merged
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"dedup_cluster_cc: no fixpoint in {_CC_MAX_ITERS} rounds")
-        size_w = Window.partitionBy("cluster_id")
-        return (labels
-                .select(F.col("src").alias("doc_id"),
-                        F.col("lbl").alias("cluster_id"))
-                .withColumn("cluster_size",
-                            F.count(F.lit(1)).over(size_w))
-                .orderBy("doc_id"))
-    finally:
-        edges.unpersist()
+    cc = min_label_components(pairs)
+    size_w = Window.partitionBy("cluster_id")
+    return (cc.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+            .orderBy("doc_id"))
 
 
 # --- J26: Unicode NFC normalization ------------------------------------------

@@ -1,0 +1,85 @@
+"""Property tests for J25/J26 beyond the oracle parity gate: planted graph
+shapes for the connected-components kernel (transitivity is exactly what the
+pair-listing contracts can't express) and Unicode edge cases for NFC."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from silvia_spark.functions.curation_extras import min_label_components
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+
+
+def _clusters(spark, edges) -> dict[int, int]:
+    rows = min_label_components(_pairs(spark, edges)).collect()
+    return {r.doc_id: r.cluster_id for r in rows}
+
+
+def test_cc_transitive_chain_merges(spark):
+    """A~B, B~C without an A~C edge must still be ONE cluster — the case
+    where cluster dedup differs from pair listing."""
+    got = _clusters(spark, [(1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_long_chain_needs_multiple_rounds(spark):
+    """A 6-node path: the min label must propagate hop by hop (≥ 5
+    propagation rounds), proving the loop iterates past round one."""
+    chain = [(i, i + 1) for i in range(10, 15)]
+    got = _clusters(spark, chain)
+    assert got == {i: 10 for i in range(10, 16)}
+
+
+def test_cc_separate_components_stay_separate(spark):
+    got = _clusters(spark, [(1, 2), (5, 6), (6, 7)])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_cc_nonconvergence_raises_not_truncates(spark):
+    """max_iters too small for the diameter must raise — never return
+    half-propagated (wrong) labels."""
+    chain = [(i, i + 1) for i in range(6)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        min_label_components(_pairs(spark, chain), max_iters=2).collect()
+
+
+def test_nfc_udf_matches_duckdb_on_edge_cases(spark):
+    """Python unicodedata NFC vs DuckDB utf8proc on hand-picked cases:
+    combining acute, already-composed input (idempotence), Hangul jamo
+    composition, and a non-composing combining mark. Explicit escapes
+    throughout — literal non-ASCII in test source could itself be
+    normalized by tooling."""
+    import duckdb
+
+    cases = [
+        "caf\u0065\u0301",        # e + combining acute -> e-acute
+        "caf\u00e9",               # already NFC: unchanged
+        "\u1100\u1161\u11a8",      # Hangul jamo -> one syllable block
+        "x\u0328q",                # ogonek on x: no precomposed form
+    ]
+    py = [unicodedata.normalize("NFC", c) for c in cases]
+    assert py[0] == "caf\u00e9" and py[1] == "caf\u00e9"
+    assert py[2] == "\uac01"
+    assert py[3] == "x\u0328q"  # NFC must NOT drop the mark
+    con = duckdb.connect()
+    duck = [con.execute("SELECT nfc_normalize(?)", [c]).fetchone()[0]
+            for c in cases]
+    con.close()
+    assert py == duck
+    # and the Arrow-batched kernel path agrees with plain Python
+    sdf = spark.createDataFrame([(c,) for c in cases], "raw STRING")
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        import unicodedata as ud
+
+        return s.map(lambda x: None if x is None else ud.normalize("NFC", x))
+
+    got = [r.n for r in sdf.select(nfc("raw").alias("n")).collect()]
+    assert got == py
