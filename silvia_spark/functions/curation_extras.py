@@ -1,4 +1,4 @@
-"""Corpus-curation extras — SURVEY.md §2 J25–J26.
+"""Corpus-curation extras — SURVEY.md §2 J25–J27.
 
 - J25 ``dedup_cluster_cc`` — near-duplicate CLUSTERING: the pair lists the
   J2/J13/J21 family emits answer "which docs are similar"; cluster-level
@@ -11,6 +11,8 @@
   precomposed é must dedup/fingerprint identically). Arrow-batched pandas
   UDF over Python's unicodedata vs DuckDB's utf8proc ``nfc_normalize`` —
   two independent Unicode implementations pinned to the same answer.
+- J27 ``text_pii_scrub`` — email/phone redaction with an audit trail; the
+  contract pins Java-regex vs RE2 semantics on the shared dialect subset.
 """
 
 from __future__ import annotations
@@ -184,4 +186,62 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length("raw").alias("n_raw"))
             .select("doc_id", "nfc_text", "n_raw",
                     F.length("nfc_text").alias("n_nfc"))
+            .orderBy("doc_id"))
+
+
+# --- J27: PII scrubbing ------------------------------------------------------
+
+# Both engines PLANT identical synthetic PII (an email and a phone derived
+# from doc_id), then scrub independently with the same patterns. Patterns
+# stay inside the Java-regex ∩ RE2 dialect intersection (no backrefs, no
+# lookaround) so regexp_replace semantics match across engines.
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+_J27_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || doc_id ||
+         '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones
+FROM planted
+ORDER BY doc_id
+"""
+
+
+@contract("text_pii_scrub", oracle=_J27_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the mandatory scrub pass before corpus release:
+    emails and phone numbers replaced by typed placeholders, with
+    per-doc match counts for the redaction audit trail. The corpus is
+    synthetic (no real PII), so each doc plants a deterministic
+    doc_id-derived email+phone first; the oracle plants the identical
+    string, so the hash check proves the SCRUB, not the plant. Patterns
+    are restricted to the Java-regex ∩ RE2 intersection — the dialect
+    drift between engines is the real-world hazard here, and the
+    contract pins it. Pure per-row codegen (regexp_replace /
+    regexp_count are JVM-native): zero shuffle, scan-rate throughput at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"))
+    return (d.select("doc_id", raw.alias("raw"))
+            .select("doc_id",
+                    F.regexp_replace(
+                        F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>"),
+                        _PII_PHONE, "<PHONE>").alias("scrubbed"),
+                    F.regexp_count("raw", F.lit(_PII_EMAIL))
+                    .alias("n_emails"),
+                    F.regexp_count("raw", F.lit(_PII_PHONE))
+                    .alias("n_phones"))
             .orderBy("doc_id"))

@@ -61,7 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     #    keeps unchanged-code r02 hash-green evidence) out of the window. --
     "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
     "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
-    "dedup_cluster_cc", "text_unicode_normalize",
+    "dedup_cluster_cc", "text_unicode_normalize", "text_pii_scrub",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
