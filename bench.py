@@ -61,6 +61,17 @@ EXTENDED = [
     "text_ngram_jaccard",
     "etl_events_enriched",
     "curation_pipeline",
+    "q5_local_supplier",
+    "text_unicode_normalize",
+    "text_pii_scrub",
+]
+
+# Iterative contracts run their driver-composed loop during plan BUILD
+# (CC label propagation), so the prepared-statement model above would time
+# only the final cached projection. These are timed end-to-end per rep:
+# fresh build + loop + materialize.
+ITERATIVE = [
+    "dedup_cluster_cc",
 ]
 
 
@@ -158,6 +169,16 @@ def main() -> None:
             extended[name] = min(extended[name], time.perf_counter() - t0)
     extended = {k: round(v, 4) for k, v in extended.items()}
 
+    iterative = {name: float("inf") for name in ITERATIVE}
+    for name in ITERATIVE:
+        registry.QUERIES[name](spark, sf_dir).toArrow()   # warm-up
+        for _ in range(sweeps):
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).toArrow()
+            iterative[name] = min(iterative[name],
+                                  time.perf_counter() - t0)
+    iterative = {k: round(v, 4) for k, v in iterative.items()}
+
     total = round(sum(timings.values()), 4)
     compile_total = round(sum(compiles.values()), 4)
     # Both gradings reported: "value" is warm plan re-execution (the
@@ -177,6 +198,7 @@ def main() -> None:
         "floor_scan_sec": floor_scan,
         "extended": extended,
         "extended_sweep_sec": round(sum(extended.values()), 4),
+        "iterative": iterative,
         "sweeps": sweeps,
         "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
         "note": ("per-query min across sweeps*3 warm runs; r02's uniform +35% "

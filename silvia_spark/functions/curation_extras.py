@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from silvia_spark.io import load_table
+from silvia_spark.io import adopt_cache, load_table
 from silvia_spark.registry import contract
 
 # --- J25: connected-components dedup clustering ------------------------------
@@ -98,6 +98,10 @@ def min_label_components(pairs: DataFrame,
         else:
             raise RuntimeError(
                 f"min_label_components: no fixpoint in {max_iters} rounds")
+        # The final labels cache must outlive this call (the returned plan
+        # reads it); hand it to the slot manager so the next invocation —
+        # or clear_caches() — frees it instead of leaking one cache per run.
+        adopt_cache(labels, "min_label_components.labels")
         return labels.select(F.col("src").alias("doc_id"),
                              F.col("lbl").alias("cluster_id"))
     finally:
