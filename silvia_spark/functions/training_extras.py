@@ -1,0 +1,361 @@
+"""Training-data pipeline extras — SURVEY.md §2 J28–J34.
+
+The second half of the large-scale curation toolbox: eval-set
+contamination detection, intra-document repetition filtering, mixture
+sampling, shard planning, context-window chunking, embedding
+quantization, and deterministic per-group reservoir sampling.
+
+Determinism discipline (shared with training_ops.py): every sampling /
+thresholding decision is pure integer arithmetic on ids — multiplicative
+hashing with Knuth's 2654435761 — so both engines derive bit-identical
+decisions with no RNG and no float compares. Chunk/scale math that must
+produce doubles (J34's quantization scale) runs the SAME op sequence on
+the same operands in both engines, which IEEE-754 makes exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+
+# Knuth multiplicative hash — the shared deterministic "randomness" for
+# J28/J31/J32: h(id) = (id * 2654435761) mod 2^32 is a fixed bijection of
+# ids with good avalanche on the low bits we bucket by, and it is plain
+# integer arithmetic both engines evaluate identically.
+_KNUTH = 2_654_435_761
+
+
+# --- J28: deterministic per-group reservoir sample ----------------------------
+
+_J28_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, (doc_id * {_KNUTH}) % 4294967296 AS hk
+  FROM documents
+), r AS (
+  SELECT source, doc_id, hk,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+  FROM h
+)
+SELECT source, doc_id, hk, rn
+FROM r WHERE rn <= 3
+ORDER BY source, rn
+"""
+
+
+@contract("sample_reservoir_group", oracle=_J28_ORACLE)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source k=3 uniform sample, reservoir-equivalent but fully
+    deterministic: rank docs inside each source by the Knuth hash of
+    their id and keep the 3 smallest. Hash-ranking IS reservoir sampling
+    with a fixed seed — same marginal uniformity, but rerun-stable and
+    oracle-checkable, which `rand()` never is. 100 TB: rn<=3 plans as
+    WindowGroupLimit, so each map task truncates to its local top-3
+    before the source-keyed exchange — the shuffle carries k rows per
+    source per task, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source", "doc_id",
+        ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4_294_967_296)).alias("hk"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("hk", "doc_id"))
+    return (
+        h.withColumn("rn", rn).where(F.col("rn") <= 3)
+        .select("source", "doc_id", "hk", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+# --- J29: eval-set contamination detection ------------------------------------
+
+# Eval split: doc_id ≡ 0 (mod 97) — a deterministic stand-in for "the
+# benchmark set"; everything else is the training split.
+_J29_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ')
+                        for i in generate_series(1, len(w)-4)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), tok AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), hits AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+  FROM (SELECT * FROM tok WHERE doc_id % 97 <> 0) t
+  JOIN (SELECT * FROM tok WHERE doc_id % 97 = 0) e USING (g)
+  GROUP BY t.doc_id, e.doc_id
+)
+SELECT train_doc, count(*) AS n_eval_hits
+FROM hits GROUP BY train_doc
+ORDER BY n_eval_hits DESC, train_doc
+"""
+
+
+@contract("text_contamination", oracle=_J29_ORACLE)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing at least one
+    5-token shingle with any eval-split doc, with the count of distinct
+    eval docs hit. The shingle inverted index joins train-side tokens to
+    eval-side tokens on the shingle itself — candidates are bounded by
+    df_train(g)·df_eval(g) per shingle, and the EVAL side is the tiny
+    one (the benchmark), so at 100 TB this behaves like a broadcast-
+    filter of the corpus by the eval shingle set, never a corpus
+    self-join. The decontamination action (dropping the hits) is a left
+    anti join on train_doc — the scan is the hard part pinned here."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(w) - 5),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 5))))
+    tok = (d.select("doc_id", F.explode(sh).alias("g")))
+    train = tok.where(F.col("doc_id") % 97 != 0)
+    eval_ = (tok.where(F.col("doc_id") % 97 == 0)
+             .withColumnRenamed("doc_id", "eval_doc"))
+    return (
+        train.join(eval_, "g")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(F.count_distinct("eval_doc").alias("n_eval_hits"))
+        .orderBy(F.col("n_eval_hits").desc(), "train_doc")
+    )
+
+
+# --- J30: intra-document repetition filter ------------------------------------
+
+_J30_ORACLE = """
+WITH g AS (
+  SELECT doc_id, len(w) - 1 AS total_ngrams,
+         len(list_distinct([array_to_string(w[i:i+1], ' ')
+                            for i in generate_series(1, len(w)-1)]))
+           AS distinct_ngrams
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT doc_id, total_ngrams, distinct_ngrams
+FROM g
+WHERE distinct_ngrams * 20 < total_ngrams * 19
+ORDER BY doc_id
+"""
+
+
+@contract("text_repetition_filter", oracle=_J30_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: docs where more than 5% of bigram
+    occurrences are repeats (distinct < 0.95·total) — the boilerplate /
+    looping-text signal every pretraining filter stack carries (flags
+    ~20% of this corpus; 3-grams on a 30-word vocabulary almost never
+    repeat, so bigrams are the discriminating order here). The test
+    cross-multiplies integers (distinct·20 < total·19): no ratio, no
+    float, exact in both engines. Per-doc work only — a zero-shuffle
+    map over the corpus (the groupBy is per-doc on already-colocated
+    rows; Catalyst collapses it into the projection). 100 TB: scales as
+    scan throughput; nothing global exists in this contract."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))
+    return (
+        d.where(F.size(w) >= 2)
+        .select("doc_id",
+                (F.size(w) - 1).alias("total_ngrams"),
+                F.size(F.array_distinct(sh)).alias("distinct_ngrams"))
+        .where(F.col("distinct_ngrams") * 20 < F.col("total_ngrams") * 19)
+        .orderBy("doc_id")
+    )
+
+
+# --- J31: mixture sampling with per-source rates ------------------------------
+
+_J31_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         100 + (CAST(regexp_extract(source, '\\d+') AS BIGINT) * 37) % 900
+           AS rate_permille,
+         (doc_id * {_KNUTH}) % 1000 AS draw
+  FROM documents
+)
+SELECT source, rate_permille,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN draw < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN draw < rate_permille THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept
+FROM rated
+GROUP BY source, rate_permille
+ORDER BY source
+"""
+
+
+@contract("data_mix_sample", oracle=_J31_ORACLE)
+def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: each source gets a deterministic keep-rate
+    (100–999 permille, derived from the source number) and docs are kept
+    when their id-hash lands under it — exactly how a production mixer
+    reweights sources (up/down-sampling web vs books vs code) while
+    staying reproducible across reruns and engines. The draw is integer
+    permille vs integer rate: no float compare. 100 TB: embarrassingly
+    parallel scan + one tiny per-source aggregate; changing mixture
+    weights is a constant edit, not a reshuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (F.lit(100)
+            + (F.regexp_extract("source", r"\d+", 0).cast("bigint")
+               * 37) % 900).alias("rate_permille")
+    draw = ((F.col("doc_id") * F.lit(_KNUTH)) % 1000).alias("draw")
+    kept = F.col("draw") < F.col("rate_permille")
+    return (
+        d.select("source", "doc_id", "n_chars", rate, draw)
+        .groupBy("source", "rate_permille")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+             F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+             .alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
+# --- J32: balanced shard assignment -------------------------------------------
+
+_N_SHARDS = 16
+
+_J32_ORACLE = f"""
+SELECT (doc_id * {_KNUTH}) % {_N_SHARDS} AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@contract("shard_assign_balanced", oracle=_J32_ORACLE)
+def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard planning for the training-set writer: hash-assign every doc
+    to one of 16 shards and report per-shard row/byte totals — the audit
+    a writer runs BEFORE committing a layout, to prove no shard is skewed.
+    The id hash (not doc_id % N) decorrelates shard from insertion order,
+    so sequential id ranges spread evenly. 100 TB: this aggregate is the
+    planning pass; the write itself is `repartition(N_SHARDS, hash)` +
+    partitioned parquet (A6/A10 pin that sink), and the same hash keeps
+    planner and writer in agreement."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(((F.col("doc_id") * F.lit(_KNUTH)) % _N_SHARDS)
+                  .alias("shard_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("shard_id")
+    )
+
+
+# --- J33: context-window chunking ---------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+_J33_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, len(w) AS n, unnest(generate_series(0, len(w)-1, {_STRIDE}))
+           AS chunk_start, w
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_start / {_STRIDE} AS INT) AS chunk_idx,
+       chunk_start,
+       least({_CHUNK}, n - chunk_start) AS chunk_tokens,
+       md5(array_to_string(w[chunk_start+1 : chunk_start+{_CHUNK}], ' '))
+         AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@contract("doc_chunk_windows", oracle=_J33_ORACLE)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every doc into 64-token windows on
+    a 48-token stride (16-token overlap) — the tokenize-and-pack
+    precursor every pretraining pipeline runs. One row per (doc, chunk)
+    via sequence+posexplode; the chunk CONTENT is pinned by an md5 over
+    the joined token slice, so the hash check proves byte-identical
+    chunk boundaries in both engines, not just counts. 100 TB:
+    embarrassingly parallel 1→N row generation, zero shuffle; output
+    row count is ~n_tokens/stride per doc, and the slice never copies
+    the whole doc per chunk in the vectorized reader."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    t = d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+    return (
+        t.select("doc_id", "n", "w",
+                 F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / _STRIDE).cast("int").alias("chunk_idx"),
+            "chunk_start",
+            F.least(F.lit(_CHUNK), F.col("n") - F.col("chunk_start"))
+            .alias("chunk_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("chunk_start") + 1, _CHUNK)))
+            .alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --- J34: int8 embedding quantization -----------------------------------------
+
+_J34_ORACLE = """
+WITH q AS (
+  SELECT vec_id, len(embedding) AS n_dims,
+         CAST(list_max([abs(x) for x in embedding]) AS DOUBLE) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, n_dims, scale,
+       CAST(CASE WHEN scale = 0 THEN 0 ELSE
+         list_sum([CAST(floor(embedding[i] / scale + 0.5) AS BIGINT) * i
+                   for i in generate_series(1, len(embedding))])
+       END AS BIGINT) AS checksum
+FROM q
+ORDER BY vec_id
+"""
+
+
+@contract("embed_quantize_int8", oracle=_J34_ORACLE)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, q_i = half-up-round(x_i/scale) — the storage
+    transform behind every int8 ANN index. The contract hashes a
+    position-weighted checksum Σ q_i·i (exact integers) plus the scale,
+    so quantized VALUES and dimension ORDER are both pinned without
+    emitting an array column (driver canonicalizer constraint). Rounding
+    is the explicit floor(x+0.5) formula in BOTH engines — native round()
+    disagrees across engines at .5 ties (half-up vs banker's), the
+    formula cannot. float→double widening is IEEE-exact, so identical op
+    sequences give identical bits. 100 TB: zero-shuffle map; the Arrow
+    kernel path (K6) takes over when throughput matters, this expression
+    form is the semantics reference."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    scaled = e.withColumn(
+        "scale",
+        F.array_max(F.transform(emb, lambda x: F.abs(x)))
+        .cast("double") / F.lit(127.0))
+    q = F.zip_with(
+        emb, F.sequence(F.lit(1), F.size(emb)),
+        lambda x, i: F.floor(x.cast("double") / F.col("scale") + 0.5)
+        .cast("bigint") * i)
+    checksum = (F.when(F.col("scale") == 0, F.lit(0))
+                .otherwise(F.aggregate(q, F.lit(0).cast("bigint"),
+                                       lambda acc, v: acc + v))
+                .cast("bigint").alias("checksum"))
+    return (
+        scaled.select("vec_id", F.size(emb).alias("n_dims"), "scale",
+                      checksum)
+        .orderBy("vec_id")
+    )

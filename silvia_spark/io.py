@@ -19,7 +19,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS
+from silvia_spark.schemas import EVENTS, EVENTS_RAW, TABLE_SCHEMAS
 from silvia_spark.session import configure_session
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -30,8 +30,28 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _table_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
+# events.ts physical layout per sf_dir: "ns" (TIMESTAMP(NANOS), the §1.2
+# hazard — read as long via nanosAsLong, rebuilt with integer div) or "us"
+# (plain TIMESTAMP(MICROS) — read directly, NO reconstruction; dividing a
+# µs long by 1000 lands in 1970, the exact bug this sniff prevents when a
+# corpus regeneration changes the layout). One footer read per sf_dir.
+_events_ts_unit: dict[str, str] = {}
+
+
+def _sniff_events_ts_unit(sf_dir: str) -> str:
+    unit = _events_ts_unit.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        unit = getattr(t, "unit", "us")
+        _events_ts_unit[sf_dir] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table; fixes events.ts (nanos → exact µs timestamp).
+    """Load one corpus table; normalizes events.ts to an exact µs
+    TimestampNTZ whatever the on-disk unit (ns or µs).
     Memoized per (session, sf_dir, table)."""
     key = (id(spark), sf_dir, name)
     cached = _table_cache.get(key)
@@ -41,7 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Explicit schema (schemas.py) instead of inference: skips the footer
     # schema merge on first touch (~100-300 ms per table per session,
     # measured in the bench's plan-compile audit) and fails fast on drift.
-    schema = EVENTS_RAW if name == "events" else TABLE_SCHEMAS.get(name)
+    if name == "events":
+        schema = EVENTS_RAW if _sniff_events_ts_unit(sf_dir) == "ns" else EVENTS
+    else:
+        schema = TABLE_SCHEMAS.get(name)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -143,10 +143,13 @@ def load_all_modules() -> None:
         scale_patterns,
         composites,
         olap_extras,
+        olap_extras3,
+        events_analytics,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
     from silvia_spark.functions import (  # noqa: F401
         curation_extras,
+        training_extras,
         llm_extras,
         llm_ops,
         pipeline_extras,

@@ -22,20 +22,26 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
                                StructType)
 
 from silvia_spark.registry import contract
-from silvia_spark.schemas import EVENTS_RAW
+from silvia_spark.io import _sniff_events_ts_unit
+from silvia_spark.schemas import EVENTS, EVENTS_RAW
 from silvia_spark.sources import source
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with the §1.2 nanos fix applied
-    identically to the batch loader. Built through the source factory
-    (sources/factory.py) — the production entry would be
+    """readStream over events.parquet with the ts-unit normalization
+    applied identically to the batch loader (ns corpora get the §1.2
+    long-div rebuild; µs corpora read directly). Built through the
+    source factory (sources/factory.py) — the production entry would be
     ``source(spark, "kafka", ...)`` with the same downstream plan."""
+    if _sniff_events_ts_unit(sf_dir) == "ns":
+        raw = source(spark, "file", path=f"{sf_dir}/events.parquet",
+                     schema=EVENTS_RAW)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
     raw = source(spark, "file", path=f"{sf_dir}/events.parquet",
-                 schema=EVENTS_RAW)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+                 schema=EVENTS)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession,
