@@ -64,6 +64,13 @@ EXTENDED = [
     "q5_local_supplier",
     "text_unicode_normalize",
     "text_pii_scrub",
+    # late-r04 heavy additions: the contamination inverted-index join, the
+    # chunk-explosion Generate, the Q21 double-correlation window pass,
+    # and the widest star (Q8).
+    "text_contamination",
+    "doc_chunk_windows",
+    "q21_waiting_orders",
+    "q8_market_share",
 ]
 
 # Iterative contracts run their driver-composed loop during plan BUILD

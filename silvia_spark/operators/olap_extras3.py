@@ -224,10 +224,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     all surface). The equality compare is only sound because both
     engines derive total_rev from the same exact long grid sum
     (numeric.py) — with naive double sums this contract would flap.
-    The max is a 1-row broadcast crossJoin, no driver round-trip; the
-    supplier dim broadcasts onto the ~one-row winner set. 100 TB: the
-    per-supplier aggregate is the only shuffle; the argmax is a
-    second pass over its output, never over lineitem."""
+    The max rides a full-frame window over the PER-SUPPLIER aggregate —
+    one extra exchange of supplier-count rows — so lineitem is scanned
+    and aggregated exactly ONCE (the crossJoin-a-scalar alternative made
+    Catalyst recompute the whole revenue aggregate for the max branch:
+    two fact scans). 100 TB: the fact-side work is the one suppkey
+    shuffle; everything after it is sized by |suppliers|."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     rev = (
         t["lineitem"]
@@ -239,9 +241,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                   "total_rev"))
     )
-    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    max_rev = F.max("total_rev").over(Window.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(top))
+        rev.withColumn("max_rev", max_rev)
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(t["supplier"]),
               F.col("l_suppkey") == F.col("s_suppkey"))

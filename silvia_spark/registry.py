@@ -62,6 +62,17 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
     "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
     "dedup_cluster_cc", "text_unicode_normalize", "text_pii_scrub",
+    # -- tier 0c: contracts NEW in late r04 (16 slots) — olap_extras3
+    #    (M11-M16), events_analytics (E9, M17, D13), training_extras
+    #    (J28-J34). Tiers 0+0b+0c = 38 slots, so tier 1's first ~12
+    #    r01-era refreshes fill the 50-slot window and the rest roll to
+    #    r05 (still ahead of everything r02+ fresh). ------------------------
+    "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
+    "q15_top_supplier", "q17_small_quantity", "q21_waiting_orders",
+    "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",
+    "sample_reservoir_group", "text_contamination", "text_repetition_filter",
+    "data_mix_sample", "shard_assign_balanced", "doc_chunk_windows",
+    "embed_quantize_int8",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------

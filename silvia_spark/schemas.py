@@ -77,8 +77,11 @@ LINEITEM = StructType([
     StructField("l_shipdate", TimestampNTZType()),
 ])
 
-# events on disk: ts is TIMESTAMP(NANOS); with nanosAsLong=true it reads as
-# LongType and io.load_table rebuilds a TimestampNTZType column (§1.2 hazard).
+# events RAW schema for ns-layout corpora (ts stored TIMESTAMP(NANOS); with
+# nanosAsLong=true it reads as LongType and io.load_table rebuilds a
+# TimestampNTZType column — §1.2 hazard). µs-layout corpora (the r04
+# regeneration) skip this schema entirely: io sniffs the footer and reads
+# the EVENTS logical schema directly.
 EVENTS_RAW = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),  # nanoseconds since epoch (nanosAsLong)

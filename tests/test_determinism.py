@@ -30,6 +30,10 @@ _NUMERIC = [
     "etl_events_enriched", "q10_returned_items", "text_tfidf",
     "text_ngram_jaccard", "text_pack_sequences", "source_orc",
     "dedup_docs_embedding", "subquery_scalar",
+    # late-r04 additions with double outputs (grid sums / quantization
+    # scale) — the new TPC-H composites and the int8 checksum contract:
+    "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
+    "q17_small_quantity", "embed_quantize_int8",
 ]
 
 

@@ -114,6 +114,57 @@ AUDITED = [
      "its fixpoint oracle rather than dumped here: its final plan "
      "prints the per-iteration cached lineages recursively (hundreds "
      "of repeated joins in toString), which would bury the signal."),
+    # -- late-r04 additions (M11-M17, E9, D13, J28-J34) ----------------------
+    ("q7_volume_shipping", ["BroadcastHashJoin"],
+     "TPC-H Q7: nation broadcasts TWICE (customer side, supplier side); "
+     "the (A,B)∨(B,A) pair disjunction evaluates post-join while each "
+     "probe still prunes via the derived per-side IN(A,B)."),
+    ("q8_market_share", ["BroadcastHashJoin", "HashAggregate"],
+     "TPC-H Q8: fact + 6 broadcast dims (widest star in the suite); the "
+     "market-share CASE folds inside the partial grid-sum aggregate."),
+    ("q13_order_distribution", ["HashAggregate", "LeftOuter"],
+     "TPC-H Q13: LEFT OUTER with the priority predicate INSIDE the join "
+     "condition (zero-order customers survive); per-customer agg and the "
+     "histogram agg stack over one custkey exchange."),
+    ("q15_top_supplier", ["Window", "HashAggregate"],
+     "TPC-H Q15: the scalar max is a full-frame window over the tiny "
+     "per-supplier aggregate, so lineitem is scanned/aggregated exactly "
+     "once (the crossJoin-scalar form made Catalyst recompute the whole "
+     "revenue aggregate for the max branch — two fact scans)."),
+    ("q17_small_quantity", ["BroadcastHashJoin", "HashAggregate"],
+     "TPC-H Q17: the correlated per-part mean decorrelates to an "
+     "aggregate joined back onto the same brand slice; the brand dim is "
+     "a broadcast build side."),
+    ("q21_waiting_orders", ["Window", "TakeOrderedAndProject"],
+     "TPC-H Q21: the EXISTS / NOT EXISTS pair collapses to per-order "
+     "collect_set windows over the one orderkey exchange the join "
+     "already paid for; deterministic LIMIT 20 is TakeOrderedAndProject."),
+    ("window_gaps_islands", ["WindowGroupLimit"],
+     "gaps-and-islands: the per-user longest-streak argmax (rn=1) "
+     "truncates map-side via WindowGroupLimit; island grouping rides "
+     "the same user_id exchange."),
+    ("events_retention_cohort", ["HashAggregate"],
+     "cohort matrix: distinct user-weeks and first-week min share the "
+     "user_id exchange; the final (cohort × offset) aggregate is tiny."),
+    ("agg_heavy_hitters", ["BroadcastNestedLoopJoin", "HashAggregate"],
+     "exact heavy hitters: per-user partial→final counts; the global "
+     "total joins as a 1-row broadcast and the support test is an "
+     "integer cross-multiply, no division anywhere."),
+    ("sample_reservoir_group", ["WindowGroupLimit"],
+     "deterministic reservoir: hash-rank rn<=3 truncates to 3 rows per "
+     "source per map task BEFORE the exchange — shuffle volume is "
+     "k·sources, independent of corpus size."),
+    ("text_contamination", ["HashAggregate", "HashJoin"],
+     "contamination scan: train-side and eval-side shingle postings "
+     "equi-join on the shingle; candidates bounded by df_train·df_eval "
+     "per shingle — never a corpus self-product."),
+    ("doc_chunk_windows", ["Generate"],
+     "chunking is a 1→N Generate (posexplode of window starts) feeding "
+     "a pure projection — zero shuffle, md5 runs codegen-side."),
+    ("embed_quantize_int8", ["Project"],
+     "quantization is a single zero-shuffle projection of array "
+     "higher-order expressions; the Arrow kernel path (K6) is the "
+     "throughput variant when per-row HOF cost matters."),
 ]
 
 
