@@ -5,6 +5,12 @@ contamination detection, intra-document repetition filtering, mixture
 sampling, shard planning, context-window chunking, embedding
 quantization, and deterministic per-group reservoir sampling.
 
+Each operator is a reusable KERNEL over caller-supplied DataFrames plus a
+thin contract binding it to the corpus tables — the kernels are what a
+user composes into their own pipeline, and what the planted-case unit
+tests (tests/test_training_extras.py) exercise on adversarial micro
+frames the corpus doesn't contain.
+
 Determinism discipline (shared with training_ops.py): every sampling /
 thresholding decision is pure integer arithmetic on ids — multiplicative
 hashing with Knuth's 2654435761 — so both engines derive bit-identical
@@ -15,7 +21,7 @@ the same operands in both engines, which IEEE-754 makes exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -27,6 +33,24 @@ from silvia_spark.registry import contract
 # ids with good avalanche on the low bits we bucket by, and it is plain
 # integer arithmetic both engines evaluate identically.
 _KNUTH = 2_654_435_761
+
+
+def knuth_draw(id_col: Column | str, mod: int) -> Column:
+    """Deterministic pseudo-uniform draw in [0, mod): the Knuth
+    multiplicative hash of an integer id, reduced mod ``mod``. Plain
+    integer arithmetic — identical in Spark, DuckDB, and Python."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * F.lit(_KNUTH)) % F.lit(mod)
+
+
+def shingle_tokens(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): one row per DISTINCT n-token shingle per doc of
+    ``docs(doc_id, text)``. Zero shuffle — per-row transform + explode."""
+    w = F.split(F.lower("text"), " ")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    return docs.select("doc_id", F.explode(sh).alias("g"))
 
 
 # --- J28: deterministic per-group reservoir sample ----------------------------
@@ -46,6 +70,21 @@ ORDER BY source, rn
 """
 
 
+def reservoir_sample(df: DataFrame, group_col: str, id_col: str,
+                     k: int) -> DataFrame:
+    """Deterministic per-group k-sample of ``df``: rank rows inside each
+    group by the Knuth hash of their integer id (id as tiebreak) and keep
+    the k smallest. Equivalent in distribution to seeded reservoir
+    sampling, but rerun-stable and engine-portable. Output: (group, id,
+    hk, rn). rn<=k plans WindowGroupLimit — map-side truncation."""
+    h = df.select(group_col, id_col,
+                  knuth_draw(id_col, 4_294_967_296).alias("hk"))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy("hk", id_col))
+    return (h.withColumn("rn", rn).where(F.col("rn") <= k)
+            .select(group_col, id_col, "hk", "rn"))
+
+
 @contract("sample_reservoir_group", oracle=_J28_ORACLE)
 def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source k=3 uniform sample, reservoir-equivalent but fully
@@ -57,16 +96,8 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the source-keyed exchange — the shuffle carries k rows per
     source per task, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    h = d.select(
-        "source", "doc_id",
-        ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4_294_967_296)).alias("hk"))
-    rn = F.row_number().over(
-        Window.partitionBy("source").orderBy("hk", "doc_id"))
-    return (
-        h.withColumn("rn", rn).where(F.col("rn") <= 3)
-        .select("source", "doc_id", "hk", "rn")
-        .orderBy("source", "rn")
-    )
+    return (reservoir_sample(d, "source", "doc_id", 3)
+            .orderBy("source", "rn"))
 
 
 # --- J29: eval-set contamination detection ------------------------------------
@@ -93,6 +124,24 @@ ORDER BY n_eval_hits DESC, train_doc
 """
 
 
+def contamination_scan(train: DataFrame, eval_: DataFrame,
+                       n: int = 5) -> DataFrame:
+    """Training docs sharing ≥ 1 n-token shingle with any eval doc.
+    Inputs are (doc_id, text) frames; output (train_doc, n_eval_hits)
+    with n_eval_hits = distinct eval docs hit. The candidate join is
+    keyed on the shingle itself — df_train(g)·df_eval(g) pairs per
+    shingle, and the eval side is the benchmark set (tiny), so the join
+    behaves like a broadcast filter of the corpus."""
+    t = shingle_tokens(train, n)
+    e = (shingle_tokens(eval_, n)
+         .withColumnRenamed("doc_id", "eval_doc"))
+    return (
+        t.join(e, "g")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(F.count_distinct("eval_doc").alias("n_eval_hits"))
+    )
+
+
 @contract("text_contamination", oracle=_J29_ORACLE)
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: training docs sharing at least one
@@ -104,19 +153,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter of the corpus by the eval shingle set, never a corpus
     self-join. The decontamination action (dropping the hits) is a left
     anti join on train_doc — the scan is the hard part pinned here."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(w) - 5),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 5))))
-    tok = (d.select("doc_id", F.explode(sh).alias("g")))
-    train = tok.where(F.col("doc_id") % 97 != 0)
-    eval_ = (tok.where(F.col("doc_id") % 97 == 0)
-             .withColumnRenamed("doc_id", "eval_doc"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        train.join(eval_, "g")
-        .groupBy(F.col("doc_id").alias("train_doc"))
-        .agg(F.count_distinct("eval_doc").alias("n_eval_hits"))
+        contamination_scan(d.where(F.col("doc_id") % 97 != 0),
+                           d.where(F.col("doc_id") % 97 == 0))
         .orderBy(F.col("n_eval_hits").desc(), "train_doc")
     )
 
@@ -139,6 +179,22 @@ ORDER BY doc_id
 """
 
 
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Per-doc n-gram repetition counts over ``docs(doc_id, text)``:
+    (doc_id, total_ngrams, distinct_ngrams), docs shorter than n tokens
+    excluded. Pure per-row map — no shuffle exists."""
+    w = F.split(F.lower("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return (
+        docs.where(F.size(w) >= n)
+        .select("doc_id",
+                (F.size(w) - (n - 1)).alias("total_ngrams"),
+                F.size(F.array_distinct(sh)).alias("distinct_ngrams"))
+    )
+
+
 @contract("text_repetition_filter", oracle=_J30_ORACLE)
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: docs where more than 5% of bigram
@@ -148,19 +204,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat, so bigrams are the discriminating order here). The test
     cross-multiplies integers (distinct·20 < total·19): no ratio, no
     float, exact in both engines. Per-doc work only — a zero-shuffle
-    map over the corpus (the groupBy is per-doc on already-colocated
-    rows; Catalyst collapses it into the projection). 100 TB: scales as
-    scan throughput; nothing global exists in this contract."""
+    map over the corpus. 100 TB: scales as scan throughput; nothing
+    global exists in this contract."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))
     return (
-        d.where(F.size(w) >= 2)
-        .select("doc_id",
-                (F.size(w) - 1).alias("total_ngrams"),
-                F.size(F.array_distinct(sh)).alias("distinct_ngrams"))
+        repetition_stats(d, 2)
         .where(F.col("distinct_ngrams") * 20 < F.col("total_ngrams") * 19)
         .orderBy("doc_id")
     )
@@ -202,7 +250,7 @@ def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = (F.lit(100)
             + (F.regexp_extract("source", r"\d+", 0).cast("bigint")
                * 37) % 900).alias("rate_permille")
-    draw = ((F.col("doc_id") * F.lit(_KNUTH)) % 1000).alias("draw")
+    draw = knuth_draw("doc_id", 1000).alias("draw")
     kept = F.col("draw") < F.col("rate_permille")
     return (
         d.select("source", "doc_id", "n_chars", rate, draw)
@@ -242,8 +290,7 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner and writer in agreement."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.groupBy(((F.col("doc_id") * F.lit(_KNUTH)) % _N_SHARDS)
-                  .alias("shard_id"))
+        d.groupBy(knuth_draw("doc_id", _N_SHARDS).alias("shard_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"),
              F.min("doc_id").alias("min_doc"),
@@ -275,6 +322,29 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def chunk_windows(docs: DataFrame, chunk: int = _CHUNK,
+                  stride: int = _STRIDE) -> DataFrame:
+    """Split every doc of ``docs(doc_id, text)`` into ``chunk``-token
+    windows on a ``stride``-token step: one row per (doc, window) with
+    the window's token count and an md5 of its joined tokens (content
+    pin). 1→N Generate, zero shuffle."""
+    w = F.split(F.lower("text"), " ")
+    t = docs.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    return (
+        t.select("doc_id", "n", "w", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / stride).cast("int").alias("chunk_idx"),
+            "chunk_start",
+            F.least(F.lit(chunk), F.col("n") - F.col("chunk_start"))
+            .alias("chunk_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("chunk_start") + 1, chunk)))
+            .alias("chunk_md5"))
+    )
+
+
 @contract("doc_chunk_windows", oracle=_J33_ORACLE)
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every doc into 64-token windows on
@@ -287,23 +357,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count is ~n_tokens/stride per doc, and the slice never copies
     the whole doc per chunk in the vectorized reader."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    t = d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
-    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
-    return (
-        t.select("doc_id", "n", "w",
-                 F.explode(starts).alias("chunk_start"))
-        .select(
-            "doc_id",
-            (F.col("chunk_start") / _STRIDE).cast("int").alias("chunk_idx"),
-            "chunk_start",
-            F.least(F.lit(_CHUNK), F.col("n") - F.col("chunk_start"))
-            .alias("chunk_tokens"),
-            F.md5(F.concat_ws(
-                " ", F.slice(F.col("w"), F.col("chunk_start") + 1, _CHUNK)))
-            .alias("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    )
+    return chunk_windows(d, _CHUNK, _STRIDE).orderBy("doc_id", "chunk_idx")
 
 
 # --- J34: int8 embedding quantization -----------------------------------------
@@ -326,6 +380,30 @@ ORDER BY vec_id
 """
 
 
+def quantize_int8(vecs: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization summary of ``vecs(vec_id, embedding)``:
+    per-vector scale = max|x|/127 and the position-weighted checksum
+    Σ floor(x_i/scale + 0.5)·i — exact integers pinning every quantized
+    value and its position without emitting an array column. Explicit
+    half-up formula: native round() half-tie behavior differs across
+    engines; floor(x+0.5) cannot."""
+    emb = F.col("embedding")
+    scaled = vecs.withColumn(
+        "scale",
+        F.array_max(F.transform(emb, lambda x: F.abs(x)))
+        .cast("double") / F.lit(127.0))
+    q = F.zip_with(
+        emb, F.sequence(F.lit(1), F.size(emb)),
+        lambda x, i: F.floor(x.cast("double") / F.col("scale") + 0.5)
+        .cast("bigint") * i)
+    checksum = (F.when(F.col("scale") == 0, F.lit(0))
+                .otherwise(F.aggregate(q, F.lit(0).cast("bigint"),
+                                       lambda acc, v: acc + v))
+                .cast("bigint").alias("checksum"))
+    return scaled.select("vec_id", F.size(emb).alias("n_dims"), "scale",
+                         checksum)
+
+
 @contract("embed_quantize_int8", oracle=_J34_ORACLE)
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column: per-vector
@@ -341,21 +419,4 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel path (K6) takes over when throughput matters, this expression
     form is the semantics reference."""
     e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    scaled = e.withColumn(
-        "scale",
-        F.array_max(F.transform(emb, lambda x: F.abs(x)))
-        .cast("double") / F.lit(127.0))
-    q = F.zip_with(
-        emb, F.sequence(F.lit(1), F.size(emb)),
-        lambda x, i: F.floor(x.cast("double") / F.col("scale") + 0.5)
-        .cast("bigint") * i)
-    checksum = (F.when(F.col("scale") == 0, F.lit(0))
-                .otherwise(F.aggregate(q, F.lit(0).cast("bigint"),
-                                       lambda acc, v: acc + v))
-                .cast("bigint").alias("checksum"))
-    return (
-        scaled.select("vec_id", F.size(emb).alias("n_dims"), "scale",
-                      checksum)
-        .orderBy("vec_id")
-    )
+    return quantize_int8(e).orderBy("vec_id")
