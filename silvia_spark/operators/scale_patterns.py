@@ -269,3 +269,77 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .orderBy("p_brand")
     )
+
+
+# --- L6: runtime bloom-filter join pruning -----------------------------------
+
+_L6_ORACLE = f"""
+SELECT l_returnflag, count(*) AS line_cnt,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_L6_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local parquet scans are far under the 10 GB default gate; the
+    # production default is the right one at 100 TB — only the gate is
+    # lowered here, not the mechanism.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+        "0",
+    # broadcast joins don't need (or get) runtime filters; force the
+    # shuffle-join shape the rule exists for. A join-strategy HINT would
+    # be less invasive, but InjectRuntimeFilter declines hinted joins —
+    # found the hard way, so the conf is scoped instead.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contract("join_bloom_pruned", oracle=_L6_ORACLE)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning on a shuffle join: the selective dim
+    predicate (urgent orders) builds a bloom filter that is pushed into
+    the FACT side's scan as ``might_contain(xxhash64(l_orderkey))`` —
+    non-matching fact rows die at the scan, before the exchange, so the
+    shuffle carries only rows that can join. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching slice when the dim filter is selective but the join is too
+    big to broadcast (the exact regime between broadcast joins and DPP:
+    no partition layout required).
+
+    Spark's InjectRuntimeFilter does this natively; the contract scopes
+    the enabling confs (local data is under the size gates), EXECUTES
+    under them into a bounded cache (io.managed_persist — the same
+    execute-during-build pattern as the CC fixpoint), then restores the
+    session, so no other contract sees the scoped confs. The bloom's
+    false positives only ever ADD pre-join rows the equi-join then
+    rejects — results are hash-identical to the plain join, which is
+    what the oracle proves. tests/test_scale_guards.py asserts the
+    might_contain stage is actually present under the scoped confs."""
+    from silvia_spark.io import managed_persist
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    old = {k: spark.conf.get(k, None) for k in _L6_CONFS}
+    try:
+        for k, v in _L6_CONFS.items():
+            spark.conf.set(k, v)
+        o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        df = (
+            t["lineitem"]
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("line_cnt"), dsum(rev, "revenue"))
+            .orderBy("l_returnflag")
+        )
+        df = managed_persist(df, "bloom_prune")
+        df.count()  # materialize while the scoped confs are live
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

@@ -72,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",
     "sample_reservoir_group", "text_contamination", "text_repetition_filter",
     "data_mix_sample", "shard_assign_balanced", "doc_chunk_windows",
-    "embed_quantize_int8",
+    "embed_quantize_int8", "join_bloom_pruned",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------

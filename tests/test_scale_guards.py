@@ -103,3 +103,41 @@ def test_jaccard_production_cap_is_noop_on_corpus(spark):
     b = sorted((r.doc_a, r.doc_b, round(r.jaccard, 6))
                for r in jaccard_pairs(d, 0.8, df_cap=None).collect())
     assert a == b
+
+
+def test_bloom_filter_injected_in_join_bloom_pruned(spark):
+    """Under L6's scoped confs, InjectRuntimeFilter must push a
+    might_contain(bloom) probe into the fact side. Asserted on a rebuilt
+    (uncached) copy of the contract's join so the executed plan is
+    visible rather than hidden behind the InMemoryRelation."""
+    from silvia_spark.operators.scale_patterns import _L6_CONFS
+
+    old = {k: spark.conf.get(k, None) for k in _L6_CONFS}
+    try:
+        for k, v in _L6_CONFS.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = (load_table(spark, SF_SMALL, "orders")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+        j.collect()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bloom_confs_do_not_leak_from_contract(spark):
+    """join_bloom_pruned must restore every conf it scopes."""
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    registry.QUERIES["join_bloom_pruned"](spark, SF_SMALL).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
