@@ -476,3 +476,58 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty")
     )
+
+
+# --- D14: approximate percentiles (KLL/GK-style sketch, bounded) -------------
+
+@contract("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of order value per priority via
+    ``percentile_approx`` (accuracy 10 000 → rank error ≤ 1/10 000).
+    Rows-only for the driver, like D3: the sketch's chosen element is
+    engine-specific, so there is no hash oracle — but the estimate is
+    NOT assertion-free: tests/test_parity.py bounds every output
+    between the exact p−ε and p+ε rank quantiles computed by DuckDB
+    (test_approx_percentile_within_rank_bounds). 100 TB: the sketch is
+    mergeable — partial per partition, merged on the driver-side final
+    agg — so percentile cost is one pass and O(sketch) shuffle, the
+    whole reason approx beats exact sort-based percentiles at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.getItem(0).alias("p50"),
+             pct.getItem(1).alias("p90"),
+             pct.getItem(2).alias("p99"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- D15: equi-width histogram ------------------------------------------------
+
+_D15_ORACLE = """
+SELECT CAST(floor(o_totalprice / 25000) AS INT) + 1 AS bucket,
+       count(*) AS cnt
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@contract("agg_histogram_width", oracle=_D15_ORACLE)
+def agg_histogram_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: 20 buckets over [0, 500k)
+    via the native ``width_bucket``. The oracle replicates the bucket
+    function as explicit floor math (DuckDB 1.0 has no width_bucket) —
+    exact because the bucket width divides the range evenly and floor of
+    an IEEE division is bit-identical in both engines. 100 TB: histogram
+    = partial-agg groupBy on a computed key; bucket count bounds the
+    exchange regardless of row count — the building block behind every
+    range-partitioner sampler and data-profile dashboard."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.width_bucket("o_totalprice", F.lit(0.0),
+                                 F.lit(500_000.0), F.lit(20)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )

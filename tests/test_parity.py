@@ -83,3 +83,29 @@ def test_approx_distinct_within_hll_bounds(spark):
         rel = abs(approx[et] - ex) / ex
         assert rel <= 3 * 0.02, \
             f"{et}: approx {approx[et]} vs exact {ex} — rel err {rel:.4f}"
+
+
+def test_approx_percentile_within_rank_bounds(spark):
+    """D14 (agg_approx_percentile) is rows-only for the driver — the
+    sketch's chosen element is engine-specific — but percentile_approx
+    guarantees RANK error ≤ 1/accuracy, and with accuracy 10⁴ on a
+    ~1k-row group that is well under one rank: every estimate must lie
+    between the exact p−0.02 and p+0.02 rank quantiles (a generous
+    envelope). Exact quantile bounds come from DuckDB's quantile_disc so
+    the test also cross-checks the orders read path."""
+    import duckdb
+
+    rows = registry.QUERIES["agg_approx_percentile"](
+        spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    for r in rows:
+        for p, val in (0.5, r.p50), (0.9, r.p90), (0.99, r.p99):
+            lo, hi = con.execute(
+                "SELECT quantile_disc(o_totalprice, ?), "
+                "quantile_disc(o_totalprice, ?) FROM "
+                f"'{SF_SMALL}/orders.parquet' WHERE o_orderpriority = ?",
+                [max(p - 0.02, 0.0), min(p + 0.02, 1.0),
+                 r.o_orderpriority]).fetchone()
+            assert lo <= val <= hi, \
+                (f"{r.o_orderpriority} p{int(p*100)}: {val} outside "
+                 f"exact rank envelope [{lo}, {hi}]")
