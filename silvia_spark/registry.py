@@ -49,7 +49,11 @@ _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 _PRIORITY: tuple[str, ...] = (
     # -- tier 0: changed since last driver evidence (r04 cosine-kernel swap,
     #    zh lang markers, jaccard df-cap, M1 tiebreak, watermark conf pin,
-    #    vectorized funnel) — 13 slots -----------------------------------------
+    #    vectorized funnel; scan_schema_enforce + agg_time_gapfill pulled up
+    #    from tier 4 because the events ts-unit sniff changed their read
+    #    path AND the r04 corpus regeneration invalidated their old
+    #    evidence) — 15 slots ---------------------------------------------------
+    "scan_schema_enforce", "agg_time_gapfill",
     "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
     "multimodal_join", "sim_ann_ivf", "text_lang_detect",
     "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
@@ -106,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue", "q18_large_orders",
     "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
     # -- tier 4: unchanged + r03-fresh evidence — dead last ------------------
-    "scan_parquet", "scan_schema_enforce", "source_csv_tsv",
+    "scan_parquet", "source_csv_tsv",
     "source_json_lines", "sink_jdbc_postgres", "sink_parquet_partitioned",
     "proj_select_alias", "filter_compound", "proj_distinct",
     "filter_like_regexp", "subquery_scalar",
@@ -118,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_dpp_join", "source_orc", "sink_partition_overwrite",
     "source_rate_stream",
     "text_pack_sequences", "sample_stratified",
-    "q10_returned_items", "agg_time_gapfill", "text_tfidf",
+    "q10_returned_items", "text_tfidf",
     "multimodal_frame_sample",
     "stream_transform_with_state",
     "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
