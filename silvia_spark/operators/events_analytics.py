@@ -165,3 +165,53 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "evt_cnt")
         .orderBy(F.col("evt_cnt").desc(), "user_id")
     )
+
+
+# --- E10: integer-exact z-score anomaly detection -----------------------------
+
+_E10_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS gv
+  FROM events
+), s AS (
+  SELECT event_id, user_id, value, gv,
+         count(*) OVER w AS n,
+         CAST(sum(gv) OVER w AS BIGINT) AS s1,
+         CAST(sum(gv * gv) OVER w AS BIGINT) AS s2
+  FROM g WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value
+FROM s
+WHERE (n * gv - s1) * (n * gv - s1) > 9 * (n * s2 - s1 * s1)
+ORDER BY event_id
+"""
+
+
+@contract("window_anomaly_zscore", oracle=_E10_ORACLE)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers — events whose value sits more than 3
+    population standard deviations from the user's own mean — computed
+    ENTIRELY in integer arithmetic: (x−μ)² > 9σ² cross-multiplied by n²
+    becomes (n·g − S1)² > 9·(n·S2 − S1²) on the 0.01 value grid (the
+    data's native precision), so the classically float-fragile variance
+    comparison is bit-exact across engines with no epsilon anywhere.
+    Overflow headroom: |n·g| < 3·10⁹ holds for n ≤ ~60 k events per user
+    at this value scale (int64 square bound); beyond that, coarsen the
+    grid — documented, not silent. 100 TB: one user_id exchange feeds
+    all three full-frame window aggregates; the filter is a map-side
+    projection after it."""
+    ev = load_table(spark, sf_dir, "events")
+    g = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id")
+    s = (ev.select("event_id", "user_id", "value", g.alias("gv"))
+         .withColumn("n", F.count(F.lit(1)).over(w))
+         .withColumn("s1", F.sum("gv").over(w))
+         .withColumn("s2", F.sum(F.col("gv") * F.col("gv")).over(w)))
+    d = F.col("n") * F.col("gv") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        s.where(d * d > 9 * var_n2)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )

@@ -374,3 +374,45 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --- M18: TPC-H Q12 — priority counts per line class --------------------------
+
+_M18_ORACLE = """
+SELECT l_returnflag AS line_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+ORDER BY line_class
+"""
+
+
+@contract("q12_shipmode_priority", oracle=_M18_ORACLE)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line class (returnflag stands in for the
+    corpus's missing l_shipmode), how many lines belong to high- vs
+    low-priority orders — the canonical pivot-by-CASE inside a join
+    aggregate. With this row every TPC-H query expressible over the
+    corpus's tables (no partsupp, no shipmode/commitdate columns) has a
+    contract: Q1,3,4,5,6,7,8,10,12,13,14,15,17,18,19,21,22. 100 TB: the
+    date-sliced fact shuffles once on orderkey; the CASE counts collapse
+    map-side into two longs per class."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_returnflag").isin("A", "R"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("line_class")
+    )
