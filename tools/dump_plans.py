@@ -165,6 +165,21 @@ AUDITED = [
      "quantization is a single zero-shuffle projection of array "
      "higher-order expressions; the Arrow kernel path (K6) is the "
      "throughput variant when per-row HOF cost matters."),
+    ("window_anomaly_zscore", ["Window"],
+     "all three moment aggregates (n, S1, S2) share ONE full-frame "
+     "window over one user_id exchange; the 3-sigma test is an integer "
+     "projection after it — no second pass, no join-back."),
+    ("q12_shipmode_priority", ["HashAggregate"],
+     "CASE-pivot counts fold into map-side partials around the single "
+     "orderkey shuffle — the Q12 shape never materializes per-priority "
+     "rows."),
+    ("agg_histogram_width", ["HashAggregate"],
+     "width_bucket is a computed group key: partial-agg histogram, "
+     "exchange carries ≤ bucket-count rows per task."),
+    ("agg_approx_percentile", ["ObjectHashAggregate"],
+     "percentile_approx is a mergeable sketch aggregate "
+     "(ObjectHashAggregate partial→final): one pass, O(sketch) shuffle — "
+     "the scale story exact percentiles (D10's full sort) cannot tell."),
 ]
 
 
