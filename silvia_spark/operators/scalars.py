@@ -424,3 +424,44 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt").isNotNull())
         .orderBy("yr", "priority")
     )
+
+
+# --- H12: outer generator with position ---------------------------------------
+
+_H12_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         [x for x in string_split(lower(text), ' ') if len(x) >= 8] AS l
+  FROM documents WHERE doc_id < 100
+), e AS (
+  SELECT doc_id, len(l) AS n,
+         unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok,
+         generate_subscripts(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END, 1)
+           AS p
+  FROM s
+)
+SELECT doc_id, CASE WHEN n = 0 THEN NULL ELSE p - 1 END AS pos, tok
+FROM e
+ORDER BY doc_id, pos
+"""
+
+
+@contract("generator_outer_pos", oracle=_H12_ORACLE)
+def generator_outer_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_OUTER: the generator null-semantics trap. A plain
+    explode silently DROPS every row whose array is empty (docs with no
+    long token here), deflating downstream counts; the outer variant
+    keeps the row as (pos NULL, tok NULL). The oracle emulates outer
+    unnest with a [NULL] substitution CASE, so the hash check pins the
+    exact survivor set and the 0-based position numbering. 100 TB: a
+    generator is a zero-shuffle 1→N map either way — the contract is
+    about correctness of the row multiplicity, which no plan property
+    shows."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.filter(F.split(F.lower("text"), " "),
+                    lambda x: F.length(x) >= 8)
+    return (
+        d.select("doc_id", toks.alias("l"))
+        .select("doc_id", F.posexplode_outer("l").alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )

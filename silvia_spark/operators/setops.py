@@ -87,3 +87,73 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = o.where(F.col("o_totalprice") > 200000).select("o_orderkey")
     urg = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     return hi.subtract(urg).orderBy("o_orderkey")
+
+
+# --- G5/G6: multiset (ALL) variants ------------------------------------------
+
+# EXCEPT ALL / INTERSECT ALL keep DUPLICATE multiplicity — min/difference
+# of per-row counts, not membership — a different operator from G3/G4
+# (Spark plans them as count-annotated joins via Expand, not semi/anti).
+# Output is aggregated to (value, cnt) so the hash check pins the exact
+# multiset, not an arbitrary row order.
+
+_G5_ORACLE = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@contract("set_except_all", oracle=_G5_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: per-value multiplicity max(n_left − n_right, 0) — the
+    multiset difference G4's distinct EXCEPT cannot express (a value
+    appearing 100× left and 1× right survives 99×, not 0×). Spark plans
+    this as a count-annotated aggregate join (Expand + sum of signed
+    counts), one shuffle on the value. 100 TB: state is per-DISTINCT
+    value, not per row — the same partial-agg compression as any
+    groupBy count."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    fin = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        hi.exceptAll(fin)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_G6_ORACLE = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@contract("set_intersect_all", oracle=_G6_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: per-value multiplicity min(n_left, n_right) — the
+    multiset intersection. Same count-annotated join plan as G5; the
+    (value, cnt) aggregate output makes the hash check exact on the
+    multiset instead of depending on which physical duplicates
+    survive."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    fin = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        hi.intersectAll(fin)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
