@@ -77,31 +77,41 @@ def min_label_components(pairs: DataFrame,
                                  F.col("doc_a").alias("dst"))))
     edges = edges.persist()
     try:
-        labels = (edges.select("src").distinct()
+        cached = (edges.select("src").distinct()
                   .withColumn("lbl", F.col("src")).persist())
-        labels.count()  # materialize before the loop
+        cached.count()  # materialize before the loop
+        labels = cached
         for _ in range(max_iters):
             nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
                                   "dst")
                        .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
-            merged = (labels.join(nbr_min, "src", "left")
-                      .select("src",
-                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl")).persist())
-            changed = (merged.alias("m")
-                       .join(labels.alias("o"), "src")
-                       .where(F.col("m.lbl") != F.col("o.lbl")).count())
-            labels.unpersist()
-            labels = merged
+            # The change flag rides INSIDE the merged frame, so ONE action
+            # (the sum) both materializes the round's labels and decides
+            # convergence — a merged-vs-old join + count would be a second
+            # pass per round for the same information.
+            merged = (labels.withColumnRenamed("lbl", "old_lbl")
+                      .join(nbr_min, "src", "left")
+                      .select(
+                          "src",
+                          F.least("old_lbl",
+                                  F.coalesce("nbr_lbl", "old_lbl"))
+                          .alias("lbl"),
+                          (F.coalesce("nbr_lbl", "old_lbl")
+                           < F.col("old_lbl")).cast("long").alias("chg"))
+                      .persist())
+            changed = merged.agg(F.sum("chg")).collect()[0][0]
+            cached.unpersist()
+            cached = merged
+            labels = merged.select("src", "lbl")
             if changed == 0:
                 break
         else:
             raise RuntimeError(
                 f"min_label_components: no fixpoint in {max_iters} rounds")
-        # The final labels cache must outlive this call (the returned plan
+        # The final round's cache must outlive this call (the returned plan
         # reads it); hand it to the slot manager so the next invocation —
         # or clear_caches() — frees it instead of leaking one cache per run.
-        adopt_cache(labels, "min_label_components.labels")
+        adopt_cache(cached, "min_label_components.labels")
         return labels.select(F.col("src").alias("doc_id"),
                              F.col("lbl").alias("cluster_id"))
     finally:
