@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_percentile", "agg_histogram_width",
     "window_anomaly_zscore", "q12_shipmode_priority",
     "set_except_all", "set_intersect_all", "generator_outer_pos",
+    "stream_running_moments", "stream_moments_live",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------

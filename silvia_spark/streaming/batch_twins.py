@@ -298,3 +298,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sec.alias("sec_before_purchase"))
         .orderBy("user_id", "purchase_id", "click_id")
     )
+
+
+# --- I11 twin: per-user running integer moments -------------------------------
+
+_I11_ORACLE = """
+SELECT user_id, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@contract("stream_running_moments", oracle=_I11_ORACLE)
+def stream_running_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count and first two power sums of the 0.01-grid value —
+    the sufficient statistics for mean/variance/z-score (E10 reuses the
+    same grid), kept as exact integers so batch and streaming state
+    agree to the BIT, not to an epsilon. This is the hash-checked batch
+    twin of ``stream_moments_live``'s arbitrary-stateful accumulation:
+    integer moments are associative and commutative, so micro-batch
+    arrival order cannot change the final state — the property that
+    makes the live variant's equivalence test exact. 100 TB: one
+    user_id partial-agg shuffle; three longs per user of state."""
+    ev = load_table(spark, sf_dir, "events")
+    g = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.select("user_id", g.alias("gv"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("gv").alias("s1"),
+             F.sum(F.col("gv") * F.col("gv")).alias("s2"))
+        .orderBy("user_id")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
                                StructType)
+from pyspark.sql.window import Window
 
 from silvia_spark.registry import contract
 from silvia_spark.io import _sniff_events_ts_unit
@@ -503,4 +504,64 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max("max_value").alias("max_value"))
+            .orderBy("user_id"))
+
+
+# --- I11 live: running integer moments via arbitrary state --------------------
+
+_MOMENTS_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("s1", LongType()),
+    StructField("s2", LongType()),
+])
+_MOMENTS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n", LongType()),
+    StructField("s1", LongType()),
+    StructField("s2", LongType()),
+])
+
+
+def _moments_fn(key, pdf_iter, state):
+    """GroupState per user: exact integer moment accumulation. The grid
+    values are summed with numpy int64 (exact, no float path); because
+    integer addition is associative+commutative, any micro-batch split
+    of the input yields the same final state as the batch twin."""
+    import numpy as np
+    import pandas as pd
+
+    n, s1, s2 = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        gv = np.round(pdf["value"].to_numpy() * 100).astype("int64")
+        n += int(gv.size)
+        s1 += int(gv.sum())
+        s2 += int((gv * gv).sum())
+    state.update((n, s1, s2))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n],
+                        "s1": [s1], "s2": [s2]})
+
+
+@contract("stream_moments_live")  # rows-only: live twin of stream_running_moments
+def stream_moments_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running moments: numeric GroupState (three
+    longs per user) updated by Arrow-batched numpy sums — the stateful-
+    aggregation shape the funnel (categorical state machine) doesn't
+    cover. Snapshots emit per batch in update mode; the final table
+    keeps each user's max-n row (n is monotone). Equivalence to the
+    hash-checked batch twin is EXACT (integer state, order-free) and
+    pytest-asserted in tests/test_stream_equivalence.py."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    result = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _moments_fn, outputStructType=_MOMENTS_OUT,
+            stateStructType=_MOMENTS_STATE,
+            outputMode="update", timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_memory(result, spark, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "n", "s1", "s2")
             .orderBy("user_id"))

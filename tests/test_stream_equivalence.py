@@ -198,3 +198,19 @@ def test_transform_with_state_real_runner_eq_fallback(tmp_path):
                           cwd="/root/repo")
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TWS_REAL_OK" in proc.stdout
+
+
+def test_moments_live_eq_batch(spark):
+    """stream_moments_live's final state must equal the hash-checked batch
+    twin EXACTLY — integer moments are order-free, so micro-batch
+    splitting cannot perturb them (unlike double accumulation)."""
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    live = {r.user_id: (r.n, r.s1, r.s2)
+            for r in registry.QUERIES["stream_moments_live"](
+                spark, SF_SMALL).collect()}
+    batch = {r.user_id: (r.n, r.s1, r.s2)
+             for r in registry.QUERIES["stream_running_moments"](
+                 spark, SF_SMALL).collect()}
+    assert live == batch
