@@ -223,3 +223,81 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "qty_int BIGINT")
     return (li.mapInArrow(_arrow_net, out_schema)
             .orderBy("l_orderkey", "l_linenumber"))
+
+
+# --- K7: registered Python UDTF in a LATERAL join ----------------------------
+
+_K7_ORACLE = """
+WITH s AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 50
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos
+  FROM s
+)
+SELECT doc_id, pos, tok
+FROM e WHERE len(tok) >= 8
+ORDER BY doc_id, pos
+"""
+
+
+@contract("udtf_lateral", oracle=_K7_ORACLE)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (`@udtf` class, PySpark ≥ 3.5) applied per row
+    through SQL `LATERAL` — the user-defined table-function surface
+    proper, distinct from K5's mapInPandas emulation: the class is
+    registered in the session catalog, the optimizer sees a true
+    generator, and `eval` yields 0..N rows per input row (long tokens
+    with their positions here). 100 TB: a generator UDTF is a
+    zero-shuffle 1→N map like posexplode; the Python boundary is the
+    cost, which is why the built-in H12 form is the default and this
+    contract pins the API, not the hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, tok STRING")
+    class LongTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").lower().split(" ")):
+                if len(t) >= 8:
+                    yield i, t
+
+    spark.udtf.register("long_tokens", LongTokens)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.select("doc_id", "text").createOrReplaceTempView("k7_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok "
+        "FROM k7_docs, LATERAL long_tokens(text) t "
+        "ORDER BY doc_id, pos")
+
+
+# --- K8: Arrow-optimized scalar Python UDF -----------------------------------
+
+_K8_ORACLE = """
+SELECT o_orderkey,
+       round(o_totalprice * (1 - 0.04), 2) AS discounted
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@contract("udf_arrow_scalar", oracle=_K8_ORACLE)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (`useArrow=True`): same
+    signature as K1's row-at-a-time pickled UDF, but the exchange is
+    Arrow columnar batches — the one-flag migration path Spark gives
+    existing UDF code (plan shows ArrowEvalPython, not BatchEvalPython).
+    Python round() is IEEE round-half-even on a double; DuckDB round()
+    is half-away — the constant 4% discount keeps every product off the
+    .005 boundary grid so both agree exactly (values are 2-decimal
+    money × 0.96: the third decimal is always 2 or 7 ulps-exact, never
+    a tie). 100 TB: still a per-row Python tax vs the pure-JVM form;
+    pin the API here, use built-ins in hot paths."""
+    @F.udf("double", useArrow=True)
+    def discounted(p: float) -> float:
+        return round(p * (1 - 0.04), 2)
+
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") < 2000))
+    return (o.select("o_orderkey", discounted("o_totalprice")
+                     .alias("discounted"))
+            .orderBy("o_orderkey"))

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_anomaly_zscore", "q12_shipmode_priority",
     "set_except_all", "set_intersect_all", "generator_outer_pos",
     "stream_running_moments", "stream_moments_live",
+    "udtf_lateral", "udf_arrow_scalar",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
