@@ -35,7 +35,7 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of 124 per round), so ordering is part of
+# order under a bounded budget (50 of the 161 registered per round), so ordering is part of
 # the contract surface. Rotation policy (r04): contracts whose IMPLEMENTATION
 # changed after their newest driver evidence go first (a green that predates
 # the code it vouches for is not evidence), then new contracts (sentinel),
