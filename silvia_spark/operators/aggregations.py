@@ -531,3 +531,36 @@ def agg_histogram_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bucket")
     )
+
+
+# --- D16: bitwise aggregates --------------------------------------------------
+
+_D16_ORACLE = """
+SELECT event_type,
+       bit_or(CAST(props ->> 'k' AS INT)) AS k_or,
+       bit_and(CAST(props ->> 'k' AS INT)) AS k_and,
+       bit_xor(CAST(props ->> 'k' AS INT)) AS k_xor
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("agg_bitwise", oracle=_D16_ORACLE)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND/XOR aggregates over the JSON k attribute per event
+    type — the flag-set union/intersection/parity reductions behind
+    permission masks and bloom-style bitsets. All three are associative
+    and commutative, so partition order cannot perturb them (XOR is the
+    one people doubt; it is abelian too) — exact cross-engine by
+    construction. 100 TB: partial-agg friendly single-long state per
+    group, the cheapest aggregate family there is."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.bit_or(k).alias("k_or"),
+             F.bit_and(k).alias("k_and"),
+             F.bit_xor(k).alias("k_xor"))
+        .orderBy("event_type")
+    )

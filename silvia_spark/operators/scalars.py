@@ -465,3 +465,37 @@ def generator_outer_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode_outer("l").alias("pos", "tok"))
         .orderBy("doc_id", "pos")
     )
+
+
+# --- H13: try_-arithmetic null semantics --------------------------------------
+
+_H13_ORACLE = """
+SELECT o_orderkey,
+       o_totalprice / nullif(o_custkey % 5, 0) AS safe_ratio,
+       CAST(NULL AS BIGINT) AS overflow_add
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_try_arith", oracle=_H13_ORACLE)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` yields NULL on a zero divisor
+    (matching SQL's NULLIF idiom, not an exception and not Inf) and
+    ``try_add`` yields NULL on BIGINT overflow (Long.MAX + positive key
+    overflows for every row here; the oracle states the expected
+    constant NULL since DuckDB would raise instead — the point of the
+    contract is that a 100 TB job must NOT die at row 10¹² for a
+    poisoned value). Division of identical doubles is IEEE-identical
+    cross-engine, so safe_ratio hash-matches exactly."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.try_divide("o_totalprice", F.col("o_custkey") % 5)
+            .alias("safe_ratio"),
+            F.try_add(F.lit(9223372036854775807), F.col("o_orderkey") + 1)
+            .alias("overflow_add"))
+        .orderBy("o_orderkey")
+    )

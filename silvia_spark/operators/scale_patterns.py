@@ -343,3 +343,42 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# --- L7: OR-keys join as union of equi-joins ---------------------------------
+
+_L7_ORACLE = """
+SELECT n_name, count(*) AS cnt
+FROM (
+  SELECT DISTINCT event_id, n_nationkey, n_name
+  FROM events JOIN nation
+    ON user_id % 25 = n_nationkey OR event_id % 25 = n_nationkey
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@contract("join_or_keys_union", oracle=_L7_ORACLE)
+def join_or_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A join whose condition is an OR of two different equi-keys cannot
+    hash on either key — Catalyst falls back to BroadcastNestedLoopJoin
+    (O(n·m) comparisons). The scale rewrite: one equi-join per disjunct,
+    UNION, then dedup on the (probe pk, build pk) pair to remove rows
+    both disjuncts matched. Semantically exact — the oracle runs the
+    plain OR join — and each branch is a plan-optimal hash join. 100 TB:
+    2× the probe scans (or one cached scan) instead of a nested loop
+    that never finishes; the dedup keys are two ids, so its exchange is
+    id-pairs only."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = load_table(spark, sf_dir, "nation")
+    j1 = ev.join(F.broadcast(n),
+                 F.col("user_id") % 25 == F.col("n_nationkey"))
+    j2 = ev.join(F.broadcast(n),
+                 F.col("event_id") % 25 == F.col("n_nationkey"))
+    pairs = (j1.select("event_id", "n_nationkey", "n_name")
+             .unionAll(j2.select("event_id", "n_nationkey", "n_name"))
+             .distinct())
+    return (pairs.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("n_name"))
