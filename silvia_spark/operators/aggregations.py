@@ -564,3 +564,65 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.bit_xor(k).alias("k_xor"))
         .orderBy("event_type")
     )
+
+
+# --- D17: exact cross-engine correlation --------------------------------------
+
+# Native corr() is single-pass with order-dependent update formulas that
+# differ between engines in the last ulps — unhashable. This contract
+# derives Pearson r from EXACT integer moments on the value grids
+# (x = value on the 0.01 grid, y = the JSON k attribute, already integer):
+# r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²)),
+# every operand an exact long, then the same three double ops in the same
+# order in both engines → bit-identical. Overflow headroom: (Σx)² is the
+# binding term, ~10× under int64 at sf0.1 group sizes; coarsen the grid
+# beyond that (documented, like E10).
+_D17_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(props ->> 'k' AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+FROM m
+ORDER BY event_type
+"""
+
+
+@contract("agg_corr_exact", oracle=_D17_ORACLE)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of value vs the JSON k attribute per event
+    type, computed from exact integer moments so the result is
+    BIT-IDENTICAL across engines — native corr()'s streaming update
+    order makes its last ulps engine-dependent and unhashable, which is
+    why no one can usually oracle-check a correlation. Five long sums +
+    three double ops; the moments are the same partial-agg shape as
+    I11/E10. 100 TB: one exchange of six longs per group."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = F.get_json_object("props", "$.k").cast("bigint")
+    m = (ev.select("event_type", x.alias("x"), y.alias("y"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                 .cast("double"))
+    return (m.select("event_type", "n", (num / den).alias("corr_xy"))
+            .orderBy("event_type"))

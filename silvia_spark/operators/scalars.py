@@ -499,3 +499,44 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overflow_add"))
         .orderBy("o_orderkey")
     )
+
+
+# --- H14: URL parsing ---------------------------------------------------------
+
+_H14_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id
+           || '?lang=' || lang AS url
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_q
+FROM u
+ORDER BY doc_id
+"""
+
+
+@contract("scalar_url_parse", oracle=_H14_ORACLE)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the native ``parse_url`` (HOST / PATH /
+    QUERY:key) over deterministic synthesized URLs — the domain-filtering
+    primitive of every web-corpus pipeline (per-domain rates in J31
+    would key on exactly this HOST). The oracle rebuilds the same parts
+    with anchored regexes, pinning parse_url's component semantics
+    against an independent implementation. Zero shuffle, scan-rate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id"),
+                   F.lit("?lang="), F.col("lang"))
+    u = d.select("doc_id", url.alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_q"))
+        .orderBy("doc_id")
+    )

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_running_moments",
     "udtf_lateral", "udf_arrow_scalar",
     "agg_bitwise", "scalar_try_arith", "join_or_keys_union",
+    "agg_corr_exact", "scalar_url_parse",
     # rows-only live variants ride just past the 50-slot cut: their
     # driver check proves execution only, which the in-repo equivalence
     # tests already exceed — the hash-checked K7/K8 take their slots.

@@ -33,7 +33,8 @@ _NUMERIC = [
     # late-r04 additions with double outputs (grid sums / quantization
     # scale) — the new TPC-H composites and the int8 checksum contract:
     "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
-    "q17_small_quantity", "embed_quantize_int8",
+    "q17_small_quantity", "embed_quantize_int8", "agg_corr_exact",
+    "scalar_try_arith",
 ]
 
 
