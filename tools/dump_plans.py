@@ -180,6 +180,14 @@ AUDITED = [
      "percentile_approx is a mergeable sketch aggregate "
      "(ObjectHashAggregate partial→final): one pass, O(sketch) shuffle — "
      "the scale story exact percentiles (D10's full sort) cannot tell."),
+    ("join_or_keys_union", ["BroadcastHashJoin", "HashAggregate"],
+     "each OR-disjunct runs as its own broadcast HASH join (the plain OR "
+     "condition would be a BroadcastNestedLoopJoin); the pair-key dedup "
+     "and final count are ordinary aggregates."),
+    ("agg_corr_exact", ["HashAggregate"],
+     "five integer moment sums fold partial→final around one exchange; "
+     "the correlation itself is three double ops in the projection — no "
+     "second pass, no native corr()."),
 ]
 
 
