@@ -324,3 +324,44 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+# --- A11: corrupt-record tolerant JSON ingestion ------------------------------
+
+
+@contract("source_json_corrupt")  # rows-only: path side effect, like A3
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with a corrupt-record column: every 7th
+    line of the (deterministically generated) feed is malformed, and the
+    read must load the good rows AND surface the bad ones in
+    ``_corrupt`` instead of failing the job — at 100 TB corrupt records
+    are a certainty, and mode=FAILFAST at row 10¹² is an outage, not a
+    data-quality policy. Returns one summary row (total / corrupt / good
+    / sum of good ids) so the planted corruption count is assertable;
+    tests/test_scale_guards.py pins the exact arithmetic. Rows-only for
+    the driver (the feed is a temp-path side effect, and DuckDB's
+    ignore_errors read cannot SEE the bad rows — surfacing them is the
+    Spark-side feature under test)."""
+    n = 700
+    path = os.path.join(tempfile.gettempdir(),
+                        "silvia_corrupt_" + sf_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(path, "_DONE")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "feed.jsonl"), "w") as f:
+            for i in range(n):
+                if i % 7 == 3:
+                    f.write('{"event_id": %d, "value": BROKEN\n' % i)
+                else:
+                    f.write('{"event_id": %d, "value": %d}\n' % (i, i * 2))
+        open(marker, "w").close()
+    df = (spark.read
+          .schema("event_id BIGINT, value BIGINT, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(os.path.join(path, "feed.jsonl")))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.count("event_id").alias("n_good"),
+        F.sum("event_id").alias("good_id_sum"))

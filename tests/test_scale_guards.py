@@ -141,3 +141,16 @@ def test_bloom_confs_do_not_leak_from_contract(spark):
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     registry.QUERIES["join_bloom_pruned"](spark, SF_SMALL).collect()
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_corrupt_json_counts_are_exact(spark):
+    """A11: the planted corruption arithmetic — 700 lines, every 7th
+    (i%7==3) malformed → 100 corrupt, 600 good, and the good-id sum is
+    Σ0..699 minus the corrupted ids."""
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    [row] = registry.QUERIES["source_json_corrupt"](spark, SF_SMALL).collect()
+    bad_ids = [i for i in range(700) if i % 7 == 3]
+    assert (row.n_rows, row.n_corrupt, row.n_good) == (700, 100, 600)
+    assert row.good_id_sum == sum(range(700)) - sum(bad_ids)
