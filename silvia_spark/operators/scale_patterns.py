@@ -382,3 +382,46 @@ def join_or_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("n_name"))
+
+
+# --- L8: sort-on-write zone maps ---------------------------------------------
+
+_L8_ORACLE = f"""
+SELECT count(*) AS line_cnt, {sql_dsum("l_extendedprice", "sum_price")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+"""
+
+
+@contract("sink_sorted_zonemap", oracle=_L8_ORACLE)
+def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write: lineitem rewritten ``repartitionByRange`` +
+    ``sortWithinPartitions(l_shipdate)`` so every output file covers a
+    NARROW, CONTIGUOUS shipdate range, then re-read with a one-year
+    predicate. (Hash-repartitioning on year was the first attempt and
+    fails the footer guard: non-adjacent years collide into one bucket
+    and the file span collapses to the whole table — range partitioning
+    is what makes zone maps work.) The
+    result hash-equals the plain filter (layout is semantically free —
+    the oracle proves it); the POINT is the parquet footer: min/max
+    stats per file/row-group now span ~a year instead of the whole
+    table, so the vectorized reader skips non-matching row groups
+    entirely — zone maps without a partition layout. Asserted from the
+    actual footers in tests/test_scale_guards.py. 100 TB: THE cheapest
+    I/O lever after partitioning — same bytes, same schema, 10-100×
+    less data read for every time-ranged query, at the cost of one sort
+    in the writer."""
+    base = os.path.join(tempfile.gettempdir(),
+                        "silvia_zonemap_" + sf_dir.strip("/").replace("/", "_"))
+    out = os.path.join(base, "lineitem_sorted")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        (li.repartitionByRange(4, "l_shipdate")
+         .sortWithinPartitions("l_shipdate")
+         .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz")))
+    return back.agg(F.count(F.lit(1)).alias("line_cnt"),
+                    dsum("l_extendedprice", "sum_price"))

@@ -154,3 +154,36 @@ def test_corrupt_json_counts_are_exact(spark):
     bad_ids = [i for i in range(700) if i % 7 == 3]
     assert (row.n_rows, row.n_corrupt, row.n_good) == (700, 100, 600)
     assert row.good_id_sum == sum(range(700)) - sum(bad_ids)
+
+
+def test_zonemap_files_cover_narrow_ranges(spark):
+    """L8: after repartition(year)+sortWithinPartitions, each parquet
+    file's shipdate span (from its own footer stats) must be a small
+    fraction of the table's global span — the property that lets the
+    reader skip row groups. An unsorted rewrite fails this immediately."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    # materialize the sorted layout
+    registry.QUERIES["sink_sorted_zonemap"](spark, SF_SMALL).collect()
+    out = os.path.join(tempfile.gettempdir(),
+                       "silvia_zonemap_" + SF_SMALL.strip("/").replace("/", "_"),
+                       "lineitem_sorted")
+    spans, mins, maxs = [], [], []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col = names.index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            spans.append((st.max - st.min).total_seconds())
+            mins.append(st.min); maxs.append(st.max)
+    total = (max(maxs) - min(mins)).total_seconds()
+    assert spans and max(spans) < total / 2.5, \
+        f"widest file span {max(spans)/86400:.0f}d vs global {total/86400:.0f}d"
