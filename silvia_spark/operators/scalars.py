@@ -540,3 +540,33 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_q"))
         .orderBy("doc_id")
     )
+
+
+# --- H15: radix formatting ----------------------------------------------------
+
+_H15_ORACLE = """
+SELECT p_partkey,
+       to_base(p_partkey, 16) AS hex_key,
+       to_base(p_partkey, 2) AS bin_key,
+       to_base(p_partkey, 36) AS b36_key
+FROM part WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+@contract("scalar_radix", oracle=_H15_ORACLE)
+def scalar_radix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix formatting: keys rendered in base 16/2/36 — the id-encoding
+    primitive behind compact shard names and fingerprint prefixes
+    (J13's SimHash bands render this way at scale). Spark's ``conv``
+    against DuckDB's independent ``to_base`` pins digit alphabet and
+    case agreement (both uppercase, no padding). Zero shuffle."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return (
+        p.select(
+            "p_partkey",
+            F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("hex_key"),
+            F.conv(F.col("p_partkey").cast("string"), 10, 2).alias("bin_key"),
+            F.conv(F.col("p_partkey").cast("string"), 10, 36).alias("b36_key"))
+        .orderBy("p_partkey")
+    )
