@@ -626,3 +626,35 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double"))
     return (m.select("event_type", "n", (num / den).alias("corr_xy"))
             .orderBy("event_type"))
+
+
+# --- D18: boolean quantifier aggregates ---------------------------------------
+
+_D18_ORACLE = """
+SELECT event_type,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 400) AS any_large,
+       bool_and(user_id % 2 = 0) AS all_even_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("agg_bool_quantifiers", oracle=_D18_ORACLE)
+def agg_bool_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates — EVERY / SOME as data-quality
+    assertions pushed into the aggregation layer ("all values positive",
+    "any outlier present") instead of a second filtering pass. AND/OR
+    are idempotent-associative-commutative, so partition order is
+    irrelevant by construction. 100 TB: one bit of state per group per
+    predicate — the natural form for per-partition validation sweeps
+    whose results collapse map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.every(F.col("value") > 0).alias("all_positive"),
+             F.some(F.col("value") > 400).alias("any_large"),
+             F.every(F.col("user_id") % 2 == 0).alias("all_even_users"))
+        .orderBy("event_type")
+    )

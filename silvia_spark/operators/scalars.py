@@ -570,3 +570,37 @@ def scalar_radix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.col("p_partkey").cast("string"), 10, 36).alias("b36_key"))
         .orderBy("p_partkey")
     )
+
+
+# --- H16: scalar bit operations -----------------------------------------------
+
+_H16_ORACLE = """
+SELECT p_partkey,
+       p_partkey & 255 AS low_byte,
+       p_partkey | 4096 AS with_flag,
+       xor(p_partkey, 170) AS xored,
+       p_partkey << 3 AS shl3,
+       p_partkey >> 2 AS shr2
+FROM part WHERE p_partkey < 400
+ORDER BY p_partkey
+"""
+
+
+@contract("scalar_bit_ops", oracle=_H16_ORACLE)
+def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit twiddling — mask extraction, flag setting, XOR mixing,
+    shifts — the key-packing primitives under every fingerprint and
+    composite-id scheme (J13 packs SimHash bands exactly this way).
+    Pure integer ops, bit-identical everywhere. Zero shuffle."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
+    k = F.col("p_partkey")
+    return (
+        p.select(
+            "p_partkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(170)).alias("xored"),
+            F.shiftleft(k, 3).alias("shl3"),
+            F.shiftright(k, 2).alias("shr2"))
+        .orderBy("p_partkey")
+    )

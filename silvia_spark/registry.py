@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # tests already exceed — the hash-checked K7/K8 take their slots.
     "stream_funnel_live", "stream_moments_live", "source_json_corrupt",
     "sink_sorted_zonemap", "scalar_radix",
+    "agg_bool_quantifiers", "scalar_bit_ops",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
