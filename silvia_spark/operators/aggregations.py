@@ -658,3 +658,40 @@ def agg_bool_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.every(F.col("user_id") % 2 == 0).alias("all_even_users"))
         .orderBy("event_type")
     )
+
+
+# --- D19: FILTER-clause aggregation -------------------------------------------
+
+_D19_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       {sql_dsum("o_totalprice", "total_all")},
+       (sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 1000000) AS BIGINT)
+                 ELSE 0 END) / 1000000.0) AS total_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@contract("agg_filtered_counts", oracle=_D19_ORACLE)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation — several differently-predicated aggregates
+    in ONE pass over the group (SQL's FILTER clause; count_if +
+    conditional grid sum on the Spark side) instead of N filtered
+    scans unioned back together. 100 TB: the difference between one
+    shuffle and N; every conditional rides map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.count_if(fin).alias("n_finished"),
+             dsum("o_totalprice", "total_all"),
+             (F.sum(F.when(fin, F.round(F.col("o_totalprice") * 1_000_000)
+                           .cast("bigint")).otherwise(F.lit(0)))
+              / F.lit(1_000_000.0)).alias("total_finished"))
+        .orderBy("o_orderpriority")
+    )

@@ -604,3 +604,36 @@ def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(k, 2).alias("shr2"))
         .orderBy("p_partkey")
     )
+
+
+# --- H17: ISO calendar extraction ---------------------------------------------
+
+_H17_ORACLE = """
+SELECT o_orderkey,
+       weekofyear(o_orderdate) AS iso_week,
+       isodow(o_orderdate) AS iso_dow,
+       quarter(o_orderdate) AS qtr
+FROM orders WHERE o_orderkey < 1500
+ORDER BY o_orderkey
+"""
+
+
+@contract("scalar_datetime_iso", oracle=_H17_ORACLE)
+def scalar_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO calendar fields — the cross-engine numbering trap made
+    explicit: Spark's ``dayofweek`` is 1=Sunday while the ISO day the
+    oracle's ``isodow`` returns is 1=Monday, so the contract converts
+    ((dayofweek+5) % 7)+1 and the hash check proves the mapping on
+    every row (weekofyear is ISO in both engines; quarter agrees).
+    Shipping the wrong numbering silently shifts every weekly rollup by
+    one day — a bug no row count catches. Zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1500)
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    return (
+        o.select(
+            "o_orderkey",
+            F.weekofyear("o_orderdate").alias("iso_week"),
+            iso_dow.alias("iso_dow"),
+            F.quarter("o_orderdate").alias("qtr"))
+        .orderBy("o_orderkey")
+    )
