@@ -695,3 +695,35 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.lit(1_000_000.0)).alias("total_finished"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- D20: deterministic string aggregation (listagg) --------------------------
+
+_D20_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@contract("agg_string_listagg", oracle=_D20_ORACLE)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: the distinct priorities seen per order
+    status, joined in sorted order — Spark has no string_agg, so the
+    portable form is array_join(array_sort(collect_set())), and the
+    EXPLICIT sort is what makes the string hashable (a bare listagg's
+    concatenation order is shuffle-dependent in any engine). 100 TB:
+    collect_set state is bounded by the distinct-value count, so this is
+    only for low-cardinality label sets — the docstring is the guard."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",")
+             .alias("priorities"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )

@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_funnel_live", "stream_moments_live", "source_json_corrupt",
     "sink_sorted_zonemap", "scalar_radix",
     "agg_bool_quantifiers", "scalar_bit_ops",
-    "scalar_datetime_iso", "agg_filtered_counts",
+    "scalar_datetime_iso", "agg_filtered_counts", "agg_string_listagg",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
