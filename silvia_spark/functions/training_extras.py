@@ -45,11 +45,20 @@ def knuth_draw(id_col: Column | str, mod: int) -> Column:
 
 def shingle_tokens(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, g): one row per DISTINCT n-token shingle per doc of
-    ``docs(doc_id, text)``. Zero shuffle — per-row transform + explode."""
+    ``docs(doc_id, text)``. Zero shuffle — per-row transform + explode.
+
+    Docs with fewer than ``n`` tokens yield zero shingles (the guard
+    matters: ``sequence(0, size-n)`` DESCENDS when size < n, and the
+    resulting ``slice(w, 0, n)`` raises INVALID_PARAMETER_VALUE.START —
+    this is an exported kernel, so caller-supplied frames may contain
+    docs shorter than the corpus's 10-token minimum)."""
     w = F.split(F.lower("text"), " ")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    sh = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(sh).alias("g"))
 
 

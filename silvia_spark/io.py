@@ -41,9 +41,19 @@ _events_ts_unit: dict[str, str] = {}
 def _sniff_events_ts_unit(sf_dir: str) -> str:
     unit = _events_ts_unit.get(sf_dir)
     if unit is None:
+        import os
+
         import pyarrow.parquet as pq
 
-        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):
+            # production corpora are directories of part files; all parts
+            # share one writer schema, so the first footer decides
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(path, format="parquet").schema.field("ts").type
+        else:
+            t = pq.read_schema(path).field("ts").type
         unit = getattr(t, "unit", "us")
         _events_ts_unit[sf_dir] = unit
     return unit
@@ -68,8 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # cast to timestamp_ntz so BOTH layouts surface the same dtype
+        # (timestamp_micros yields tz-aware TimestampType; the µs branch
+        # reads TimestampNTZ via the EVENTS schema). Value-preserving
+        # because session timeZone is pinned UTC in configure_session.
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     _table_cache[key] = df
     return df

@@ -506,7 +506,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D15: equi-width histogram ------------------------------------------------
 
 _D15_ORACLE = """
-SELECT CAST(floor(o_totalprice / 25000) AS INT) + 1 AS bucket,
+SELECT CAST(least(greatest(CAST(floor(o_totalprice / 25000) AS INT) + 1, 0),
+            21) AS INT) AS bucket,
        count(*) AS cnt
 FROM orders
 GROUP BY bucket
@@ -520,7 +521,11 @@ def agg_histogram_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the native ``width_bucket``. The oracle replicates the bucket
     function as explicit floor math (DuckDB 1.0 has no width_bucket) —
     exact because the bucket width divides the range evenly and floor of
-    an IEEE division is bit-identical in both engines. 100 TB: histogram
+    an IEEE division is bit-identical in both engines; the
+    least/greatest clamp replicates width_bucket's out-of-range
+    semantics (underflow → 0, overflow → num_buckets+1 = 21) so a corpus
+    regeneration with o_totalprice ≥ 500k (real TPC-H reaches ~555k)
+    cannot silently diverge the two sides. 100 TB: histogram
     = partial-agg groupBy on a computed key; bucket count bounds the
     exchange regardless of row count — the building block behind every
     range-partitioner sampler and data-profile dashboard."""

@@ -35,64 +35,36 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 161 registered per round), so ordering is part of
-# the contract surface. Rotation policy (r04): contracts whose IMPLEMENTATION
+# order under a bounded budget (50 of the 174 registered per round) — see
+# SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
+# full surface. Ordering is therefore part of the contract surface.
+# Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
 # changed after their newest driver evidence go first (a green that predates
-# the code it vouches for is not evidence), then new contracts (sentinel),
-# then evidence strictly oldest-first: every r01-era contract, then as many
-# r02-era as fit the window; contracts both unchanged and hash-green in r03
-# go dead last. After r04 no contract's newest driver row predates r02.
-# Evidence ledger (latest driver round per contract) is derivable from
-# CORRECTNESS_r0{1,2,3}.json; the r04 window below is tiers 0-2 = 50 slots.
+# the code it vouches for is not evidence), then contracts the driver has
+# NEVER checked, then new contracts (sentinel), then evidence strictly
+# oldest-first until the window is full; everything fresher rolls past the
+# cut. Evidence ledger (latest driver round per contract) is derivable from
+# CORRECTNESS_r0{1..4}.json.
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: changed since last driver evidence (r04 cosine-kernel swap,
-    #    zh lang markers, jaccard df-cap, M1 tiebreak, watermark conf pin,
-    #    vectorized funnel; scan_schema_enforce + agg_time_gapfill pulled up
-    #    from tier 4 because the events ts-unit sniff changed their read
-    #    path AND the r04 corpus regeneration invalidated their old
-    #    evidence) — 15 slots ---------------------------------------------------
-    "scan_schema_enforce", "agg_time_gapfill",
-    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
-    "multimodal_join", "sim_ann_ivf", "text_lang_detect",
-    "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
-    "curation_pipeline", "etl_events_enriched", "stream_watermark_late",
-    # -- tier 0b: contracts NEW in r04 (8 slots) — olap_extras (M6-M10, D12)
-    #    + curation_extras (J25-J26); never driver-checked, so they outrank
-    #    stale refreshes. Their 8 slots displace the tail of tier 2 (which
-    #    keeps unchanged-code r02 hash-green evidence) out of the window. --
-    "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
-    "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
-    "dedup_cluster_cc", "text_unicode_normalize", "text_pii_scrub",
-    # -- tier 0c: contracts NEW in late r04 (16 slots) — olap_extras3
-    #    (M11-M16), events_analytics (E9, M17, D13), training_extras
-    #    (J28-J34). Tiers 0+0b+0c = 38 slots, so tier 1's first ~12
-    #    r01-era refreshes fill the 50-slot window and the rest roll to
-    #    r05 (still ahead of everything r02+ fresh). ------------------------
-    "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "q17_small_quantity", "q21_waiting_orders",
-    "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",
-    "sample_reservoir_group", "text_contamination", "text_repetition_filter",
-    "data_mix_sample", "shard_assign_balanced", "doc_chunk_windows",
-    "embed_quantize_int8", "join_bloom_pruned",
-    "agg_approx_percentile", "agg_histogram_width",
-    "window_anomaly_zscore", "q12_shipmode_priority",
-    "set_except_all", "set_intersect_all", "generator_outer_pos",
-    "stream_running_moments",
-    "udtf_lateral", "udf_arrow_scalar",
-    "agg_bitwise", "scalar_try_arith", "join_or_keys_union",
-    "agg_corr_exact", "scalar_url_parse",
-    # rows-only live variants ride just past the 50-slot cut: their
-    # driver check proves execution only, which the in-repo equivalence
-    # tests already exceed — the hash-checked K7/K8 take their slots.
-    "stream_funnel_live", "stream_moments_live", "source_json_corrupt",
-    "sink_sorted_zonemap", "scalar_radix",
-    "agg_bool_quantifiers", "scalar_bit_ops",
-    "scalar_datetime_iso", "agg_filtered_counts", "agg_string_listagg",
+    # -- tier 0: changed in r05 after their newest (r04) evidence — 2 slots.
+    #    text_contamination: shingle_tokens short-doc guard changed its plan;
+    #    agg_histogram_width: oracle gained the width_bucket clamp twin. -----
+    "text_contamination", "agg_histogram_width",
+    # -- tier 0b: NEVER driver-checked (14 slots — every contract absent
+    #    from all of CORRECTNESS_r01..r04; r04's tail arithmetic left them
+    #    outside the window). 12 hash-oracle + 2 rows-only. -----------------
+    "agg_bitwise", "agg_corr_exact", "agg_bool_quantifiers",
+    "agg_filtered_counts", "agg_string_listagg",
+    "scalar_try_arith", "scalar_url_parse", "scalar_radix",
+    "scalar_bit_ops", "scalar_datetime_iso",
+    "join_or_keys_union", "sink_sorted_zonemap",
+    "source_json_corrupt", "stream_moments_live",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: newest driver evidence is r01 (26 slots) --------------------
+    # -- tier 1: newest driver evidence is r01 (26 slots). Tiers 0+0b+1 = 42;
+    #    8 slots remain. --------------------------------------------------------
     "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
     "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
     "join_asof", "join_self", "join_5way_star",
@@ -101,14 +73,15 @@ _PRIORITY: tuple[str, ...] = (
     "agg_having", "agg_stats",
     "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
     "window_moving_frame", "window_range_frame", "window_first_last",
-    # -- tier 2: r02-era refreshes that fit the remaining window (11 slots;
-    #    streaming twins first — session-conf pin touches their runtime) -----
+    # -- tier 2: r02-era refreshes that fit the remaining window (8 slots;
+    #    streaming twins first — they share the session-conf pin — then the
+    #    oldest dedup kernel). positions 43-50. -------------------------------
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
     "stream_stream_join",
-    "dedup_docs_exact", "dedup_docs_minhash", "sim_ann_lsh",
-    "text_fuzzy_pairs",
-    # -- tier 3: r02-era evidence beyond the 50-slot window (r05 head) -------
+    "dedup_docs_exact",
+    # -- tier 3: r02-era evidence beyond the 50-slot window (r06 head) -------
+    "dedup_docs_minhash", "sim_ann_lsh", "text_fuzzy_pairs",
     "dedup_docs_simhash",
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
     "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
@@ -121,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_python_datasource",
     "q6_forecast_revenue", "q18_large_orders",
     "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
-    # -- tier 4: unchanged + r03-fresh evidence — dead last ------------------
+    # -- tier 4: r03-era evidence ------------------------------------------------
     "scan_parquet", "source_csv_tsv",
     "source_json_lines", "sink_jdbc_postgres", "sink_parquet_partitioned",
     "proj_select_alias", "filter_compound", "proj_distinct",
@@ -136,9 +109,29 @@ _PRIORITY: tuple[str, ...] = (
     "text_pack_sequences", "sample_stratified",
     "q10_returned_items", "text_tfidf",
     "multimodal_frame_sample",
-    "stream_transform_with_state",
+    "stream_transform_with_state", "stream_funnel_live",
     "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
     "stream_static_join_live", "stream_stream_join_live",
+    # -- tier 5: r04-fresh evidence — dead last ------------------------------
+    "scan_schema_enforce", "agg_time_gapfill",
+    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
+    "multimodal_join", "sim_ann_ivf", "text_lang_detect",
+    "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
+    "curation_pipeline", "etl_events_enriched", "stream_watermark_late",
+    "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
+    "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
+    "dedup_cluster_cc", "text_unicode_normalize", "text_pii_scrub",
+    "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
+    "q15_top_supplier", "q17_small_quantity", "q21_waiting_orders",
+    "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",
+    "sample_reservoir_group", "text_repetition_filter",
+    "data_mix_sample", "shard_assign_balanced", "doc_chunk_windows",
+    "embed_quantize_int8", "join_bloom_pruned",
+    "agg_approx_percentile",
+    "window_anomaly_zscore", "q12_shipmode_priority",
+    "set_except_all", "set_intersect_all", "generator_outer_pos",
+    "stream_running_moments",
+    "udtf_lateral", "udf_arrow_scalar",
 )
 
 

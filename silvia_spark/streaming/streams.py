@@ -28,6 +28,16 @@ from silvia_spark.schemas import EVENTS, EVENTS_RAW
 from silvia_spark.sources import source
 
 
+# Extra reader options merged into every file-source build — the trigger-
+# cadence control surface. tests/test_stream_equivalence.py sets
+# {"maxFilesPerTrigger": "1"} over a multi-part events dir to force several
+# micro-batches and assert the final state is bit-identical to the
+# single-batch availableNow run (the cadence-invariance property all the
+# rows-only live contracts stand on). Production would set the same option
+# (or Kafka's maxOffsetsPerTrigger) for backpressure.
+SOURCE_OPTIONS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the ts-unit normalization
     applied identically to the batch loader (ns corpora get the §1.2
@@ -36,12 +46,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source(spark, "kafka", ...)`` with the same downstream plan."""
     if _sniff_events_ts_unit(sf_dir) == "ns":
         raw = source(spark, "file", path=f"{sf_dir}/events.parquet",
-                     schema=EVENTS_RAW)
+                     schema=EVENTS_RAW, **SOURCE_OPTIONS)
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
         )
     raw = source(spark, "file", path=f"{sf_dir}/events.parquet",
-                 schema=EVENTS)
+                 schema=EVENTS, **SOURCE_OPTIONS)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

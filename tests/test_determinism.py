@@ -35,6 +35,16 @@ _NUMERIC = [
     "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
     "q17_small_quantity", "embed_quantize_int8", "agg_corr_exact",
     "scalar_try_arith",
+    # r05: every remaining never-driver-checked contract entering the r05
+    # window (SURVEY §5.2.5) — listagg + bool/bitwise/filtered aggregates
+    # are exactly the partition-merge-order-sensitive classes this sweep
+    # exists to catch; the scalar_* rows are per-row transforms whose
+    # ordering comes from the final sort, pinned here against regression.
+    "agg_bitwise", "agg_bool_quantifiers", "agg_filtered_counts",
+    "agg_string_listagg", "scalar_url_parse", "scalar_radix",
+    "scalar_bit_ops", "scalar_datetime_iso", "join_or_keys_union",
+    "sink_sorted_zonemap", "source_json_corrupt",
+    "text_contamination", "agg_histogram_width",
 ]
 
 

@@ -214,3 +214,32 @@ def test_moments_live_eq_batch(spark):
              for r in registry.QUERIES["stream_running_moments"](
                  spark, SF_SMALL).collect()}
     assert live == batch
+
+
+def test_moments_live_multi_batch_cadence(spark, tmp_path):
+    """Second trigger cadence: the same live query run as FOUR micro-batches
+    (4-part events dir + maxFilesPerTrigger=1) must produce state
+    bit-identical to the single-batch availableNow run AND the batch twin.
+    This is the property every rows-only live contract stands on — GroupState
+    accumulation is invariant to how the input is sliced into triggers."""
+    from silvia_spark import registry
+    from silvia_spark.io import load_table
+    from silvia_spark.streaming import streams
+
+    registry.load_all_modules()
+    # stage a multi-part corpus: events.parquet as a DIRECTORY of 4 files
+    sf2 = str(tmp_path / "sf")
+    (load_table(spark, SF_SMALL, "events").repartition(4)
+     .write.parquet(f"{sf2}/events.parquet"))
+    assert streams.SOURCE_OPTIONS == {}
+    streams.SOURCE_OPTIONS["maxFilesPerTrigger"] = "1"
+    try:
+        multi = {r.user_id: (r.n, r.s1, r.s2)
+                 for r in registry.QUERIES["stream_moments_live"](
+                     spark, sf2).collect()}
+    finally:
+        streams.SOURCE_OPTIONS.clear()
+    batch = {r.user_id: (r.n, r.s1, r.s2)
+             for r in registry.QUERIES["stream_running_moments"](
+                 spark, SF_SMALL).collect()}
+    assert multi == batch
