@@ -188,6 +188,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     compile_total = round(sum(compiles.values()), 4)
+    # Marginal (scale-representative) per-query cost: measured time minus
+    # the 1-row-scan floor. At 100× data the floor is constant while the
+    # marginal term grows, so THIS column is what extrapolates. r05
+    # floor-reduction audit (all at sf0.1, min-of-25 interleaved):
+    # sim_topk_cosine GEMM-by-join 35 ms vs unrolled-literal 64-term
+    # projection 62-73 ms (giant codegen method, JIT-hostile) vs
+    # Arrow/numpy kernel 197 ms (Python worker round-trip dominates at
+    # 2 k rows) vs AQE-off 28 ms — the remaining gap to DuckDB's 6 ms is
+    # Spark's per-job scheduling floor plus AQE's per-exchange stage
+    # materialization, both constant in data size; no plan change
+    # removes them without abandoning the AQE scale posture.
+    marginal = {k: round(max(v - floor_scan, 0.0), 4)
+                for k, v in timings.items()}
     # Both gradings reported: "value" is warm plan re-execution (the
     # prepared-statement analogue, scale-representative); value_with_compile
     # adds the one-time per-shape plan build+analysis so the sweep can also
@@ -203,6 +216,8 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "floor_sec": floor,
         "floor_scan_sec": floor_scan,
+        "queries_marginal_sec": marginal,
+        "marginal_sweep_sec": round(sum(marginal.values()), 4),
         "extended": extended,
         "extended_sweep_sec": round(sum(extended.values()), 4),
         "iterative": iterative,
