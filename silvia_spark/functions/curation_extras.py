@@ -259,3 +259,63 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_count("raw", F.lit(_PII_PHONE))
                     .alias("n_phones"))
             .orderBy("doc_id"))
+
+
+# --- J35: near-dup survivor selection (the removal list) ----------------------
+
+# Exact all-pairs near-dup SQL (J2/J13/J21's oracle) extended with the
+# keep-best rule: of each pair, remove the doc with fewer chars (tie →
+# the larger doc_id, i.e. keep the earlier doc).
+_J35_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh)) * 1.0
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+), losers AS (
+  SELECT DISTINCT CASE WHEN da.n_chars < db.n_chars THEN p.doc_a
+                       ELSE p.doc_b END AS doc_id
+  FROM p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM losers l JOIN documents d ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@contract("dedup_near_keep_best", oracle=_J35_ORACLE)
+def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal list with keep-BEST survivor selection: for every
+    3-word-shingle Jaccard ≥ 0.8 pair, the lower-quality doc (fewer
+    chars; tie → larger doc_id) is marked for removal; the output is the
+    distinct removal set with its audit columns. This is the step real
+    curation runs AFTER pair detection — J21 emits the evidence, this
+    contract the decision. 100 TB: pair generation is the sub-quadratic
+    inverted-index kernel (training_ops.jaccard_pairs, df-capped); the
+    two quality probes and the final audit join are doc_id-keyed
+    equi-joins on the (tiny relative to the corpus) pair set; the
+    removal DISTINCT shuffles doc_ids only. Applying the removal is the
+    caller's anti-join (dedup_docs_embedding's pattern)."""
+    from silvia_spark.functions.training_ops import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d.select("doc_id", "text"), 0.8)
+    q = d.select("doc_id", "n_chars")
+    j = (pairs
+         .join(q.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_chars").alias("ca")), "doc_a")
+         .join(q.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_chars").alias("cb")), "doc_b"))
+    loser = F.when(F.col("ca") < F.col("cb"), F.col("doc_a")) \
+             .otherwise(F.col("doc_b"))
+    removed = j.select(loser.alias("doc_id")).distinct()
+    return (removed.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+            .orderBy("doc_id"))

@@ -331,3 +331,44 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+# --- J36: embedding-norm hygiene profile --------------------------------------
+
+_J36_ORACLE = """
+SELECT label,
+       count(*) AS n_vecs,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+GROUP BY label
+ORDER BY label
+"""
+
+
+@contract("embed_norm_stats", oracle=_J36_ORACLE)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene profile: per-label vector count and L2-norm
+    range — the standard pre-index sanity gate (zero/exploding norms
+    break cosine ANN and quantization alike; a label whose norm range
+    collapses signals a dead encoder head). Norms use the sequential
+    expression fold (llm_ops.norm64) so min/max match the oracle to the
+    last ulp — min/max are selection, not accumulation, hence
+    order-independent and hash-safe. 100 TB: zero-shuffle scan + a
+    label-keyed partial agg (label cardinality bounds the exchange);
+    the Arrow kernel (llm_ops._np_cos's norm path) is the throughput
+    variant when profiling becomes scan-bound."""
+    from silvia_spark.functions.llm_ops import norm64
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("label", norm64(F.col("embedding")).alias("nrm"))
+    return (n.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"))
+            .orderBy("label"))

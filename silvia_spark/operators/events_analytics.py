@@ -215,3 +215,118 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     )
+
+
+# --- M19: ordered funnel conversion -------------------------------------------
+
+_M19_ORACLE = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS vt
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > vt THEN ts END)
+              OVER (PARTITION BY user_id) AS ct
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > ct THEN ts END)
+              OVER (PARTITION BY user_id) AS pt
+  FROM w2
+), u AS (
+  SELECT user_id, min(vt) AS vt, min(ct) AS ct, min(pt) AS pt
+  FROM w3 GROUP BY user_id
+)
+SELECT count(vt) AS n_view,
+       count(ct) AS n_click_after_view,
+       count(pt) AS n_purchase_after_click
+FROM u
+"""
+
+
+@contract("events_funnel_conversion", oracle=_M19_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that first qualifying
+    click. Min-per-type alone is wrong (a click before any view must not
+    count) — the stage anchors chain: vt = first view, ct = first click
+    > vt, pt = first purchase > ct, each a full-frame window over the
+    SAME user_id partitioning, so Catalyst plans ONE user_id exchange
+    for all three Window nodes, the per-user reduction reuses that
+    partitioning shuffle-free, and only the 3-counter final aggregate
+    crosses the wire. At 100 TB that is one events-sized shuffle total —
+    the same cost as any single per-user metric."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    vt = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("vt", vt)
+    ct = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > F.col("vt")), F.col("ts"))).over(w)
+    s2 = s1.withColumn("ct", ct)
+    pt = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("ct")), F.col("ts"))).over(w)
+    s3 = s2.withColumn("pt", pt)
+    u = s3.groupBy("user_id").agg(F.min("vt").alias("vt"),
+                                  F.min("ct").alias("ct"),
+                                  F.min("pt").alias("pt"))
+    return u.agg(F.count("vt").alias("n_view"),
+                 F.count("ct").alias("n_click_after_view"),
+                 F.count("pt").alias("n_purchase_after_click"))
+
+
+# --- M20: last-touch attribution ----------------------------------------------
+
+_M20_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events
+)
+SELECT touch_type, count(*) AS attributed
+FROM w
+WHERE event_type = 'purchase' AND src_ts IS NOT NULL
+  AND src_ts >= ts - INTERVAL '30 minutes'
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@contract("events_attribution_touch", oracle=_M20_ORACLE)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event within the preceding 30 minutes. The
+    look-back is E8's last-IGNORE-NULLS running frame (two projections
+    of the same window pick ts and type from the SAME row — their NULL
+    gates are identical), ordered (ts, event_id) so same-timestamp ties
+    are pinned. One user_id exchange, one sort, then a 5-row aggregate:
+    the attribution table for a day of events costs the same shuffle as
+    any per-user sessionization. Window-frame attribution beats an
+    as-of self-join here because every row needs only its OWN prefix —
+    no join materialization at all."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    not_p = F.col("event_type") != "purchase"
+    src_ts = F.last(F.when(not_p, F.col("ts")), ignorenulls=True).over(w)
+    touch = F.last(F.when(not_p, F.col("event_type")),
+                   ignorenulls=True).over(w)
+    return (
+        ev.select("user_id", "ts", "event_type",
+                  src_ts.alias("src_ts"), touch.alias("touch_type"))
+        .where((F.col("event_type") == "purchase")
+               & F.col("src_ts").isNotNull()
+               & (F.col("src_ts")
+                  >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")))
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("attributed"))
+        .orderBy("touch_type")
+    )

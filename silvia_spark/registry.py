@@ -61,6 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_bit_ops", "scalar_datetime_iso",
     "join_or_keys_union", "sink_sorted_zonemap",
     "source_json_corrupt", "stream_moments_live",
+    # -- tier 0c: NEW in r05 (4 slots) — J35 near-dup survivor selection,
+    #    M19 ordered funnel, M20 last-touch attribution, J36 norm hygiene --
+    "events_funnel_conversion", "events_attribution_touch",
+    "dedup_near_keep_best", "embed_norm_stats",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots). Tiers 0+0b+1 = 42;

@@ -45,6 +45,11 @@ _NUMERIC = [
     "scalar_bit_ops", "scalar_datetime_iso", "join_or_keys_union",
     "sink_sorted_zonemap", "source_json_corrupt",
     "text_contamination", "agg_histogram_width",
+    # r05 additions: funnel/attribution are pure integer counts, norm
+    # stats is min/max selection, keep-best rides the jaccard kernel —
+    # all order-free by construction, pinned here against regression.
+    "events_funnel_conversion", "events_attribution_touch",
+    "dedup_near_keep_best", "embed_norm_stats",
 ]
 
 
