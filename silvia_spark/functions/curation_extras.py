@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from silvia_spark.io import adopt_cache, load_table
+from silvia_spark.io import load_table
 from silvia_spark.registry import contract
 
 # --- J25: connected-components dedup clustering ------------------------------
@@ -65,12 +65,26 @@ ORDER BY doc_id
 
 
 def min_label_components(pairs: DataFrame,
-                         max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+                         max_iters: int = _CC_MAX_ITERS,
+                         jump: bool = True) -> DataFrame:
     """Connected components of an undirected pair list ``(doc_a, doc_b)``
     by distributed min-label propagation. Returns ``(doc_id, cluster_id)``
     for every node appearing in ≥ 1 pair, where cluster_id is the
     component's minimum doc_id. Raises if no fixpoint within
-    ``max_iters`` rounds (bound = worst-case component diameter)."""
+    ``max_iters`` rounds.
+
+    ``jump=True`` (default) adds pointer jumping after each propagation:
+    lbl[u] ← lbl[lbl[u]], one extra ids-only self-join per round. This is
+    the path-halving step of the large-star/small-star MapReduce CC family
+    — labels chase their component minimum along geometrically doubling
+    hops, so convergence is O(log diameter) rounds instead of
+    O(diameter): a 60-node dup CHAIN (pathological boilerplate graph)
+    finishes in 7 rounds where plain propagation needs 60 and would blow
+    the 20-round bound (tests/test_curation_extras.py pins both facts).
+    The invariant is unchanged — labels only decrease and stay inside the
+    component, so the fixpoint is the component min either way.
+    ``jump=False`` keeps the 1-join round for graphs known to be tiny
+    cliques."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -85,33 +99,53 @@ def min_label_components(pairs: DataFrame,
             nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
                                   "dst")
                        .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
+            prop = (labels.withColumnRenamed("lbl", "old_lbl")
+                    .join(nbr_min, "src", "left")
+                    .select(
+                        "src", "old_lbl",
+                        F.least("old_lbl",
+                                F.coalesce("nbr_lbl", "old_lbl"))
+                        .alias("lbl")))
+            if jump:
+                # lbl[u] ← min(lbl[u], lbl[lbl[u]]): every label IS a
+                # node id of the same component, so the mapping join is
+                # total (left + coalesce guards the root, whose label is
+                # itself). Shuffles (id, id) pairs only.
+                m = prop.select(F.col("src").alias("jsrc"),
+                                F.col("lbl").alias("jlbl"))
+                prop = (prop.join(m, prop["lbl"] == m["jsrc"], "left")
+                        .select(
+                            "src", "old_lbl",
+                            F.least("lbl", F.coalesce("jlbl", "lbl"))
+                            .alias("lbl")))
             # The change flag rides INSIDE the merged frame, so ONE action
             # (the sum) both materializes the round's labels and decides
             # convergence — a merged-vs-old join + count would be a second
-            # pass per round for the same information.
-            merged = (labels.withColumnRenamed("lbl", "old_lbl")
-                      .join(nbr_min, "src", "left")
-                      .select(
-                          "src",
-                          F.least("old_lbl",
-                                  F.coalesce("nbr_lbl", "old_lbl"))
-                          .alias("lbl"),
-                          (F.coalesce("nbr_lbl", "old_lbl")
-                           < F.col("old_lbl")).cast("long").alias("chg"))
-                      .persist())
+            # pass per round for the same information. localCheckpoint
+            # (not persist) because the jump step is a SELF-join: a
+            # persisted plan still embeds its child tree, so every round
+            # would double the references to the previous round's plan —
+            # exponential logical-plan growth that OOMs the driver by
+            # round ~8 (reproduced on the 60-node chain test). Truncating
+            # lineage each round keeps the plan O(1) deep; blocks are
+            # freed by the ContextCleaner when the round's frame drops.
+            # On a cluster with fault-tolerance needs, swap for
+            # checkpoint() against a durable dir — same semantics.
+            merged = (prop.select(
+                          "src", "lbl",
+                          (F.col("lbl") < F.col("old_lbl"))
+                          .cast("long").alias("chg"))
+                      .localCheckpoint(eager=False))
             changed = merged.agg(F.sum("chg")).collect()[0][0]
-            cached.unpersist()
-            cached = merged
+            if cached is not None:
+                cached.unpersist()
+                cached = None
             labels = merged.select("src", "lbl")
             if changed == 0:
                 break
         else:
             raise RuntimeError(
                 f"min_label_components: no fixpoint in {max_iters} rounds")
-        # The final round's cache must outlive this call (the returned plan
-        # reads it); hand it to the slot manager so the next invocation —
-        # or clear_caches() — frees it instead of leaking one cache per run.
-        adopt_cache(cached, "min_label_components.labels")
         return labels.select(F.col("src").alias("doc_id"),
                              F.col("lbl").alias("cluster_id"))
     finally:
@@ -124,25 +158,27 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 partner is labeled with its connected component's
     smallest doc_id (the canonical survivor) plus the component size.
 
-    Min-label propagation: labels start as own id; each round every node
-    takes min(own label, neighbors' labels) until a round changes
-    nothing. Each round is one equi-join + one partial-min aggregate on
-    the edge list — all label state stays distributed; the driver sees
+    Min-label propagation WITH pointer jumping (r05): labels start as own
+    id; each round every node takes min(own label, neighbors' labels),
+    then chases one indirection (lbl[u] ← lbl[lbl[u]], the path-halving
+    step of the large-star/small-star MapReduce CC family) until a round
+    changes nothing. All label state stays distributed; the driver sees
     only the per-round changed-count (the same driver-composes /
-    executors-compute split as J19's Lloyd loop). Converges in
-    O(component diameter) rounds; near-dup graphs are overwhelmingly
-    tiny cliques (diameter ≤ 2 here, _CC_MAX_ITERS=20 is a hard fail
-    bound, not a truncation — non-convergence raises rather than
-    returning wrong labels).
+    executors-compute split as J19's Lloyd loop). Convergence is
+    O(log diameter) rounds — adversarial boilerplate CHAINS (diameter ≫
+    the 20-round bound) now converge where plain propagation provably
+    cannot (tests/test_curation_extras.py runs a 60-node path both
+    ways). Per-round lineage is truncated via localCheckpoint: the jump
+    self-join would otherwise double plan references every round —
+    exponential plan growth that OOMs the driver (observed round ~8).
+    _CC_MAX_ITERS=20 stays a hard fail bound, not a truncation —
+    non-convergence raises rather than returning wrong labels.
 
     100 TB: candidate edges come from the capped J21 kernel (swap in J2
     banded-MinHash edges for boilerplate-heavy corpora — the CC stage is
-    source-agnostic); per round the shuffle carries (id, id) pairs only.
-    For adversarial long-chain graphs the production upgrade is
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), which this module's loop structure accommodates —
-    natural dedup corpora never need it. Oracle: recursive-CTE closure,
-    so the fixpoint labels are exactly the transitive closure's."""
+    source-agnostic); per round the shuffles carry (id, id) pairs only.
+    Oracle: recursive-CTE closure, so the fixpoint labels are exactly
+    the transitive closure's."""
     from silvia_spark.functions.training_ops import jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -48,10 +48,11 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: changed in r05 after their newest (r04) evidence — 2 slots.
+    # -- tier 0: changed in r05 after their newest (r04) evidence — 3 slots.
     #    text_contamination: shingle_tokens short-doc guard changed its plan;
-    #    agg_histogram_width: oracle gained the width_bucket clamp twin. -----
-    "text_contamination", "agg_histogram_width",
+    #    agg_histogram_width: oracle gained the width_bucket clamp twin;
+    #    dedup_cluster_cc: pointer-jump rounds + localCheckpoint lineage. ----
+    "text_contamination", "agg_histogram_width", "dedup_cluster_cc",
     # -- tier 0b: NEVER driver-checked (14 slots — every contract absent
     #    from all of CORRECTNESS_r01..r04; r04's tail arithmetic left them
     #    outside the window). 12 hash-oracle + 2 rows-only. -----------------
@@ -124,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_pipeline", "etl_events_enriched", "stream_watermark_late",
     "q5_local_supplier", "q4_order_priority", "q14_promo_revenue",
     "q19_disjunctive", "q22_dormant_customers", "agg_mode_frequent",
-    "dedup_cluster_cc", "text_unicode_normalize", "text_pii_scrub",
+    "text_unicode_normalize", "text_pii_scrub",
     "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
     "q15_top_supplier", "q17_small_quantity", "q21_waiting_orders",
     "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",

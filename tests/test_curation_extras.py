@@ -83,3 +83,38 @@ def test_nfc_udf_matches_duckdb_on_edge_cases(spark):
 
     got = [r.n for r in sdf.select(nfc("raw").alias("n")).collect()]
     assert got == py
+
+
+def test_cc_pointer_jump_handles_long_chain(spark):
+    """A 60-node path has diameter 59 — plain propagation cannot finish
+    inside the 20-round bound, pointer jumping (O(log d) rounds) must.
+    This is the adversarial boilerplate-chain shape the jump step exists
+    for."""
+    chain = [(i, i + 1) for i in range(100, 159)]
+    rows = min_label_components(_pairs(spark, chain)).collect()
+    assert {r.doc_id: r.cluster_id for r in rows} == {
+        i: 100 for i in range(100, 160)}
+
+
+def test_cc_plain_propagation_blows_bound_on_long_chain(spark):
+    """The same 60-node path WITHOUT the jump step must raise, not return
+    half-propagated labels — documents why jump=True is the default."""
+    chain = [(i, i + 1) for i in range(100, 159)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        min_label_components(_pairs(spark, chain), jump=False).collect()
+
+
+def test_cc_jump_and_plain_agree_on_mixed_graph(spark):
+    """Jump and plain variants are the same fixpoint on a graph of mixed
+    shapes (clique + chain + star + singletons-in-pairs)."""
+    edges = ([(1, 2), (2, 3), (1, 3),          # triangle
+              (10, 11), (11, 12), (12, 13),    # path
+              (20, 21), (20, 22), (20, 23),    # star
+              (30, 31)])                       # pair
+    a = {r.doc_id: r.cluster_id
+         for r in min_label_components(_pairs(spark, edges)).collect()}
+    b = {r.doc_id: r.cluster_id
+         for r in min_label_components(_pairs(spark, edges),
+                                       jump=False).collect()}
+    assert a == b
+    assert a[13] == 10 and a[23] == 20 and a[31] == 30
