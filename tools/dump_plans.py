@@ -188,6 +188,23 @@ AUDITED = [
      "five integer moment sums fold partial→final around one exchange; "
      "the correlation itself is three double ops in the projection — no "
      "second pass, no native corr()."),
+    # -- r05 additions (J35-J36, M19-M20) ------------------------------------
+    ("events_funnel_conversion", ["Window", "HashAggregate"],
+     "ordered funnel: the three chained stage-anchor windows share ONE "
+     "user_id exchange (same partition spec), the per-user reduce reuses "
+     "that partitioning shuffle-free, and only three counters cross the "
+     "final exchange."),
+    ("events_attribution_touch", ["Window", "HashAggregate"],
+     "last-touch attribution: prefix-frame last-IGNORE-NULLS lookback "
+     "over one user_id exchange — no as-of self-join materializes; the "
+     "attribution table aggregate is event_type-sized."),
+    ("dedup_near_keep_best", ["HashJoin", "HashAggregate"],
+     "survivor selection: pairs come from the inverted-index jaccard "
+     "kernel (no all-pairs product); quality probes and the audit join "
+     "are doc_id-keyed; the removal DISTINCT shuffles bare ids."),
+    ("embed_norm_stats", ["HashAggregate"],
+     "norm profile: zero-shuffle scan + label-keyed partial aggregate — "
+     "the exchange carries label-cardinality rows, not vectors."),
 ]
 
 
