@@ -76,3 +76,71 @@ def test_chunk_windows_matches_python_reference(spark, n, chunk, stride):
     got = [(r.chunk_idx, r.chunk_start, r.chunk_tokens, r.chunk_md5)
            for r in rows]
     assert got == expect
+
+
+# --- r05 operator invariants (M19, M20, J35, J36) ----------------------------
+
+def test_funnel_stages_monotone(spark):
+    """Each funnel stage can only lose users: n_view ≥ n_click_after_view
+    ≥ n_purchase_after_click — violated only if an anchor chain compared
+    timestamps the wrong way."""
+    from silvia_spark import registry
+    registry.load_all_modules()
+    r = registry.QUERIES["events_funnel_conversion"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_view >= r.n_click_after_view >= r.n_purchase_after_click
+    assert r.n_view > 0
+
+
+def test_attribution_bounded_by_purchases(spark):
+    """Total attributed conversions ≤ total purchases (each purchase
+    credits at most one touch), and no touch type is 'purchase'."""
+    from silvia_spark import registry
+    from silvia_spark.io import load_table
+    registry.load_all_modules()
+    rows = registry.QUERIES["events_attribution_touch"](
+        spark, "/root/testdata/sf0.001").collect()
+    purchases = (load_table(spark, "/root/testdata/sf0.001", "events")
+                 .where(F.col("event_type") == "purchase").count())
+    assert sum(r.attributed for r in rows) <= purchases
+    assert all(r.touch_type != "purchase" for r in rows)
+
+
+def test_keep_best_never_removes_both_sides_of_isolated_pair(spark):
+    """For a pair with no other near-dup edges, exactly one side may be
+    removed — keep-best must keep a survivor per isolated pair."""
+    from silvia_spark import registry
+    from silvia_spark.functions.training_ops import jaccard_pairs
+    from silvia_spark.io import load_table
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.01"
+    removed = {r.doc_id for r in registry.QUERIES["dedup_near_keep_best"](
+        spark, sf).collect()}
+    d = load_table(spark, sf, "documents")
+    pairs = [(r.doc_a, r.doc_b)
+             for r in jaccard_pairs(d.select("doc_id", "text"),
+                                    0.8).collect()]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for a, b in pairs:
+        if deg[a] == 1 and deg[b] == 1:     # isolated pair
+            assert not (a in removed and b in removed), (a, b)
+        assert a in removed or b in removed, (a, b)  # every pair resolved
+
+
+def test_norm_stats_bounds(spark):
+    """min ≤ max per label, and every corpus label is profiled."""
+    from silvia_spark import registry
+    from silvia_spark.io import load_table
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["embed_norm_stats"](spark, sf).collect()
+    labels = {r.label for r in
+              load_table(spark, sf, "embeddings").select("label")
+              .distinct().collect()}
+    assert {r.label for r in rows} == labels
+    for r in rows:
+        assert 0 <= r.min_norm <= r.max_norm
+        assert r.n_vecs > 0
