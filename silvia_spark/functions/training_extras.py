@@ -1,4 +1,4 @@
-"""Training-data pipeline extras — SURVEY.md §2 J28–J34.
+"""Training-data pipeline extras — SURVEY.md §2 J28–J34, J37.
 
 The second half of the large-scale curation toolbox: eval-set
 contamination detection, intra-document repetition filtering, mixture
@@ -429,3 +429,55 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is the semantics reference."""
     e = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(e).orderBy("vec_id")
+
+
+# --- J37: token-entropy quality score ----------------------------------------
+
+# Shannon entropy of the per-doc token distribution. The per-term doubles
+# are bit-identical across engines (same (c*1.0)/n division order, and ln
+# agrees bitwise on this value range — the M4 tf-idf contract pins that);
+# accumulation happens in DECIMAL(38,18), which is exact and commutative,
+# so the sum is independent of partition merge order by construction
+# (SURVEY §5.2.5's prescribed mitigation for float-sum order sensitivity).
+_J37_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT doc_id, n_tokens, w, count(*) AS c
+  FROM tok GROUP BY doc_id, n_tokens, w
+)
+SELECT doc_id, n_tokens,
+       round(CAST(sum(CAST(-((c * 1.0 / n_tokens)
+                             * ln(c * 1.0 / n_tokens))
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy
+FROM cnt
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
+
+
+@contract("text_entropy_quality", oracle=_J37_ORACLE)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy (nats, 6 dp) — the distribution-shape
+    quality signal: looping/boilerplate text collapses entropy toward 0
+    while J30's repetition filter only sees bigram DISTINCTNESS; filter
+    stacks carry both. Plan: explode → (doc, token) count → per-doc sum,
+    with n_tokens carried from the pre-explode projection so no window
+    pass exists. The entropy terms are doubles (bit-identical across
+    engines — same division shape, ln pinned by M4) accumulated in
+    DECIMAL(38,18): exact, commutative, hence hash-stable at any
+    partitioning. 100 TB: two partial-agg exchanges keyed (doc, token)
+    then (doc) — both bounded by vocabulary fan-out, no global state."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    tok = base.select("doc_id", F.size("ws").alias("n_tokens"),
+                      F.explode("ws").alias("w"))
+    cnt = (tok.groupBy("doc_id", "n_tokens", "w")
+           .agg(F.count(F.lit(1)).alias("c")))
+    p = F.col("c") * F.lit(1.0) / F.col("n_tokens")
+    term = (-(p * F.log(p))).cast("decimal(38,18)")
+    return (cnt.groupBy("doc_id", "n_tokens")
+            .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+            .orderBy("doc_id"))

@@ -50,6 +50,9 @@ _NUMERIC = [
     # all order-free by construction, pinned here against regression.
     "events_funnel_conversion", "events_attribution_touch",
     "dedup_near_keep_best", "embed_norm_stats",
+    # J37: the decimal(38,18) accumulation IS the order-independence
+    # mechanism — this sweep is its proof obligation.
+    "text_entropy_quality",
 ]
 
 
