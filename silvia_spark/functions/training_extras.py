@@ -481,3 +481,45 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cnt.groupBy("doc_id", "n_tokens")
             .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
             .orderBy("doc_id"))
+
+
+# --- J38: deterministic weighted priority sample ------------------------------
+
+# Efraimidis–Spirakis weighted sampling as an exponential race: each doc
+# draws Exp(weight) via -ln(u)/w with u derived from the Knuth hash of its
+# id — selection probability proportional to weight (n_chars here), fully
+# deterministic, and both engines evaluate the identical double op
+# sequence (ln bit-agreement pinned by M4/J37).
+_J38_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       round(-ln((((doc_id * {_KNUTH}) % 4294967296) + 0.5)
+                 / 4294967296.0) / n_chars, 6) AS priority
+FROM documents
+ORDER BY -ln((((doc_id * {_KNUTH}) % 4294967296) + 0.5)
+             / 4294967296.0) / n_chars, doc_id
+LIMIT 20
+"""
+
+
+@contract("sample_weighted_priority", oracle=_J38_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional top-20 sample (weight = n_chars): the
+    exponential-race form of Efraimidis–Spirakis A-ES — doc i survives
+    with probability ∝ w_i because the k smallest Exp(w) draws win the
+    race. The draw is -ln(u)/w with u a Knuth-hash uniform of doc_id, so
+    the sample is rerun-stable, engine-portable, and oracle-checkable —
+    none of which rand() gives. Complements J28 (uniform per-group
+    reservoir) and J31 (per-source Bernoulli rates): this is the
+    QUALITY-weighted pull real mixture builders run. 100 TB: pure
+    projection + TakeOrderedAndProject — per-partition top-20 merge on
+    the driver, zero shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4_294_967_296)
+         + F.lit(0.5)) / F.lit(4_294_967_296.0)
+    prio = (-F.log(u)) / F.col("n_chars")
+    return (d.select("doc_id", "source", "n_chars",
+                     prio.alias("prio_raw"))
+            .orderBy("prio_raw", "doc_id")
+            .limit(20)
+            .select("doc_id", "source", "n_chars",
+                    F.round("prio_raw", 6).alias("priority")))

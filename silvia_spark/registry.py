@@ -35,7 +35,7 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 179 registered per round) — see
+# order under a bounded budget (50 of the 180 registered per round) — see
 # SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
 # full surface. Ordering is therefore part of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
@@ -62,11 +62,12 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_bit_ops", "scalar_datetime_iso",
     "join_or_keys_union", "sink_sorted_zonemap",
     "source_json_corrupt", "stream_moments_live",
-    # -- tier 0c: NEW in r05 (5 slots) — J35 near-dup survivor selection,
+    # -- tier 0c: NEW in r05 (6 slots) — J35 near-dup survivor selection,
     #    M19 ordered funnel, M20 last-touch attribution, J36 norm hygiene,
-    #    J37 token-entropy quality ----------------------------------------
+    #    J37 token-entropy quality, J38 weighted priority sample -----------
     "events_funnel_conversion", "events_attribution_touch",
     "dedup_near_keep_best", "embed_norm_stats", "text_entropy_quality",
+    "sample_weighted_priority",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 slots). Tiers 0+0b+1 = 42;

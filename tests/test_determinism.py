@@ -53,6 +53,8 @@ _NUMERIC = [
     # J37: the decimal(38,18) accumulation IS the order-independence
     # mechanism — this sweep is its proof obligation.
     "text_entropy_quality",
+    # J38: rank over bit-identical doubles; sweep pins the ln/ordering.
+    "sample_weighted_priority",
 ]
 
 
