@@ -637,3 +637,64 @@ def scalar_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("o_orderdate").alias("qtr"))
         .orderBy("o_orderkey")
     )
+
+
+# --- H18: VARIANT semi-structured access --------------------------------------
+
+# A nested JSON doc is CONSTRUCTED per event (object + array + nested
+# object) so the contract exercises path navigation, not just flat
+# extraction; DuckDB replicates the same construction and reads it with
+# its JSON operators — two independent semi-structured engines pinned to
+# one answer.
+_H18_ORACLE = """
+WITH j AS (
+  SELECT event_id,
+         '{"k": ' || COALESCE(CAST(json_extract(props, '$.k') AS VARCHAR),
+                              'null')
+         || ', "arr": [' || CAST(event_id % 5 AS VARCHAR) || ', '
+         || CAST(user_id % 7 AS VARCHAR)
+         || '], "meta": {"t": "' || event_type || '"}}' AS doc
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.k') AS INT) AS k_int,
+       CAST(json_extract(doc, '$.arr[1]') AS BIGINT) AS arr1,
+       json_extract_string(doc, '$.meta.t') AS meta_t,
+       json_extract_string(doc, '$.nope') AS missing
+FROM j
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+
+@contract("scalar_variant", oracle=_H18_ORACLE)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` once per row into the
+    binary variant encoding, then typed path access with ``variant_get``
+    (object field, array index, nested object) and the NULL-on-miss
+    ``try_variant_get``. At scale this is the modern replacement for
+    repeated ``get_json_object`` calls — ONE parse per row and O(1)
+    binary navigation per path instead of N text re-parses, and a
+    variant column persisted to parquet keeps that encoding. The doc is
+    built per row (object + array + nested object) so the paths
+    exercise real navigation; DuckDB's JSON operators replicate the
+    construction and reads. Zero shuffle — pure codegen projection
+    around the variant kernel."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    doc = F.concat(
+        F.lit('{"k": '),
+        F.coalesce(k.cast("string"), F.lit("null")),
+        F.lit(', "arr": ['), (F.col("event_id") % 5).cast("string"),
+        F.lit(", "), (F.col("user_id") % 7).cast("string"),
+        F.lit('], "meta": {"t": "'), F.col("event_type"), F.lit('"}}'))
+    v = F.parse_json(doc)
+    return (
+        ev.where(F.col("event_id") < 500)
+        .select("event_id",
+                F.variant_get(v, "$.k", "int").alias("k_int"),
+                F.variant_get(v, "$.arr[1]", "bigint").alias("arr1"),
+                F.variant_get(v, "$.meta.t", "string").alias("meta_t"),
+                F.try_variant_get(v, "$.nope", "string").alias("missing"))
+        .orderBy("event_id")
+    )

@@ -35,7 +35,7 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 180 registered per round) — see
+# order under a bounded budget (50 of the 181 registered per round) — see
 # SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
 # full surface. Ordering is therefore part of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
@@ -62,16 +62,16 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_bit_ops", "scalar_datetime_iso",
     "join_or_keys_union", "sink_sorted_zonemap",
     "source_json_corrupt", "stream_moments_live",
-    # -- tier 0c: NEW in r05 (6 slots) — J35 near-dup survivor selection,
+    # -- tier 0c: NEW in r05 (7 slots) — J35 near-dup survivor selection,
     #    M19 ordered funnel, M20 last-touch attribution, J36 norm hygiene,
-    #    J37 token-entropy quality, J38 weighted priority sample -----------
+    #    J37 token-entropy quality, J38 weighted sample, H18 VARIANT.
+    #    Tiers 0+0b+0c = 24; tier 1's 26 r01 refreshes complete the 50. ----
     "events_funnel_conversion", "events_attribution_touch",
     "dedup_near_keep_best", "embed_norm_stats", "text_entropy_quality",
-    "sample_weighted_priority",
+    "sample_weighted_priority", "scalar_variant",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: newest driver evidence is r01 (26 slots). Tiers 0+0b+1 = 42;
-    #    8 slots remain. --------------------------------------------------------
+    # -- tier 1: newest driver evidence is r01 (26 slots, positions 25-50) ---
     "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
     "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
     "join_asof", "join_self", "join_5way_star",
@@ -80,9 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_having", "agg_stats",
     "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
     "window_moving_frame", "window_range_frame", "window_first_last",
-    # -- tier 2: r02-era refreshes that fit the remaining window (8 slots;
-    #    streaming twins first — they share the session-conf pin — then the
-    #    oldest dedup kernel). positions 43-50. -------------------------------
+    # -- tier 2: r02-era refreshes just past the cut (r06 head; streaming
+    #    twins first — they share the session-conf pin) -----------------------
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
     "stream_stream_join",

@@ -55,6 +55,8 @@ _NUMERIC = [
     "text_entropy_quality",
     # J38: rank over bit-identical doubles; sweep pins the ln/ordering.
     "sample_weighted_priority",
+    # H18: per-row variant navigation — order comes from the final sort.
+    "scalar_variant",
 ]
 
 
