@@ -187,3 +187,52 @@ def test_zonemap_files_cover_narrow_ranges(spark):
     total = (max(maxs) - min(mins)).total_seconds()
     assert spans and max(spans) < total / 2.5, \
         f"widest file span {max(spans)/86400:.0f}d vs global {total/86400:.0f}d"
+
+
+# --- r05 shuffle-budget guards -----------------------------------------------
+# The new contracts' docstrings make exact exchange-count claims; pin them
+# against plan regressions (PLANS.md asserts operator PRESENCE, these
+# assert the shuffle BUDGET).
+
+def _executed_plan(spark, name):
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # count operators in the final section only or every node doubles.
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_funnel_shares_one_user_exchange(spark):
+    """M19: three stage-anchor windows + the per-user reduce must all ride
+    ONE user_id exchange; only the final single-row aggregate adds a
+    second. More exchanges = the shared-partitioning claim regressed."""
+    plan = _executed_plan(spark, "events_funnel_conversion")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_attribution_single_user_exchange(spark):
+    """M20: one user_id exchange for the window; the touch-type aggregate
+    and output sort add at most two more tiny ones."""
+    plan = _executed_plan(spark, "events_attribution_touch")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_entropy_two_partial_agg_exchanges(spark):
+    """J37: (doc, token) counts then per-doc sum — two exchanges plus the
+    output sort, no window pass anywhere."""
+    plan = _executed_plan(spark, "text_entropy_quality")
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_weighted_priority_zero_shuffle(spark):
+    """J38: projection + TakeOrderedAndProject — the corpus is never
+    shuffled at all."""
+    plan = _executed_plan(spark, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
