@@ -183,3 +183,102 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- multiprobe variant: fewer tables, one extra probe per table --------------
+
+_MP_TABLES = 24   # vs 64 base tables: 2.7x less GEMM work...
+_MP_SEED = 202    # independent hyperplane family
+_MP_NPROJ = _MP_TABLES * _ANN_BITS
+
+
+def _mp_sign_table(spark: SparkSession) -> DataFrame:
+    return spark.range(_ANN_DIM * _MP_NPROJ).select(
+        F.expr(f"CAST(id div {_MP_NPROJ} AS INT)").alias("pos"),
+        F.expr(f"CAST(pmod(id, {_MP_NPROJ}) AS INT)").alias("proj_id"),
+        F.when(F.pmod(F.xxhash64(F.lit(_MP_SEED), F.col("id")), 2) == 0,
+               1.0).otherwise(-1.0).alias("sgn"),
+    )
+
+
+def bucket_keys_multiprobe(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """vec_id → (table_id, bucket_key, probe_key): the base key plus the
+    key with the LOWEST-|margin| bit flipped — the bit most likely to
+    have landed on the wrong side of its hyperplane. The weakest bit is
+    chosen by lexicographic min over (|dot|, bit_pos), so ties are
+    deterministic under any partitioning (a bare min_by would pick the
+    first-encountered row — partition-order dependent)."""
+    hyper = _mp_sign_table(spark)
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    dots = (
+        ev.join(F.broadcast(hyper), "pos")
+        .groupBy("vec_id", "proj_id")
+        .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
+                           * F.lit(1e9)).cast("bigint")).alias("dot_q"))
+    )
+    bit_pos = F.expr(f"CAST(pmod(proj_id, {_ANN_BITS}) AS INT)")
+    bit_val = F.when(
+        F.col("dot_q") >= 0,
+        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)
+    per_tab = (
+        dots.select("vec_id",
+                    F.expr(f"proj_id div {_ANN_BITS}").alias("table_id"),
+                    bit_val.alias("bv"),
+                    F.struct(F.abs("dot_q").alias("m"),
+                             bit_pos.alias("p")).alias("margin"))
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bv").alias("bucket_key"),
+             F.min("margin").getField("p").alias("weak_bit"))
+    )
+    return per_tab.select(
+        "vec_id", "table_id", "bucket_key",
+        F.expr("bucket_key ^ shiftleft(1, weak_bit)").alias("probe_key"))
+
+
+@contract("sim_ann_lsh_multiprobe", oracle=_ANN_ORACLE)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane-LSH similarity self-join at cosine ≥ 0.4 —
+    the memory/compute frontier of `sim_ann_lsh`: 24 tables instead of
+    64 (2.7× less GEMM, ~25% less candidate shuffle) recover the lost
+    recall by ALSO probing each vector's weakest-margin bit flip — the
+    bucket it would have landed in had its most borderline hyperplane
+    sign gone the other way (Lv et al., multi-probe LSH). Probe keys
+    live on ONE side of the self-join only (probe ⋈ base covers both
+    directions after the least/greatest normalization), so the index
+    size is unchanged — only the probe fan-out doubles. Same exact
+    all-pairs oracle as the base contract: green hash ⇒ recall 1 on
+    this corpus at 2.7× less work. Deterministic end-to-end: quantized
+    integer dots + lexicographic weakest-bit tiebreak."""
+    from silvia_spark.functions.llm_ops import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = managed_persist(
+        cap_buckets(bucket_keys_multiprobe(spark, e), _ANN_BUCKET_CAP),
+        "sim_ann_lsh_multiprobe.buckets")
+    # probe side: base key AND flipped key; base side: base key only.
+    probes = (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
+                             F.col("bucket_key").alias("k"))
+              .union(buckets.select(F.col("vec_id").alias("vec_l"),
+                                    "table_id",
+                                    F.col("probe_key").alias("k"))))
+    base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
+                          F.col("bucket_key").alias("k"))
+    cand = (
+        probes.join(base, ["table_id", "k"])
+        .where(F.col("vec_l") != F.col("vec_r"))
+        .select(F.least("vec_l", "vec_r").alias("vec_a"),
+                F.greatest("vec_l", "vec_r").alias("vec_b"))
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b", c.alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -205,6 +205,13 @@ AUDITED = [
     ("embed_norm_stats", ["HashAggregate"],
      "norm profile: zero-shuffle scan + label-keyed partial aggregate — "
      "the exchange carries label-cardinality rows, not vectors."),
+    ("sim_ann_lsh_multiprobe", ["HashAggregate", "HashJoin"],
+     "multiprobe LSH: sign bits from integer-quantized GEMM partial "
+     "aggregates; candidates from the (table, key) equi-join with the "
+     "probe union on one side only — never an all-pairs product."),
+    ("scalar_variant", ["Project"],
+     "VARIANT access is a pure codegen projection: one parse_json per "
+     "row, typed variant_get path reads, zero shuffle."),
 ]
 
 
