@@ -256,11 +256,18 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_buckets(bucket_keys_multiprobe(spark, e), _ANN_BUCKET_CAP),
         "sim_ann_lsh_multiprobe.buckets")
     # probe side: base key AND flipped key; base side: base key only.
-    probes = (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
-                             F.col("bucket_key").alias("k"))
-              .union(buckets.select(F.col("vec_id").alias("vec_l"),
-                                    "table_id",
-                                    F.col("probe_key").alias("k"))))
+    # The probe union gets its own cap pass: base-bucket capping bounds
+    # the join's right side, but a pathological corpus could still focus
+    # many vectors' FLIP keys on one hot key (cap·n candidates) — capping
+    # the probe side too restores the cap² worst case of the base
+    # contract. No-op on this corpus, like every bucket cap here.
+    probes = cap_buckets(
+        (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
+                        F.col("bucket_key").alias("k"))
+         .union(buckets.select(F.col("vec_id").alias("vec_l"),
+                               "table_id",
+                               F.col("probe_key").alias("k")))),
+        _ANN_BUCKET_CAP, keys=("table_id", "k"))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
     cand = (
