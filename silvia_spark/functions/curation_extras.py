@@ -136,7 +136,10 @@ def min_label_components(pairs: DataFrame,
                           (F.col("lbl") < F.col("old_lbl"))
                           .cast("long").alias("chg"))
                       .localCheckpoint(eager=False))
-            changed = merged.agg(F.sum("chg")).collect()[0][0]
+            # F.sum over ZERO rows is NULL — an empty pair list (no edges
+            # at all) must read as "converged", not loop to the bound and
+            # raise (caller-supplied frames can legitimately be empty).
+            changed = merged.agg(F.sum("chg")).collect()[0][0] or 0
             if cached is not None:
                 cached.unpersist()
                 cached = None

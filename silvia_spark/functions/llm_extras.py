@@ -82,35 +82,46 @@ def cap_buckets(buckets: DataFrame, cap: int,
             .where(F.col("__bn") <= cap).drop("__bn"))
 
 
-def _sign_table(spark: SparkSession) -> DataFrame:
+def _sign_table(spark: SparkSession, seed: int = _ANN_SEED,
+                nproj: int = _N_PROJ) -> DataFrame:
     """(pos, proj_id, sgn ±1.0) Rademacher matrix, generated JVM-side from
     xxhash64 parity — no driver→executor literal transfer (a
     createDataFrame of the 16k tuples measured 3s per call), fully
-    deterministic for a fixed seed."""
-    return spark.range(_ANN_DIM * _N_PROJ).select(
-        F.expr(f"CAST(id div {_N_PROJ} AS INT)").alias("pos"),
-        F.expr(f"CAST(pmod(id, {_N_PROJ}) AS INT)").alias("proj_id"),
-        F.when(F.pmod(F.xxhash64(F.lit(_ANN_SEED), F.col("id")), 2) == 0,
+    deterministic for a fixed seed. One definition serves the base and
+    multiprobe hyperplane families (seed/nproj parameters)."""
+    return spark.range(_ANN_DIM * nproj).select(
+        F.expr(f"CAST(id div {nproj} AS INT)").alias("pos"),
+        F.expr(f"CAST(pmod(id, {nproj}) AS INT)").alias("proj_id"),
+        F.when(F.pmod(F.xxhash64(F.lit(seed), F.col("id")), 2) == 0,
                1.0).otherwise(-1.0).alias("sgn"),
     )
 
 
-def bucket_keys(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """vec_id → (table_id, bucket_key) rows, one per hash table.
+def _quantized_dots(spark: SparkSession, e: DataFrame, seed: int,
+                    nproj: int) -> DataFrame:
+    """(vec_id, proj_id, dot_q): integer-quantized hyperplane dot products.
 
     Dot terms are quantized to 1e-9 and summed as BIGINT: exact and
     order-independent (a codegen long sum, ~10× a decimal sum), and the
     ±3.2e-8 quantization can only flip a sign when |dot| is already that
     close to zero — the same measure-zero class as the hyperplane passing
-    through a point."""
-    hyper = _sign_table(spark)
+    through a point. Shared by every hyperplane family (base + multiprobe)
+    so the quantization constant and sign derivation have exactly one
+    definition to fix."""
+    hyper = _sign_table(spark, seed, nproj)
     ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    dots = (
+    return (
         ev.join(F.broadcast(hyper), "pos")
         .groupBy("vec_id", "proj_id")
         .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
                            * F.lit(1e9)).cast("bigint")).alias("dot_q"))
     )
+
+
+def bucket_keys(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """vec_id → (table_id, bucket_key) rows, one per hash table (see
+    ``_quantized_dots`` for the determinism argument)."""
+    dots = _quantized_dots(spark, e, _ANN_SEED, _N_PROJ)
     bit_val = F.when(
         F.col("dot_q") >= 0,
         F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")
@@ -192,30 +203,16 @@ _MP_SEED = 202    # independent hyperplane family
 _MP_NPROJ = _MP_TABLES * _ANN_BITS
 
 
-def _mp_sign_table(spark: SparkSession) -> DataFrame:
-    return spark.range(_ANN_DIM * _MP_NPROJ).select(
-        F.expr(f"CAST(id div {_MP_NPROJ} AS INT)").alias("pos"),
-        F.expr(f"CAST(pmod(id, {_MP_NPROJ}) AS INT)").alias("proj_id"),
-        F.when(F.pmod(F.xxhash64(F.lit(_MP_SEED), F.col("id")), 2) == 0,
-               1.0).otherwise(-1.0).alias("sgn"),
-    )
-
-
 def bucket_keys_multiprobe(spark: SparkSession, e: DataFrame) -> DataFrame:
     """vec_id → (table_id, bucket_key, probe_key): the base key plus the
     key with the LOWEST-|margin| bit flipped — the bit most likely to
     have landed on the wrong side of its hyperplane. The weakest bit is
     chosen by lexicographic min over (|dot|, bit_pos), so ties are
     deterministic under any partitioning (a bare min_by would pick the
-    first-encountered row — partition-order dependent)."""
-    hyper = _mp_sign_table(spark)
-    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    dots = (
-        ev.join(F.broadcast(hyper), "pos")
-        .groupBy("vec_id", "proj_id")
-        .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
-                           * F.lit(1e9)).cast("bigint")).alias("dot_q"))
-    )
+    first-encountered row — partition-order dependent). The sign/GEMM
+    stage is the shared ``_quantized_dots`` kernel under the multiprobe
+    family's own seed."""
+    dots = _quantized_dots(spark, e, _MP_SEED, _MP_NPROJ)
     bit_pos = F.expr(f"CAST(pmod(proj_id, {_ANN_BITS}) AS INT)")
     bit_val = F.when(
         F.col("dot_q") >= 0,
@@ -256,18 +253,21 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_buckets(bucket_keys_multiprobe(spark, e), _ANN_BUCKET_CAP),
         "sim_ann_lsh_multiprobe.buckets")
     # probe side: base key AND flipped key; base side: base key only.
-    # The probe union gets its own cap pass: base-bucket capping bounds
-    # the join's right side, but a pathological corpus could still focus
-    # many vectors' FLIP keys on one hot key (cap·n candidates) — capping
-    # the probe side too restores the cap² worst case of the base
-    # contract. No-op on this corpus, like every bucket cap here.
-    probes = cap_buckets(
-        (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
-                        F.col("bucket_key").alias("k"))
-         .union(buckets.select(F.col("vec_id").alias("vec_l"),
-                               "table_id",
-                               F.col("probe_key").alias("k")))),
+    # The FLIP half gets its own cap pass: base-bucket capping (already
+    # applied to ``buckets``) bounds base-key rows per bucket, but a
+    # pathological corpus could still focus many vectors' FLIP keys on
+    # one hot key (cap·n candidates). Cap the flips SEPARATELY — never
+    # the union, which would also drop base rows that a hot flip key
+    # lands on and silently lose base-base pairs the base contract
+    # keeps — so every bucket's probe rows stay ≤ 2·cap and candidates
+    # ≤ 2·cap² per bucket. No-op on this corpus, like every cap here.
+    flips = cap_buckets(
+        buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
+                       F.col("probe_key").alias("k")),
         _ANN_BUCKET_CAP, keys=("table_id", "k"))
+    probes = (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
+                             F.col("bucket_key").alias("k"))
+              .union(flips))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
     cand = (

@@ -436,9 +436,15 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shannon entropy of the per-doc token distribution. The per-term doubles
 # are bit-identical across engines (same (c*1.0)/n division order, and ln
 # agrees bitwise on this value range — the M4 tf-idf contract pins that);
-# accumulation happens in DECIMAL(38,18), which is exact and commutative,
-# so the sum is independent of partition merge order by construction
-# (SURVEY §5.2.5's prescribed mitigation for float-sum order sensitivity).
+# each term is then EXPLICITLY quantized to the 1e-15 grid via
+# round(term·1e15)→BIGINT — the identical double op sequence in both
+# engines — and summed as exact integers, so the total is independent of
+# partition merge order AND of engine decimal internals. (A
+# DECIMAL(38,18) cast is NOT engine-portable: Spark converts through the
+# double's shortest decimal string while DuckDB scales by 1e18 in
+# floating point, so the trailing digits can disagree.) The grid's
+# ≤5e-16/term quantization error is the same on both sides and nine
+# orders below the 6-dp rounding margin.
 _J37_ORACLE = """
 WITH tok AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
@@ -449,9 +455,9 @@ WITH tok AS (
   FROM tok GROUP BY doc_id, n_tokens, w
 )
 SELECT doc_id, n_tokens,
-       round(CAST(sum(CAST(-((c * 1.0 / n_tokens)
-                             * ln(c * 1.0 / n_tokens))
-                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy
+       round(CAST(sum(CAST(round(-((c * 1.0 / n_tokens)
+                                   * ln(c * 1.0 / n_tokens)) * 1e15)
+                           AS BIGINT)) AS DOUBLE) / 1e15, 6) AS entropy
 FROM cnt
 GROUP BY doc_id, n_tokens
 ORDER BY doc_id
@@ -466,10 +472,12 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacks carry both. Plan: explode → (doc, token) count → per-doc sum,
     with n_tokens carried from the pre-explode projection so no window
     pass exists. The entropy terms are doubles (bit-identical across
-    engines — same division shape, ln pinned by M4) accumulated in
-    DECIMAL(38,18): exact, commutative, hence hash-stable at any
-    partitioning. 100 TB: two partial-agg exchanges keyed (doc, token)
-    then (doc) — both bounded by vocabulary fan-out, no global state."""
+    engines — same division shape, ln pinned by M4) quantized to the
+    1e-15 grid and summed as exact BIGINTs — the long-grid-sum
+    discipline (functions/numeric.py): commutative, hash-stable at any
+    partitioning, and free of engine decimal-cast internals. 100 TB:
+    two partial-agg exchanges keyed (doc, token) then (doc) — both
+    bounded by vocabulary fan-out, no global state."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
     tok = base.select("doc_id", F.size("ws").alias("n_tokens"),
@@ -477,9 +485,10 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (tok.groupBy("doc_id", "n_tokens", "w")
            .agg(F.count(F.lit(1)).alias("c")))
     p = F.col("c") * F.lit(1.0) / F.col("n_tokens")
-    term = (-(p * F.log(p))).cast("decimal(38,18)")
+    term_q = F.round((-(p * F.log(p))) * F.lit(1e15)).cast("bigint")
     return (cnt.groupBy("doc_id", "n_tokens")
-            .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+            .agg(F.round(F.sum(term_q).cast("double") / F.lit(1e15), 6)
+                 .alias("entropy"))
             .orderBy("doc_id"))
 
 
@@ -514,8 +523,8 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + TakeOrderedAndProject — per-partition top-20 merge on
     the driver, zero shuffle of the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4_294_967_296)
-         + F.lit(0.5)) / F.lit(4_294_967_296.0)
+    u = ((knuth_draw("doc_id", 4_294_967_296) + F.lit(0.5))
+         / F.lit(4_294_967_296.0))
     prio = (-F.log(u)) / F.col("n_chars")
     return (d.select("doc_id", "source", "n_chars",
                      prio.alias("prio_raw"))

@@ -126,24 +126,6 @@ def managed_persist(df: DataFrame, slot: str) -> DataFrame:
     return out
 
 
-def adopt_cache(df: DataFrame, slot: str) -> DataFrame:
-    """Register an ALREADY-persisted DataFrame in a slot (freeing the
-    slot's previous occupant) without re-persisting it — for kernels that
-    persist internally (e.g. the CC fixpoint loop's final labels) but
-    whose cache must outlive the call for the returned plan to stay
-    cheap."""
-    with _LIVE_CACHES_LOCK:
-        prev = _LIVE_CACHES.pop(slot, None)
-    if prev is not None and prev is not df:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to free
-    with _LIVE_CACHES_LOCK:
-        _LIVE_CACHES[slot] = df
-    return df
-
-
 def clear_caches() -> None:
     """Unpersist every live slot. Call at end-of-round / end-of-session:
     without it the LAST invocation of each persisting contract pins its

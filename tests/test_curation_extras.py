@@ -118,3 +118,10 @@ def test_cc_jump_and_plain_agree_on_mixed_graph(spark):
                                        jump=False).collect()}
     assert a == b
     assert a[13] == 10 and a[23] == 20 and a[31] == 30
+
+
+def test_cc_empty_pair_list_returns_empty(spark):
+    """Zero edges must converge immediately to an empty labeling — not
+    loop to the round bound and raise (F.sum over zero rows is NULL; the
+    convergence test must read that as 'no changes')."""
+    assert min_label_components(_pairs(spark, [])).collect() == []
