@@ -144,3 +144,49 @@ def test_norm_stats_bounds(spark):
     for r in rows:
         assert 0 <= r.min_norm <= r.max_norm
         assert r.n_vecs > 0
+
+
+def test_multiprobe_equals_base_lsh_output(spark):
+    """Both LSH contracts achieve recall 1 on the corpus, so their outputs
+    must be identical row sets — a cross-check that ties the 24-table
+    multiprobe variant to the 64-table base beyond the shared oracle."""
+    from silvia_spark import registry
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    base = {(r.vec_a, r.vec_b, r.cos_sim) for r in
+            registry.QUERIES["sim_ann_lsh"](spark, sf).collect()}
+    multi = {(r.vec_a, r.vec_b, r.cos_sim) for r in
+             registry.QUERIES["sim_ann_lsh_multiprobe"](spark, sf).collect()}
+    assert base == multi and len(base) > 0
+
+
+def test_funnel_rejects_out_of_order_clicks(spark, tmp_path):
+    """Planted micro-case for M19's ordering semantics: a user whose only
+    click PRECEDES their first view reaches the view stage but must NOT
+    count as click-after-view; a correctly ordered user must."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from silvia_spark import registry
+    registry.load_all_modules()
+    us = 1_700_000_000_000_000  # µs epoch base
+    rows = [
+        # user 1: click at t0, view at t1 — out of order, no conversion
+        (1, 1, "click", us), (2, 1, "view", us + 60_000_000),
+        # user 2: view t0, click t1, purchase t2 — full funnel
+        (3, 2, "view", us), (4, 2, "click", us + 60_000_000),
+        (5, 2, "purchase", us + 120_000_000),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k":1}'] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    r = registry.QUERIES["events_funnel_conversion"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r.n_view, r.n_click_after_view, r.n_purchase_after_click) \
+        == (2, 1, 1)
