@@ -71,6 +71,12 @@ EXTENDED = [
     "doc_chunk_windows",
     "q21_waiting_orders",
     "q8_market_share",
+    # r05 heavy additions: the multiprobe LSH join (24-table GEMM + probe
+    # union), the near-dup survivor selection riding the jaccard kernel,
+    # and the entropy aggregation (the widest explode in the suite).
+    "sim_ann_lsh_multiprobe",
+    "dedup_near_keep_best",
+    "text_entropy_quality",
 ]
 
 # Iterative contracts run their driver-composed loop during plan BUILD
