@@ -304,3 +304,53 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.last("purchase_value", ignorenulls=True).over(w))
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# --- E11: trailing time-interval range frame ----------------------------------
+
+# Trailing 1-hour frames over EVENT TIME (not row counts): the frame is
+# defined by a timestamp interval, so it holds however many rows fall in
+# the hour — the op behind every "last-60-minutes" metric. Spark's
+# rangeBetween needs a numeric ordering column, so ts is projected to
+# epoch MICROSECONDS (exact BIGINTs — epoch seconds would be fractional
+# in DuckDB's epoch() and truncated by Spark's cast, two different
+# roundings); the oracle runs the IDENTICAL epoch-µs formulation, making
+# the frame boundary arithmetic engine-portable by construction
+# (DuckDB's native RANGE INTERVAL form is semantically equal, but the
+# shared integer form removes any boundary-inclusion doubt). Counts
+# only — no float sums in a frame whose membership is data-dependent.
+_E11_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us
+  FROM events WHERE user_id < 40
+)
+SELECT user_id, event_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM t
+ORDER BY user_id, ts, event_id
+"""
+
+
+@contract("window_trailing_interval", oracle=_E11_ORACLE)
+def window_trailing_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour activity count per user — the
+    time-interval RANGE frame (distinct from E4's row frame and E5's
+    unbounded range): frame membership follows event TIME, so bursts
+    hold many rows and quiet hours few. One user_id exchange + one sort
+    serves the whole metric; at 100 TB this is the standard
+    sliding-telemetry shape (rate limiting, burst detection, trailing
+    engagement), and the epoch-µs ordering key keeps the frame
+    arithmetic in exact integers on both engines (ntz → UTC timestamp
+    is value-preserving under the pinned session zone)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select("user_id", "event_id", "ts",
+                  F.count(F.lit(1)).over(
+                      Window.partitionBy("user_id").orderBy(us)
+                      .rangeBetween(-3_600_000_000, Window.currentRow))
+                  .alias("n_last_hour"))
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -57,6 +57,8 @@ _NUMERIC = [
     "sample_weighted_priority",
     # H18: per-row variant navigation — order comes from the final sort.
     "scalar_variant",
+    # E11: integer frame arithmetic; sweep pins the µs ordering key.
+    "window_trailing_interval",
     # J39: quantized integer sign bits + lexicographic weak-bit tiebreak
     # are the determinism mechanisms — the sweep is their proof.
     "sim_ann_lsh_multiprobe",
