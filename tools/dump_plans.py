@@ -212,6 +212,9 @@ AUDITED = [
     ("scalar_variant", ["Project"],
      "VARIANT access is a pure codegen projection: one parse_json per "
      "row, typed variant_get path reads, zero shuffle."),
+    ("window_trailing_interval", ["Window", "RangeFrame"],
+     "time-interval range frame over the epoch-us ordering key: one "
+     "user_id exchange + one sort; frame membership follows event time."),
 ]
 
 
