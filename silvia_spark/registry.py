@@ -153,7 +153,16 @@ def _reorder() -> None:
     tail = [n for n in _PRIORITY[sentinel_idx + 1:] if n in QUERIES]
     listed = set(head) | set(tail)
     new = [n for n in QUERIES if n not in listed]
-    for name in head + new + tail:
+    desired = head + new + tail
+    if list(QUERIES) == desired:
+        # Already ordered — skip the pop/reinsert cycle. Not just an
+        # optimization: load_all_modules() runs inside parity.check, so a
+        # caller iterating QUERIES while checking would otherwise have the
+        # dict mutated under its iterator (pop+reinsert keeps len stable,
+        # which CPython's iterator guard does not catch — iteration
+        # silently skips or repeats entries instead of raising).
+        return
+    for name in desired:
         QUERIES[name] = QUERIES.pop(name)
         if name in ORACLE:
             ORACLE[name] = ORACLE.pop(name)

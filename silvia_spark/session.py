@@ -39,6 +39,33 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``silvia_spark`` importable on EXECUTOR Python workers.
+
+    cloudpickle serializes pandas-UDF closures by reference to their
+    module-level helpers, so any executor that is a separate process
+    (local-cluster, a real cluster) must be able to ``import
+    silvia_spark`` — local[*] masks this entirely because its workers
+    fork from the driver and inherit sys.path. Caught by the
+    local-cluster sweep (every Arrow-UDF contract failed with
+    ModuleNotFoundError in the worker); fixed the standard way: zip the
+    package once per process and ``addPyFile`` it, which Spark ships to
+    every current AND future executor. ~50 ms once per session."""
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"silvia_spark_pkg_{os.getpid()}")
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (e.g. the
     driver-provided one). Idempotent, and cached per session object: each
@@ -54,6 +81,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # Some confs may be fixed at session build time; ignore if so.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Connect-only sessions have no sparkContext; their UDFs ship via
+        # spark.addArtifact instead, and local[*] never needs the zip.
+        pass
     try:
         spark._silvia_configured = True
     except Exception:

@@ -23,7 +23,11 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-# One contract per executor-boundary risk class.
+# One contract per executor-boundary risk class. The last three pin the
+# package-shipping fix (session._ship_package): every contract whose UDF
+# closure references module-level helpers failed with ModuleNotFoundError
+# on executor workers until configure_session started addPyFile-ing the
+# package zip — the exact failure class local[*] can never show.
 _MATRIX = [
     "agg_pricing_summary",   # shuffle agg + grid sums over the wire
     "join_5way_star",        # broadcast transport to real executors
@@ -31,6 +35,9 @@ _MATRIX = [
     "udf_pandas_scalar",     # Python/Arrow worker launch ON an executor
     "dedup_docs_minhash",    # persist() blocks on executor block managers
     "stream_tumbling_1h",    # events ts reconstruction off-driver
+    "sim_join_threshold",    # Arrow kernel referencing module helpers
+    "multimodal_decode",     # mapInPandas closure over package code
+    "source_python_datasource",  # Python datasource class on executors
 ]
 
 _SCRIPT = r"""
