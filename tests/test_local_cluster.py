@@ -70,3 +70,24 @@ def test_contracts_on_real_executors():
                           cwd=repo)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "LC_ALL_OK" in proc.stdout, proc.stdout[-2000:]
+
+
+@pytest.mark.skipif(os.environ.get("SILVIA_FULL_LC") != "1",
+                    reason="full executor sweep is ~3.5 min; opt in with "
+                           "SILVIA_FULL_LC=1 (last full run: r05, 173/173)")
+def test_all_contracts_on_real_executors():
+    """EVERY batch contract hash-checked on real executors. Run after any
+    change to UDF kernels, serialization-adjacent code, or session
+    shipping (the r05 ModuleNotFoundError class only shows here)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SCRIPT.format(repo=repo, names="__ALL__")
+    script = script.replace(
+        "'__ALL__'",
+        "[n for n in registry.QUERIES if not n.endswith('_live') and n not "
+        "in ('source_rate_stream','stream_watermark_late',"
+        "'stream_foreachbatch_upsert')]")
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=900,
+                          cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "LC_ALL_OK" in proc.stdout, proc.stdout[-2000:]
