@@ -91,8 +91,16 @@ def min_label_components(pairs: DataFrame,
                                  F.col("doc_a").alias("dst"))))
     edges = edges.persist()
     try:
-        cached = (edges.select("src").distinct()
-                  .withColumn("lbl", F.col("src")).persist())
+        # Seed with the FIRST propagation already applied: lbl(u) =
+        # min(u, min neighbor). This is exactly what round one's
+        # neighbor-min step would compute from self-labels, so folding it
+        # into the seed removes one full driver round (checkpoint +
+        # action) from every invocation — material when rounds are
+        # latency-bound (small graphs) and free at scale.
+        cached = (edges.groupBy("src")
+                  .agg(F.min("dst").alias("nbr"))
+                  .select("src", F.least("src", "nbr").alias("lbl"))
+                  .persist())
         cached.count()  # materialize before the loop
         labels = cached
         for _ in range(max_iters):
