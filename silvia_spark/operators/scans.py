@@ -329,7 +329,23 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A11: corrupt-record tolerant JSON ingestion ------------------------------
 
 
-@contract("source_json_corrupt")  # rows-only: path side effect, like A3
+# The feed is planted deterministically (corrupt iff i % 7 = 3), so the
+# summary the PERMISSIVE read must produce is computable from pure
+# arithmetic — the oracle derives it from generate_series without touching
+# the file, independently pinning Spark's whole-record-nullification
+# semantics (a corrupt row contributes to n_rows and n_corrupt but never
+# to n_good/good_id_sum).
+_A11_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 699)) AS i)
+SELECT count(*) AS n_rows,
+       count(CASE WHEN i % 7 = 3 THEN 1 END) AS n_corrupt,
+       count(CASE WHEN i % 7 <> 3 THEN 1 END) AS n_good,
+       CAST(sum(CASE WHEN i % 7 <> 3 THEN i END) AS BIGINT) AS good_id_sum
+FROM ids
+"""
+
+
+@contract("source_json_corrupt", oracle=_A11_ORACLE)
 def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE JSON ingestion with a corrupt-record column: every 7th
     line of the (deterministically generated) feed is malformed, and the
@@ -337,11 +353,12 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_corrupt`` instead of failing the job — at 100 TB corrupt records
     are a certainty, and mode=FAILFAST at row 10¹² is an outage, not a
     data-quality policy. Returns one summary row (total / corrupt / good
-    / sum of good ids) so the planted corruption count is assertable;
-    tests/test_scale_guards.py pins the exact arithmetic. Rows-only for
-    the driver (the feed is a temp-path side effect, and DuckDB's
-    ignore_errors read cannot SEE the bad rows — surfacing them is the
-    Spark-side feature under test)."""
+    / sum of good ids); the oracle recomputes that summary from the
+    plant's arithmetic (r05 upgrade from rows-only — the feed itself is
+    a temp-path side effect DuckDB cannot read, but the EXPECTED summary
+    is a pure function of the plant, which is exactly what an oracle
+    pins); tests/test_scale_guards.py additionally asserts the
+    corrupt-row surfacing behavior per row."""
     n = 700
     path = os.path.join(tempfile.gettempdir(),
                         "silvia_corrupt_" + sf_dir.strip("/").replace("/", "_"))
