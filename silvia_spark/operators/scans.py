@@ -382,3 +382,55 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").alias("n_corrupt"),
         F.count("event_id").alias("n_good"),
         F.sum("event_id").alias("good_id_sum"))
+
+
+# --- A12: native XML source ---------------------------------------------------
+
+# Same oracle pattern as A11: the feed is planted deterministically, so
+# the expected per-region summary is a pure function of the plant —
+# generate_series arithmetic, no XML reader needed on the oracle side.
+_A12_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i)
+SELECT 'r' || CAST(i % 4 AS VARCHAR) AS region,
+       count(*) AS n_orders,
+       CAST(sum(i * 7) AS BIGINT) AS total_sum,
+       count(CASE WHEN i % 5 = 0 THEN 1 END) AS n_flagged
+FROM ids
+GROUP BY region
+ORDER BY region
+"""
+
+
+@contract("source_xml", oracle=_A12_ORACLE)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source (spark-xml merged into core): a planted
+    order feed read with ``rowTag``, exercising the XML-specific surface —
+    attributes land as ``_``-prefixed columns (oid, region, the
+    conditional flag) beside nested element values (total). Rolled up per
+    region and hash-checked against the plant's arithmetic. At 100 TB
+    XML is the classic B2B interchange wart: the reader is splittable per
+    file and schema-inferred once; production would pin an explicit
+    schema exactly like the JSON/CSV contracts (A3-A4) do."""
+    n = 500
+    path = os.path.join(tempfile.gettempdir(),
+                        "silvia_xml_" + sf_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(path, "_DONE")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "feed.xml"), "w") as f:
+            f.write("<orders>\n")
+            for i in range(n):
+                flag = ' flagged="true"' if i % 5 == 0 else ""
+                f.write(f'<order oid="{i}" region="r{i % 4}"{flag}>'
+                        f"<total>{i * 7}</total></order>\n")
+            f.write("</orders>\n")
+        open(marker, "w").close()
+    df = (spark.read.format("xml").option("rowTag", "order")
+          .load(os.path.join(path, "feed.xml")))
+    return (
+        df.groupBy(F.col("_region").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("total").alias("total_sum"),
+             F.count("_flagged").alias("n_flagged"))
+        .orderBy("region")
+    )

@@ -35,7 +35,7 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 183 registered per round) — see
+# order under a bounded budget (50 of the 184 registered per round) — see
 # SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
 # full surface. Ordering is therefore part of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
@@ -62,16 +62,16 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_bit_ops", "scalar_datetime_iso",
     "join_or_keys_union", "sink_sorted_zonemap",
     "source_json_corrupt", "stream_moments_live",
-    # -- tier 0c: NEW in r05 (9 slots) — J35 near-dup survivor selection,
+    # -- tier 0c: NEW in r05 (10 slots) — J35 near-dup survivor selection,
     #    M19 ordered funnel, M20 last-touch attribution, J36 norm hygiene,
     #    J37 entropy, J38 weighted sample, H18 VARIANT, J39 multiprobe LSH,
-    #    E11 trailing-interval range frame.
-    #    Tiers 0+0b+0c = 26; tier 1's first 24 r01 refreshes fill the 50
-    #    (its last two r01 greens roll to the r06 head).
+    #    E11 trailing-interval range frame, A12 native XML source.
+    #    Tiers 0+0b+0c = 27; tier 1's first 23 r01 refreshes fill the 50
+    #    (its last three r01 greens roll to the r06 head).
     "events_funnel_conversion", "events_attribution_touch",
     "dedup_near_keep_best", "embed_norm_stats", "text_entropy_quality",
     "sample_weighted_priority", "scalar_variant", "sim_ann_lsh_multiprobe",
-    "window_trailing_interval",
+    "window_trailing_interval", "source_xml",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (26 entries; first 25 fit) ----

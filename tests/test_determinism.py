@@ -59,6 +59,8 @@ _NUMERIC = [
     "scalar_variant",
     # E11: integer frame arithmetic; sweep pins the µs ordering key.
     "window_trailing_interval",
+    # A12: planted-feed rollup — pure integer aggregation.
+    "source_xml",
     # J39: quantized integer sign bits + lexicographic weak-bit tiebreak
     # are the determinism mechanisms — the sweep is their proof.
     "sim_ann_lsh_multiprobe",
