@@ -64,6 +64,133 @@ ORDER BY doc_id
 """
 
 
+def _ckpt_rdd(df: DataFrame):
+    """Java RDD handle backing a localCheckpoint'ed DataFrame (its analyzed
+    plan is a LogicalRDD), for explicit block release. None when the
+    internals aren't reachable (e.g. Spark Connect) — callers then fall
+    back to ContextCleaner GC, the pre-r06 behavior."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
+def _uf_find(parent: dict, x):
+    """Union-find root lookup with path compression (iterative)."""
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:
+        parent[x], x = root, parent[x]
+    return root
+
+
+def _star_edges(batches):
+    """mapInPandas kernel: partition-LOCAL union-find over the edges that
+    landed here, emitting one star edge (member, local_root) per non-root
+    node. Union-by-min keeps every local root the minimum doc_id of its
+    local component, so labels only ever move toward the global minimum.
+    Contracting each partition's components to stars preserves global
+    connectivity (a star path exists wherever an edge path did), while
+    cutting the edge volume to ≤ one edge per node and the intra-partition
+    diameter to ≤ 2 — the classic two-phase MapReduce-CC reduction. Holds
+    one partition's edge ENDPOINT SET in a Python dict: at 100 TB, size
+    the upstream repartition so a partition's distinct ids fit an executor
+    (ids are 8 B; 10⁸ ids ≈ few GB — generous headroom at default splits).
+    """
+    parent: dict = {}
+    for pdf in batches:
+        for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    out_a, out_b = [], []
+    for n in parent:
+        r = _uf_find(parent, n)
+        if r != n:
+            out_a.append(n)
+            out_b.append(r)
+    if out_a:
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+
+def _finish_uf(batches):
+    """mapInPandas kernel for the single-task FINISH over the reduced star
+    graph: exact union-find to the global fixpoint, emitting every node's
+    (doc_id, cluster_id=component min, cluster_size). Only ever run when
+    the reduced graph passed the size guard, so the dict is bounded."""
+    parent: dict = {}
+    for pdf in batches:
+        for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    roots = {n: _uf_find(parent, n) for n in parent}
+    sizes: dict = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    if roots:
+        nodes = sorted(roots)
+        yield pd.DataFrame({
+            "doc_id": nodes,
+            "cluster_id": [roots[n] for n in nodes],
+            "cluster_size": [sizes[roots[n]] for n in nodes]})
+
+
+# Star-edge count below which the reduced graph finishes in ONE task
+# (≈ 80 MB of pandas at 5M 16-byte edges — comfortable executor headroom).
+# Above it, the proven-convergent propagation loop takes over.
+_CC_LOCAL_FINISH_MAX = 5_000_000
+
+
+def two_phase_components(pairs: DataFrame,
+                         local_finish_max: int = _CC_LOCAL_FINISH_MAX,
+                         max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Two-phase connected components over an undirected pair list:
+    ``(doc_id, cluster_id = component min doc_id, cluster_size)``.
+
+    Phase 1 contracts each partition's local components to star edges with
+    a mapInPandas union-find (_star_edges): one shuffle-free pass that cuts
+    edge volume to ≤ #nodes and intra-partition diameter to ≤ 2. Phase 2
+    resolves the cross-partition graph: when the reduced star set fits the
+    ``local_finish_max`` guard, a single-task exact union-find finishes it
+    in one job (the common case — near-dup graphs are tiny relative to the
+    corpus, and phase 1 already shrank them); otherwise the proven
+    O(log diameter) min-label + pointer-jump loop runs on the REDUCED
+    graph, which both shrinks its per-round shuffles and (diameter already
+    halved per partition) its round count. Correctness does not depend on
+    the guard value — both finishes compute the same fixpoint, and the
+    size check reads one scalar off the phase-1 checkpoint.
+
+    localCheckpoint (not persist) for the star set: the count and the
+    finish both read materialized blocks, and there is no caller-visible
+    handle to unpersist at the right time — blocks free with the frame."""
+    t = pairs.schema["doc_a"].dataType.simpleString()
+    stars = (pairs.mapInPandas(_star_edges, f"doc_a {t}, doc_b {t}")
+             .localCheckpoint(eager=True))
+    if stars.count() <= local_finish_max:
+        return stars.repartition(1).mapInPandas(
+            _finish_uf, f"doc_id {t}, cluster_id {t}, cluster_size bigint")
+    cc = min_label_components(stars.select(
+        F.col("doc_a"), F.col("doc_b")), max_iters=max_iters)
+    size_w = Window.partitionBy("cluster_id")
+    return cc.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+
+
 def min_label_components(pairs: DataFrame,
                          max_iters: int = _CC_MAX_ITERS,
                          jump: bool = True) -> DataFrame:
@@ -103,6 +230,7 @@ def min_label_components(pairs: DataFrame,
                   .persist())
         cached.count()  # materialize before the loop
         labels = cached
+        prev_ck = None  # previous round's checkpoint RDD, freed per round
         for _ in range(max_iters):
             nbr_min = (edges.join(labels.withColumnRenamed("src", "dst"),
                                   "dst")
@@ -151,6 +279,15 @@ def min_label_components(pairs: DataFrame,
             if cached is not None:
                 cached.unpersist()
                 cached = None
+            # The sum above materialized THIS round's checkpoint, so the
+            # previous round's blocks are now dead weight — free them
+            # eagerly instead of waiting for the ContextCleaner to GC the
+            # dropped frame (a deep adversarial graph would otherwise
+            # stack one executor-storage snapshot per round). The FINAL
+            # round's blocks stay live: the returned frame reads them.
+            if prev_ck is not None:
+                prev_ck.unpersist(False)
+            prev_ck = _ckpt_rdd(merged)
             labels = merged.select("src", "lbl")
             if changed == 0:
                 break
@@ -169,35 +306,33 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 partner is labeled with its connected component's
     smallest doc_id (the canonical survivor) plus the component size.
 
-    Min-label propagation WITH pointer jumping (r05): labels start as own
-    id; each round every node takes min(own label, neighbors' labels),
-    then chases one indirection (lbl[u] ← lbl[lbl[u]], the path-halving
-    step of the large-star/small-star MapReduce CC family) until a round
-    changes nothing. All label state stays distributed; the driver sees
-    only the per-round changed-count (the same driver-composes /
-    executors-compute split as J19's Lloyd loop). Convergence is
-    O(log diameter) rounds — adversarial boilerplate CHAINS (diameter ≫
-    the 20-round bound) now converge where plain propagation provably
-    cannot (tests/test_curation_extras.py runs a 60-node path both
-    ways). Per-round lineage is truncated via localCheckpoint: the jump
-    self-join would otherwise double plan references every round —
-    exponential plan growth that OOMs the driver (observed round ~8).
-    _CC_MAX_ITERS=20 stays a hard fail bound, not a truncation —
-    non-convergence raises rather than returning wrong labels.
+    Two-phase CC (r06, replacing the pure propagation loop): phase 1 runs
+    a partition-local union-find (mapInPandas, zero shuffle) contracting
+    every in-partition component to star edges — ≤ one edge per node, the
+    classic MapReduce-CC reduction. Phase 2 finishes the reduced graph:
+    one exact single-task union-find when it passes the 5M-edge size guard
+    (the common case — the dup graph is tiny relative to the corpus), else
+    the proven O(log diameter) min-label + pointer-jump loop, on a graph
+    whose per-round shuffles and diameter phase 1 already halved. Against
+    r05's loop this removes the seed job and the mandatory
+    confirming round (2 multi-stage jobs on converged graphs) — the
+    whole CC stage is now 2 short jobs. All label state stays on
+    executors; the driver sees one scalar (the guard count).
+    Adversarial CHAINS (diameter ≫ the 20-round bound) still converge on
+    both phase-2 paths (tests/test_curation_extras.py runs a 60-node
+    path through each).
 
     100 TB: candidate edges come from the capped J21 kernel (swap in J2
     banded-MinHash edges for boilerplate-heavy corpora — the CC stage is
-    source-agnostic); per round the shuffles carry (id, id) pairs only.
+    source-agnostic); phase 1's dict holds one partition's endpoint ids
+    only, and the fallback loop's shuffles carry (id, id) pairs only.
     Oracle: recursive-CTE closure, so the fixpoint labels are exactly
     the transitive closure's."""
     from silvia_spark.functions.training_ops import jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d.select("doc_id", "text"), _CC_TAU)
-    cc = min_label_components(pairs)
-    size_w = Window.partitionBy("cluster_id")
-    return (cc.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
-            .orderBy("doc_id"))
+    return two_phase_components(pairs).orderBy("doc_id")
 
 
 # --- J26: Unicode NFC normalization ------------------------------------------

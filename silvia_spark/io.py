@@ -110,12 +110,28 @@ _LIVE_CACHES_LOCK = threading.Lock()
 def managed_persist(df: DataFrame, slot: str) -> DataFrame:
     """persist(MEMORY_AND_DISK) with at most one live cache per slot.
     Lock-guarded: concurrent contract runs (e.g. a threaded driver) must
-    not interleave the pop/insert and leak an unpersisted cache."""
+    not interleave the pop/insert and leak an unpersisted cache.
+
+    When the slot already holds a cache whose analyzed plan is
+    ``sameResult``-equal to the new frame's (the exact-equivalence check
+    Spark's own CacheManager uses for cache substitution), the LIVE frame
+    is returned instead: re-invoking the same operator in a warm session
+    must hit the materialized blocks, not unpersist-and-recompute them.
+    The unpersist path remains for genuinely different plans (new sf_dir,
+    new threshold — anything that changes the analyzed tree)."""
     from pyspark import StorageLevel
 
     with _LIVE_CACHES_LOCK:
-        prev = _LIVE_CACHES.pop(slot, None)
+        prev = _LIVE_CACHES.get(slot)
     if prev is not None:
+        try:
+            if (df._jdf.queryExecution().analyzed()
+                    .sameResult(prev._jdf.queryExecution().analyzed())):
+                return prev
+        except Exception:
+            pass  # Connect session / stopped session: fall through
+        with _LIVE_CACHES_LOCK:
+            _LIVE_CACHES.pop(slot, None)
         try:
             prev.unpersist()
         except Exception:

@@ -649,11 +649,9 @@ def scalar_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H18_ORACLE = """
 WITH j AS (
   SELECT event_id,
-         '{"k": ' || COALESCE(CAST(json_extract(props, '$.k') AS VARCHAR),
-                              'null')
-         || ', "arr": [' || CAST(event_id % 5 AS VARCHAR) || ', '
-         || CAST(user_id % 7 AS VARCHAR)
-         || '], "meta": {"t": "' || event_type || '"}}' AS doc
+         json_object('k', CAST(json_extract(props, '$.k') AS INT),
+                     'arr', json_array(event_id % 5, user_id % 7),
+                     'meta', json_object('t', event_type)) AS doc
   FROM events
 )
 SELECT event_id,
@@ -682,12 +680,19 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     around the variant kernel."""
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
-    doc = F.concat(
-        F.lit('{"k": '),
-        F.coalesce(k.cast("string"), F.lit("null")),
-        F.lit(', "arr": ['), (F.col("event_id") % 5).cast("string"),
-        F.lit(", "), (F.col("user_id") % 7).cast("string"),
-        F.lit('], "meta": {"t": "'), F.col("event_type"), F.lit('"}}'))
+    # to_json(struct(...)) rather than string concat: both engines then
+    # escape embedded quotes/backslashes in string values identically, so
+    # a hostile event_type degrades to a hash comparison instead of a
+    # divergent parse_json failure. ignoreNullFields=false keeps
+    # "k": null present (to_json drops null fields by default) so the
+    # non-try variant_get path below always finds the key.
+    doc = F.to_json(
+        F.struct(
+            k.alias("k"),
+            F.array((F.col("event_id") % 5),
+                    (F.col("user_id") % 7)).alias("arr"),
+            F.struct(F.col("event_type").alias("t")).alias("meta")),
+        {"ignoreNullFields": "false"})
     v = F.parse_json(doc)
     return (
         ev.where(F.col("event_id") < 500)

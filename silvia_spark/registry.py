@@ -48,62 +48,39 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: changed in r05 after their newest (r04) evidence — 3 slots.
-    #    text_contamination: shingle_tokens short-doc guard changed its plan;
-    #    agg_histogram_width: oracle gained the width_bucket clamp twin;
-    #    dedup_cluster_cc: pointer-jump rounds + localCheckpoint lineage. ----
-    "text_contamination", "agg_histogram_width", "dedup_cluster_cc",
-    # -- tier 0b: NEVER driver-checked (14 slots — every contract absent
-    #    from all of CORRECTNESS_r01..r04; r04's tail arithmetic left them
-    #    outside the window). 12 hash-oracle + 2 rows-only. -----------------
-    "agg_bitwise", "agg_corr_exact", "agg_bool_quantifiers",
-    "agg_filtered_counts", "agg_string_listagg",
-    "scalar_try_arith", "scalar_url_parse", "scalar_radix",
-    "scalar_bit_ops", "scalar_datetime_iso",
-    "join_or_keys_union", "sink_sorted_zonemap",
-    "source_json_corrupt", "stream_moments_live",
-    # -- tier 0c: NEW in r05 (10 slots) — J35 near-dup survivor selection,
-    #    M19 ordered funnel, M20 last-touch attribution, J36 norm hygiene,
-    #    J37 entropy, J38 weighted sample, H18 VARIANT, J39 multiprobe LSH,
-    #    E11 trailing-interval range frame, A12 native XML source.
-    #    Tiers 0+0b+0c = 27; tier 1's first 23 r01 refreshes fill the 50
-    #    (its last three r01 greens roll to the r06 head).
-    "events_funnel_conversion", "events_attribution_touch",
-    "dedup_near_keep_best", "embed_norm_stats", "text_entropy_quality",
-    "sample_weighted_priority", "scalar_variant", "sim_ann_lsh_multiprobe",
-    "window_trailing_interval", "source_xml",
+    # ============ r06 packing (evidence ledger after r05: r01=3, r02=42,
+    # r03=42, r04=47, r05=50; all 184 checked at least once). ================
+    # -- tier 0: changed in r06 after their newest (r05) evidence — 3 slots.
+    #    dedup_cluster_cc: two-phase CC (partition-local union-find kernel);
+    #    scalar_variant: JSON doc now built via to_json(struct(...)) so
+    #    embedded quotes/backslashes escape identically to the oracle;
+    #    sim_topk_cosine: norm/dot fused into one job. ----------------------
+    "dedup_cluster_cc", "scalar_variant", "sim_topk_cosine",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: newest driver evidence is r01 (26 entries; first 25 fit) ----
-    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
-    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
-    "join_asof", "join_self", "join_5way_star",
-    "agg_pricing_summary", "q3_shipping_priority", "agg_count_distinct",
-    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_having", "agg_stats",
-    "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
+    # -- tier 1: newest driver evidence is r01 (3 slots) ---------------------
     "window_moving_frame", "window_range_frame", "window_first_last",
-    # -- tier 2: r02-era refreshes just past the cut (r06 head; streaming
-    #    twins first — they share the session-conf pin) -----------------------
+    # -- tier 2: the whole r02-era block (42 slots; streaming twins first —
+    #    they share the session-conf pin). Tiers 0..2 = 48 + however many new
+    #    contracts land at the sentinel; with ≤2 new ones the window's last
+    #    slots spill into tier 3's first r03 refreshes. ----------------------
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join",
-    "dedup_docs_exact",
-    # -- tier 3: r02-era evidence beyond the 50-slot window (r06 head) -------
-    "dedup_docs_minhash", "sim_ann_lsh", "text_fuzzy_pairs",
-    "dedup_docs_simhash",
+    "stream_stream_join", "stream_foreachbatch_upsert",
+    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
+    "sim_ann_lsh", "text_fuzzy_pairs",
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
     "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
     "text_tokenize_stats", "text_term_freq", "text_lang_profile",
     "text_fingerprint", "text_token_bpe", "multimodal_decode",
-    "text_quality_filter", "stream_foreachbatch_upsert",
+    "text_quality_filter",
     "filter_null_semantics", "agg_collect_sorted",
     "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
     "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
     "source_python_datasource",
     "q6_forecast_revenue", "q18_large_orders",
     "scalar_array", "scalar_map", "scalar_json", "scalar_cast", "scalar_hash",
-    # -- tier 4: r03-era evidence ------------------------------------------------
+    # -- tier 3: r03-era evidence (first few may make the r06 window) --------
     "scan_parquet", "source_csv_tsv",
     "source_json_lines", "sink_jdbc_postgres", "sink_parquet_partitioned",
     "proj_select_alias", "filter_compound", "proj_distinct",
@@ -121,9 +98,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_transform_with_state", "stream_funnel_live",
     "stream_tumbling_live", "stream_session_live", "stream_dedup_live",
     "stream_static_join_live", "stream_stream_join_live",
-    # -- tier 5: r04-fresh evidence — dead last ------------------------------
+    # -- tier 4: r04-era evidence --------------------------------------------
     "scan_schema_enforce", "agg_time_gapfill",
-    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
+    "sim_join_threshold", "sim_centroids",
     "multimodal_join", "sim_ann_ivf", "text_lang_detect",
     "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
     "curation_pipeline", "etl_events_enriched", "stream_watermark_late",
@@ -141,6 +118,25 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_all", "set_intersect_all", "generator_outer_pos",
     "stream_running_moments",
     "udtf_lateral", "udf_arrow_scalar",
+    # -- tier 5: r05-fresh evidence — dead last ------------------------------
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
+    "join_asof", "join_self", "join_5way_star",
+    "agg_pricing_summary", "q3_shipping_priority", "agg_count_distinct",
+    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_stats",
+    "window_rank_topn", "window_row_dense_ntile", "window_lag_lead",
+    "text_contamination", "agg_histogram_width",
+    "agg_bitwise", "agg_corr_exact", "agg_bool_quantifiers",
+    "agg_filtered_counts", "agg_string_listagg",
+    "scalar_try_arith", "scalar_url_parse", "scalar_radix",
+    "scalar_bit_ops", "scalar_datetime_iso",
+    "join_or_keys_union", "sink_sorted_zonemap",
+    "source_json_corrupt", "stream_moments_live",
+    "events_funnel_conversion", "events_attribution_touch",
+    "dedup_near_keep_best", "embed_norm_stats", "text_entropy_quality",
+    "sample_weighted_priority", "sim_ann_lsh_multiprobe",
+    "window_trailing_interval", "source_xml",
 )
 
 

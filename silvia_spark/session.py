@@ -16,6 +16,7 @@ meant to be overridden (≈2-3× total cores) on a real cluster.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -83,10 +84,18 @@ def configure_session(spark: SparkSession) -> SparkSession:
             pass
     try:
         _ship_package(spark)
-    except Exception:
+    except AttributeError:
         # Connect-only sessions have no sparkContext; their UDFs ship via
         # spark.addArtifact instead, and local[*] never needs the zip.
         pass
+    except Exception as exc:  # zip build / addPyFile failure: disk full,
+        # concurrent make_archive race on the pid-keyed path, … A silent
+        # swallow here would revert executors to the ModuleNotFoundError
+        # class _ship_package exists to prevent, so warn with the cause —
+        # local[*] keeps working either way (driver's sys.path serves).
+        warnings.warn(f"silvia_spark: package zip not shipped to "
+                      f"executors ({type(exc).__name__}: {exc}); "
+                      f"UDFs will fail off-driver", RuntimeWarning)
     try:
         spark._silvia_configured = True
     except Exception:

@@ -125,3 +125,51 @@ def test_cc_empty_pair_list_returns_empty(spark):
     loop to the round bound and raise (F.sum over zero rows is NULL; the
     convergence test must read that as 'no changes')."""
     assert min_label_components(_pairs(spark, [])).collect() == []
+
+
+# --- two-phase CC (r06) ------------------------------------------------------
+
+def _two_phase(spark, edges, **kw) -> dict[int, int]:
+    from silvia_spark.functions.curation_extras import two_phase_components
+
+    rows = two_phase_components(_pairs(spark, edges), **kw).collect()
+    return {r.doc_id: r.cluster_id for r in rows}
+
+
+def test_two_phase_matches_propagation_on_mixed_graph(spark):
+    """Both phase-2 finishes (single-task union-find AND the forced
+    propagation fallback) compute the same fixpoint as the pure
+    propagation loop on a mixed-shape graph."""
+    edges = ([(1, 2), (2, 3), (1, 3),          # triangle
+              (10, 11), (11, 12), (12, 13),    # path
+              (20, 21), (20, 22), (20, 23),    # star
+              (30, 31)])                       # pair
+    want = _clusters(spark, edges)
+    assert _two_phase(spark, edges) == want
+    # local_finish_max=0 forces the min-label fallback on the star graph
+    assert _two_phase(spark, edges, local_finish_max=0) == want
+
+
+def test_two_phase_handles_60_node_chain_both_paths(spark):
+    """The adversarial diameter-59 chain converges through BOTH phase-2
+    paths: phase 1 contracts each partition's sub-chain to a star, so the
+    fallback loop sees a shallow graph and the 20-round bound holds."""
+    chain = [(i, i + 1) for i in range(100, 159)]
+    want = {i: 100 for i in range(100, 160)}
+    assert _two_phase(spark, chain) == want
+    assert _two_phase(spark, chain, local_finish_max=0) == want
+
+
+def test_two_phase_cluster_sizes(spark):
+    """cluster_size is the component cardinality on both finish paths."""
+    from silvia_spark.functions.curation_extras import two_phase_components
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    for kw in ({}, {"local_finish_max": 0}):
+        rows = two_phase_components(_pairs(spark, edges), **kw).collect()
+        sizes = {r.doc_id: r.cluster_size for r in rows}
+        assert sizes == {1: 3, 2: 3, 3: 3, 10: 2, 11: 2}
+
+
+def test_two_phase_empty_pairs(spark):
+    assert _two_phase(spark, []) == {}

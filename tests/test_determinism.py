@@ -50,8 +50,10 @@ _NUMERIC = [
     # all order-free by construction, pinned here against regression.
     "events_funnel_conversion", "events_attribution_touch",
     "dedup_near_keep_best", "embed_norm_stats",
-    # J37: the decimal(38,18) accumulation IS the order-independence
-    # mechanism — this sweep is its proof obligation.
+    # J37: the round(x*1e15)→BIGINT grid sum IS the order-independence
+    # mechanism (integer addition commutes exactly; a DECIMAL(38,18)
+    # cast would not be engine-portable, per its docstring) — this
+    # sweep is its proof obligation.
     "text_entropy_quality",
     # J38: rank over bit-identical doubles; sweep pins the ln/ordering.
     "sample_weighted_priority",

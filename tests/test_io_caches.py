@@ -1,0 +1,36 @@
+"""managed_persist slot semantics (r06): same-plan reuse, different-plan
+replacement. The reuse path is what makes warm re-invocations of the
+jaccard/LSH kernels hit their materialized posting lists instead of
+unpersist-and-recompute — bench's fresh-build-per-rep iterative timing
+depends on it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from silvia_spark.io import _LIVE_CACHES, managed_persist
+
+
+def _fresh(spark, n):
+    return spark.range(n).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+
+def test_same_plan_returns_live_cache(spark):
+    a = managed_persist(_fresh(spark, 10), "test.reuse")
+    a.count()
+    b = managed_persist(_fresh(spark, 10), "test.reuse")
+    assert b is a  # the LIVE frame, not a recomputed twin
+    assert a.storageLevel.useMemory
+    a.unpersist()
+    _LIVE_CACHES.pop("test.reuse", None)
+
+
+def test_different_plan_replaces_and_unpersists(spark):
+    a = managed_persist(_fresh(spark, 10), "test.replace")
+    a.count()
+    b = managed_persist(_fresh(spark, 20), "test.replace")
+    assert b is not a
+    assert not a.storageLevel.useMemory  # old cache freed
+    assert b.count() == 20
+    b.unpersist()
+    _LIVE_CACHES.pop("test.replace", None)
