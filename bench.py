@@ -77,6 +77,9 @@ EXTENDED = [
     "sim_ann_lsh_multiprobe",
     "dedup_near_keep_best",
     "text_entropy_quality",
+    # r06 heavy addition: the 16-table 2-bit-probe LSH join (4x probe
+    # fan-out over the smallest GEMM in the family).
+    "sim_ann_lsh_multiprobe2",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's

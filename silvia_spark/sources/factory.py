@@ -65,8 +65,25 @@ def source(spark: SparkSession, kind: str, *,
             reader = reader.option(k, v)
         return reader.load()
     if kind == "kafka":
+        # Fail fast on the two configs every Kafka reader needs — a
+        # missing bootstrap list or subscription otherwise surfaces as a
+        # runtime AdminClient error minutes into a cluster submit.
+        if "kafka.bootstrap.servers" not in options:
+            raise ValueError(
+                "kafka source requires kafka.bootstrap.servers=")
+        if not ({"subscribe", "subscribePattern", "assign"} & set(options)):
+            raise ValueError("kafka source requires one of subscribe= / "
+                             "subscribePattern= / assign=")
+        # Engine defaults (caller-overridable): ETL pipelines replay from
+        # the checkpoint after first start, so the FIRST run should read
+        # the topic's retained history (earliest), and a retention-expiry
+        # gap should be surfaced by monitoring, not kill the query
+        # (failOnDataLoss=false) — both are the standard long-running
+        # ingestion posture.
+        kafka_defaults = {"startingOffsets": "earliest",
+                          "failOnDataLoss": "false"}
         reader = spark.readStream.format("kafka")
-        for k, v in options.items():
+        for k, v in {**kafka_defaults, **options}.items():
             reader = reader.option(k, v)
         return reader.load()
     raise ValueError(f"unknown source kind: {kind!r}")

@@ -66,6 +66,10 @@ _NUMERIC = [
     # J39: quantized integer sign bits + lexicographic weak-bit tiebreak
     # are the determinism mechanisms — the sweep is their proof.
     "sim_ann_lsh_multiprobe",
+    # J40 (r06): rank-2 weak-bit selection via sort_array over the
+    # (|dot|, pos) structs — a full lexicographic sort, so the two
+    # probed bits are partition-order-free; sweep pins it.
+    "sim_ann_lsh_multiprobe2",
 ]
 
 

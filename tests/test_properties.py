@@ -157,7 +157,10 @@ def test_multiprobe_equals_base_lsh_output(spark):
             registry.QUERIES["sim_ann_lsh"](spark, sf).collect()}
     multi = {(r.vec_a, r.vec_b, r.cos_sim) for r in
              registry.QUERIES["sim_ann_lsh_multiprobe"](spark, sf).collect()}
-    assert base == multi and len(base) > 0
+    multi2 = {(r.vec_a, r.vec_b, r.cos_sim) for r in
+              registry.QUERIES["sim_ann_lsh_multiprobe2"](spark,
+                                                          sf).collect()}
+    assert base == multi == multi2 and len(base) > 0
 
 
 def test_funnel_rejects_out_of_order_clicks(spark, tmp_path):
