@@ -501,3 +501,90 @@ def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = j.select(loser.alias("doc_id")).distinct()
     return (removed.join(d.select("doc_id", "source", "n_chars"), "doc_id")
             .orderBy("doc_id"))
+
+
+# --- J41: URL-canonicalization dedup -----------------------------------------
+
+# URLs are planted with the four classic aliasing axes — scheme case, host
+# case, query-param order, tracking params, fragment — ten doc_ids per
+# canonical target, so the dedup has real work that pure string equality
+# would miss. Both engines canonicalize independently (Spark: parse_url +
+# higher-order array ops; DuckDB: anchored regex + list ops) and must land
+# the identical group table.
+_J41_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM'
+                  ELSE 'docs.example.com' END)
+         || '/corpus/' || CAST(doc_id // 10 AS VARCHAR)
+         || '?' || (CASE WHEN doc_id % 2 = 0
+                         THEN 'b=2&a=1&utm_source=feed' ELSE 'a=1&b=2' END)
+         || '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         'https://'
+         || lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1))
+         || regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?#]*)', 1)
+         || '?' || array_to_string(
+              list_sort(list_filter(
+                string_split(regexp_extract(url, '[?]([^#]*)', 1), '&'),
+                x -> NOT starts_with(x, 'utm_'))), '&') AS canonical_url
+  FROM u
+)
+SELECT canonical_url, min(doc_id) AS keep_id,
+       count(*) AS n_aliases
+FROM canon
+GROUP BY canonical_url
+ORDER BY keep_id
+"""
+
+
+@contract("dedup_url_canonical", oracle=_J41_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    crawl, upstream of any content hashing: scheme/host case folding,
+    tracking-parameter (utm_*) removal, query-parameter reordering and
+    fragment stripping all alias the same resource, and J1's exact text
+    hash cannot see it when mirrors serve byte-different boilerplate.
+    Emits one row per canonical URL with the surviving doc_id (min) and
+    the alias count.
+
+    Canonicalizer stays 100% JVM-side codegen: parse_url components +
+    lower() for scheme/host, a higher-order filter over the split query
+    dropping utm_* params, sort_array for order independence, fragment
+    dropped by never parsing it. One shuffle (the groupBy on the
+    canonical string); at 100 TB the canonical key is what you bucket
+    the crawl store by, so the groupBy becomes shuffle-free on a
+    bucketed layout (L1's pattern). The oracle re-canonicalizes with
+    regex + list ops — two independent canonicalizers pinned to one
+    group table."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("HTTPS://"))
+        .otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Docs.Example.COM"))
+        .otherwise(F.lit("docs.example.com")),
+        F.lit("/corpus/"), (F.col("doc_id") / 10).cast("bigint").cast("string"),
+        F.lit("?"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("b=2&a=1&utm_source=feed"))
+        .otherwise(F.lit("a=1&b=2")),
+        F.lit("#sec"), (F.col("doc_id") % 5).cast("string"))
+    q = F.parse_url("url", F.lit("QUERY"))
+    canq = F.array_join(
+        F.sort_array(F.filter(F.split(q, "&"),
+                              lambda x: ~x.startswith("utm_"))), "&")
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?"), canq)
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_aliases"))
+        .orderBy("keep_id")
+    )

@@ -425,3 +425,78 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz")))
     return back.agg(F.count(F.lit(1)).alias("line_cnt"),
                     dsum("l_extendedprice", "sum_price"))
+
+
+# --- L9: interval × interval overlap join ------------------------------------
+
+_L9_CAP = 3000          # per-side slice bound keeps the oracle's cross
+                        # filter quadratic-but-small at sf0.01
+_L9_BAND_US = 600_000_000   # 10 min bands ≥ the longest interval (7 min):
+                            # every interval replicates to ≤ 2 bands
+
+_L9_ORACLE = f"""
+WITH a AS (
+  SELECT event_id AS a_id, epoch_us(ts) AS sa,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS ea
+  FROM events WHERE event_type = 'view' AND event_id < {_L9_CAP}
+), b AS (
+  SELECT event_id AS b_id, epoch_us(ts) AS sb,
+         epoch_us(ts) + (event_id % 5 + 1) * 90000000 AS eb
+  FROM events WHERE event_type = 'click' AND event_id < {_L9_CAP}
+)
+SELECT a_id, b_id,
+       least(ea, eb) - greatest(sa, sb) AS overlap_us
+FROM a, b
+WHERE sa <= eb AND sb <= ea
+ORDER BY a_id, b_id
+"""
+
+
+@contract("join_interval_overlap", oracle=_L9_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (the genomics/session-overlap
+    shape: both sides carry [start, end], match iff the ranges intersect)
+    decomposed to a band-bucket equi-join — the two-sided sibling of L5's
+    point-in-range banding. Catalyst alone plans the pure inequality pair
+    as a nested-loop cross; banding makes it a hash join.
+
+    Both sides replicate each interval to every band it touches
+    (explode(sequence), ≤ 2 bands with width ≥ max interval length). A
+    pair overlapping across a band boundary would match in EVERY shared
+    band, so instead of a distinct pass each pair is emitted only in its
+    ATTRIBUTION band — the band containing greatest(start_a, start_b),
+    which both intervals provably cover (it starts the overlap region):
+    exactly-once by construction, no dedup shuffle. 100 TB: shuffle
+    hash join keyed on band; width tuned to the interval-length
+    distribution bounds replication, and a hot band (many concurrent
+    intervals) is ordinary AQE skew-split territory. Intervals are
+    planted from event arithmetic (view: 1-7 min, click: 1.5-7.5 min)
+    so the exact cross-filter oracle pins the decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = (ev.where((F.col("event_type") == "view")
+                  & (F.col("event_id") < _L9_CAP))
+         .select(F.col("event_id").alias("a_id"), us.alias("sa"),
+                 (us + (F.col("event_id") % 7 + 1) * 60_000_000)
+                 .alias("ea")))
+    b = (ev.where((F.col("event_type") == "click")
+                  & (F.col("event_id") < _L9_CAP))
+         .select(F.col("event_id").alias("b_id"), us.alias("sb"),
+                 (us + (F.col("event_id") % 5 + 1) * 90_000_000)
+                 .alias("eb")))
+    w = F.lit(_L9_BAND_US)
+    ab = a.withColumn(
+        "band", F.explode(F.sequence(F.floor(F.col("sa") / w),
+                                     F.floor(F.col("ea") / w))))
+    bb = b.withColumn(
+        "band", F.explode(F.sequence(F.floor(F.col("sb") / w),
+                                     F.floor(F.col("eb") / w))))
+    start_max = F.greatest("sa", "sb")
+    return (
+        ab.join(bb, "band")
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+               & (F.col("band") == F.floor(start_max / w)))
+        .select("a_id", "b_id",
+                (F.least("ea", "eb") - start_max).alias("overlap_us"))
+        .orderBy("a_id", "b_id")
+    )

@@ -434,3 +434,222 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("_flagged").alias("n_flagged"))
         .orderBy("region")
     )
+
+
+# --- A13: keyed MERGE / CDC-apply sink ---------------------------------------
+
+# The change batch is planted deterministically from the base table's own
+# arithmetic, so the post-MERGE state is a pure function of `events` and the
+# oracle computes it with joins — no files involved on the DuckDB side,
+# while the Spark side does the real lake writes.
+_A13_ORACLE = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+chg AS (
+  SELECT event_id, event_type, value * 3 AS value, 'U' AS op
+  FROM base WHERE event_type IN ('click', 'error') AND event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, event_type, NULL, 'D'
+  FROM base WHERE event_type = 'click' AND event_id % 10 = 5
+  UNION ALL
+  SELECT event_id + 10000000, 'error', value + 1.5, 'I'
+  FROM base WHERE event_type = 'error' AND event_id % 10 = 7
+),
+kept AS (
+  SELECT b.event_id, b.event_type, b.value
+  FROM base b LEFT JOIN chg c
+    ON b.event_id = c.event_id AND b.event_type = c.event_type
+  WHERE c.event_id IS NULL
+),
+merged AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT event_id, event_type, value FROM chg WHERE op <> 'D'
+)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0) AS val_sum
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_merge_keyed", oracle=_A13_ORACLE)
+def sink_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (CDC apply) into a partitioned parquet lake — the
+    idempotent upsert primitive between A10's partition-level overwrite
+    and a full table format: a change batch of op-tagged rows (U update /
+    D delete / I insert, keyed on event_id) merges into the
+    event_type-partitioned table via touched-partition copy-on-write.
+
+    The MERGE plan, Delta/Hudi-style without the log:
+    (1) collect the change batch's DISTINCT partition values — one tiny
+        driver action, the touched-partition list every lake MERGE
+        engine derives first;
+    (2) scan the CURRENT table pruned to those partitions (a real
+        partition-pruned read — untouched partitions are never opened);
+    (3) anti-join current rows against change KEYS (drops updated and
+        deleted rows; ids-only join, broadcast-able when the batch is
+        small, AQE decides), union the U/I payload back in;
+    (4) rewrite ONLY the touched partitions with dynamic
+        partitionOverwriteMode — every other partition's files are
+        physically untouched (set per-write, never on the session).
+    At 100 TB the rewrite cost is proportional to touched partitions,
+    not table size; the don't-touch half is proven by the hash (the
+    3 unaffected partitions' counts/sums must equal the base plant).
+    Disclosed edge: a partition whose merge result is EMPTY emits no
+    rows, which dynamic overwrite leaves in place — full deletes of a
+    partition need an explicit metadata drop (not exercised here).
+    Returns the post-merge per-partition summary; the oracle recomputes
+    the merged state relationally from the same plant."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_merge_"), "events_cow")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    upd = (ev.where(F.col("event_type").isin("click", "error")
+                    & (F.col("event_id") % 10 == 0))
+           .select("event_id", "event_type",
+                   (F.col("value") * 3).alias("value"), F.lit("U").alias("op")))
+    dele = (ev.where((F.col("event_type") == "click")
+                     & (F.col("event_id") % 10 == 5))
+            .select("event_id", "event_type",
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit("D").alias("op")))
+    ins = (ev.where((F.col("event_type") == "error")
+                    & (F.col("event_id") % 10 == 7))
+           .select((F.col("event_id") + 10000000).alias("event_id"),
+                   F.lit("error").alias("event_type"),
+                   (F.col("value") + 1.5).alias("value"),
+                   F.lit("I").alias("op")))
+    chg = upd.unionByName(dele).unionByName(ins)
+
+    touched = sorted(r[0] for r in
+                     chg.select("event_type").distinct().collect())
+    cur = spark.read.parquet(out).where(F.col("event_type").isin(touched))
+    kept = cur.join(chg.select("event_id", "event_type"),
+                    ["event_id", "event_type"], "left_anti")
+    merged = kept.unionByName(
+        chg.where(F.col("op") != "D")
+        .select("event_id", "event_type", "value"))
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+
+    from silvia_spark.functions.numeric import dsum
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("event_id").alias("id_sum"),
+             dsum("value", "val_sum"))
+        .orderBy("event_type")
+    )
+
+
+# --- A14: SCD type-2 dimension merge sink ------------------------------------
+
+# Change batch planted from the dimension's own arithmetic (balance
+# restatement for custkey % 13 = 0, brand-new customers for % 17 = 0), so
+# the post-apply version table is a pure function of `customer` and the
+# oracle rebuilds it relationally. The Spark side does the real lake
+# round-trip: write v1, apply the SCD2 transition, overwrite, read back.
+_A14_ORACLE = """
+WITH dim AS (SELECT c_custkey, c_acctbal FROM customer),
+chg AS (
+  SELECT c_custkey, c_acctbal + 100.50 AS new_bal
+  FROM dim WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 50.25 FROM dim WHERE c_custkey % 17 = 0
+),
+closed AS (
+  SELECT d.c_custkey, d.c_acctbal,
+         DATE '1995-01-01' AS valid_from, DATE '1996-06-01' AS valid_to,
+         FALSE AS is_current
+  FROM dim d JOIN chg c ON d.c_custkey = c.c_custkey
+),
+surviving AS (
+  SELECT d.c_custkey, d.c_acctbal,
+         DATE '1995-01-01', CAST(NULL AS DATE), TRUE
+  FROM dim d LEFT JOIN chg c ON d.c_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+fresh AS (
+  SELECT c_custkey, new_bal, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+  FROM chg
+),
+scd AS (
+  SELECT * FROM closed UNION ALL SELECT * FROM surviving
+  UNION ALL SELECT * FROM fresh
+)
+SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
+FROM scd
+WHERE c_custkey < 300 OR (c_custkey >= 1000000 AND c_custkey < 1000300)
+ORDER BY c_custkey, valid_from
+"""
+
+
+@contract("sink_merge_scd2", oracle=_A14_ORACLE)
+def sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 apply — the versioned companion
+    to A13's in-place MERGE: an update never overwrites a dimension row,
+    it CLOSES the current version (valid_to = effective date) and appends
+    the new one, so facts joined on (key, date BETWEEN valid_from and
+    valid_to) keep resolving to the attributes in force at event time.
+
+    Transition, as one relational pass over (current table ⟕ batch):
+    matched current rows fork into a closed copy and a fresh version;
+    unmatched rows survive untouched; batch-only keys append as new
+    members. All four row classes come from ONE outer-join plan —
+    no per-class rescans. The rewrite is whole-table: a DIMENSION is
+    small by definition (this is the standard warehouse trade; the
+    FACT-scale keyed path is A13's touched-partition MERGE), and the
+    version history makes the apply idempotent to re-runs of the same
+    effective date only if the batch is re-derived identically —
+    real pipelines key the batch by effective date for exactly that
+    reason. Hash-checked end-to-end after a real parquet round-trip:
+    initial write → SCD2 overwrite → read back."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_scd2_"), "dim_customer")
+    dim.write.mode("overwrite").parquet(out)
+
+    cur = spark.read.parquet(out)
+    eff = F.lit("1996-06-01").cast("date")
+    chg = (cur.where(F.col("c_custkey") % 13 == 0)
+           .select("c_custkey",
+                   (F.col("c_acctbal") + 100.50).alias("new_bal"))
+           .unionByName(
+               cur.where(F.col("c_custkey") % 17 == 0)
+               .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                       F.lit(50.25).alias("new_bal"))))
+    j = cur.join(chg, "c_custkey", "full_outer")
+    closed = (j.where(F.col("is_current").isNotNull()
+                      & F.col("new_bal").isNotNull())
+              .select("c_custkey", "c_acctbal", "valid_from",
+                      eff.alias("valid_to"), F.lit(False).alias("is_current")))
+    surviving = (j.where(F.col("is_current").isNotNull()
+                         & F.col("new_bal").isNull())
+                 .select("c_custkey", "c_acctbal", "valid_from", "valid_to",
+                         "is_current"))
+    fresh = (j.where(F.col("new_bal").isNotNull())
+             .select("c_custkey", F.col("new_bal").alias("c_acctbal"),
+                     eff.alias("valid_from"),
+                     F.lit(None).cast("date").alias("valid_to"),
+                     F.lit(True).alias("is_current")))
+    scd = closed.unionByName(surviving).unionByName(fresh)
+    tmp = out + "_v2"
+    scd.write.mode("overwrite").parquet(tmp)
+
+    back = spark.read.parquet(tmp)
+    return (
+        back.where((F.col("c_custkey") < 300)
+                   | ((F.col("c_custkey") >= 1000000)
+                      & (F.col("c_custkey") < 1000300)))
+        .select("c_custkey", "c_acctbal", "valid_from", "valid_to",
+                "is_current")
+        .orderBy("c_custkey", "valid_from")
+    )

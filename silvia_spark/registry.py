@@ -50,20 +50,27 @@ _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 _PRIORITY: tuple[str, ...] = (
     # ============ r06 packing (evidence ledger after r05: r01=3, r02=42,
     # r03=42, r04=47, r05=50; all 184 checked at least once). ================
-    # -- tier 0: changed in r06 after their newest (r05) evidence — 3 slots.
+    # -- tier 0: changed in r06 after their newest (r05) evidence — 2 slots.
     #    dedup_cluster_cc: two-phase CC (partition-local union-find kernel);
     #    scalar_variant: JSON doc now built via to_json(struct(...)) so
-    #    embedded quotes/backslashes escape identically to the oracle;
-    #    sim_topk_cosine: norm/dot fused into one job. ----------------------
-    "dedup_cluster_cc", "scalar_variant", "sim_topk_cosine",
+    #    embedded quotes/backslashes escape identically to the oracle.
+    #    (sim_topk_cosine stayed code-identical in r06 — its floor fix
+    #    landed in bench.py's artifact, so no head slot.) -------------------
+    "dedup_cluster_cc", "scalar_variant",
+    # -- tier 0b: NEW in r06 (5 slots) — J40 2-bit multiprobe LSH, A13
+    #    keyed MERGE sink, A14 SCD2 dimension apply, L9 interval-overlap
+    #    band join, J41 URL-canonicalization dedup. ------------------------
+    "sim_ann_lsh_multiprobe2", "sink_merge_keyed", "sink_merge_scd2",
+    "join_interval_overlap", "dedup_url_canonical",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (3 slots) ---------------------
     "window_moving_frame", "window_range_frame", "window_first_last",
     # -- tier 2: the whole r02-era block (42 slots; streaming twins first —
-    #    they share the session-conf pin). Tiers 0..2 = 48 + however many new
-    #    contracts land at the sentinel; with ≤2 new ones the window's last
-    #    slots spill into tier 3's first r03 refreshes. ----------------------
+    #    they share the session-conf pin). Tiers 0..2 = 47 + the 5 r06
+    #    contracts at the sentinel = 52: the LAST TWO tier-2 entries
+    #    (scalar_cast, scalar_hash) roll past the 50-cut and lead r07's
+    #    head — the deliberate price of 5 new contracts this round. --------
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
     "stream_stream_join", "stream_foreachbatch_upsert",
@@ -100,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_static_join_live", "stream_stream_join_live",
     # -- tier 4: r04-era evidence --------------------------------------------
     "scan_schema_enforce", "agg_time_gapfill",
-    "sim_join_threshold", "sim_centroids",
+    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
     "multimodal_join", "sim_ann_ivf", "text_lang_detect",
     "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
     "curation_pipeline", "etl_events_enriched", "stream_watermark_late",

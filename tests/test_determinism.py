@@ -70,6 +70,21 @@ _NUMERIC = [
     # (|dot|, pos) structs — a full lexicographic sort, so the two
     # probed bits are partition-order-free; sweep pins it.
     "sim_ann_lsh_multiprobe2",
+    # A13 (r06): MERGE rewrite under different write-parallelism must
+    # land identical post-merge state — integer counts/id sums + the
+    # 1e-6-grid value sum are the order-free mechanisms.
+    "sink_merge_keyed",
+    # A14 (r06): SCD2 version rows are per-key row-level facts (no
+    # aggregation at all); the final (key, valid_from) sort is the
+    # ordering mechanism and the doubles are bit-exact (+100.50/+50.25
+    # are dyadic), so any partitioning lands identical bytes.
+    "sink_merge_scd2",
+    # L9 (r06): attribution-band emission (exactly-once by construction,
+    # no distinct) + pure integer µs arithmetic — sweep pins both.
+    "join_interval_overlap",
+    # J41 (r06): sort_array over query params IS the order-independence
+    # mechanism inside the canonical key; integer group aggregates.
+    "dedup_url_canonical",
 ]
 
 
