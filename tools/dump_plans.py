@@ -215,6 +215,19 @@ AUDITED = [
     ("window_trailing_interval", ["Window", "RangeFrame"],
      "time-interval range frame over the epoch-us ordering key: one "
      "user_id exchange + one sort; frame membership follows event time."),
+    ("join_interval_overlap", ["HashJoin", "Generate"],
+     "interval×interval overlap as a band-key HASH join (no "
+     "BroadcastNestedLoopJoin anywhere): explode(sequence) replicates "
+     "each side to its ≤2 bands, attribution-band emission keeps pairs "
+     "exactly-once with no distinct aggregate."),
+    ("dedup_url_canonical", ["HashAggregate"],
+     "URL canonicalizer is pure codegen (parse_url + higher-order "
+     "filter + sort_array — no Python eval node); one exchange for the "
+     "canonical-key groupBy plus the output sort."),
+    ("sim_ann_lsh_multiprobe2", ["HashAggregate", "HashJoin"],
+     "16-table GEMM via the shared quantized-dots kernel; stack() fans "
+     "each vector to its 3 flip probes on the probe side only; "
+     "same-bucket equi-join, capped buckets."),
 ]
 
 
@@ -248,6 +261,7 @@ def main() -> None:
         # Redact temp paths (mkdtemp suffixes differ run to run).
         plan = re.sub(r"/tmp/[A-Za-z0-9_./-]+", "/tmp/<redacted>", plan)
         plan = re.sub(r"#\d+", "#N", plan)  # expr ids churn every build
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)  # ditto plan ids
         out += [f"## {name}", "", f"**Must show:** `{'`, `'.join(required)}`"
                 f" — {note}", "", "```", plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(
