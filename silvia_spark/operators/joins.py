@@ -433,3 +433,88 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pairs"))
         .orderBy(F.col("nk").asc_nulls_first())
     )
+
+
+# --- C13: nearest-direction as-of join ---------------------------------------
+
+_C13_TOL_US = 30 * 86_400_000_000  # ±30 days
+
+_C13_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id % 1000 AS bucket
+  FROM events WHERE event_id < 40
+),
+j AS (
+  SELECT ev.event_id, ev.bucket, o.o_orderkey, o.o_orderdate,
+         abs(epoch_us(CAST(ev.ts AS TIMESTAMP))
+             - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) AS dist_us,
+         row_number() OVER (
+           PARTITION BY ev.event_id
+           ORDER BY abs(epoch_us(CAST(ev.ts AS TIMESTAMP))
+                        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                    o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM ev
+  LEFT JOIN (SELECT o_orderkey, o_orderdate, o_custkey % 1000 AS bucket
+             FROM orders) o
+    ON ev.bucket = o.bucket
+   AND abs(epoch_us(CAST(ev.ts AS TIMESTAMP))
+           - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) <= {_C13_TOL_US}
+)
+SELECT event_id, bucket,
+       o_orderkey AS near_orderkey, o_orderdate AS near_orderdate,
+       dist_us
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@contract("join_asof_nearest", oracle=_C13_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance — C9's missing sibling
+    (pandas merge_asof direction='nearest'): per event, the order in the
+    same bucket minimizing |o_orderdate − ts|, but only within ±30 days;
+    events with nothing in tolerance survive with NULLs (LEFT semantics).
+    Sensor-fusion / trade-quote alignment shape: backward-only as-of is
+    wrong when the closest reading may be ahead of the probe.
+
+    DuckDB's native ASOF JOIN is backward-only too, so BOTH engines run
+    the same explicit composition: bucket equi-join + |Δt| ≤ tol filter +
+    per-event row_number over (|Δt| ASC, date ASC, key ASC) — the
+    distance arg-min with a fully deterministic tie order (equidistant
+    before/after resolves to the EARLIER order). At 100 TB the shape is
+    C9's: one shuffle per side on the bucket key, per-event window sorts
+    over tiny groups; the tolerance predicate bounds kept pairs, and a
+    time-banded pre-join (L9's banding on floor(ts/tol)) is the
+    drop-in candidate generator when buckets alone are too wide."""
+    t = load_tables(spark, sf_dir, "events", "orders")
+    ev = (
+        t["events"].where(F.col("event_id") < 40)
+        .select("event_id", "ts", (F.col("user_id") % 1000).alias("bucket"))
+    )
+    orders = t["orders"].select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_custkey") % 1000).alias("obucket"),
+    )
+    dist = F.abs(F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+    joined = ev.join(
+        orders,
+        (F.col("bucket") == F.col("obucket")) & (dist <= F.lit(_C13_TOL_US)),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        dist.asc_nulls_last(),
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id", "bucket",
+            F.col("o_orderkey").alias("near_orderkey"),
+            F.col("o_orderdate").alias("near_orderdate"),
+            dist.alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -85,6 +85,9 @@ _NUMERIC = [
     # J41 (r06): sort_array over query params IS the order-independence
     # mechanism inside the canonical key; integer group aggregates.
     "dedup_url_canonical",
+    # C13 (r06): arg-min row_number over (|Δt|, date, key) — the full
+    # tie order is the determinism mechanism; sweep pins it.
+    "join_asof_nearest",
 ]
 
 

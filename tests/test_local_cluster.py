@@ -38,6 +38,8 @@ _MATRIX = [
     "sim_join_threshold",    # Arrow kernel referencing module helpers
     "multimodal_decode",     # mapInPandas closure over package code
     "source_python_datasource",  # Python datasource class on executors
+    "dedup_cluster_cc",      # r06 two-phase CC: mapInPandas union-find
+                             # kernels + localCheckpoint blocks off-driver
 ]
 
 _SCRIPT = r"""
