@@ -101,10 +101,14 @@ BASELINE_MS = {
     "join_asof": 76.4,
 }
 
-# Iterative contracts run their driver-composed loop during plan BUILD
-# (CC label propagation), so the prepared-statement model above would time
-# only the final cached projection. These are timed end-to-end per rep:
-# fresh build + loop + materialize.
+# Iterative contracts run their driver-composed work during plan BUILD
+# (CC phase-1/phase-2 jobs), so the prepared-statement model above would
+# time only the final cached projection. These are timed end-to-end per
+# rep: fresh plan build + all jobs + materialize. Disclosed: build-side
+# slot caches (the jaccard posting list) persist ACROSS reps by design —
+# managed_persist returns the live cache for sameResult-identical plans —
+# so the number is warm-engine steady state, consistent with every other
+# row in this artifact; the first cold build is visible in the warm-up.
 ITERATIVE = [
     "dedup_cluster_cc",
 ]
