@@ -193,3 +193,91 @@ def test_funnel_rejects_out_of_order_clicks(spark, tmp_path):
         spark, str(tmp_path)).collect()[0]
     assert (r.n_view, r.n_click_after_view, r.n_purchase_after_click) \
         == (2, 1, 1)
+
+
+# --- r06 kernels: randomized cross-checks ------------------------------------
+
+def _ref_components(edges):
+    """Pure-Python reference union-find: node -> component min."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=40).map(
+        lambda es: [(a, b) for a, b in es if a != b]).filter(len)
+
+
+@given(edges=_edges)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_two_phase_cc_matches_reference_union_find(spark, edges):
+    """Random graphs (not just planted shapes): the distributed two-phase
+    CC must agree with a sequential union-find on every label — both
+    phase-2 finishes."""
+    from silvia_spark.functions.curation_extras import two_phase_components
+
+    want = _ref_components(edges)
+    df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    got = {r.doc_id: r.cluster_id
+           for r in two_phase_components(df).collect()}
+    assert got == want
+    got_fb = {r.doc_id: r.cluster_id
+              for r in two_phase_components(df, local_finish_max=0)
+              .collect()}
+    assert got_fb == want
+
+
+_ivals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2000),
+              st.integers(min_value=1, max_value=400)),
+    min_size=1, max_size=25)
+
+
+@given(a=_ivals, b=_ivals)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_banded_interval_overlap_matches_bruteforce(spark, a, b):
+    """Random interval sets: the L9 banding (replicate to spanned bands +
+    attribution-band emission) must equal the quadratic cross filter
+    exactly — no missed pair (band coverage), no double pair
+    (attribution uniqueness). Band width 100 is DELIBERATELY smaller
+    than the max interval length 400, so intervals span up to 5 bands
+    and the exactly-once argument is stressed where it is weakest."""
+    width = 100
+    aa = [(i, s, s + d) for i, (s, d) in enumerate(a)]
+    bb = [(i, s, s + d) for i, (s, d) in enumerate(b)]
+    want = sorted((ia, ib, min(ea, eb) - max(sa, sb))
+                  for ia, sa, ea in aa for ib, sb, eb in bb
+                  if sa <= eb and sb <= ea)
+    da = spark.createDataFrame(aa, "a_id BIGINT, sa BIGINT, ea BIGINT")
+    db = spark.createDataFrame(bb, "b_id BIGINT, sb BIGINT, eb BIGINT")
+    w = F.lit(width)
+    ab = da.withColumn("band", F.explode(
+        F.sequence(F.floor(F.col("sa") / w), F.floor(F.col("ea") / w))))
+    bbd = db.withColumn("band", F.explode(
+        F.sequence(F.floor(F.col("sb") / w), F.floor(F.col("eb") / w))))
+    sm = F.greatest("sa", "sb")
+    got = sorted(
+        (r.a_id, r.b_id, r.ov) for r in
+        ab.join(bbd, "band")
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+               & (F.col("band") == F.floor(sm / w)))
+        .select("a_id", "b_id", (F.least("ea", "eb") - sm).alias("ov"))
+        .collect())
+    assert got == want
