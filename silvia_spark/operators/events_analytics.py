@@ -330,3 +330,127 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("attributed"))
         .orderBy("touch_type")
     )
+
+
+# --- M21: UA / referer enrichment (the Snowplow enrichment shape) -------------
+
+# UA strings and referer URLs are planted deterministically from event_id
+# arithmetic; classification happens INDEPENDENTLY in each engine (Spark:
+# when/contains chains, DuckDB: CASE/LIKE), so the two orderings of the
+# classic UA pitfalls — Chrome UAs contain "Safari/", iPhone UAs contain
+# "like Mac OS X" — are pinned against each other.
+_M21_ORACLE = """
+WITH planted AS (
+  SELECT event_id, user_id,
+         CASE event_id % 4
+           WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) '
+                       || 'AppleWebKit/537.36 (KHTML, like Gecko) '
+                       || 'Chrome/120.0.0.0 Safari/537.36'
+           WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) '
+                       || 'AppleWebKit/605.1.15 (KHTML, like Gecko) '
+                       || 'Version/17.0 Safari/605.1.15'
+           WHEN 2 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like '
+                       || 'Mac OS X) AppleWebKit/605.1.15 (KHTML, like '
+                       || 'Gecko) Version/17.0 Mobile/15E148 Safari/604.1'
+           ELSE 'curl/8.4.0'
+         END AS ua,
+         CASE event_id % 5
+           WHEN 0 THEN 'https://www.google.com/search?q=x'
+           WHEN 1 THEN 'https://news.ycombinator.com/item?id=1'
+           WHEN 2 THEN 'https://example.com/internal/page'
+           WHEN 3 THEN ''
+           ELSE 'https://duckduckgo.com/?q=y'
+         END AS referer
+  FROM events
+),
+cls AS (
+  SELECT user_id,
+         CASE WHEN ua LIKE 'curl/%' THEN 'bot'
+              WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+              WHEN ua LIKE '%Safari/%' THEN 'safari'
+              ELSE 'other' END AS browser,
+         CASE WHEN ua LIKE '%iPhone OS%' THEN 'ios'
+              WHEN ua LIKE '%Mac OS X%' THEN 'macos'
+              WHEN ua LIKE '%Windows NT%' THEN 'windows'
+              ELSE 'other' END AS os,
+         CASE WHEN ua LIKE '%Mobile/%' THEN 'mobile'
+              ELSE 'desktop' END AS device,
+         CASE WHEN referer = '' THEN 'direct'
+              WHEN regexp_extract(referer, '^[a-z]+://([^/]+)', 1)
+                   = 'example.com' THEN 'internal'
+              WHEN regexp_extract(referer, '^[a-z]+://([^/]+)', 1)
+                   IN ('www.google.com', 'duckduckgo.com') THEN 'search'
+              ELSE 'referral' END AS referer_medium
+  FROM planted
+)
+SELECT browser, os, device, referer_medium,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM cls
+GROUP BY browser, os, device, referer_medium
+ORDER BY browser, os, device, referer_medium
+"""
+
+
+@contract("etl_ua_referer_enrich", oracle=_M21_ORACLE)
+def etl_ua_referer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent + referer enrichment — the Snowplow enrichment stage the
+    reference's event ETL runs before warehouse load: classify browser /
+    os / device from the UA string and the acquisition medium (direct /
+    internal / search / referral) from the referer host, then roll up
+    traffic by the enriched dimensions.
+
+    Classification order IS the semantics, and both engines encode it
+    independently: Chrome must be tested before Safari (every Chrome UA
+    carries 'Safari/537.36'), iOS before macOS (iPhone UAs carry 'like
+    Mac OS X'), bots first. Referer medium keys off the parsed host
+    (parse_url vs anchored regex) against a search-engine list, with
+    empty referer → direct and own-domain → internal. Everything is
+    when/contains codegen — zero Python, zero shuffle until the final
+    small groupBy; at 100 TB this is the canonical scan-rate map stage
+    ahead of a partitioned lake write (A6/A13)."""
+    ev = load_table(spark, sf_dir, "events")
+    m4, m5 = F.col("event_id") % 4, F.col("event_id") % 5
+    ua = (F.when(m4 == 0, F.lit(
+              "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+              "AppleWebKit/537.36 (KHTML, like Gecko) "
+              "Chrome/120.0.0.0 Safari/537.36"))
+          .when(m4 == 1, F.lit(
+              "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+              "AppleWebKit/605.1.15 (KHTML, like Gecko) "
+              "Version/17.0 Safari/605.1.15"))
+          .when(m4 == 2, F.lit(
+              "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+              "AppleWebKit/605.1.15 (KHTML, like Gecko) "
+              "Version/17.0 Mobile/15E148 Safari/604.1"))
+          .otherwise(F.lit("curl/8.4.0")))
+    referer = (F.when(m5 == 0, F.lit("https://www.google.com/search?q=x"))
+               .when(m5 == 1, F.lit("https://news.ycombinator.com/item?id=1"))
+               .when(m5 == 2, F.lit("https://example.com/internal/page"))
+               .when(m5 == 3, F.lit(""))
+               .otherwise(F.lit("https://duckduckgo.com/?q=y")))
+    p = ev.select("user_id", ua.alias("ua"), referer.alias("referer"))
+    browser = (F.when(F.col("ua").startswith("curl/"), "bot")
+               .when(F.col("ua").contains("Chrome/"), "chrome")
+               .when(F.col("ua").contains("Safari/"), "safari")
+               .otherwise("other"))
+    os_c = (F.when(F.col("ua").contains("iPhone OS"), "ios")
+            .when(F.col("ua").contains("Mac OS X"), "macos")
+            .when(F.col("ua").contains("Windows NT"), "windows")
+            .otherwise("other"))
+    device = (F.when(F.col("ua").contains("Mobile/"), "mobile")
+              .otherwise("desktop"))
+    host = F.parse_url("referer", F.lit("HOST"))
+    medium = (F.when(F.col("referer") == "", "direct")
+              .when(host == "example.com", "internal")
+              .when(host.isin("www.google.com", "duckduckgo.com"), "search")
+              .otherwise("referral"))
+    return (
+        p.select(browser.alias("browser"), os_c.alias("os"),
+                 device.alias("device"), medium.alias("referer_medium"),
+                 "user_id")
+        .groupBy("browser", "os", "device", "referer_medium")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("browser", "os", "device", "referer_medium")
+    )

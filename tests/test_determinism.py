@@ -88,6 +88,9 @@ _NUMERIC = [
     # C13 (r06): arg-min row_number over (|Δt|, date, key) — the full
     # tie order is the determinism mechanism; sweep pins it.
     "join_asof_nearest",
+    # M21 (r06): pure classification + integer group counts; the final
+    # 4-column sort is the ordering mechanism.
+    "etl_ua_referer_enrich",
 ]
 
 
