@@ -454,3 +454,96 @@ def etl_ua_referer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("browser", "os", "device", "referer_medium")
     )
+
+
+# --- M22: IP → geo range-lookup enrichment ------------------------------------
+
+# Deterministic plant: each event's "IP" is a Knuth multiplicative hash of
+# its user_id into the 32-bit space; the geo table is 32 arithmetic,
+# non-overlapping [start, end) ranges with real GAPS between them (about
+# 20% of the space is unmapped → 'unknown'), so the lookup exercises the
+# miss path, not just interval membership.
+_M22_BAND = 134_217_728  # 2^27: every geo range spans ≤ 2 bands
+
+_M22_ORACLE = f"""
+WITH ips AS (
+  SELECT event_id, user_id,
+         (user_id * 2654435761) % 4294967296 AS ip
+  FROM events
+),
+geo AS (
+  SELECT k * {_M22_BAND} + (k % 5) * 1000000 AS r_start,
+         k * {_M22_BAND} + (k % 5) * 1000000
+           + 100000000 + (k % 7) * 4000000 AS r_end,
+         'cc_' || CAST(k % 10 AS VARCHAR) AS country
+  FROM (SELECT unnest(generate_series(0, 31)) AS k)
+),
+looked AS (
+  SELECT i.event_id, i.user_id, g.country
+  FROM ips i LEFT JOIN geo g
+    ON i.ip >= g.r_start AND i.ip < g.r_end
+)
+SELECT coalesce(country, 'unknown') AS country,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM looked
+GROUP BY coalesce(country, 'unknown')
+ORDER BY country
+"""
+
+
+@contract("etl_ip_geo_range", oracle=_M22_ORACLE)
+def etl_ip_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP → geography enrichment — the range-table lookup of Snowplow's IP
+    enrichment: every event's 32-bit address resolves to the ONE geo
+    range containing it (or 'unknown' in the gaps), then traffic rolls up
+    per country.
+
+    Plain `ip BETWEEN start AND end` against a range table is a
+    nested-loop join. Here the geo table replicates each range to the ≤ 2
+    2^27-wide bands it spans (L9's decomposition), then pre-aggregates to
+    ONE row per band carrying its ranges as an array — so the lookup is a
+    BROADCAST hash join that emits exactly one row per event (no fan-out,
+    no collapse groupBy), and the containing range resolves inline with a
+    higher-order filter over the ≤ 2-element array. A MaxMind-scale
+    table is a few MB in this shape, the canonical broadcast dimension;
+    the event scan never shuffles until the final country rollup. Gap
+    addresses coalesce to 'unknown' instead of dropping — at 100 TB
+    silent row loss in an enrichment join is the classic accounting bug.
+    The geo dimension itself is BUILT from spark.range arithmetic
+    (DuckDB: generate_series), so both engines derive identical tables
+    with no fixture file."""
+    ev = load_table(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id", "user_id",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("ip"))
+    k = F.col("id")
+    start = k * _M22_BAND + (k % 5) * 1000000
+    geo = spark.range(32).select(
+        start.alias("r_start"),
+        (start + 100000000 + (k % 7) * 4000000).alias("r_end"),
+        F.concat(F.lit("cc_"), (k % 10).cast("string")).alias("country"))
+    geo_band = (geo.withColumn(
+        "band", F.explode(F.sequence(
+            F.floor(F.col("r_start") / F.lit(_M22_BAND)),
+            F.floor((F.col("r_end") - 1) / F.lit(_M22_BAND)))))
+        .groupBy("band")
+        .agg(F.collect_list(
+            F.struct("r_start", "r_end", "country")).alias("ranges")))
+    ip = F.col("ip")
+    hit = F.filter("ranges", lambda r: (ip >= r["r_start"])
+                   & (ip < r["r_end"]))
+    # try_element_at: a gap address yields an EMPTY filtered array (ANSI
+    # element_at throws on it), and a band with no ranges at all yields a
+    # NULL array from the left join — both must read as 'unknown'.
+    country = F.coalesce(F.try_element_at(hit, F.lit(1))["country"],
+                         F.lit("unknown"))
+    return (
+        ips.withColumn("band", F.floor(ip / F.lit(_M22_BAND)))
+        .join(F.broadcast(geo_band), "band", "left")
+        .select(country.alias("country"), "user_id")
+        .groupBy("country")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("country")
+    )

@@ -91,6 +91,10 @@ _NUMERIC = [
     # M21 (r06): pure classification + integer group counts; the final
     # 4-column sort is the ordering mechanism.
     "etl_ua_referer_enrich",
+    # M22 (r06): disjoint ranges ⇒ the filtered array has ≤ 1 element,
+    # so collect_list's partition-order nondeterminism inside the band
+    # arrays cannot reach the output; integer group counts.
+    "etl_ip_geo_range",
 ]
 
 

@@ -285,3 +285,22 @@ def test_merge_keyed_prunes_untouched_partitions(spark):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
+
+
+def test_ip_geo_one_row_per_event_no_fanout(spark):
+    """M22: the band-array pre-aggregation means the broadcast join emits
+    exactly one row per event — no fan-out, no collapse pass. The plan
+    must show a broadcast hash join and ZERO nested loops; the shuffle
+    budget is exactly the rollup's: one 32-row geo-side build exchange,
+    the two-phase exact countDistinct pair on the event set, and the
+    output sort — 4 total, none of them a pre-aggregation collapse of a
+    fanned-out join."""
+    plan = _executed_plan(spark, "etl_ip_geo_range")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    shuffles = (plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning"))
+    assert shuffles <= 4, plan
+    # one row per event: no event_id-keyed exchange anywhere (a fan-out
+    # collapse would have to re-shuffle on the event key)
+    assert "hashpartitioning(event_id" not in plan, plan
