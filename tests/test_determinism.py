@@ -99,6 +99,14 @@ _NUMERIC = [
 
 
 def _fingerprint(name, spark, partitions: int):
+    # Drop slot caches first: managed_persist returns the LIVE cache for
+    # sameResult-identical plans (r06), so without this the second
+    # fingerprint would read build-side blocks MATERIALIZED UNDER THE
+    # FIRST partitioning — exactly the recompute this sweep exists to
+    # exercise for the jaccard/LSH-family contracts.
+    from silvia_spark.io import clear_caches
+
+    clear_caches()
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         cols, rows = parity.run_spark(
