@@ -547,3 +547,91 @@ def etl_ip_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("country")
     )
+
+
+# --- M23: currency-conversion enrichment --------------------------------------
+
+# The rate table is DENSE — one row per (currency, 10-day period) spanning
+# the full order-date range — which is what makes the lookup an EQUI join
+# on the period key instead of an as-of fan-out: each order matches
+# exactly one rate row. Sparse/event-driven rate feeds are C9/C13's
+# as-of territory; densifying the feed (forward-fill to periods) is the
+# standard preprocessing that buys this join shape at scale.
+_M23_EPOCH = "1992-01-01"
+_M23_STEP_DAYS = 10
+_M23_PERIODS = 400          # 400 × 10 d ≈ 11 y ≥ the corpus date span
+_M23_CURRENCIES = 4
+
+_M23_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         CASE o_orderkey % 4 WHEN 0 THEN 'usd' WHEN 1 THEN 'eur'
+                             WHEN 2 THEN 'gbp' ELSE 'jpy' END AS currency,
+         date_diff('day', DATE '{_M23_EPOCH}',
+                   CAST(o_orderdate AS DATE)) // {_M23_STEP_DAYS} AS period
+  FROM orders
+),
+rates AS (
+  SELECT k % {_M23_PERIODS} AS period,
+         CASE k // {_M23_PERIODS} WHEN 0 THEN 'usd' WHEN 1 THEN 'eur'
+                                  WHEN 2 THEN 'gbp' ELSE 'jpy' END
+           AS currency,
+         1.0 + CAST((k * 7) % 50 AS DOUBLE) / 100.0 AS rate
+  FROM (SELECT unnest(generate_series(0, {_M23_PERIODS * _M23_CURRENCIES
+                                          - 1})) AS k)
+)
+SELECT o.currency, count(*) AS n_orders,
+       (sum(CAST(round(o.o_totalprice * r.rate * 1000000) AS BIGINT))
+        / 1000000.0) AS base_total
+FROM o JOIN rates r ON o.currency = r.currency AND o.period = r.period
+GROUP BY o.currency
+ORDER BY o.currency
+"""
+
+
+@contract("etl_currency_convert", oracle=_M23_ORACLE)
+def etl_currency_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency-conversion enrichment — the last of the Snowplow
+    enrichment shapes (UA M21, referer M21, IP-geo M22, currency here):
+    every order's total converts to the base currency at the rate in
+    force on its date, then revenue rolls up per source currency.
+
+    The rate dimension is DENSE (one row per currency per 10-day
+    period), so the temporal lookup is a plain broadcast EQUI join on
+    (currency, period) — exactly one rate row per order, no as-of
+    fan-out, no window pass, and the fact scan never shuffles before
+    the rollup. That density is a design choice, not luck: production
+    rate feeds are forward-filled to a period grid precisely to buy
+    this join shape; a sparse feed falls back to C9's as-of
+    composition. INNER join is safe (the grid covers the full date
+    span — a gap would silently drop orders, which is why the period
+    table is sized off the corpus range with headroom). Conversion
+    sums use the 1e-6 BIGINT grid; the rate table derives from range
+    arithmetic identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cur = (F.when(F.col("o_orderkey") % 4 == 0, "usd")
+           .when(F.col("o_orderkey") % 4 == 1, "eur")
+           .when(F.col("o_orderkey") % 4 == 2, "gbp")
+           .otherwise("jpy"))
+    period = F.floor(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit(_M23_EPOCH).cast("date"))
+        / _M23_STEP_DAYS)
+    facts = o.select(cur.alias("currency"), period.alias("period"),
+                     "o_totalprice")
+    k = F.col("id")
+    kc = (k / _M23_PERIODS).cast("bigint")
+    rates = spark.range(_M23_PERIODS * _M23_CURRENCIES).select(
+        (k % _M23_PERIODS).alias("period"),
+        (F.when(kc == 0, "usd").when(kc == 1, "eur")
+         .when(kc == 2, "gbp").otherwise("jpy")).alias("currency"),
+        (1.0 + ((k * 7) % 50).cast("double") / 100.0).alias("rate"))
+    converted = facts.join(F.broadcast(rates), ["currency", "period"])
+    grid = F.sum(F.round(F.col("o_totalprice") * F.col("rate")
+                         * 1000000).cast("bigint"))
+    return (
+        converted.groupBy("currency")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             (grid / 1000000.0).alias("base_total"))
+        .orderBy("currency")
+    )

@@ -95,6 +95,10 @@ _NUMERIC = [
     # so collect_list's partition-order nondeterminism inside the band
     # arrays cannot reach the output; integer group counts.
     "etl_ip_geo_range",
+    # M23 (r06): 1e-6 BIGINT grid sum of converted totals — the
+    # integer-commutativity discipline; one rate row per order by
+    # construction (dense period grid).
+    "etl_currency_convert",
 ]
 
 
