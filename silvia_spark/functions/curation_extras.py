@@ -85,19 +85,13 @@ def _uf_find(parent: dict, x):
     return root
 
 
-def _star_edges(batches):
-    """mapInPandas kernel: partition-LOCAL union-find over the edges that
-    landed here, emitting one star edge (member, local_root) per non-root
-    node. Union-by-min keeps every local root the minimum doc_id of its
-    local component, so labels only ever move toward the global minimum.
-    Contracting each partition's components to stars preserves global
-    connectivity (a star path exists wherever an edge path did), while
-    cutting the edge volume to ≤ one edge per node and the intra-partition
-    diameter to ≤ 2 — the classic two-phase MapReduce-CC reduction. Holds
-    one partition's edge ENDPOINT SET in a Python dict: at 100 TB, size
-    the upstream repartition so a partition's distinct ids fit an executor
-    (ids are 8 B; 10⁸ ids ≈ few GB — generous headroom at default splits).
-    """
+def _uf_absorb(batches) -> dict:
+    """Shared edge-absorption loop for both UF kernels: seed parents and
+    union-by-min every (doc_a, doc_b) across the pandas batches. ONE
+    definition so the union discipline (min-id roots — the invariant that
+    makes local roots component minima) cannot diverge between the
+    phase-1 contraction and the phase-2 finish. Self-loops seed their
+    node but union nothing."""
     parent: dict = {}
     for pdf in batches:
         for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
@@ -111,14 +105,31 @@ def _star_edges(batches):
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-    out_a, out_b = [], []
-    for n in parent:
-        r = _uf_find(parent, n)
-        if r != n:
-            out_a.append(n)
-            out_b.append(r)
-    if out_a:
-        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    return parent
+
+
+def _star_edges(batches):
+    """mapInPandas kernel: partition-LOCAL union-find over the edges that
+    landed here, emitting EXACTLY ONE star edge (node, local_root) per
+    node — roots emit their own (r, r) self-edge, so a node whose only
+    incident pair is a self-loop still reaches phase 2 (min_label parity:
+    it must come back labeled with itself, not vanish). Union-by-min
+    keeps every local root the minimum doc_id of its local component, so
+    labels only ever move toward the global minimum. Contracting each
+    partition's components to stars preserves global connectivity (a
+    star path exists wherever an edge path did), while cutting the edge
+    volume to ≤ one edge per node and the intra-partition diameter to
+    ≤ 2 — the classic two-phase MapReduce-CC reduction. Holds one
+    partition's edge ENDPOINT SET in a Python dict: at 100 TB, size the
+    upstream repartition so a partition's distinct ids fit an executor
+    (ids are 8 B; 10⁸ ids ≈ few GB — generous headroom at default
+    splits)."""
+    parent = _uf_absorb(batches)
+    if parent:
+        nodes = list(parent)
+        yield pd.DataFrame({
+            "doc_a": nodes,
+            "doc_b": [_uf_find(parent, n) for n in nodes]})
 
 
 def _finish_uf(batches):
@@ -126,19 +137,7 @@ def _finish_uf(batches):
     graph: exact union-find to the global fixpoint, emitting every node's
     (doc_id, cluster_id=component min, cluster_size). Only ever run when
     the reduced graph passed the size guard, so the dict is bounded."""
-    parent: dict = {}
-    for pdf in batches:
-        for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = _uf_find(parent, a), _uf_find(parent, b)
-            if ra != rb:
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
+    parent = _uf_absorb(batches)
     roots = {n: _uf_find(parent, n) for n in parent}
     sizes: dict = {}
     for r in roots.values():

@@ -157,13 +157,34 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _verify_candidates(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact-cosine verify tail for the whole LSH family: score
+    each candidate (vec_a, vec_b) pair against the raw embeddings, keep
+    cosine ≥ 0.4, round for output, order. ONE definition so the
+    threshold/rounding contract cannot diverge between the base and
+    multiprobe variants (their outputs are asserted set-equal in
+    tests/test_properties.py)."""
+    from silvia_spark.functions.llm_ops import cosine
+
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b", c.alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @contract("sim_ann_lsh", oracle=_ANN_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH similarity self-join at cosine ≥ 0.4 — the 100-TB
     path for J4 (llm_ops.sim_join_threshold). Same output contract and the
     exact all-pairs oracle; only same-(table, bucket) pairs are scored."""
-    from silvia_spark.functions.llm_ops import cosine
-
     e = load_table(spark, sf_dir, "embeddings")
     # Persist the tiny (n·T)-row bucket table so the self-join's two
     # sides read one computed copy — without it Spark plans the whole GEMM
@@ -184,16 +205,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(a, "vec_a").join(b, "vec_b")
-        .select("vec_a", "vec_b", c.alias("cos_raw"))
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return _verify_candidates(e, cand)
 
 
 # --- multiprobe variant: fewer tables, one extra probe per table --------------
@@ -246,8 +258,6 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs oracle as the base contract: green hash ⇒ recall 1 on
     this corpus at 2.7× less work. Deterministic end-to-end: quantized
     integer dots + lexicographic weakest-bit tiebreak."""
-    from silvia_spark.functions.llm_ops import cosine
-
     e = load_table(spark, sf_dir, "embeddings")
     buckets = managed_persist(
         cap_buckets(bucket_keys_multiprobe(spark, e), _ANN_BUCKET_CAP),
@@ -277,18 +287,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("vec_l", "vec_r").alias("vec_b"))
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(a, "vec_a").join(b, "vec_b")
-        .select("vec_a", "vec_b", c.alias("cos_raw"))
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return _verify_candidates(e, cand)
 
 
 # --- multiprobe-2 variant: the probe-count knob turned to 2 bits --------------
@@ -358,8 +357,6 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     own cap pass (never capped together with base rows), bounding every
     bucket's probe rows at 2·cap and candidates at 2·cap² even on a
     corpus that focuses many vectors' flips onto one hot key."""
-    from silvia_spark.functions.llm_ops import cosine
-
     e = load_table(spark, sf_dir, "embeddings")
     buckets = managed_persist(
         cap_buckets(bucket_keys_multiprobe2(spark, e), _ANN_BUCKET_CAP),
@@ -381,15 +378,4 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("vec_l", "vec_r").alias("vec_b"))
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(a, "vec_a").join(b, "vec_b")
-        .select("vec_a", "vec_b", c.alias("cos_raw"))
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return _verify_candidates(e, cand)

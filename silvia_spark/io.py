@@ -121,24 +121,31 @@ def managed_persist(df: DataFrame, slot: str) -> DataFrame:
     new threshold — anything that changes the analyzed tree)."""
     from pyspark import StorageLevel
 
+    # The whole read-compare-replace runs under ONE lock hold: releasing
+    # between the check and the pop would let a racing thread's
+    # freshly-installed cache be displaced-and-leaked (popped here while
+    # the local `prev` points at the already-freed older frame). The
+    # sameResult/persist Py4J calls are short driver-side round-trips, so
+    # holding the lock across them is cheap. A reader that grabbed the
+    # previous frame just before a different-plan replacement keeps a
+    # frame that was unpersisted under it — it still computes correctly
+    # (plain recompute), just without the cache.
     with _LIVE_CACHES_LOCK:
         prev = _LIVE_CACHES.get(slot)
+        if prev is not None:
+            try:
+                if (df._jdf.queryExecution().analyzed()
+                        .sameResult(prev._jdf.queryExecution().analyzed())):
+                    return prev
+            except Exception:
+                pass  # Connect session / stopped session: fall through
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_CACHES[slot] = out
     if prev is not None:
-        try:
-            if (df._jdf.queryExecution().analyzed()
-                    .sameResult(prev._jdf.queryExecution().analyzed())):
-                return prev
-        except Exception:
-            pass  # Connect session / stopped session: fall through
-        with _LIVE_CACHES_LOCK:
-            _LIVE_CACHES.pop(slot, None)
         try:
             prev.unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    with _LIVE_CACHES_LOCK:
-        _LIVE_CACHES[slot] = out
     return out
 
 

@@ -173,3 +173,14 @@ def test_two_phase_cluster_sizes(spark):
 
 def test_two_phase_empty_pairs(spark):
     assert _two_phase(spark, []) == {}
+
+
+def test_two_phase_keeps_self_loop_only_nodes(spark):
+    """A node whose ONLY incident pair is a self-loop must come back
+    labeled with itself (min_label parity) — phase 1's root self-edges
+    are what carry it into the reduced graph."""
+    edges = [(7, 7), (1, 2)]
+    want = {7: 7, 1: 1, 2: 1}
+    assert _two_phase(spark, edges) == want
+    assert _two_phase(spark, edges, local_finish_max=0) == want
+    assert _clusters(spark, edges) == want  # the contract both paths match
