@@ -703,3 +703,72 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.try_variant_get(v, "$.nope", "string").alias("missing"))
         .orderBy("event_id")
     )
+
+
+# --- H19: collation-aware comparison / grouping -------------------------------
+
+# Mixed-case variants are PLANTED (each base word appears in three case
+# styles), so the collated groupBy has real folding work. The group
+# REPRESENTATIVE under a case-insensitive collation is tie-broken
+# nondeterministically by both engines, so the output exposes only
+# determinate values: the BINARY min of the raw members, the member
+# count, and the binary-distinct variant count.
+_H19_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN base
+           WHEN 1 THEN upper(base)
+           ELSE upper(substr(base, 1, 1)) || substr(base, 2)
+         END AS s
+  FROM (
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                           WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta'
+                           ELSE 'epsilon' END AS base
+    FROM documents
+  )
+)
+SELECT min(s) AS repr,
+       count(*) AS members,
+       count(DISTINCT s) AS n_case_variants
+FROM planted
+GROUP BY s COLLATE NOCASE
+ORDER BY repr
+"""
+
+
+@contract("scalar_collation", oracle=_H19_ORACLE)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4's collation surface,
+    like H18 is its VARIANT surface): grouping under the UTF8_LCASE
+    collation folds case variants into one group WITHOUT rewriting the
+    data — the collation travels with the expression, so joins/sorts/
+    groupings downstream inherit it, where a lower() rewrite loses the
+    original strings. DuckDB runs the same fold through COLLATE NOCASE —
+    two independent collation implementations pinned to one grouping.
+    The contract deliberately outputs only determinate values (binary
+    min representative, member count, binary-distinct variant count):
+    the collated group's representative string is tie-broken by
+    first-arrival in BOTH engines, the classic nondeterminism trap this
+    contract documents. Zero shuffle before the 5-group aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (F.when(F.col("doc_id") % 5 == 0, "alpha")
+            .when(F.col("doc_id") % 5 == 1, "beta")
+            .when(F.col("doc_id") % 5 == 2, "gamma")
+            .when(F.col("doc_id") % 5 == 3, "delta")
+            .otherwise("epsilon"))
+    s = (F.when(F.col("doc_id") % 3 == 0, base)
+         .when(F.col("doc_id") % 3 == 1, F.upper(base))
+         .otherwise(F.initcap(base)))
+    return (
+        d.select(s.alias("s"))
+        .groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("sc"))
+        .agg(F.min(F.collate(F.col("s"), "UTF8_BINARY")).alias("repr"),
+             F.count(F.lit(1)).alias("members"),
+             F.countDistinct(
+                 F.collate(F.col("s"), "UTF8_BINARY"))
+             .alias("n_case_variants"))
+        .select("repr", "members", "n_case_variants")
+        .orderBy("repr")
+    )

@@ -57,24 +57,25 @@ _PRIORITY: tuple[str, ...] = (
     #    (sim_topk_cosine stayed code-identical in r06 — its floor fix
     #    landed in bench.py's artifact, so no head slot.) -------------------
     "dedup_cluster_cc", "scalar_variant",
-    # -- tier 0b: NEW in r06 (9 slots) — J40 2-bit multiprobe LSH, A13
+    # -- tier 0b: NEW in r06 (10 slots) — J40 2-bit multiprobe LSH, A13
     #    keyed MERGE sink, A14 SCD2 dimension apply, L9 interval-overlap
     #    band join, J41 URL-canonicalization dedup, C13 nearest as-of,
     #    M21 UA/referer + M22 IP→geo + M23 currency enrichments (the
-    #    complete Snowplow enrichment family). -----------------------------
+    #    complete Snowplow enrichment family), H19 collation. ---------------
     "sim_ann_lsh_multiprobe2", "sink_merge_keyed", "sink_merge_scd2",
     "join_interval_overlap", "dedup_url_canonical", "join_asof_nearest",
     "etl_ua_referer_enrich", "etl_ip_geo_range", "etl_currency_convert",
+    "scalar_collation",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: newest driver evidence is r01 (3 slots) ---------------------
     "window_moving_frame", "window_range_frame", "window_first_last",
     # -- tier 2: the whole r02-era block (42 slots; streaming twins first —
-    #    they share the session-conf pin). Tiers 0..2 = 47 + the 9 r06
-    #    contracts in tier 0b = 56: the LAST SIX tier-2 entries
-    #    (q18_large_orders, scalar_array, scalar_map, scalar_json,
-    #    scalar_cast, scalar_hash) roll past the 50-cut and lead r07's
-    #    head — the deliberate price of 9 new contracts this round. --------
+    #    they share the session-conf pin). Tiers 0..2 = 47 + the 10 r06
+    #    contracts in tier 0b = 57: the LAST SEVEN tier-2 entries
+    #    (q6_forecast_revenue, q18_large_orders, scalar_array, scalar_map,
+    #    scalar_json, scalar_cast, scalar_hash) roll past the 50-cut and
+    #    lead r07's head — the deliberate price of 10 new contracts. -------
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
     "stream_stream_join", "stream_foreachbatch_upsert",

@@ -99,6 +99,10 @@ _NUMERIC = [
     # integer-commutativity discipline; one rate row per order by
     # construction (dense period grid).
     "etl_currency_convert",
+    # H19 (r06): the collated group REPRESENTATIVE is first-arrival
+    # nondeterministic — the binary-min projection is the determinism
+    # mechanism, and this sweep is its proof obligation.
+    "scalar_collation",
 ]
 
 
