@@ -80,6 +80,16 @@ EXTENDED = [
     # r06 heavy addition: the 16-table 2-bit-probe LSH join (4x probe
     # fan-out over the smallest GEMM in the family).
     "sim_ann_lsh_multiprobe2",
+    # r06 joins/enrichments: the banded interval-overlap and nearest
+    # as-of joins, the URL canonicalizer, and the Snowplow enrichment
+    # family (UA/referer, IP-geo band-array broadcast, currency period
+    # join) — per-round visibility for the new join shapes.
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "dedup_url_canonical",
+    "etl_ua_referer_enrich",
+    "etl_ip_geo_range",
+    "etl_currency_convert",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's
