@@ -1,0 +1,108 @@
+"""silvia_spark public API — the composable, DataFrame-in/DataFrame-out
+surface for users bringing THEIR OWN tables.
+
+The repo has two API layers:
+
+1. **Contract queries** (``silvia_spark.registry.QUERIES``): one callable
+   per SURVEY.md §2 row, bound to the benchmark corpus layout
+   (``(spark, sf_dir) -> DataFrame``). These are the verified,
+   oracle-checked reference programs — read them as executable
+   documentation of each operator's intended plan shape.
+2. **This module**: the kernels those contracts are built FROM, importable
+   against arbitrary DataFrames. Everything here takes/returns ordinary
+   DataFrames or Column expressions, makes no assumption about the
+   benchmark corpus, and carries its scale posture in its own docstring.
+
+Composition sketches (each kernel's docstring has the details):
+
+    from silvia_spark import api
+
+    # near-duplicate clustering over any (doc_id, text) frame:
+    pairs = api.jaccard_pairs(docs, tau=0.8)         # candidate pairs
+    clusters = api.two_phase_components(pairs)       # (doc, cluster, size)
+
+    # ANN index over any (vec_id, embedding) frame:
+    buckets = api.cap_buckets(api.bucket_keys(spark, vecs), cap=100_000)
+    # ... equi-join buckets with itself, verify survivors with api.cosine
+
+    # training-data hygiene:
+    hits = api.contamination_scan(train_docs, eval_docs, n=5)
+    reps = api.repetition_stats(docs, n=2)
+    sample = api.reservoir_sample(df, "label", "doc_id", k=100)
+
+    # order-independent money/metric sums (cross-engine exact):
+    df.agg(api.dsum("revenue", "total_revenue"))
+
+    # streaming ingestion (file | rate | kafka) from config:
+    stream = api.source(spark, "kafka", subscribe="events",
+                        **{"kafka.bootstrap.servers": "broker:9092"})
+"""
+
+from __future__ import annotations
+
+# Session / IO -----------------------------------------------------------------
+from silvia_spark.session import configure_session, get_session
+from silvia_spark.io import (
+    clear_caches,
+    load_table,
+    load_tables,
+    managed_persist,
+)
+
+# Streaming source factory -----------------------------------------------------
+from silvia_spark.sources.factory import source
+
+# Dedup / clustering -----------------------------------------------------------
+from silvia_spark.functions.training_ops import jaccard_pairs
+from silvia_spark.functions.curation_extras import (
+    min_label_components,
+    two_phase_components,
+)
+
+# Similarity / ANN -------------------------------------------------------------
+from silvia_spark.functions.llm_ops import (
+    cosine,
+    cosine_expr,
+    dot64,
+    label_centroids,
+    norm64,
+)
+from silvia_spark.functions.llm_extras import (
+    bucket_keys,
+    bucket_keys_multiprobe,
+    bucket_keys_multiprobe2,
+    cap_buckets,
+)
+
+# Training-data pipeline kernels ----------------------------------------------
+from silvia_spark.functions.training_extras import (
+    chunk_windows,
+    contamination_scan,
+    knuth_draw,
+    quantize_int8,
+    repetition_stats,
+    reservoir_sample,
+    shingle_tokens,
+)
+
+# Cross-engine exact numerics --------------------------------------------------
+from silvia_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+
+__all__ = [
+    # session / io
+    "get_session", "configure_session",
+    "load_table", "load_tables", "managed_persist", "clear_caches",
+    # streaming
+    "source",
+    # dedup / clustering
+    "jaccard_pairs", "two_phase_components", "min_label_components",
+    # similarity / ANN
+    "cosine", "cosine_expr", "dot64", "norm64", "label_centroids",
+    "bucket_keys", "bucket_keys_multiprobe", "bucket_keys_multiprobe2",
+    "cap_buckets",
+    # training-data kernels
+    "shingle_tokens", "chunk_windows", "quantize_int8", "reservoir_sample",
+    "knuth_draw", "contamination_scan", "repetition_stats",
+    # numerics
+    "dsum", "davg", "sql_dsum", "sql_davg",
+]
