@@ -281,3 +281,24 @@ def test_banded_interval_overlap_matches_bruteforce(spark, a, b):
         .select("a_id", "b_id", (F.least("ea", "eb") - sm).alias("ov"))
         .collect())
     assert got == want
+
+
+def test_enrichment_family_conserves_rows(spark):
+    """M21/M22/M23 all enrich-then-rollup: the rollup's event/order totals
+    must equal the input cardinality exactly — a gap in the geo ranges,
+    the rate grid, or a classification chain would silently drop rows,
+    the accounting bug the docstrings warn about."""
+    from silvia_spark import registry
+    from silvia_spark.io import load_table
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    n_events = load_table(spark, sf, "events").count()
+    n_orders = load_table(spark, sf, "orders").count()
+    ua = registry.QUERIES["etl_ua_referer_enrich"](spark, sf).collect()
+    assert sum(r.n_events for r in ua) == n_events
+    geo = registry.QUERIES["etl_ip_geo_range"](spark, sf).collect()
+    assert sum(r.n_events for r in geo) == n_events
+    fx = registry.QUERIES["etl_currency_convert"](spark, sf).collect()
+    assert sum(r.n_orders for r in fx) == n_orders
+    # the geo plant's gaps must actually exercise the miss path
+    assert any(r.country == "unknown" for r in geo)
