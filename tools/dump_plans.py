@@ -228,6 +228,22 @@ AUDITED = [
      "16-table GEMM via the shared quantized-dots kernel; stack() fans "
      "each vector to its 3 flip probes on the probe side only; "
      "same-bucket equi-join, capped buckets."),
+    ("join_asof_nearest", ["Window", "HashJoin"],
+     "nearest-direction as-of: bucket equi-join with the tolerance "
+     "predicate bounding kept pairs, then the per-event arg-min window "
+     "(|dt|, date, key) — C9's one-shuffle-per-side shape."),
+    ("etl_ua_referer_enrich", ["HashAggregate"],
+     "UA/referer classification is pure when/contains codegen (no "
+     "Python eval node); the only exchanges belong to the final "
+     "4-dimension rollup with its distinct-user pair."),
+    ("etl_ip_geo_range", ["BroadcastHashJoin"],
+     "band-array broadcast lookup: one row per event out of the join "
+     "(no event_id exchange anywhere), higher-order filter resolves "
+     "the containing range inline; shuffles are the rollup's only."),
+    ("etl_currency_convert", ["BroadcastHashJoin", "HashAggregate"],
+     "dense (currency, period) rate grid broadcasts; the fact scan "
+     "flows straight into partial aggregation — no as-of window, no "
+     "fan-out."),
 ]
 
 
