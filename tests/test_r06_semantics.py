@@ -1,0 +1,96 @@
+"""Planted micro-cases for the r06 contracts — row-level semantics the
+corpus-wide hash can't localize when it breaks: MERGE row classes, SCD2
+version chains, nearest-as-of tie direction, and the classification
+ordering pitfalls."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_merge_semantics_row_classes(spark, tmp_path):
+    """A13's four row classes on a 5-row table: update applied, delete
+    gone, insert present, untouched rows byte-identical — and the
+    untouched PARTITION's files physically untouched."""
+    import os
+
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p1", 30.0),
+         (4, "p2", 40.0), (5, "p2", 50.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+    out = str(tmp_path / "t")
+    base.write.partitionBy("part").parquet(out)
+    p2_files = sorted(os.listdir(os.path.join(out, "part=p2")))
+
+    chg = spark.createDataFrame(
+        [(1, "p1", 11.0, "U"), (2, "p1", None, "D"), (9, "p1", 90.0, "I")],
+        "k BIGINT, part STRING, v DOUBLE, op STRING")
+    touched = [r[0] for r in chg.select("part").distinct().collect()]
+    cur = spark.read.parquet(out).where(F.col("part").isin(touched))
+    kept = cur.join(chg.select("k", "part"), ["k", "part"], "left_anti")
+    merged = kept.unionByName(chg.where(F.col("op") != "D")
+                              .select("k", "part", "v"))
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("part").parquet(out))
+
+    got = {(r.k, r.part): r.v for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "p1"): 11.0,            # updated
+                   (3, "p1"): 30.0,            # untouched same-partition
+                   (9, "p1"): 90.0,            # inserted
+                   (4, "p2"): 40.0, (5, "p2"): 50.0}  # untouched partition
+    assert (2, "p1") not in got                # deleted
+    assert sorted(os.listdir(os.path.join(out, "part=p2"))) == p2_files
+
+
+def test_scd2_version_chain_for_one_key(spark):
+    """A14: an updated key must show exactly the closed v1 (valid_to =
+    effective date, not current) and the open v2; an untouched key shows
+    one open version."""
+    from silvia_spark import registry
+    registry.load_all_modules()
+    rows = registry.QUERIES["sink_merge_scd2"](
+        spark, "/root/testdata/sf0.001").collect()
+    k13 = [r for r in rows if r.c_custkey == 13]   # 13 % 13 == 0: updated
+    assert len(k13) == 2
+    closed, fresh = sorted(k13, key=lambda r: str(r.valid_from))
+    assert str(closed.valid_to) == "1996-06-01" and not closed.is_current
+    assert fresh.valid_to is None and fresh.is_current
+    assert abs(fresh.c_acctbal - (closed.c_acctbal + 100.50)) < 1e-9
+    k14 = [r for r in rows if r.c_custkey == 14]   # untouched
+    assert len(k14) == 1 and k14[0].is_current and k14[0].valid_to is None
+
+
+def test_asof_nearest_prefers_earlier_on_equidistant_tie(spark):
+    """C13's tie rule on a planted frame: two candidates exactly ±1h from
+    the probe must resolve to the EARLIER one."""
+    ev = spark.createDataFrame([(1, 1000)], "event_id BIGINT, b BIGINT")
+    us = 3_600_000_000
+    probe_t = 10 * us
+    orders = spark.createDataFrame(
+        [(100, probe_t - us, 1000), (200, probe_t + us, 1000)],
+        "ok BIGINT, t BIGINT, b BIGINT")
+    from pyspark.sql.window import Window
+    dist = F.abs(F.lit(probe_t) - F.col("t"))
+    j = ev.join(orders, "b").withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("event_id")
+            .orderBy(dist.asc(), F.col("t").asc(), F.col("ok").asc())))
+    assert j.where("rn = 1").collect()[0].ok == 100
+
+
+def test_ua_classification_ordering_pitfalls(spark):
+    """M21: a Chrome UA (which contains 'Safari/') must classify chrome;
+    an iPhone UA (which contains 'like Mac OS X') must classify ios."""
+    from silvia_spark import registry
+    registry.load_all_modules()
+    rows = registry.QUERIES["etl_ua_referer_enrich"](
+        spark, "/root/testdata/sf0.001").collect()
+    combos = {(r.browser, r.os, r.device) for r in rows}
+    assert ("chrome", "windows", "desktop") in combos
+    assert ("safari", "ios", "mobile") in combos
+    assert ("safari", "macos", "desktop") in combos
+    assert ("bot", "other", "desktop") in combos
+    # the pitfalls: no Chrome UA leaked into safari/macos-as-windows rows
+    assert not any(b == "safari" and o == "windows" for b, o, _ in combos)
+    assert not any(b == "chrome" and o == "ios" for b, o, _ in combos)
