@@ -83,3 +83,34 @@ def test_reservoir_and_numeric_on_synthetic_frame(spark):
         {(r.grp, r.id) for r in samp.collect()}
     total = df.agg(api.dsum("v", "s")).collect()[0].s
     assert abs(total - 2 * sum(0.1 * i for i in range(20))) < 1e-9
+
+
+def test_chunking_and_quantization_on_synthetic_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id BIGINT, text STRING")
+    chunks = api.chunk_windows(docs, chunk=4, stride=3).collect()
+    assert [r.chunk_start for r in chunks] == [0, 3, 6, 9]
+    assert [r.chunk_tokens for r in chunks] == [4, 4, 4, 1]
+    vecs = spark.createDataFrame(
+        [(1, [1.27, -0.635, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = api.quantize_int8(vecs).collect()[0]
+    assert q.vec_id == 1  # scale = 1.27/127 = 0.01; codes 127, -64, 0
+
+
+def test_lsh_bucketing_on_synthetic_vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(6)]
+    rows.append((99, rows[0][1]))  # exact duplicate of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    b = api.cap_buckets(api.bucket_keys(spark, vecs), 100)
+    by_vec = {}
+    for r in b.collect():
+        by_vec.setdefault(r.vec_id, set()).add((r.table_id, r.bucket_key))
+    # identical vectors land in identical buckets in EVERY table
+    assert by_vec[0] == by_vec[99]
+    # every vector got one key per hash table
+    assert all(len(v) == len(by_vec[0]) for v in by_vec.values())
