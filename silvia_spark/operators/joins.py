@@ -468,6 +468,32 @@ ORDER BY event_id
 """
 
 
+def nearest_asof(left: DataFrame, right: DataFrame,
+                 on: tuple[str, str], ts_us: tuple[str, str],
+                 left_id: str, right_order: list[str],
+                 tol_us: int) -> DataFrame:
+    """Nearest-direction as-of kernel: per ``left`` row (identified by
+    ``left_id``), keep the ``right`` row with the same ``on`` key whose
+    ``ts_us`` µs timestamp is |Δt|-closest within ``tol_us`` — either
+    direction; rows with nothing in tolerance survive with NULLs (LEFT
+    semantics). Equidistant ties resolve by ascending ``right_order``
+    columns, making the winner fully deterministic. Adds ``dist_us``.
+    One shuffle per side on the key; per-left-row window sorts over the
+    tolerance-bounded candidates only."""
+    lk, rk = on
+    lt, rt = ts_us
+    dist = F.abs(F.col(lt) - F.col(rt))
+    joined = left.join(
+        right, (F.col(lk) == F.col(rk)) & (dist <= F.lit(tol_us)), "left")
+    w = Window.partitionBy(left_id).orderBy(
+        dist.asc_nulls_last(),
+        *[F.col(c).asc_nulls_last() for c in right_order])
+    return (joined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .withColumn("dist_us", dist)
+            .drop("__rn"))
+
+
 @contract("join_asof_nearest", oracle=_C13_ORACLE)
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join with tolerance — C9's missing sibling
@@ -489,32 +515,26 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events", "orders")
     ev = (
         t["events"].where(F.col("event_id") < 40)
-        .select("event_id", "ts", (F.col("user_id") % 1000).alias("bucket"))
+        .select("event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                (F.col("user_id") % 1000).alias("bucket"))
     )
     orders = t["orders"].select(
         "o_orderkey", "o_orderdate",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("ot_us"),
         (F.col("o_custkey") % 1000).alias("obucket"),
     )
-    dist = F.abs(F.unix_micros(F.col("ts").cast("timestamp"))
-                 - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-    joined = ev.join(
-        orders,
-        (F.col("bucket") == F.col("obucket")) & (dist <= F.lit(_C13_TOL_US)),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        dist.asc_nulls_last(),
-        F.col("o_orderdate").asc_nulls_last(),
-        F.col("o_orderkey").asc_nulls_last(),
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        nearest_asof(ev, orders, on=("bucket", "obucket"),
+                     ts_us=("t_us", "ot_us"), left_id="event_id",
+                     right_order=["o_orderdate", "o_orderkey"],
+                     tol_us=_C13_TOL_US)
         .select(
             "event_id", "bucket",
             F.col("o_orderkey").alias("near_orderkey"),
             F.col("o_orderdate").alias("near_orderdate"),
-            dist.alias("dist_us"),
+            "dist_us",
         )
         .orderBy("event_id")
     )

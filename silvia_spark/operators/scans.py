@@ -474,6 +474,31 @@ ORDER BY event_type
 """
 
 
+def merge_keyed(spark: SparkSession, path: str, changes: DataFrame,
+                keys: list[str], part_col: str) -> None:
+    """Apply an op-tagged change batch (U update / D delete / I insert —
+    non-D rows carry the full payload, column-compatible with the table
+    minus ``op``) to the partitioned parquet table at ``path`` via
+    touched-partition copy-on-write: collect the batch's distinct
+    partition values (one tiny driver action — the list every lake MERGE
+    engine derives first), scan the current table PRUNED to those
+    partitions, anti-join on the change keys, union the upsert payload
+    back in, and dynamic-overwrite only the touched partitions. Rewrite
+    cost ∝ touched partitions, never table size; a partition whose merge
+    result is EMPTY emits no rows and is left in place (full partition
+    deletes need an explicit metadata drop). ``keys`` must include
+    ``part_col`` so the anti-join cannot cross partitions."""
+    touched = sorted(
+        r[0] for r in changes.select(part_col).distinct().collect())
+    cur = spark.read.parquet(path).where(F.col(part_col).isin(touched))
+    kept = cur.join(changes.select(*keys), keys, "left_anti")
+    merged = kept.unionByName(
+        changes.where(F.col("op") != "D").drop("op"))
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(part_col).parquet(path))
+
+
 @contract("sink_merge_keyed", oracle=_A13_ORACLE)
 def sink_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed MERGE (CDC apply) into a partitioned parquet lake — the
@@ -523,18 +548,7 @@ def sink_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("value") + 1.5).alias("value"),
                    F.lit("I").alias("op")))
     chg = upd.unionByName(dele).unionByName(ins)
-
-    touched = sorted(r[0] for r in
-                     chg.select("event_type").distinct().collect())
-    cur = spark.read.parquet(out).where(F.col("event_type").isin(touched))
-    kept = cur.join(chg.select("event_id", "event_type"),
-                    ["event_id", "event_type"], "left_anti")
-    merged = kept.unionByName(
-        chg.where(F.col("op") != "D")
-        .select("event_id", "event_type", "value"))
-    (merged.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("event_type").parquet(out))
+    merge_keyed(spark, out, chg, ["event_id", "event_type"], "event_type")
 
     from silvia_spark.functions.numeric import dsum
     back = spark.read.parquet(out)

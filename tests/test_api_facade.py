@@ -89,14 +89,22 @@ def test_chunking_and_quantization_on_synthetic_frames(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(10)))],
         "doc_id BIGINT, text STRING")
-    chunks = api.chunk_windows(docs, chunk=4, stride=3).collect()
+    # sort before asserting: the facade kernel returns an UNORDERED frame
+    # (ordering belongs to the contract wrapper's orderBy)
+    chunks = sorted(api.chunk_windows(docs, chunk=4, stride=3).collect(),
+                    key=lambda r: r.chunk_start)
     assert [r.chunk_start for r in chunks] == [0, 3, 6, 9]
     assert [r.chunk_tokens for r in chunks] == [4, 4, 4, 1]
+    # -0.633 (not a half-tie multiple of the 0.01 scale grid, which
+    # would be FP-fragile): scale = 1.27/127 = 0.01, codes 127/-63/0,
+    # position-weighted checksum 127*1 + (-63)*2 + 0*3 = 1
     vecs = spark.createDataFrame(
-        [(1, [1.27, -0.635, 0.0])],
+        [(1, [1.27, -0.633, 0.0])],
         "vec_id BIGINT, embedding ARRAY<DOUBLE>")
     q = api.quantize_int8(vecs).collect()[0]
-    assert q.vec_id == 1  # scale = 1.27/127 = 0.01; codes 127, -64, 0
+    assert q.vec_id == 1 and q.n_dims == 3
+    assert abs(q.scale - 0.01) < 1e-12
+    assert q.checksum == 1
 
 
 def test_lsh_bucketing_on_synthetic_vectors(spark):

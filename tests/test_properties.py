@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from silvia_spark.functions.training_extras import chunk_windows
+from tests.conftest import SF_SMALL
 
 _SETTINGS = dict(max_examples=8, deadline=None,
                  suppress_health_check=[HealthCheck.too_slow])
@@ -87,7 +88,7 @@ def test_funnel_stages_monotone(spark):
     from silvia_spark import registry
     registry.load_all_modules()
     r = registry.QUERIES["events_funnel_conversion"](
-        spark, "/root/testdata/sf0.001").collect()[0]
+        spark, SF_SMALL).collect()[0]
     assert r.n_view >= r.n_click_after_view >= r.n_purchase_after_click
     assert r.n_view > 0
 
@@ -99,8 +100,8 @@ def test_attribution_bounded_by_purchases(spark):
     from silvia_spark.io import load_table
     registry.load_all_modules()
     rows = registry.QUERIES["events_attribution_touch"](
-        spark, "/root/testdata/sf0.001").collect()
-    purchases = (load_table(spark, "/root/testdata/sf0.001", "events")
+        spark, SF_SMALL).collect()
+    purchases = (load_table(spark, SF_SMALL, "events")
                  .where(F.col("event_type") == "purchase").count())
     assert sum(r.attributed for r in rows) <= purchases
     assert all(r.touch_type != "purchase" for r in rows)
@@ -135,7 +136,7 @@ def test_norm_stats_bounds(spark):
     from silvia_spark import registry
     from silvia_spark.io import load_table
     registry.load_all_modules()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     rows = registry.QUERIES["embed_norm_stats"](spark, sf).collect()
     labels = {r.label for r in
               load_table(spark, sf, "embeddings").select("label")
@@ -152,7 +153,7 @@ def test_multiprobe_equals_base_lsh_output(spark):
     multiprobe variant to the 64-table base beyond the shared oracle."""
     from silvia_spark import registry
     registry.load_all_modules()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     base = {(r.vec_a, r.vec_b, r.cos_sim) for r in
             registry.QUERIES["sim_ann_lsh"](spark, sf).collect()}
     multi = {(r.vec_a, r.vec_b, r.cos_sim) for r in
@@ -291,7 +292,7 @@ def test_enrichment_family_conserves_rows(spark):
     from silvia_spark import registry
     from silvia_spark.io import load_table
     registry.load_all_modules()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     n_events = load_table(spark, sf, "events").count()
     n_orders = load_table(spark, sf, "orders").count()
     ua = registry.QUERIES["etl_ua_referer_enrich"](spark, sf).collect()

@@ -1,18 +1,26 @@
 """Planted micro-cases for the r06 contracts — row-level semantics the
 corpus-wide hash can't localize when it breaks: MERGE row classes, SCD2
 version chains, nearest-as-of tie direction, and the classification
-ordering pitfalls."""
+ordering pitfalls. The merge and as-of cases drive the REAL kernels the
+contracts are built from (merge_keyed, nearest_asof), so a semantics
+regression in the shipped code fails here even if the contract's oracle
+is edited in tandem."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
+
 
 def test_merge_semantics_row_classes(spark, tmp_path):
-    """A13's four row classes on a 5-row table: update applied, delete
-    gone, insert present, untouched rows byte-identical — and the
-    untouched PARTITION's files physically untouched."""
+    """A13's four row classes on a 5-row table through the REAL
+    merge_keyed kernel: update applied, delete gone, insert present,
+    untouched rows intact — and the untouched PARTITION's files
+    physically untouched."""
     import os
+
+    from silvia_spark.operators.scans import merge_keyed
 
     base = spark.createDataFrame(
         [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p1", 30.0),
@@ -25,14 +33,7 @@ def test_merge_semantics_row_classes(spark, tmp_path):
     chg = spark.createDataFrame(
         [(1, "p1", 11.0, "U"), (2, "p1", None, "D"), (9, "p1", 90.0, "I")],
         "k BIGINT, part STRING, v DOUBLE, op STRING")
-    touched = [r[0] for r in chg.select("part").distinct().collect()]
-    cur = spark.read.parquet(out).where(F.col("part").isin(touched))
-    kept = cur.join(chg.select("k", "part"), ["k", "part"], "left_anti")
-    merged = kept.unionByName(chg.where(F.col("op") != "D")
-                              .select("k", "part", "v"))
-    (merged.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("part").parquet(out))
+    merge_keyed(spark, out, chg, ["k", "part"], "part")
 
     got = {(r.k, r.part): r.v for r in spark.read.parquet(out).collect()}
     assert got == {(1, "p1"): 11.0,            # updated
@@ -49,8 +50,7 @@ def test_scd2_version_chain_for_one_key(spark):
     one open version."""
     from silvia_spark import registry
     registry.load_all_modules()
-    rows = registry.QUERIES["sink_merge_scd2"](
-        spark, "/root/testdata/sf0.001").collect()
+    rows = registry.QUERIES["sink_merge_scd2"](spark, SF_SMALL).collect()
     k13 = [r for r in rows if r.c_custkey == 13]   # 13 % 13 == 0: updated
     assert len(k13) == 2
     closed, fresh = sorted(k13, key=lambda r: str(r.valid_from))
@@ -61,22 +61,25 @@ def test_scd2_version_chain_for_one_key(spark):
     assert len(k14) == 1 and k14[0].is_current and k14[0].valid_to is None
 
 
-def test_asof_nearest_prefers_earlier_on_equidistant_tie(spark):
-    """C13's tie rule on a planted frame: two candidates exactly ±1h from
-    the probe must resolve to the EARLIER one."""
-    ev = spark.createDataFrame([(1, 1000)], "event_id BIGINT, b BIGINT")
+def test_nearest_asof_kernel_tie_and_tolerance(spark):
+    """C13's REAL kernel on planted frames: equidistant candidates
+    (±1h from the probe) resolve to the EARLIER one; a probe with
+    nothing inside the tolerance survives with NULLs."""
+    from silvia_spark.operators.joins import nearest_asof
+
     us = 3_600_000_000
-    probe_t = 10 * us
-    orders = spark.createDataFrame(
-        [(100, probe_t - us, 1000), (200, probe_t + us, 1000)],
-        "ok BIGINT, t BIGINT, b BIGINT")
-    from pyspark.sql.window import Window
-    dist = F.abs(F.lit(probe_t) - F.col("t"))
-    j = ev.join(orders, "b").withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("event_id")
-            .orderBy(dist.asc(), F.col("t").asc(), F.col("ok").asc())))
-    assert j.where("rn = 1").collect()[0].ok == 100
+    left = spark.createDataFrame(
+        [(1, 10 * us, 7), (2, 50 * us, 7)],
+        "eid BIGINT, t BIGINT, b BIGINT")
+    right = spark.createDataFrame(
+        [(100, 9 * us, 7), (200, 11 * us, 7), (300, 20 * us, 7)],
+        "ok BIGINT, ot BIGINT, ob BIGINT")
+    out = {r.eid: (r.ok, r.dist_us) for r in
+           nearest_asof(left, right, on=("b", "ob"), ts_us=("t", "ot"),
+                        left_id="eid", right_order=["ot", "ok"],
+                        tol_us=2 * us).collect()}
+    assert out[1] == (100, us)        # tie 9h vs 11h → EARLIER (100)
+    assert out[2] == (None, None)     # nothing within ±2h of 50h
 
 
 def test_ua_classification_ordering_pitfalls(spark):
@@ -85,7 +88,7 @@ def test_ua_classification_ordering_pitfalls(spark):
     from silvia_spark import registry
     registry.load_all_modules()
     rows = registry.QUERIES["etl_ua_referer_enrich"](
-        spark, "/root/testdata/sf0.001").collect()
+        spark, SF_SMALL).collect()
     combos = {(r.browser, r.os, r.device) for r in rows}
     assert ("chrome", "windows", "desktop") in combos
     assert ("safari", "ios", "mobile") in combos
