@@ -25,6 +25,15 @@ Composition sketches (each kernel's docstring has the details):
     buckets = api.cap_buckets(api.bucket_keys(spark, vecs), cap=100_000)
     # ... equi-join buckets with itself, verify survivors with api.cosine
 
+    # CDC MERGE into a partitioned parquet lake table (U/D/I batch):
+    api.merge_keyed(spark, "/lake/events", changes,
+                    keys=["event_id", "event_type"], part_col="event_type")
+
+    # nearest-direction as-of (either side of the probe, within tolerance):
+    joined = api.nearest_asof(probes, quotes, on=("sym", "qsym"),
+                              ts_us=("t", "qt"), left_id="probe_id",
+                              right_order=["qt", "qid"], tol_us=5_000_000)
+
     # training-data hygiene:
     hits = api.contamination_scan(train_docs, eval_docs, n=5)
     reps = api.repetition_stats(docs, n=2)
@@ -51,6 +60,10 @@ from silvia_spark.io import (
 
 # Streaming source factory -----------------------------------------------------
 from silvia_spark.sources.factory import source
+
+# Lake sinks / temporal joins --------------------------------------------------
+from silvia_spark.operators.scans import merge_keyed
+from silvia_spark.operators.joins import nearest_asof
 
 # Dedup / clustering -----------------------------------------------------------
 from silvia_spark.functions.training_ops import jaccard_pairs
@@ -94,6 +107,8 @@ __all__ = [
     "load_table", "load_tables", "managed_persist", "clear_caches",
     # streaming
     "source",
+    # lake sinks / temporal joins
+    "merge_keyed", "nearest_asof",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN
