@@ -150,10 +150,14 @@ def _finish_uf(batches):
             "cluster_size": [sizes[roots[n]] for n in nodes]})
 
 
-# Star-edge count below which the reduced graph finishes in ONE task
-# (≈ 80 MB of pandas at 5M 16-byte edges — comfortable executor headroom).
-# Above it, the proven-convergent propagation loop takes over.
-_CC_LOCAL_FINISH_MAX = 5_000_000
+# Star-edge count below which the reduced graph finishes in ONE task.
+# The binding cost is NOT the 16-byte-edge arrow batch (~16 MB at 1M) but
+# _finish_uf's Python dicts — parent + roots + sizes over boxed ints run
+# ~100-200 bytes/node with dict overhead, so 1M edges ≈ a few hundred MB
+# peak in one task: safe on a default 4-8 GB executor, where the old 5M
+# default could OOM right at the guard boundary. Above it, the
+# proven-convergent distributed propagation loop takes over.
+_CC_LOCAL_FINISH_MAX = 1_000_000
 
 
 def two_phase_components(pairs: DataFrame,

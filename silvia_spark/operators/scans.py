@@ -10,7 +10,9 @@ filter-relevant key so dynamic partition pruning applies downstream).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -483,20 +485,51 @@ def merge_keyed(spark: SparkSession, path: str, changes: DataFrame,
     partition values (one tiny driver action — the list every lake MERGE
     engine derives first), scan the current table PRUNED to those
     partitions, anti-join on the change keys, union the upsert payload
-    back in, and dynamic-overwrite only the touched partitions. Rewrite
-    cost ∝ touched partitions, never table size; a partition whose merge
-    result is EMPTY emits no rows and is left in place (full partition
-    deletes need an explicit metadata drop). ``keys`` must include
-    ``part_col`` so the anti-join cannot cross partitions."""
+    back in, and replace only the touched partitions. Rewrite cost ∝
+    touched partitions, never table size; a partition whose merge result
+    is EMPTY emits no rows and is left in place (full partition deletes
+    need an explicit metadata drop). ``keys`` must include ``part_col``
+    so the anti-join cannot cross partitions.
+
+    Durability: the merged output is fully materialized into a SIBLING
+    staging dir first — the source table is never read while being
+    rewritten, and no destructive step runs before every output row is
+    on disk. Each touched partition dir is then swapped in with two
+    renames (old → trash, staged → live); renames are atomic per
+    partition on a POSIX filesystem, and the previous copy survives in
+    ``<path>.trash-*`` until the whole swap succeeds, so a crash
+    mid-swap loses nothing — recovery is either restoring the trash
+    dirs or re-applying the (idempotent, key-addressed) change batch.
+    Cross-partition atomicity — a reader racing the swap can see
+    partition A merged and B not yet — needs a metadata layer (a table
+    format's log or a catalog pointer flip); this kernel is the
+    file-layout half of that protocol."""
     touched = sorted(
         r[0] for r in changes.select(part_col).distinct().collect())
     cur = spark.read.parquet(path).where(F.col(part_col).isin(touched))
     kept = cur.join(changes.select(*keys), keys, "left_anti")
     merged = kept.unionByName(
         changes.where(F.col("op") != "D").drop("op"))
-    (merged.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy(part_col).parquet(path))
+    norm = path.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    stage, trash = f"{norm}.stage-{token}", f"{norm}.trash-{token}"
+    merged.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    os.makedirs(trash)
+    prefix = f"{part_col}="
+    # Iterate the STAGED partition dirs (Spark already URL-escaped the
+    # partition values in the dir names, so no re-encoding here).
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith(prefix):
+            continue  # _SUCCESS and committer metadata stay behind
+        live_dir = os.path.join(norm, entry)
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, os.path.join(trash, entry))
+        os.rename(os.path.join(stage, entry), live_dir)
+    # Only after every touched partition swapped in cleanly does the
+    # previous data become garbage. On an exception above, the trash (and
+    # any un-swapped staged output) is deliberately LEFT for recovery.
+    shutil.rmtree(trash)
+    shutil.rmtree(stage)
 
 
 @contract("sink_merge_keyed", oracle=_A13_ORACLE)
@@ -516,9 +549,11 @@ def sink_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) anti-join current rows against change KEYS (drops updated and
         deleted rows; ids-only join, broadcast-able when the batch is
         small, AQE decides), union the U/I payload back in;
-    (4) rewrite ONLY the touched partitions with dynamic
-        partitionOverwriteMode — every other partition's files are
-        physically untouched (set per-write, never on the session).
+    (4) materialize the merged output into a SIBLING staging dir, then
+        swap ONLY the touched partition dirs into place (previous copies
+        held in a trash dir until the swap completes) — every other
+        partition's files are physically untouched, and no destructive
+        step runs before the replacement data is fully on disk.
     At 100 TB the rewrite cost is proportional to touched partitions,
     not table size; the don't-touch half is proven by the hash (the
     3 unaffected partitions' counts/sums must equal the base plant).
@@ -570,11 +605,13 @@ def sink_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-trip: write v1, apply the SCD2 transition, overwrite, read back.
 _A14_ORACLE = """
 WITH dim AS (SELECT c_custkey, c_acctbal FROM customer),
+mx AS (SELECT max(c_custkey) AS m FROM dim),
 chg AS (
   SELECT c_custkey, c_acctbal + 100.50 AS new_bal
   FROM dim WHERE c_custkey % 13 = 0
   UNION ALL
-  SELECT c_custkey + 1000000, 50.25 FROM dim WHERE c_custkey % 17 = 0
+  SELECT c_custkey + (SELECT m FROM mx), 50.25
+  FROM dim WHERE c_custkey % 17 = 0
 ),
 closed AS (
   SELECT d.c_custkey, d.c_acctbal,
@@ -598,7 +635,9 @@ scd AS (
 )
 SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
 FROM scd
-WHERE c_custkey < 300 OR (c_custkey >= 1000000 AND c_custkey < 1000300)
+WHERE c_custkey < 300
+   OR (c_custkey > (SELECT m FROM mx)
+       AND c_custkey <= (SELECT m FROM mx) + 300)
 ORDER BY c_custkey, valid_from
 """
 
@@ -633,12 +672,18 @@ def sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = spark.read.parquet(out)
     eff = F.lit("1996-06-01").cast("date")
+    # New-member surrogate keys offset by the table's CURRENT max key —
+    # collision-free at any sf (a fixed constant like +1e6 collides with
+    # real custkeys once sf ≳ 7 at 150k customers/sf). One scalar driver
+    # action on a dimension-sized table; the oracle derives the same
+    # offset via a scalar subquery.
+    offset = cur.agg(F.max("c_custkey")).collect()[0][0]
     chg = (cur.where(F.col("c_custkey") % 13 == 0)
            .select("c_custkey",
                    (F.col("c_acctbal") + 100.50).alias("new_bal"))
            .unionByName(
                cur.where(F.col("c_custkey") % 17 == 0)
-               .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+               .select((F.col("c_custkey") + offset).alias("c_custkey"),
                        F.lit(50.25).alias("new_bal"))))
     j = cur.join(chg, "c_custkey", "full_outer")
     closed = (j.where(F.col("is_current").isNotNull()
@@ -661,8 +706,8 @@ def sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(tmp)
     return (
         back.where((F.col("c_custkey") < 300)
-                   | ((F.col("c_custkey") >= 1000000)
-                      & (F.col("c_custkey") < 1000300)))
+                   | ((F.col("c_custkey") > offset)
+                      & (F.col("c_custkey") <= offset + 300)))
         .select("c_custkey", "c_acctbal", "valid_from", "valid_to",
                 "is_current")
         .orderBy("c_custkey", "valid_from")

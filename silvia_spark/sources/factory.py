@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -82,6 +83,19 @@ def source(spark: SparkSession, kind: str, *,
         # ingestion posture.
         kafka_defaults = {"startingOffsets": "earliest",
                           "failOnDataLoss": "false"}
+        # Both diverge from Spark's own defaults (latest / fail), and
+        # failOnDataLoss=false means retention-expiry gaps are SKIPPED
+        # silently — that posture must be a visible caller choice, so an
+        # implicit application is surfaced once per call site.
+        implicit = sorted(set(kafka_defaults) - set(options))
+        if implicit:
+            warnings.warn(
+                "kafka source applying engine defaults "
+                + ", ".join(f"{k}={kafka_defaults[k]}" for k in implicit)
+                + " (differ from Spark's latest/failOnDataLoss=true; "
+                "failOnDataLoss=false silently skips retention-expired "
+                "offsets — pass the option explicitly to silence)",
+                stacklevel=2)
         reader = spark.readStream.format("kafka")
         for k, v in {**kafka_defaults, **options}.items():
             reader = reader.option(k, v)

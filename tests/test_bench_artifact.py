@@ -1,0 +1,87 @@
+"""Bench artifact guards — no Spark session needed.
+
+Two failure modes the per-round BENCH_r{N}.json artifact has actually hit:
+
+- r05: the (single, long) JSON line was truncated by the driver's
+  ~2000-char stdout-tail capture, losing the headline block.
+- r06: the extended heavy-operator sweep rode the FIRST (diagnostics)
+  line and was truncated out entirely, leaving heavy J/M operators with
+  no recorded timing that round.
+
+The fix keeps ONE compact self-contained final line carrying headline +
+extended + iterative + floor decomposition; these tests pin (a) that the
+line cannot outgrow the capture even with worst-case digits, and (b) that
+the baked-in BASELINE_MS constants (which produce the 2x-gate ratios the
+artifact itself reports) cannot drift from BASELINE.md's measured table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import bench
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver archives the final ~2000 chars of stdout; the last line must
+# fit WHOLE (a partial line fails json parsing and the artifact records
+# "parsed": null). Leave headroom for the newline and the tail boundary.
+_TAIL_BUDGET = 1950
+
+
+def test_final_line_fits_tail_capture_worst_case():
+    # Worst-case digit widths: every timing 4-decimal with a 2-digit
+    # integer part (a 10x regression still yields a parseable artifact),
+    # every ratio/breach present, loadavg 2-decimal.
+    t = 12.3456
+    timings = {k: t for k in bench.HEADLINE}
+    marginal = {k: t for k in bench.HEADLINE}
+    extended = {k: t for k in bench.EXTENDED}
+    iterative = {k: t for k in bench.ITERATIVE}
+    ratios = {k: 3.84 for k in bench.HEADLINE}
+    breaches = {k: {"raw": 13.84, "marginal": 11.23}
+                for k in list(bench.HEADLINE)[:3]}
+    line = json.dumps(bench.headline_line(
+        total=123.4567, timings=timings, compile_total=12.3456,
+        floor=0.0117, floor_scan=0.0162, marginal=marginal,
+        ratios_raw=ratios, ratios_marg=ratios, breaches=breaches,
+        extended=extended, iterative=iterative,
+        loadavg=[12.34, 12.34], sf_val=0.1))
+    assert len(line) <= _TAIL_BUDGET, (
+        f"final bench line would be {len(line)} chars — trims needed "
+        "(move a field to the diagnostics line) or the driver tail "
+        "capture will truncate the artifact")
+
+
+def test_extended_and_iterative_ride_the_final_line():
+    line = bench.headline_line(
+        0.3, {k: 0.02 for k in bench.HEADLINE}, 1.7, 0.01, 0.016,
+        {k: 0.005 for k in bench.HEADLINE}, {k: 0.5 for k in bench.HEADLINE},
+        {k: 0.05 for k in bench.HEADLINE}, {},
+        {k: 0.02 for k in bench.EXTENDED},
+        {k: 0.9 for k in bench.ITERATIVE}, [0.5, 1.0], 0.1)
+    assert set(line["extended"]) == set(bench.EXTENDED)
+    assert set(line["iterative"]) == set(bench.ITERATIVE)
+    assert "floor_scan_sec" in line and "raw_gate_breaches" in line
+
+
+def _baseline_md_headline_ms() -> dict[str, float]:
+    """Parse the measured DuckDB table out of BASELINE.md §Baseline table."""
+    text = open(os.path.join(_REPO, "BASELINE.md"), encoding="utf-8").read()
+    section = text.split("## Baseline table", 1)[1]
+    section = section.split("##", 1)[0]
+    rows = re.findall(r"^\| `([a-z0-9_]+)`[^|]*\| ([0-9.]+) \|",
+                      section, flags=re.M)
+    return {name: float(ms) for name, ms in rows}
+
+
+def test_baseline_ms_matches_baseline_md():
+    md = _baseline_md_headline_ms()
+    assert md == bench.BASELINE_MS, (
+        "bench.BASELINE_MS has drifted from BASELINE.md's measured table — "
+        "the artifact's 2x-gate ratios would misstate the comparison; "
+        f"md-only: {set(md) - set(bench.BASELINE_MS)}, "
+        f"bench-only: {set(bench.BASELINE_MS) - set(md)}, "
+        f"diffs: { {k: (md.get(k), bench.BASELINE_MS.get(k)) for k in set(md) | set(bench.BASELINE_MS) if md.get(k) != bench.BASELINE_MS.get(k)} }")

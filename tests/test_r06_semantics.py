@@ -42,6 +42,59 @@ def test_merge_semantics_row_classes(spark, tmp_path):
                    (4, "p2"): 40.0, (5, "p2"): 50.0}  # untouched partition
     assert (2, "p1") not in got                # deleted
     assert sorted(os.listdir(os.path.join(out, "part=p2"))) == p2_files
+    # staged-swap hygiene: a successful merge leaves no staging/trash
+    # siblings behind
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if ".stage-" in d or ".trash-" in d]
+    assert leftovers == []
+
+
+def test_merge_keyed_crash_midswap_preserves_previous_copy(
+        spark, tmp_path, monkeypatch):
+    """The ADVICE r06 data-loss window: merge_keyed must never destroy the
+    only copy of a partition. Induce a crash on the SECOND rename of the
+    swap (old→trash succeeded, staged→live about to run): the previous
+    partition data must survive intact in the trash dir, and nothing may
+    have been garbage-collected."""
+    import os
+
+    from silvia_spark.operators import scans
+    from silvia_spark.operators.scans import merge_keyed
+
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (4, "p2", 40.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+    out = str(tmp_path / "t")
+    base.write.partitionBy("part").parquet(out)
+
+    chg = spark.createDataFrame(
+        [(1, "p1", 11.0, "U")], "k BIGINT, part STRING, v DOUBLE, op STRING")
+
+    real_rename, calls = os.rename, []
+
+    def failing_rename(src, dst):
+        calls.append(src)
+        if len(calls) == 2:
+            raise OSError("induced crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(scans.os, "rename", failing_rename)
+    try:
+        merge_keyed(spark, out, chg, ["k", "part"], "part")
+        raise AssertionError("induced crash did not propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(scans.os, "rename", real_rename)
+
+    trash = [d for d in os.listdir(tmp_path) if ".trash-" in d]
+    assert len(trash) == 1, "trash dir must survive a mid-swap crash"
+    saved = spark.read.parquet(str(tmp_path / trash[0] / "part=p1"))
+    assert sorted((r.k, r.v) for r in saved.collect()) == [(1, 10.0),
+                                                           (2, 20.0)]
+    # the staged replacement also survives, so EITHER copy can finish
+    # the recovery
+    stage = [d for d in os.listdir(tmp_path) if ".stage-" in d]
+    assert len(stage) == 1
 
 
 def test_scd2_version_chain_for_one_key(spark):
