@@ -15,25 +15,116 @@ operators/scans.py). foreachBatch executes on the driver, so a driver-side
 subprocess is the honest analogue of the driver-side JDBC batch commit at
 this table size (an aggregated micro-batch summary, not raw events).
 
-Everything is keyed off $SILVIA_PG_HOST — a unix-socket directory (or
-hostname) of a reachable server with a ``silvia`` database. Absent, callers
-degrade to the idempotent parquet path. tests/test_pg_sink.py boots a real
-embedded server (initdb + pg_ctl, trust auth on a private socket dir) and
-proves both the merge semantics and contract-path equality.
+Host resolution (``resolve_host``): $SILVIA_PG_HOST — a unix-socket
+directory (or hostname) of a reachable server with a ``silvia`` database —
+wins when set; otherwise, when the container ships server binaries (this
+one does), a singleton embedded server is auto-booted under
+``/tmp/silvia_pg_auto`` and reused across processes, so the REAL staged
+COPY + merge path runs by default instead of only when an operator
+remembers to export the env var. ``SILVIA_PG_AUTOBOOT=0`` disables the
+auto-boot; any boot failure degrades silently to ``None`` and callers take
+the idempotent parquet path. tests/test_pg_sink.py boots a private server
+through the same ``boot_server`` helper and proves both the merge
+semantics and contract-path equality.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 
 PG_DB = "silvia"
 PG_USER = "postgres"
+PG_BIN = "/usr/local/bin"
+AUTOBOOT_ROOT = "/tmp/silvia_pg_auto"
 
 
 def pg_host() -> str | None:
     """Socket dir / host of the ambient PostgreSQL, or None (degrade)."""
     return os.environ.get("SILVIA_PG_HOST")
+
+
+def _run_as_pg(cmd: str) -> subprocess.CompletedProcess:
+    """PostgreSQL refuses to run as root; drop to the postgres user."""
+    if os.geteuid() == 0:
+        return subprocess.run(["su", "postgres", "-c", cmd], cwd="/tmp",
+                              capture_output=True, text=True)
+    return subprocess.run(cmd, shell=True, cwd="/tmp",
+                          capture_output=True, text=True)
+
+
+def have_server_binaries() -> bool:
+    # server binaries live under PG_BIN symlinks; psql (client) is on PATH
+    if not all(shutil.which(b, path=PG_BIN) for b in ("initdb", "pg_ctl")):
+        return False
+    if shutil.which("psql") is None:
+        return False
+    if os.geteuid() != 0:
+        return True  # non-root can run the server directly
+    import pwd
+    try:
+        pwd.getpwnam("postgres")
+        return True
+    except KeyError:
+        return False
+
+
+def _alive(root: str) -> bool:
+    try:
+        return run_psql(root, "SELECT 1;", db="postgres").strip() == "1"
+    except (RuntimeError, OSError):
+        return False
+
+
+def boot_server(root: str) -> None:
+    """initdb (if needed) + start a server with its socket in ``root``
+    (trust auth, no TCP) and ensure the ``silvia`` database exists.
+    Raises on failure. Shared by the autoboot path and the test fixture."""
+    os.makedirs(root, exist_ok=True)
+    os.chmod(root, 0o777)  # the postgres user writes data/ + socket here
+    data = os.path.join(root, "data")
+    if not os.path.isdir(data):
+        p = _run_as_pg(f"{PG_BIN}/initdb -A trust -U {PG_USER} -D {data}")
+        if p.returncode != 0:
+            raise RuntimeError(f"initdb failed: {p.stderr[-2000:]}")
+    p = _run_as_pg(
+        f"{PG_BIN}/pg_ctl -D {data} "
+        f"-o '-c listen_addresses= -c unix_socket_directories={root}' "
+        f"-l {root}/pg.log -w start")
+    if p.returncode != 0 and not _alive(root):  # lost a boot race is fine
+        raise RuntimeError(f"pg_ctl start failed: {p.stderr[-2000:]}")
+    exists = run_psql(
+        root, f"SELECT 1 FROM pg_database WHERE datname = '{PG_DB}';",
+        db="postgres").strip()
+    if exists != "1":
+        p = _run_as_pg(f"psql -h {root} -U {PG_USER} -d postgres "
+                       f"-c 'CREATE DATABASE {PG_DB};'")
+        if p.returncode != 0 and "already exists" not in p.stderr:
+            raise RuntimeError(f"create db failed: {p.stderr[-2000:]}")
+
+
+def autoboot_host() -> str | None:
+    """Reuse (or boot) the singleton embedded server; None if impossible.
+    The server deliberately outlives the process — boot cost (~3 s initdb)
+    is paid once per machine, later callers find the live socket."""
+    if os.environ.get("SILVIA_PG_AUTOBOOT", "1") == "0":
+        return None
+    if _alive(AUTOBOOT_ROOT):
+        return AUTOBOOT_ROOT
+    if not have_server_binaries():
+        return None
+    try:
+        boot_server(AUTOBOOT_ROOT)
+        return AUTOBOOT_ROOT
+    except (RuntimeError, OSError):
+        return AUTOBOOT_ROOT if _alive(AUTOBOOT_ROOT) else None
+
+
+def resolve_host() -> str | None:
+    """The host the load stage should use: explicit env first, then the
+    auto-booted singleton, else None (callers degrade to parquet)."""
+    return pg_host() or autoboot_host()
 
 
 def run_psql(host: str, script: str, *, db: str = PG_DB) -> str:

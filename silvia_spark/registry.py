@@ -59,8 +59,12 @@ _PRIORITY: tuple[str, ...] = (
     #    ADVICE fixes. A13 merge_keyed: staged-sibling write + per-partition
     #    swap (data-loss window closed); A14 scd2: insert-key offset now
     #    derived from max(c_custkey) both sides; J25 CC: single-task finish
-    #    guard lowered 5M→1M edges (Python-dict multiplier). ----------------
+    #    guard lowered 5M→1M edges (Python-dict multiplier); I9: host now
+    #    resolves via pg.resolve_host() (auto-booted embedded server), table
+    #    per-invocation, and the contract carries a path-independent hash
+    #    oracle — first driver hash evidence for the PG loop. ----------------
     "sink_merge_keyed", "sink_merge_scd2", "dedup_cluster_cc",
+    "stream_foreachbatch_upsert",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seven r02-era keys (oldest evidence anywhere) -----------
@@ -124,7 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_moving_frame", "window_range_frame", "window_first_last",
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join", "stream_foreachbatch_upsert", "dedup_docs_exact",
+    "stream_stream_join", "dedup_docs_exact",
     "dedup_docs_minhash", "dedup_docs_simhash", "sim_ann_lsh",
     "text_fuzzy_pairs", "udf_python_scalar", "udf_pandas_scalar",
     "udaf_pandas_grouped", "udtf_apply_in_pandas", "udtf_python",

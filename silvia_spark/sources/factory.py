@@ -8,11 +8,13 @@ a kind and pass config instead of hand-building readers:
   built on demand (concurrency-safe: the symlink create tolerates a racing
   sibling session).
 - ``rate``   — the deterministic ``rate-micro-batch`` synthetic clock.
-- ``kafka``  — config-only here (no broker in the test environment): builds
-  the reader with the standard ``kafka`` format options and fails at
-  ``.load()`` only if actually started without a broker. On a cluster this
-  is the production entry: ``source(spark, "kafka",
-  subscribe="events", **{"kafka.bootstrap.servers": "..."})``.
+- ``kafka``  — the production entry on a cluster: ``source(spark, "kafka",
+  subscribe="events", **{"kafka.bootstrap.servers": "..."})`` builds the
+  standard ``kafka`` format reader. A ``shim://<dir>`` bootstrap URI
+  instead routes to the file-backed transport shim
+  (sources/kafka_shim.py) that honors the same output contract — offsets,
+  startingOffsets, micro-batch replay — so the branch is EXECUTED by
+  offline tests, not just constructed (no broker in this environment).
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from silvia_spark.session import configure_session
+from silvia_spark.sources import kafka_shim
 
 
 def _stage_single_file(path: str) -> str:
@@ -96,8 +99,18 @@ def source(spark: SparkSession, kind: str, *,
                 "failOnDataLoss=false silently skips retention-expired "
                 "offsets — pass the option explicitly to silence)",
                 stacklevel=2)
+        merged = {**kafka_defaults, **options}
+        # Broker-less executable mode: a shim:// bootstrap URI routes to
+        # the file-backed transport (sources/kafka_shim.py) that honors
+        # the real kafka source's output contract — same validation and
+        # option plumbing above, different transport below, so offline
+        # tests execute this branch instead of stopping at construction.
+        bootstrap = merged["kafka.bootstrap.servers"]
+        if bootstrap.startswith(kafka_shim.SCHEME):
+            return kafka_shim.read_stream(
+                spark, bootstrap[len(kafka_shim.SCHEME):], merged)
         reader = spark.readStream.format("kafka")
-        for k, v in {**kafka_defaults, **options}.items():
+        for k, v in merged.items():
             reader = reader.option(k, v)
         return reader.load()
     raise ValueError(f"unknown source kind: {kind!r}")

@@ -351,21 +351,43 @@ def pg_upsert_factory(host: str, table: str):
     return upsert
 
 
-@contract("stream_foreachbatch_upsert")  # rows-only: sink side effect
+_I9_ORACLE = """
+SELECT event_type, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("stream_foreachbatch_upsert", oracle=_I9_ORACLE)
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """silvia's load stage: per-micro-batch upsert keyed on event_type.
 
-    With $SILVIA_PG_HOST set (tests boot an embedded server; production
-    points it at the warehouse) every micro-batch stages + merges via
-    INSERT ... ON CONFLICT into PostgreSQL and the result is read back FROM
-    the database — the sink round-trip is part of the contract. Offline it
-    degrades to an idempotent parquet overwrite keyed by batch. Both paths
-    share the exactly-once property: re-running a batch replaces, never
-    duplicates (proven by replay in tests/test_pg_sink.py)."""
+    The PostgreSQL host resolves via pg.resolve_host(): $SILVIA_PG_HOST
+    when set (production points it at the warehouse), else an auto-booted
+    embedded singleton when the container ships server binaries — so on
+    this box the DEFAULT run stages + merges every micro-batch via
+    INSERT ... ON CONFLICT into a real server and reads the result back
+    FROM the database (the sink round-trip is part of the contract).
+    Only when no server is possible does it degrade to an idempotent
+    parquet overwrite keyed by batch. Both paths share the exactly-once
+    property: re-running a batch replaces, never duplicates (proven by
+    replay in tests/test_pg_sink.py) — and both readbacks reduce to the
+    same per-type totals, which is why this contract carries a full
+    hash oracle even though the sink is a side effect: the oracle is
+    path-independent, so the driver hash now proves the whole
+    stage→merge→readback loop instead of recording rows-only."""
     ev = _events_stream(spark, sf_dir)
-    host = os.environ.get("SILVIA_PG_HOST")
+    from silvia_spark import pg
+    host = pg.resolve_host()
     if host:
-        table = os.environ.get("SILVIA_PG_TABLE", "event_summary")
+        table = os.environ.get("SILVIA_PG_TABLE")
+        drop_after = table is None
+        if table is None:
+            # per-invocation table: a PREVIOUS run's rows (different
+            # micro-batch segmentation, stale batch_ids) must never leak
+            # into this run's readback
+            table = "event_summary_" + uuid.uuid4().hex[:12]
         upsert = pg_upsert_factory(host, table)
     else:
         out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"),
@@ -379,10 +401,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination(300)
     if host:
-        from silvia_spark import pg
         back = spark.createDataFrame(
             [(t, c) for _, t, c in pg.read_upsert_table(host, table)],
             "event_type string, cnt long")
+        if drop_after:
+            pg.run_psql(host, f"DROP TABLE IF EXISTS {table};")
     else:
         back = spark.read.parquet(out_dir)
     return (back.groupBy("event_type")

@@ -13,9 +13,7 @@ under test is exactly what production runs.
 from __future__ import annotations
 
 import os
-import pwd
 import shutil
-import subprocess
 
 import pytest
 
@@ -26,53 +24,27 @@ registry.load_all_modules()
 
 pytestmark = pytest.mark.slow
 
-PG_BIN = "/usr/local/bin"
+from silvia_spark import pg as pglib
 
-
-def _have_pg() -> bool:
-    if not all(shutil.which(b, path=PG_BIN) for b in ("initdb", "pg_ctl")):
-        return False
-    try:
-        pwd.getpwnam("postgres")
-    except KeyError:
-        return os.geteuid() != 0  # non-root can run the server directly
-    return True
-
-
-def _run_as_pg(cmd: str) -> subprocess.CompletedProcess:
-    """PostgreSQL refuses to start as root; drop to the postgres user."""
-    if os.geteuid() == 0:
-        return subprocess.run(["su", "postgres", "-c", cmd], cwd="/tmp",
-                              capture_output=True, text=True)
-    return subprocess.run(cmd, shell=True, cwd="/tmp",
-                          capture_output=True, text=True)
+PG_BIN = pglib.PG_BIN
 
 
 @pytest.fixture(scope="module")
 def pg_server():
-    if not _have_pg():
+    """A PRIVATE server through the same pg.boot_server helper the
+    autoboot path uses — isolated from /tmp/silvia_pg_auto so teardown
+    can't yank a server another process is reusing."""
+    if not pglib.have_server_binaries():
         pytest.skip("no usable PostgreSQL server binaries in this container")
     # Not tmp_path_factory: its pytest-of-root parents are mode 0700, which
     # the unprivileged postgres user cannot traverse.
     import tempfile
-    root_s = tempfile.mkdtemp(prefix="silvia_pg_", dir="/tmp")
-    os.chmod(root_s, 0o777)  # postgres user needs to create data/ + socket
-    root = root_s
-    data = f"{root}/data"
-    p = _run_as_pg(f"{PG_BIN}/initdb -A trust -U postgres -D {data}")
-    assert p.returncode == 0, p.stderr[-2000:]
-    p = _run_as_pg(
-        f"{PG_BIN}/pg_ctl -D {data} "
-        f"-o '-c listen_addresses= -c unix_socket_directories={root}' "
-        f"-l {root}/pg.log -w start")
-    assert p.returncode == 0, p.stderr[-2000:]
-    p = _run_as_pg(f"psql -h {root} -U postgres -d postgres "
-                   f"-c 'CREATE DATABASE silvia;'")
-    assert p.returncode == 0, p.stderr[-2000:]
+    root = tempfile.mkdtemp(prefix="silvia_pg_", dir="/tmp")
+    pglib.boot_server(root)
     try:
         yield root
     finally:
-        _run_as_pg(f"{PG_BIN}/pg_ctl -D {data} -m fast stop")
+        pglib._run_as_pg(f"{PG_BIN}/pg_ctl -D {root}/data -m fast stop")
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -122,6 +94,7 @@ def test_contract_through_postgres_matches_parquet_path(pg_server, spark,
     and the PG-path rows were read back FROM the database, so the
     stage+merge+readback round-trip is what's being hashed."""
     monkeypatch.delenv("SILVIA_PG_HOST", raising=False)
+    monkeypatch.setenv("SILVIA_PG_AUTOBOOT", "0")  # force the parquet leg
     offline = sorted(
         tuple(r) for r in
         registry.QUERIES["stream_foreachbatch_upsert"](spark, SF_SMALL)
@@ -135,3 +108,34 @@ def test_contract_through_postgres_matches_parquet_path(pg_server, spark,
         .collect())
     assert live == offline
     assert len(live) > 0
+
+
+def test_default_run_resolves_real_pg_on_this_box(spark, monkeypatch):
+    """The r06 gap: the PG path only ran when $SILVIA_PG_HOST was
+    exported. With no env at all, resolve_host() must auto-boot (or
+    reuse) the singleton server on this box and I9's DEFAULT run must
+    take the real stage+merge+readback loop — asserted by checking the
+    singleton host answers and the contract result still matches the
+    batch ground truth."""
+    if not pglib.have_server_binaries():
+        pytest.skip("no usable PostgreSQL server binaries in this container")
+    monkeypatch.delenv("SILVIA_PG_HOST", raising=False)
+    monkeypatch.delenv("SILVIA_PG_TABLE", raising=False)
+    monkeypatch.delenv("SILVIA_PG_AUTOBOOT", raising=False)
+    host = pglib.resolve_host()
+    assert host == pglib.AUTOBOOT_ROOT
+    assert pglib.run_psql(host, "SELECT 1;", db="postgres").strip() == "1"
+
+    got = sorted(
+        tuple(r) for r in
+        registry.QUERIES["stream_foreachbatch_upsert"](spark, SF_SMALL)
+        .collect())
+    import pyspark.sql.functions as F
+
+    from silvia_spark.io import load_table
+    want = sorted(
+        tuple(r) for r in
+        load_table(spark, SF_SMALL, "events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt")).orderBy("event_type")
+        .collect())
+    assert got == want
