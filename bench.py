@@ -151,9 +151,24 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "extended": extended,
         "extended_sweep_sec": round(sum(extended.values()), 4),
         "iterative": iterative,
+        "sf1_raw_ratios": _sf1_ratios(),
         "loadavg": loadavg,
         "sf": sf_val,
     }
+
+
+def _sf1_ratios() -> dict[str, float]:
+    """Raw ratios from the committed sf1 floor appendix (BENCH_sf1.json,
+    regenerate: tools/bench_sf1.py) — rides the artifact line so the
+    raw_gate_breaches entries carry their at-scale counter-measurement."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_sf1.json")
+    try:
+        with open(path) as f:
+            return {k: v["ratio_raw"]
+                    for k, v in json.load(f)["queries"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
 
 
 def main() -> None:
