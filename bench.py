@@ -90,6 +90,11 @@ EXTENDED = [
     "etl_ua_referer_enrich",
     "etl_ip_geo_range",
     "etl_currency_convert",
+    # r07: the TPC-H completion set's two heaviest shapes — Q2's
+    # decorrelated min over the (part, supplier) offer aggregate and
+    # Q20's aggregate→aggregate→semi dominance chain.
+    "q2_min_cost_supplier",
+    "q20_dominant_suppliers",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's

@@ -35,7 +35,7 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 184 registered per round) — see
+# order under a bounded budget (50 of the 199 registered per round) — see
 # SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
 # full surface. Ordering is therefore part of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
@@ -180,6 +180,7 @@ def load_all_modules() -> None:
         composites,
         olap_extras,
         olap_extras3,
+        olap_extras4,
         events_analytics,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401

@@ -103,6 +103,12 @@ _NUMERIC = [
     # nondeterministic — the binary-min projection is the determinism
     # mechanism, and this sweep is its proof obligation.
     "scalar_collation",
+    # M24-M28 (r07, the TPC-H completion set): Q2's double min/division +
+    # equality join-back, Q9's grid profit sums, Q11's integer-grid
+    # threshold, Q16's count-distinct, Q20's integer dominance cut — the
+    # sweep proves each cut/aggregate is partition-merge-order-free.
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q16_supplier_part_counts", "q20_dominant_suppliers",
 ]
 
 

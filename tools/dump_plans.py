@@ -244,6 +244,25 @@ AUDITED = [
      "dense (currency, period) rate grid broadcasts; the fact scan "
      "flows straight into partial aggregation — no as-of window, no "
      "fan-out."),
+    # -- r07 additions (M24-M28: the TPC-H completion set) -------------------
+    ("q2_min_cost_supplier", ["BroadcastHashJoin", "HashAggregate",
+                              "TakeOrderedAndProject"],
+     "TPC-H Q2: the correlated per-part min decorrelates to one "
+     "aggregate joined back on (part, cost-equality); region-filtered "
+     "suppliers and part attributes are broadcast build sides; the "
+     "top-100 is TakeOrderedAndProject over the full tie-break key, "
+     "never a global sort."),
+    ("q16_supplier_part_counts", ["HashAggregate", "BroadcastHashJoin",
+                                  "LeftAnti"],
+     "TPC-H Q16: the distinct (part, supplier) pair reduction is the "
+     "only fact-sized exchange; the filtered part dim broadcasts; the "
+     "excluded-supplier set attaches as a broadcast LEFT ANTI; "
+     "count-distinct runs partial→final."),
+    ("q20_dominant_suppliers", ["HashAggregate", "LeftSemi"],
+     "TPC-H Q20: aggregate → re-aggregate (same key prefix, exchange "
+     "reused) → integer dominance cut → distinct semi-set → LEFT SEMI "
+     "onto the broadcast-dim-filtered supplier table; only bare ids "
+     "cross the final exchanges."),
 ]
 
 
