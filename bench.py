@@ -328,8 +328,10 @@ def main() -> None:
                  "the scale-representative number to ratio against DuckDB "
                  "(whose floor is ~0.1ms). sim_topk_cosine / "
                  "dedup_docs_exact raw-gate breaches are floor-bound: "
-                 "marginal ratios sit inside the gate (see "
-                 "queries_marginal_sec on the headline line)."),
+                 "marginal ratios sit inside the gate (per-query marginal "
+                 "is spelled out in queries_marginal_sec on THIS line; the "
+                 "headline line carries the sum, the geomeans, and the "
+                 "measured sf1 counter-ratios)."),
         "sf": sf_val,
     }))
     # 2x-gate ratios vs BASELINE.md's measured DuckDB numbers, raw and

@@ -10,6 +10,7 @@ filter-relevant key so dynamic partition pruning applies downstream).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -503,13 +504,29 @@ def merge_keyed(spark: SparkSession, path: str, changes: DataFrame,
     Cross-partition atomicity — a reader racing the swap can see
     partition A merged and B not yet — needs a metadata layer (a table
     format's log or a catalog pointer flip); this kernel is the
-    file-layout half of that protocol."""
+    file-layout half of that protocol. The staged swap applies to
+    LOCAL paths (driver-side renames); remote URIs (hdfs://, s3a://)
+    take dynamic partition overwrite, whose committer does the staging
+    — see the inline note for the object-store caveat."""
     touched = sorted(
         r[0] for r in changes.select(part_col).distinct().collect())
     cur = spark.read.parquet(path).where(F.col(part_col).isin(touched))
     kept = cur.join(changes.select(*keys), keys, "left_anti")
     merged = kept.unionByName(
         changes.where(F.col("op") != "D").drop("op"))
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path) and \
+            not path.startswith("file://"):
+        # Remote filesystem (hdfs:// / s3a:// / ...): the driver cannot
+        # os.rename there, so the swap is delegated to dynamic partition
+        # overwrite, whose committer stages task output before touching
+        # live files. The read-while-overwriting window this leaves on
+        # object stores without an atomic committer is the gap table
+        # formats close with a metadata log — callers there should MERGE
+        # through the table format instead.
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(part_col).parquet(path))
+        return
     norm = path.rstrip("/")
     token = uuid.uuid4().hex[:12]
     stage, trash = f"{norm}.stage-{token}", f"{norm}.trash-{token}"

@@ -77,17 +77,81 @@ def _alive(root: str) -> bool:
         return False
 
 
+def _expected_uids() -> set[int]:
+    uids = {0, os.geteuid()}
+    try:
+        import pwd
+        uids.add(pwd.getpwnam(PG_USER).pw_uid)
+    except (ImportError, KeyError):
+        pass
+    return uids
+
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        return os.stat(path).st_uid in _expected_uids()
+    except OSError:
+        return False
+
+
+def _secure_root(root: str) -> None:
+    """Create ``root`` traversable ONLY by this process and the postgres
+    user: owner postgres, mode 0700 (root-run case) — never the old
+    world-writable 0777, which would let any local user own the socket
+    dir or connect as the trust-auth superuser."""
+    os.makedirs(root, exist_ok=True)
+    if not _owned_by_us(root):
+        raise RuntimeError(f"{root} exists but is owned by an unexpected "
+                           "uid — refusing to trust it")
+    if os.geteuid() == 0:
+        import pwd
+        pw = pwd.getpwnam(PG_USER)
+        os.chown(root, pw.pw_uid, pw.pw_gid)
+    os.chmod(root, 0o700)
+
+
 def boot_server(root: str) -> None:
     """initdb (if needed) + start a server with its socket in ``root``
-    (trust auth, no TCP) and ensure the ``silvia`` database exists.
-    Raises on failure. Shared by the autoboot path and the test fixture."""
-    os.makedirs(root, exist_ok=True)
-    os.chmod(root, 0o777)  # the postgres user writes data/ + socket here
+    (trust auth, no TCP, socket dir locked to the postgres user) and
+    ensure the ``silvia`` database exists. Raises on failure. Shared by
+    the autoboot path and the test fixture.
+
+    Concurrency/crash safety: initdb runs into a temp dir that is
+    atomically renamed to ``data`` only on success, behind an
+    mkdir-based lock — a half-initialized cluster (interrupted or racing
+    first boot) can never be mistaken for a valid one; losers of the
+    init race wait for the winner's rename (or a live server) instead of
+    starting a second initdb."""
+    _secure_root(root)
     data = os.path.join(root, "data")
+    lock = os.path.join(root, ".initdb.lock")
     if not os.path.isdir(data):
-        p = _run_as_pg(f"{PG_BIN}/initdb -A trust -U {PG_USER} -D {data}")
-        if p.returncode != 0:
-            raise RuntimeError(f"initdb failed: {p.stderr[-2000:]}")
+        import shutil as _sh
+        import time as _time
+        try:
+            os.mkdir(lock)
+            have_lock = True
+        except FileExistsError:
+            have_lock = False
+        if have_lock:
+            try:
+                tmp = f"{data}.tmp-{os.getpid()}"
+                _sh.rmtree(tmp, ignore_errors=True)
+                p = _run_as_pg(
+                    f"{PG_BIN}/initdb -A trust -U {PG_USER} -D {tmp}")
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"initdb failed: {p.stderr[-2000:]}")
+                os.rename(tmp, data)  # atomic: data exists ⇒ complete
+            finally:
+                os.rmdir(lock)
+        else:
+            for _ in range(120):  # wait out the winner (~60 s cap)
+                if os.path.isdir(data) or _alive(root):
+                    break
+                _time.sleep(0.5)
+            if not (os.path.isdir(data) or _alive(root)):
+                raise RuntimeError("timed out waiting for racing initdb")
     p = _run_as_pg(
         f"{PG_BIN}/pg_ctl -D {data} "
         f"-o '-c listen_addresses= -c unix_socket_directories={root}' "
@@ -111,7 +175,9 @@ def autoboot_host() -> str | None:
     if os.environ.get("SILVIA_PG_AUTOBOOT", "1") == "0":
         return None
     if _alive(AUTOBOOT_ROOT):
-        return AUTOBOOT_ROOT
+        # trust the live singleton only if the dir is ours/postgres's —
+        # a pre-planted world-readable server must not become the sink
+        return AUTOBOOT_ROOT if _owned_by_us(AUTOBOOT_ROOT) else None
     if not have_server_binaries():
         return None
     try:

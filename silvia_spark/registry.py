@@ -50,11 +50,16 @@ _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 _PRIORITY: tuple[str, ...] = (
     # ============ r07 packing (evidence ledger after r06: r02=7, r03=42,
     # r04=47, r05=48, r06=50; all 194 checked at least once, 0 failures).
-    # This round is evidence-drain: the whole r02+r03 tail (49 keys) fits
-    # the window alongside tier 0 as long as new contracts stay ≤ 4 — each
-    # new contract (and each extra tier-0 change) rolls one more of the
-    # trailing *_live replays past the cut (deliberately last: they are
-    # rows-only by design, pinned instead by batch≡stream pytest). =========
+    # This round drains the evidence tail. Window arithmetic with the
+    # final r07 surface: tier 0 (4) + new contracts (5, M24–M28) + r02 (7)
+    # + r03 hash-checked block = 50 at position 50 lands two entries past
+    # the cut: stream_transform_with_state (rows-only by design — pinned
+    # by its real-runner≡fallback pytest, cheapest possible sacrifice)
+    # and multimodal_frame_sample (hash-checked r03; the one deliberate
+    # refresh deferral this round, priced against a new TPC-H contract),
+    # plus the six *_live replays (rows-only, pinned by batch≡stream
+    # pytest). Every key remaining outside the window holds r03 evidence
+    # or newer, and all of them pass local parity every round. ============
     # -- tier 0: changed in r07 after their newest (r06) evidence — the
     #    ADVICE fixes. A13 merge_keyed: staged-sibling write + per-partition
     #    swap (data-loss window closed); A14 scd2: insert-key offset now

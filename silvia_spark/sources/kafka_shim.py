@@ -10,7 +10,10 @@ output contract instead of failing at ``.load()``:
   the exact columns Spark's kafka source exposes;
 - per-(topic, partition) offsets dense from 0 and monotone across
   ``produce()`` calls. File layout: ``<dir>/<topic>/`` holds one parquet
-  file per produce() call named ``p<P>o<start>-<end>.parquet``; with
+  file per produce() call named ``p<P>o<start>-<end>.parquet``
+  (zero-padded so lexicographic file order == offset order — Spark's
+  file-stream source breaks equal-mtime ties by path, and sub-ms
+  produce() bursts land in one mtime tick); with
   ``maxFilesPerTrigger=1`` each produce batch replays as its own
   micro-batch — the shim's analogue of broker poll boundaries, which is
   what lets a test drive MULTI-batch stateful replay deterministically;
@@ -100,7 +103,8 @@ def produce(shim_dir: str, topic: str, values: list[str | bytes], *,
         "timestampType": pa.array([0] * n, pa.int32()),
     })
     pq.write_table(table, os.path.join(
-        topic_dir, f"p{partition}o{start}-{start + n - 1}.parquet"))
+        topic_dir,
+        f"p{partition:05d}o{start:012d}-{start + n - 1:012d}.parquet"))
     return start, start + n - 1
 
 

@@ -382,12 +382,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = pg.resolve_host()
     if host:
         table = os.environ.get("SILVIA_PG_TABLE")
-        drop_after = table is None
-        if table is None:
-            # per-invocation table: a PREVIOUS run's rows (different
-            # micro-batch segmentation, stale batch_ids) must never leak
-            # into this run's readback
+        auto_table = table is None
+        if auto_table:
             table = "event_summary_" + uuid.uuid4().hex[:12]
+        # The readback aggregates the WHOLE table as this run's result, so
+        # rows from a PREVIOUS run (different micro-batch segmentation,
+        # stale batch_ids) must never survive into it — reset up front for
+        # both the auto-named and the caller-named table. Replays of the
+        # same batch WITHIN the run stay idempotent via the keyed merge.
+        pg.run_psql(host, f"DROP TABLE IF EXISTS {table};")
         upsert = pg_upsert_factory(host, table)
     else:
         out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"),
@@ -395,19 +398,23 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert = parquet_upsert_factory(out_dir)
 
     ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
-    q = (ev.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination(300)
-    if host:
-        back = spark.createDataFrame(
-            [(t, c) for _, t, c in pg.read_upsert_table(host, table)],
-            "event_type string, cnt long")
-        if drop_after:
+    try:
+        q = (ev.writeStream.foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+        if host:
+            back = spark.createDataFrame(
+                [(t, c) for _, t, c in pg.read_upsert_table(host, table)],
+                "event_type string, cnt long")
+        else:
+            back = spark.read.parquet(out_dir)
+    finally:
+        # auto-named tables must not strand on the long-lived singleton
+        # when the stream or readback fails mid-run
+        if host and auto_table:
             pg.run_psql(host, f"DROP TABLE IF EXISTS {table};")
-    else:
-        back = spark.read.parquet(out_dir)
     return (back.groupBy("event_type")
             .agg(F.sum("cnt").alias("cnt"))
             .orderBy("event_type"))

@@ -252,6 +252,16 @@ AUDITED = [
      "suppliers and part attributes are broadcast build sides; the "
      "top-100 is TakeOrderedAndProject over the full tie-break key, "
      "never a global sort."),
+    ("q9_product_profit", ["BroadcastHashJoin", "HashAggregate"],
+     "TPC-H Q9: the name-filtered part, supplier and nation dims all "
+     "broadcast onto the fact; orders joins on the single l_orderkey "
+     "exchange; the grid profit expression folds into partial→final "
+     "HashAggregates map-side."),
+    ("q11_important_parts", ["BroadcastNestedLoopJoin", "HashAggregate"],
+     "TPC-H Q11: per-part grid sums partial→final; the global total "
+     "attaches as a 1-row broadcast nested-loop cross (the degenerate "
+     "case where BNLJ is correct — q22's shape); the integer-grid "
+     "threshold is a pure projection after it."),
     ("q16_supplier_part_counts", ["HashAggregate", "BroadcastHashJoin",
                                   "LeftAnti"],
      "TPC-H Q16: the distinct (part, supplier) pair reduction is the "
