@@ -500,3 +500,85 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.least("ea", "eb") - start_max).alias("overlap_us"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --- L10: small-file compaction sink ------------------------------------------
+
+_L10_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0) AS val_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_compaction_small_files", oracle=_L10_ORACLE)
+def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming or
+    micro-batch writer eventually owes its table. A fragmented write (32
+    hash tasks, each emitting its own file into every partition dir it
+    touches) is rewritten size-aware: per partition, the target file
+    count is ceil(bytes / target_file_size), and rows are salted into
+    exactly that many writer groups with one shuffle — the production
+    pattern with a 128 MB-1 GB target, scaled here to the corpus.
+
+    In-contract structural assertions (the part no SQL oracle can see):
+    after compaction every partition dir holds at most its computed
+    target file count (hash collisions between salt groups can only
+    MERGE files, never split them) and strictly fewer files than the
+    fragmented layout. The returned aggregate reads back from the
+    COMPACTED table, so the hash also proves the rewrite lost and
+    duplicated nothing. Driver-side listing cost is bounded by partition
+    count, never rows — the same bound every lake compactor accepts."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="silvia_compact_")
+    frag = os.path.join(root, "frag")
+    ev.repartition(32).write.partitionBy("event_type").parquet(frag)
+
+    target_bytes = 512 * 1024  # corpus-scaled stand-in for 128MB-1GB
+    before: dict[str, int] = {}
+    targets: dict[str, int] = {}
+    for entry in sorted(os.listdir(frag)):
+        if not entry.startswith("event_type="):
+            continue
+        pdir = os.path.join(frag, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        key = entry.split("=", 1)[1]
+        before[key] = len(files)
+        targets[key] = max(1, math.ceil(nbytes / target_bytes))
+
+    tmap = F.create_map(*[lit for k in sorted(targets)
+                          for lit in (F.lit(k), F.lit(targets[k]))])
+    out = os.path.join(root, "compacted")
+    (spark.read.parquet(frag)
+     .withColumn("_salt", F.pmod(F.hash("event_id"),
+                                 tmap[F.col("event_type")]))
+     .repartition("event_type", "_salt")
+     .drop("_salt")
+     .write.partitionBy("event_type").parquet(out))
+
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("event_type="):
+            continue
+        pdir = os.path.join(out, entry)
+        n = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+        key = entry.split("=", 1)[1]
+        if n > targets[key]:
+            raise AssertionError(
+                f"compaction wrote {n} files for {key}, target "
+                f"{targets[key]}")
+        if n >= before[key]:
+            raise AssertionError(
+                f"compaction did not reduce {key}: {before[key]} -> {n}")
+
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("event_type").cast("string")
+                         .alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))

@@ -206,6 +206,60 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A16: schema-evolution scan (mergeSchema) ---------------------------------
+
+# Two-generation plant: the v1 batch (even event_ids) predates the `value`
+# column, the v2 batch (odd) carries it — the oracle recomputes the merged
+# view from the parity split, so the hash proves NULL-fill for pre-evolution
+# files AND that no row was lost or duplicated across the generations.
+_A16_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS with_value,
+       (sum(CASE WHEN event_id % 2 = 1
+                 THEN CAST(round(value * 1000000) AS BIGINT) END)
+        / 1000000.0) AS val_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("scan_schema_evolution", oracle=_A16_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a table whose older files predate a
+    column. The v1 batch (even event_ids) is written WITHOUT ``value``;
+    the v2 batch (odd) with it; ``mergeSchema=true`` unions the file
+    schemas at scan time and surfaces NULL for the missing column in
+    pre-evolution files — the standard lake pattern for additive
+    evolution (rename/retype need a table format's mapping instead).
+
+    100 TB note: mergeSchema footer-merges EVERY file at planning time —
+    fine per-query here, but a large table should pin the merged schema
+    in a catalog (or read with an explicit schema, A2's pattern) so
+    planning stays O(1) in file count. The aggregate reads back from the
+    two-generation table: per type, total rows, rows carrying the new
+    column, and the grid sum over only those — proving the NULL-fill
+    did not fabricate or drop values."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_evolve_"), "tbl")
+    (ev.where(F.col("event_id") % 2 == 0)
+     .select("event_id", "event_type")
+     .write.parquet(os.path.join(root, "gen=v1")))
+    (ev.where(F.col("event_id") % 2 == 1)
+     .write.parquet(os.path.join(root, "gen=v2")))
+
+    merged = spark.read.option("mergeSchema", "true") \
+        .option("recursiveFileLookup", "false").parquet(root)
+    assert "value" in merged.columns  # the evolved column survived merge
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.count("value").alias("with_value"),
+                 (F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+                  / 1000000.0).alias("val_sum"))
+            .orderBy("event_type"))
+
+
 # --- A8: custom Python Data Source -------------------------------------------
 
 _A8_ORACLE = """

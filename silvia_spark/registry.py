@@ -51,15 +51,18 @@ _PRIORITY: tuple[str, ...] = (
     # ============ r07 packing (evidence ledger after r06: r02=7, r03=42,
     # r04=47, r05=48, r06=50; all 194 checked at least once, 0 failures).
     # This round drains the evidence tail. Window arithmetic with the
-    # final r07 surface: tier 0 (4) + new contracts (5, M24–M28) + r02 (7)
-    # + r03 hash-checked block = 50 at position 50 lands two entries past
-    # the cut: stream_transform_with_state (rows-only by design — pinned
-    # by its real-runner≡fallback pytest, cheapest possible sacrifice)
-    # and multimodal_frame_sample (hash-checked r03; the one deliberate
-    # refresh deferral this round, priced against a new TPC-H contract),
-    # plus the six *_live replays (rows-only, pinned by batch≡stream
-    # pytest). Every key remaining outside the window holds r03 evidence
-    # or newer, and all of them pass local parity every round. ============
+    # final r07 surface: tier 0 (4) + new contracts (8: M24–M28 TPC-H
+    # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction) +
+    # r02 (7) = 19, leaving 31 of the 36 hash-checked r03 keys inside.
+    # Five r03 keys are therefore deliberately deferred one round, priced
+    # one-for-one against the new contracts: stream_transform_with_state
+    # (rows-only by design — pinned by its real-runner≡fallback pytest,
+    # the cheapest sacrifice) plus the four hash-checked tail entries
+    # sample_stratified, q10_returned_items, text_tfidf,
+    # multimodal_frame_sample; the six *_live replays (rows-only, pinned
+    # by batch≡stream pytest) follow them. Every key left outside the
+    # window holds r03 evidence or newer and passes local parity every
+    # round — the r02 era is fully drained this round either way. =========
     # -- tier 0: changed in r07 after their newest (r06) evidence — the
     #    ADVICE fixes. A13 merge_keyed: staged-sibling write + per-partition
     #    swap (data-loss window closed); A14 scd2: insert-key offset now

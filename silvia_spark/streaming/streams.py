@@ -605,3 +605,66 @@ def stream_moments_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("user_id", "n", "s1", "s2")
             .orderBy("user_id"))
+
+
+# --- A15: end-to-end ingestion through the kafka transport contract ----------
+
+_A15_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("stream_kafka_shim_live", oracle=_A15_ORACLE)
+def stream_kafka_shim_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Kafka-shaped ingestion loop, hash-checked: the events
+    table is PRODUCED into a broker-less shim topic as JSON messages
+    (four produce batches ⇒ four replayed micro-batches under
+    maxFilesPerTrigger=1), consumed through the SAME
+    ``source(spark, "kafka", ...)`` entry production uses — only the
+    ``shim://`` bootstrap URI swaps the transport
+    (sources/kafka_shim.py) — parsed with from_json, and aggregated in
+    complete mode. The oracle recomputes the counts and id-sums straight
+    from the events table, so the hash proves produce → offsets →
+    multi-batch replay → binary-value decode → aggregate end-to-end:
+    the first driver-hashed evidence for the kafka branch rather than
+    construction-only coverage. Per-invocation topic dir: offsets start
+    at 0 every run, exactly like a fresh topic.
+
+    At scale the identical downstream plan runs against the real
+    reader; the per-micro-batch state is |event_type| rows (complete
+    mode on a low-cardinality key), and backpressure maps to
+    maxOffsetsPerTrigger where the shim uses maxFilesPerTrigger."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from silvia_spark.sources import kafka_shim
+
+    tbl = _pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+    ids = tbl.column("event_id").to_pylist()
+    types = tbl.column("event_type").to_pylist()
+    shim = tempfile.mkdtemp(prefix="silvia_kshim_topic_")
+    n, batches = len(ids), 4
+    for b in range(batches):
+        lo, hi = b * n // batches, (b + 1) * n // batches
+        if hi > lo:
+            kafka_shim.produce(
+                shim, "events",
+                [_json.dumps({"i": ids[k], "t": types[k]})
+                 for k in range(lo, hi)])
+
+    stream = source(spark, "kafka", subscribe="events",
+                    startingOffsets="earliest", failOnDataLoss="false",
+                    **{"kafka.bootstrap.servers": f"shim://{shim}"})
+    parsed = stream.select(F.from_json(
+        F.col("value").cast("string"), "i BIGINT, t STRING").alias("m"))
+    agg = (parsed.groupBy(F.col("m.t").alias("event_type"))
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("m.i").alias("id_sum")))
+    out = _run_to_memory(agg, spark, output_mode="complete")
+    return out.orderBy("event_type")
