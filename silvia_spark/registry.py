@@ -73,6 +73,13 @@ _PRIORITY: tuple[str, ...] = (
     #    oracle — first driver hash evidence for the PG loop. ----------------
     "sink_merge_keyed", "sink_merge_scd2", "dedup_cluster_cc",
     "stream_foreachbatch_upsert",
+    # -- tier 0b: NEW in r07 (8 slots) — the TPC-H completion set M24–M28,
+    #    the kafka-transport e2e contract A15, the mergeSchema evolution
+    #    scan A16, and the small-file compaction sink L10. -------------------
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q16_supplier_part_counts", "q20_dominant_suppliers",
+    "stream_kafka_shim_live", "scan_schema_evolution",
+    "sink_compaction_small_files",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seven r02-era keys (oldest evidence anywhere) -----------
