@@ -540,6 +540,8 @@ def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(32).write.partitionBy("event_type").parquet(frag)
 
     target_bytes = 512 * 1024  # corpus-scaled stand-in for 128MB-1GB
+    from urllib.parse import unquote
+
     before: dict[str, int] = {}
     targets: dict[str, int] = {}
     for entry in sorted(os.listdir(frag)):
@@ -548,7 +550,10 @@ def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdir = os.path.join(frag, entry)
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
-        key = entry.split("=", 1)[1]
+        # Spark percent-escapes partition values in dir names; the salt
+        # map below is keyed by the COLUMN value, so unescape here or a
+        # value like 'page view' would miss the map and skip salting.
+        key = unquote(entry.split("=", 1)[1])
         before[key] = len(files)
         targets[key] = max(1, math.ceil(nbytes / target_bytes))
 
@@ -567,12 +572,17 @@ def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         pdir = os.path.join(out, entry)
         n = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
-        key = entry.split("=", 1)[1]
+        key = unquote(entry.split("=", 1)[1])
         if n > targets[key]:
             raise AssertionError(
                 f"compaction wrote {n} files for {key}, target "
                 f"{targets[key]}")
-        if n >= before[key]:
+        if n > before[key]:
+            raise AssertionError(
+                f"compaction grew {key}: {before[key]} -> {n}")
+        if before[key] > targets[key] and n >= before[key]:
+            # strict reduction is only owed where the layout was actually
+            # fragmented; an already-compact partition is a no-op
             raise AssertionError(
                 f"compaction did not reduce {key}: {before[key]} -> {n}")
 

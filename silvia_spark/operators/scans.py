@@ -214,7 +214,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # files AND that no row was lost or duplicated across the generations.
 _A16_ORACLE = """
 SELECT event_type, count(*) AS cnt,
-       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS with_value,
+       count(CASE WHEN event_id % 2 = 1 THEN value END) AS with_value,
        (sum(CASE WHEN event_id % 2 = 1
                  THEN CAST(round(value * 1000000) AS BIGINT) END)
         / 1000000.0) AS val_sum
@@ -252,11 +252,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.option("mergeSchema", "true") \
         .option("recursiveFileLookup", "false").parquet(root)
     assert "value" in merged.columns  # the evolved column survived merge
+    from silvia_spark.functions.numeric import dsum
     return (merged.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.count("value").alias("with_value"),
-                 (F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
-                  / 1000000.0).alias("val_sum"))
+                 dsum("value", "val_sum"))
             .orderBy("event_type"))
 
 
