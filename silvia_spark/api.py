@@ -29,6 +29,11 @@ Composition sketches (each kernel's docstring has the details):
     api.merge_keyed(spark, "/lake/events", changes,
                     keys=["event_id", "event_type"], part_col="event_type")
 
+    # size-aware small-file compaction of a partitioned table:
+    api.compact_partitioned(spark, "/lake/events", "/lake/events_v2",
+                            part_col="event_type", salt_col="event_id",
+                            target_bytes=512 * 2**20)
+
     # nearest-direction as-of (either side of the probe, within tolerance):
     joined = api.nearest_asof(probes, quotes, on=("sym", "qsym"),
                               ts_us=("t", "qt"), left_id="probe_id",
@@ -63,6 +68,7 @@ from silvia_spark.sources.factory import source
 
 # Lake sinks / temporal joins --------------------------------------------------
 from silvia_spark.operators.scans import merge_keyed
+from silvia_spark.operators.scale_patterns import compact_partitioned
 from silvia_spark.operators.joins import nearest_asof
 
 # Dedup / clustering -----------------------------------------------------------
@@ -108,7 +114,7 @@ __all__ = [
     # streaming
     "source",
     # lake sinks / temporal joins
-    "merge_keyed", "nearest_asof",
+    "merge_keyed", "nearest_asof", "compact_partitioned",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

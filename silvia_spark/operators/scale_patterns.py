@@ -530,47 +530,75 @@ def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragmented layout. The returned aggregate reads back from the
     COMPACTED table, so the hash also proves the rewrite lost and
     duplicated nothing. Driver-side listing cost is bounded by partition
-    count, never rows — the same bound every lake compactor accepts."""
-    import math
-
+    count, never rows — the same bound every lake compactor accepts.
+    The rewrite itself is the importable compact_partitioned kernel
+    (also exported via silvia_spark.api), which carries the structural
+    assertions; this contract wraps it over the corpus layout."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     root = tempfile.mkdtemp(prefix="silvia_compact_")
     frag = os.path.join(root, "frag")
     ev.repartition(32).write.partitionBy("event_type").parquet(frag)
 
-    target_bytes = 512 * 1024  # corpus-scaled stand-in for 128MB-1GB
+    out = os.path.join(root, "compacted")
+    compact_partitioned(spark, frag, out, part_col="event_type",
+                        salt_col="event_id",
+                        target_bytes=512 * 1024)  # stand-in for 128MB-1GB
+
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("event_type").cast("string")
+                         .alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))
+
+
+def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
+                        part_col: str, salt_col: str,
+                        target_bytes: int) -> dict[str, tuple[int, int, int]]:
+    """Size-aware small-file compaction kernel (the L10 contract's engine,
+    importable against any partitioned parquet table): rewrite ``src`` to
+    ``dst`` so each partition dir holds at most ceil(bytes / target_bytes)
+    files, using ONE shuffle — rows salt into exactly that many writer
+    groups per partition via pmod(hash(salt_col), target).
+
+    Returns {partition_value: (files_before, files_after, target)} and
+    raises AssertionError when a partition exceeds its target, grows, or
+    fails to shrink while actually fragmented (an already-compact
+    partition is a no-op, not a failure). Partition values are unescaped
+    from the dir names so values needing percent-escaping ('page view')
+    still hit the salt map. Driver-side listing cost ∝ partition count,
+    never rows; hash collisions between salt groups can merge files but
+    never split them, so the target is a hard upper bound."""
+    import math
     from urllib.parse import unquote
 
+    prefix = f"{part_col}="
     before: dict[str, int] = {}
     targets: dict[str, int] = {}
-    for entry in sorted(os.listdir(frag)):
-        if not entry.startswith("event_type="):
+    for entry in sorted(os.listdir(src)):
+        if not entry.startswith(prefix):
             continue
-        pdir = os.path.join(frag, entry)
+        pdir = os.path.join(src, entry)
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
-        # Spark percent-escapes partition values in dir names; the salt
-        # map below is keyed by the COLUMN value, so unescape here or a
-        # value like 'page view' would miss the map and skip salting.
         key = unquote(entry.split("=", 1)[1])
         before[key] = len(files)
         targets[key] = max(1, math.ceil(nbytes / target_bytes))
 
     tmap = F.create_map(*[lit for k in sorted(targets)
                           for lit in (F.lit(k), F.lit(targets[k]))])
-    out = os.path.join(root, "compacted")
-    (spark.read.parquet(frag)
-     .withColumn("_salt", F.pmod(F.hash("event_id"),
-                                 tmap[F.col("event_type")]))
-     .repartition("event_type", "_salt")
+    (spark.read.parquet(src)
+     .withColumn("_salt", F.pmod(F.hash(salt_col), tmap[F.col(part_col)]))
+     .repartition(part_col, "_salt")
      .drop("_salt")
-     .write.partitionBy("event_type").parquet(out))
+     .write.partitionBy(part_col).parquet(dst))
 
-    for entry in sorted(os.listdir(out)):
-        if not entry.startswith("event_type="):
+    stats: dict[str, tuple[int, int, int]] = {}
+    for entry in sorted(os.listdir(dst)):
+        if not entry.startswith(prefix):
             continue
-        pdir = os.path.join(out, entry)
+        pdir = os.path.join(dst, entry)
         n = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
         key = unquote(entry.split("=", 1)[1])
         if n > targets[key]:
@@ -585,10 +613,5 @@ def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fragmented; an already-compact partition is a no-op
             raise AssertionError(
                 f"compaction did not reduce {key}: {before[key]} -> {n}")
-
-    back = spark.read.parquet(out)
-    return (back.groupBy(F.col("event_type").cast("string")
-                         .alias("event_type"))
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 dsum("value", "val_sum"))
-            .orderBy("event_type"))
+        stats[key] = (before[key], n, targets[key])
+    return stats

@@ -303,3 +303,109 @@ def test_enrichment_family_conserves_rows(spark):
     assert sum(r.n_orders for r in fx) == n_orders
     # the geo plant's gaps must actually exercise the miss path
     assert any(r.country == "unknown" for r in geo)
+
+
+# --- r07: merge_keyed replay vs dict reference --------------------------------
+
+_parts = st.lists(st.sampled_from(["p1", "p 2", "p%3"]),
+                  min_size=1, max_size=3, unique=True)
+_merge_case = st.tuples(
+    # base rows: (key, partition index, value)
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 2),
+                       st.integers(-5, 5)),
+             min_size=1, max_size=12),
+    # ops: (key, partition index, op, value)
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 2),
+                       st.sampled_from(["U", "D", "I"]), st.integers(-5, 5)),
+             min_size=1, max_size=8),
+    _parts)
+
+
+@given(case=_merge_case)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_merge_keyed_matches_dict_replay(spark, case, tmp_path_factory):
+    """Random base tables and op batches — including partition values that
+    need percent-escaping in dir names — through the REAL staged-swap
+    merge_keyed, compared against a plain dict replay. Also pins the
+    swap hygiene: no stage/trash siblings survive a successful merge."""
+    import os
+
+    from silvia_spark.operators.scans import merge_keyed
+
+    raw_base, raw_ops, parts = case
+    # de-dup base rows per (key, part): a keyed table has unique keys
+    base = {}
+    for k, pi, v in raw_base:
+        base[(k, parts[pi % len(parts)])] = v
+    ops, seen = [], set()
+    for k, pi, op, v in raw_ops:
+        key = (k, parts[pi % len(parts)])
+        if key in seen:
+            continue  # one op per key per batch, like a compacted CDC feed
+        seen.add(key)
+        ops.append((key, op, v))
+
+    want = dict(base)
+    for (k, p), op, v in ops:
+        if op == "D":
+            want.pop((k, p), None)
+        else:  # U and I both carry the payload; merge upserts either way
+            want[(k, p)] = v
+
+    root = tmp_path_factory.mktemp("merge_prop")
+    out = str(root / "t")
+    spark.createDataFrame(
+        [(k, p, float(v)) for (k, p), v in sorted(base.items())],
+        "k BIGINT, part STRING, v DOUBLE",
+    ).write.partitionBy("part").parquet(out)
+    chg = spark.createDataFrame(
+        [(k, p, float(v), op) for ((k, p), op, v) in ops],
+        "k BIGINT, part STRING, v DOUBLE, op STRING")
+    merge_keyed(spark, out, chg, ["k", "part"], "part")
+
+    got = {(r.k, r.part): r.v for r in spark.read.parquet(out).collect()}
+    assert got == {kp: float(v) for kp, v in want.items()}
+    leftovers = [d for d in os.listdir(root)
+                 if ".stage-" in d or ".trash-" in d]
+    assert leftovers == []
+
+
+# --- r07: compaction kernel vs file-count bounds ------------------------------
+
+_compact_case = st.lists(
+    st.tuples(st.sampled_from(["a", "b c", "d%e"]), st.integers(0, 500)),
+    min_size=1, max_size=6)
+
+
+@given(case=_compact_case, frag=st.integers(min_value=2, max_value=8))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_compact_partitioned_bounds_and_content(spark, case, frag,
+                                                tmp_path_factory):
+    """Random partition layouts (values needing escaping included, sizes
+    from near-empty to multi-file) through the compaction kernel: file
+    counts within the returned targets, content identical, partitions
+    already compact treated as no-ops (the kernel's own assertions fire
+    on violation — this drives them across layouts the corpus doesn't
+    have)."""
+    from silvia_spark.operators.scale_patterns import compact_partitioned
+
+    rows = []
+    rid = 0
+    for p, n in case:
+        for _ in range(max(1, n)):
+            rows.append((rid, p, float(rid % 7)))
+            rid += 1
+    root = tmp_path_factory.mktemp("compact_prop")
+    src, dst = str(root / "src"), str(root / "dst")
+    df = spark.createDataFrame(rows, "id BIGINT, part STRING, v DOUBLE")
+    df.repartition(frag).write.partitionBy("part").parquet(src)
+
+    stats = compact_partitioned(spark, src, dst, part_col="part",
+                                salt_col="id", target_bytes=4 * 1024)
+    for key, (nb, na, tgt) in stats.items():
+        assert na <= tgt and na <= nb
+    got = sorted((r.id, r.part, r.v)
+                 for r in spark.read.parquet(dst).collect())
+    assert got == sorted(rows)
