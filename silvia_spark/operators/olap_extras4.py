@@ -5,11 +5,13 @@ The corpus has no ``partsupp`` table, so the supplier↔part relation is
 DERIVED from lineitem — the distinct ``(l_partkey, l_suppkey)`` pairs a
 warehouse would call the "observed supply graph" — and the per-pair cost /
 quantity facts come from the same lines. Each contract documents its
-adaptation; the PLAN SHAPES are the originals': Q2's decorrelated
-per-group min with equality join-back, Q9's profit expression over the
-widest dimension star, Q11's group-sum vs scalar-global-threshold
-(1-row broadcast), Q16's distinct-pair counting with an excluded-supplier
-anti-set, Q20's aggregate→aggregate→semi-join chain.
+adaptation; the plan shapes keep the originals' SEMANTICS while the
+correlated/self-referencing parts take the repo's Q15 window form —
+referencing a derived aggregate twice makes Catalyst materialize the
+shared fact subtree twice (no plan-level CSE), so Q2's per-part min,
+Q11's global threshold and Q20's per-part total are all WINDOWS over the
+one aggregate instead of aggregate-join-backs: one fact scan each,
+verified by tests/test_scale_guards.py.
 
 Numeric discipline (functions/numeric.py): money sums ride the 1e-6
 BIGINT grid; Q11's threshold compares SCALED GRID LONGS (1000·value >
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from silvia_spark.functions.numeric import dsum, sql_dsum
 from silvia_spark.io import load_tables
@@ -65,15 +68,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum cost. Adaptation (no partsupp): the supply offer is the
     observed minimum unit price ``min(l_extendedprice / l_quantity)`` per
     (part, supplier) pair from lineitem. The correlated
-    ``= (SELECT min(...))`` decorrelates exactly as in the original: one
-    per-part min aggregate joined back on (part, cost-equality). The
-    equality on doubles is safe because both sides ARE the same double
-    (min selects, never recombines, and the division is per-row IEEE);
-    the output carries the raw double, never a re-round (numeric.py).
+    ``= (SELECT min(...))`` becomes a per-part min WINDOW over the offer
+    aggregate with an equality filter — same fixpoint as the oracle's
+    decorrelated join-back, but the fact subtree is built ONCE (a
+    join-back referencing the aggregate twice is materialized twice by
+    Catalyst). The equality on doubles is safe because both sides ARE
+    the same double (min selects, never recombines, and the division is
+    per-row IEEE); the output carries the raw double, never a re-round
+    (numeric.py).
 
     Plan: offers = one (pk, sk) exchange over the fact; region-filtered
-    suppliers broadcast onto it; the per-part min reuses the offers
-    lineage; part attributes broadcast; deterministic top-100 via
+    suppliers broadcast onto it; one pk window exchange for the min;
+    part attributes broadcast; deterministic top-100 via
     TakeOrderedAndProject over the full tie-break key."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation",
                     "region", "part")
@@ -91,12 +97,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     eu_offers = offers.join(F.broadcast(eu_supp),
                             offers["sk"] == eu_supp["s_suppkey"])
-    mn = eu_offers.groupBy("pk").agg(F.min("unit_cost").alias("min_cost"))
+    # Per-part min as a WINDOW over the offer aggregate, not an aggregate
+    # joined back: referencing eu_offers twice would make Catalyst build
+    # (and scan) the whole fact subtree twice — the Q15 lesson
+    # (olap_extras3). One window exchange on pk replaces the join.
+    mn_w = Window.partitionBy("pk")
     pq = (t["part"].where((F.col("p_size") <= 10)
                           & (F.col("p_type") == "LARGE"))
           .select("p_partkey", "p_brand"))
     return (eu_offers
-            .join(mn, "pk")
+            .withColumn("min_cost", F.min("unit_cost").over(mn_w))
             .where(F.col("unit_cost") == F.col("min_cost"))
             .join(F.broadcast(pq), F.col("pk") == F.col("p_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
@@ -182,13 +192,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nation's total. Adaptation (no partsupp availqty/supplycost):
     supply value is the lineitem revenue routed through the nation's
     suppliers. The HAVING-vs-global-scalar structure is the original's:
-    per-part grid sums, ONE scalar total attached as a 1-row broadcast
-    cross (the degenerate case where a nested-loop join is correct —
-    q22's shape), and the 0.1% cut compared as ``1000·value > total`` on
-    the BIGINT grid so the threshold is integer-exact in both engines
-    (a double multiply at the cut would be a knife-edge hazard for parts
-    sitting exactly on it). Ordering on the grid long, not the derived
-    double, for the same reason."""
+    per-part grid sums, with the global total as a FULL-FRAME window
+    over that (dimension-sized) aggregate — Q15's one-scan pattern; a
+    scalar cross join would reference the aggregate twice and recompute
+    the fact subtree for the total branch. The 0.1% cut compares
+    ``1000·value > total`` on the BIGINT grid so the threshold is
+    integer-exact in both engines (a double multiply at the cut would be
+    a knife-edge hazard for parts sitting exactly on it). Ordering on
+    the grid long, not the derived double, for the same reason."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     nat_supp = (t["supplier"]
                 .join(F.broadcast(t["nation"].where(
@@ -201,8 +212,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("l_partkey")
          .agg(F.sum(F.round(F.col("l_extendedprice") * 1000000)
                     .cast("bigint")).alias("val_grid")))
-    tot = v.agg(F.sum("val_grid").alias("total_grid"))
-    return (v.crossJoin(F.broadcast(tot))
+    # Global total as a FULL-FRAME window over the tiny per-part
+    # aggregate (Q15's pattern): a scalar-aggregate cross join would
+    # reference v twice and Catalyst would recompute the whole fact
+    # subtree for the total branch — two lineitem scans. The single
+    # partition the empty-frame window forces holds part-level rows
+    # (dimension-sized), not fact rows.
+    return (v.withColumn("total_grid",
+                         F.sum("val_grid").over(Window.partitionBy()))
             .where(1000 * F.col("val_grid") > F.col("total_grid"))
             .select(F.col("l_partkey").alias("partkey"),
                     (F.col("val_grid") / 1000000.0).alias("value"),
@@ -299,14 +316,14 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availqty > 0.5 × part-year demand`` correlated comparison with
     shipments standing in for stock.
 
-    The nested IN(IN(...)) chain decorrelates exactly like the original:
-    aggregate per (part, supplier), re-aggregate per part (reusing the
-    first exchange's partitioning), integer dominance cut
-    (``10·qty_ps > 3·qty_p`` on BIGINTs — quantities are integral, so
-    the 30% threshold is exact), then ONE distinct-supplier semi-set
-    that LEFT SEMI joins the region-filtered supplier dim. No fact
-    columns survive past the first aggregate; the semi set shuffles
-    bare supplier ids."""
+    The nested IN(IN(...)) chain decorrelates to ONE aggregation plus a
+    per-part sum WINDOW over it (a re-aggregate joined back would
+    reference the aggregate twice and Catalyst would scan the fact
+    twice), the integer dominance cut (``10·qty_ps > 3·qty_p`` on
+    BIGINTs — quantities are integral, so the 30% threshold is exact),
+    then ONE distinct-supplier semi-set that LEFT SEMI joins the
+    region-filtered supplier dim. No fact columns survive past the
+    aggregate; the semi set shuffles bare supplier ids."""
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier",
                     "nation", "region")
     pf = t["part"].where(F.col("p_name").like("small%")) \
@@ -319,8 +336,14 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
            .groupBy("l_partkey", "l_suppkey")
            .agg(F.sum("l_quantity").cast("bigint").alias("qty_ps")))
-    qp = qps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
-    dominant = (qps.join(qp, "l_partkey")
+    # Per-part total as a WINDOW over the (part, supplier) aggregate:
+    # deriving qp from qps and joining back references qps twice, and
+    # Catalyst materializes the shared subtree TWICE (no plan-level CSE
+    # for this shape) — two full fact scans at 100 TB. One pk-window
+    # exchange over the already-aggregated pairs replaces both.
+    dominant = (qps.withColumn(
+                    "qty_p",
+                    F.sum("qty_ps").over(Window.partitionBy("l_partkey")))
                 .where(10 * F.col("qty_ps") > 3 * F.col("qty_p"))
                 .select("l_suppkey").distinct())
     asia = (t["supplier"]

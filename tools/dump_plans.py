@@ -246,33 +246,34 @@ AUDITED = [
      "fan-out."),
     # -- r07 additions (M24-M28: the TPC-H completion set) -------------------
     ("q2_min_cost_supplier", ["BroadcastHashJoin", "HashAggregate",
-                              "TakeOrderedAndProject"],
-     "TPC-H Q2: the correlated per-part min decorrelates to one "
-     "aggregate joined back on (part, cost-equality); region-filtered "
-     "suppliers and part attributes are broadcast build sides; the "
-     "top-100 is TakeOrderedAndProject over the full tie-break key, "
-     "never a global sort."),
+                              "Window", "TakeOrderedAndProject"],
+     "TPC-H Q2: the correlated per-part min is a WINDOW over the offer "
+     "aggregate (a join-back would materialize the fact subtree twice); "
+     "region-filtered suppliers and part attributes are broadcast build "
+     "sides; top-100 is TakeOrderedAndProject over the full tie-break "
+     "key, never a global sort."),
     ("q9_product_profit", ["BroadcastHashJoin", "HashAggregate"],
      "TPC-H Q9: the name-filtered part, supplier and nation dims all "
      "broadcast onto the fact; orders joins on the single l_orderkey "
      "exchange; the grid profit expression folds into partial→final "
      "HashAggregates map-side."),
-    ("q11_important_parts", ["BroadcastNestedLoopJoin", "HashAggregate"],
-     "TPC-H Q11: per-part grid sums partial→final; the global total "
-     "attaches as a 1-row broadcast nested-loop cross (the degenerate "
-     "case where BNLJ is correct — q22's shape); the integer-grid "
-     "threshold is a pure projection after it."),
+    ("q11_important_parts", ["Window", "HashAggregate"],
+     "TPC-H Q11: per-part grid sums partial→final; the global total is "
+     "a full-frame WINDOW over the dimension-sized aggregate (Q15's "
+     "one-scan pattern — a scalar cross join would recompute the fact "
+     "subtree); the integer-grid threshold is a pure projection."),
     ("q16_supplier_part_counts", ["HashAggregate", "BroadcastHashJoin",
                                   "LeftAnti"],
      "TPC-H Q16: the distinct (part, supplier) pair reduction is the "
      "only fact-sized exchange; the filtered part dim broadcasts; the "
      "excluded-supplier set attaches as a broadcast LEFT ANTI; "
      "count-distinct runs partial→final."),
-    ("q20_dominant_suppliers", ["HashAggregate", "LeftSemi"],
-     "TPC-H Q20: aggregate → re-aggregate (same key prefix, exchange "
-     "reused) → integer dominance cut → distinct semi-set → LEFT SEMI "
-     "onto the broadcast-dim-filtered supplier table; only bare ids "
-     "cross the final exchanges."),
+    ("q20_dominant_suppliers", ["HashAggregate", "Window", "LeftSemi"],
+     "TPC-H Q20: one (part, supplier) aggregate → per-part sum WINDOW "
+     "(a re-aggregate join-back would scan the fact twice) → integer "
+     "dominance cut → distinct semi-set → LEFT SEMI onto the "
+     "broadcast-dim-filtered supplier table; only bare ids cross the "
+     "final exchanges."),
 ]
 
 
