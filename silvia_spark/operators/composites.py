@@ -308,33 +308,39 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy corpora), and the accounting aggregates are
     lang-grained (broadcast-sized)."""
     from silvia_spark.functions.training_ops import jaccard_pairs
+    from silvia_spark.io import managed_persist
 
     d = load_table(spark, sf_dir, "documents")
     tgt = d.where(F.col("lang").isin("en", "de", "es", "fr"))
-    q = tgt.where(F.col("n_chars").between(150, 450))
+    # ONE annotated lineage instead of per-stage re-derivations: the old
+    # per_lang(tgt)/per_lang(q)/per_lang(e)/kept_stats join re-referenced
+    # the stage frames and Catalyst materialized the base scan FIVE times
+    # (no plan-level common-subtree elimination). Stage membership is now
+    # a set of flags on one frame, persisted once (it feeds the jaccard
+    # kernel AND the accounting), and the report is a single conditional
+    # aggregation — one documents scan, cache reads after it.
     rn = F.row_number().over(
-        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id"))
-    e = q.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
-    dups = (jaccard_pairs(e.select("doc_id", "text"), 0.8)
+        Window.partitionBy(F.sha2(F.col("text"), 256), F.col("is_q"))
+        .orderBy("doc_id"))
+    base = managed_persist(
+        tgt.select("doc_id", "lang", "text",
+                   F.col("n_chars").between(150, 450).alias("is_q"))
+        .withColumn("is_e", F.col("is_q") & (rn == 1)),
+        slot="curation_pipeline_base")
+    dups = (jaccard_pairs(base.where("is_e").select("doc_id", "text"), 0.8)
             .select(F.col("doc_b").alias("dup_id")).distinct())
-    kept = e.join(dups, e.doc_id == dups.dup_id, "left_anti")
-
-    def per_lang(df: DataFrame, alias: str) -> DataFrame:
-        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(alias))
+    flagged = (base.join(dups, base.doc_id == dups.dup_id, "left")
+               .withColumn("is_kept",
+                           F.col("is_e") & F.col("dup_id").isNull()))
 
     tok = F.size(F.split(F.lower("text"), " "))
-    kept_stats = (
-        kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"),
-             F.sum(tok).alias("kept_tokens"))
-    )
-    out = (
-        per_lang(tgt, "total")
-        .join(per_lang(q, "n_q"), "lang", "left")
-        .join(per_lang(e, "n_e"), "lang", "left")
-        .join(kept_stats, "lang", "left")
-        .na.fill(0, ["n_q", "n_e", "n_kept", "kept_tokens"])
-    )
+    out = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if("is_q").alias("n_q"),
+        F.count_if("is_e").alias("n_e"),
+        F.count_if("is_kept").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), tok).otherwise(0))
+        .alias("kept_tokens"))
     return (
         out.select(
             "lang", "total",
