@@ -113,18 +113,20 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored in both engines (ISO), and the offset is an exact integer:
     day difference of two Monday dates floor-divided by 7 (both engines
     do integer division on integers — no float ever exists). 100 TB:
-    two aggregates share one user_id shuffle (first-week min and the
-    distinct active weeks); the join input is one row per user-week, and
-    the final matrix is tiny (weeks × offsets)."""
+    the first-week min is a per-user WINDOW over the distinct
+    user-weeks, so both it and the offset bucketing ride ONE user_id
+    exchange and one events scan (the aggregate-join-back form
+    referenced the distinct set twice and Catalyst scanned events
+    twice); the final matrix is tiny (weeks × offsets)."""
     ev = load_table(spark, sf_dir, "events")
     act = (
         ev.select("user_id",
                   F.date_trunc("week", "ts").cast("date").alias("w"))
         .distinct()
     )
-    firstw = act.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    cohort = F.min("w").over(Window.partitionBy("user_id"))
     return (
-        act.join(firstw, "user_id")
+        act.withColumn("cohort_week", cohort)
         .groupBy("cohort_week",
                  (F.datediff("w", "cohort_week") / 7).cast("int")
                  .alias("week_offset"))
@@ -152,13 +154,22 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is ever computed — the contract is float-free end to end.
     The global total rides a 1-row broadcast crossJoin onto the
     per-user aggregate (one job, no driver round-trip). 100 TB: the
-    per-key count is the canonical partial-agg reduction; the threshold
-    self-scales with n, so the output stays the tail of the skew
-    distribution at every scale — this exact form is the oracle twin a
+    per-key count is the canonical partial-agg reduction, persisted
+    once so the total DERIVES from it — summing the cached per-user
+    counts instead of re-aggregating the source, which referenced the
+    events scan twice (a full-frame window would be wrong here: the
+    per-user aggregate is user-cardinality, not dimension-sized, so it
+    must never collapse to one partition). The threshold self-scales
+    with n, so the output stays the tail of the skew distribution at
+    every scale — this exact form is the oracle twin a
     count-min/SpaceSaving sketch would be validated against."""
+    from silvia_spark.io import managed_persist
+
     ev = load_table(spark, sf_dir, "events")
-    tot = ev.agg(F.count(F.lit(1)).alias("n"))
-    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("evt_cnt"))
+    cnt = managed_persist(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("evt_cnt")),
+        slot="heavy_hitters_cnt")
+    tot = cnt.agg(F.sum("evt_cnt").alias("n"))
     return (
         cnt.crossJoin(F.broadcast(tot))
         .where(F.col("evt_cnt") * 1000 >= F.col("n") * 8)

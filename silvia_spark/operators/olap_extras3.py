@@ -282,8 +282,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-part mean over the slice equals the mean over the full
     table). The threshold math (exact grid sum → one division → one
     0.2 multiply) runs in the same order in both engines. 100 TB: the
-    brand slice shuffles once on l_partkey and is reused for both the
-    aggregate and the probe; TPC-H's per-row subquery never exists."""
+    brand slice shuffles once on l_partkey, and the per-part mean is a
+    WINDOW over that one exchange — the aggregate-join-back form
+    referenced the slice twice and Catalyst materialized (and scanned)
+    the fact subtree twice; TPC-H's per-row subquery never exists."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
     li = (
         t["lineitem"]
@@ -292,16 +294,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
-    thresh = (
-        li.groupBy("l_partkey")
-        .agg((F.lit(0.2)
-              * (F.sum(F.round(F.col("l_quantity") * 1_000_000)
-                       .cast("bigint")) / F.lit(1_000_000.0)
-                 / F.count(F.lit(1)))).alias("qty_cut"))
-        .withColumnRenamed("l_partkey", "t_partkey")
-    )
+    w = Window.partitionBy("l_partkey")
+    qty_cut = (F.lit(0.2)
+               * (F.sum(F.round(F.col("l_quantity") * 1_000_000)
+                        .cast("bigint")).over(w) / F.lit(1_000_000.0)
+                  / F.count(F.lit(1)).over(w)))
     return (
-        li.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        li.withColumn("qty_cut", qty_cut)
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.count(F.lit(1)).alias("small_lines"),
              dsum("l_extendedprice", "small_revenue"))

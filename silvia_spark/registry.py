@@ -51,18 +51,21 @@ _PRIORITY: tuple[str, ...] = (
     # ============ r07 packing (evidence ledger after r06: r02=7, r03=42,
     # r04=47, r05=48, r06=50; all 194 checked at least once, 0 failures).
     # This round drains the evidence tail. Window arithmetic with the
-    # final r07 surface: tier 0 (4) + new contracts (8: M24–M28 TPC-H
+    # final r07 surface: tier 0 (8: the 4 ADVICE fixes + the 4 late-r07
+    # single-fact-scan rewrites) + new contracts (8: M24–M28 TPC-H
     # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction) +
-    # r02 (7) = 19, leaving 31 of the 36 hash-checked r03 keys inside.
-    # Five r03 keys are therefore deliberately deferred one round, priced
-    # one-for-one against the new contracts: stream_transform_with_state
-    # (rows-only by design — pinned by its real-runner≡fallback pytest,
-    # the cheapest sacrifice) plus the four hash-checked tail entries
-    # sample_stratified, q10_returned_items, text_tfidf,
-    # multimodal_frame_sample; the six *_live replays (rows-only, pinned
-    # by batch≡stream pytest) follow them. Every key left outside the
-    # window holds r03 evidence or newer and passes local parity every
-    # round — the r02 era is fully drained this round either way. =========
+    # r02 (7) = 23, leaving 27 of the 36 hash-checked r03 keys inside.
+    # Nine r03 keys are therefore deliberately deferred one round, priced
+    # one-for-one against the new/changed contracts: the window tail
+    # (multimodal_frame_sample, text_tfidf, q10_returned_items,
+    # sample_stratified, text_pack_sequences, source_rate_stream,
+    # sink_partition_overwrite, source_orc) plus
+    # stream_transform_with_state (rows-only by design — pinned by its
+    # real-runner≡fallback pytest, the cheapest sacrifice), then the six
+    # *_live replays (rows-only, pinned by batch≡stream pytest). Every
+    # key left outside the window holds r03 evidence or newer and passes
+    # local parity every round — the r02 era is fully drained either
+    # way, which was this round's gate. ==================================
     # -- tier 0: changed in r07 after their newest (r06) evidence — the
     #    ADVICE fixes. A13 merge_keyed: staged-sibling write + per-partition
     #    swap (data-loss window closed); A14 scd2: insert-key offset now
@@ -73,6 +76,12 @@ _PRIORITY: tuple[str, ...] = (
     #    oracle — first driver hash evidence for the PG loop. ----------------
     "sink_merge_keyed", "sink_merge_scd2", "dedup_cluster_cc",
     "stream_foreachbatch_upsert",
+    # -- tier 0 (late r07): the single-fact-scan rewrites — Q17 window
+    #    mean, retention-cohort window min, heavy-hitters persisted
+    #    counts, single-lineage curation pipeline (each previously
+    #    rebuilt+rescanned a shared fact subtree). ------------------------
+    "q17_small_quantity", "events_retention_cohort", "agg_heavy_hitters",
+    "curation_pipeline",
     # -- tier 0b: NEW in r07 (8 slots) — the TPC-H completion set M24–M28,
     #    the kafka-transport e2e contract A15, the mergeSchema evolution
     #    scan A16, and the small-file compaction sink L10. -------------------
@@ -107,13 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "scan_schema_enforce", "agg_time_gapfill", "sim_topk_cosine",
     "sim_join_threshold", "sim_centroids", "multimodal_join", "sim_ann_ivf",
     "text_lang_detect", "sim_ann_ivf_kmeans", "dedup_docs_embedding",
-    "text_ngram_jaccard", "curation_pipeline", "etl_events_enriched",
+    "text_ngram_jaccard", "etl_events_enriched",
     "stream_watermark_late", "q5_local_supplier", "q4_order_priority",
     "q14_promo_revenue", "q19_disjunctive", "q22_dormant_customers",
     "agg_mode_frequent", "text_unicode_normalize", "text_pii_scrub",
     "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "q17_small_quantity", "q21_waiting_orders",
-    "window_gaps_islands", "events_retention_cohort", "agg_heavy_hitters",
+    "q15_top_supplier", "q21_waiting_orders", "window_gaps_islands",
     "sample_reservoir_group", "text_repetition_filter", "data_mix_sample",
     "shard_assign_balanced", "doc_chunk_windows", "embed_quantize_int8",
     "join_bloom_pruned", "agg_approx_percentile", "window_anomaly_zscore",

@@ -26,10 +26,33 @@ from tools.dump_plans import AUDITED
 pytestmark = pytest.mark.plans
 
 
+# Big (fact-scale) tables must appear at most ONCE as a file scan in an
+# executed plan: Catalyst has no plan-level common-subtree elimination, so
+# referencing a derived frame twice silently rebuilds — and rescans — the
+# whole fact subtree (the r07 audit caught 4 contracts doing this;
+# curation_pipeline scanned documents FIVE times). Exceptions are listed
+# with their justification; everything else fails the suite.
+_BIG_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_MULTI_SCAN_OK = {
+    "sim_topk_cosine": "query-vector point read (pushed vec_id=0, 1 row) "
+                       "+ the corpus scan",
+    "sim_join_threshold": "genuine all-pairs self-join (the test-scale "
+                          "exact baseline the ANN family verifies against)",
+    "text_contamination": "train and eval sides are DISJOINT filtered "
+                          "subsets — each scan reads only its slice",
+    "join_or_keys_union": "one filtered scan per OR-disjunct (each with "
+                          "its own pushed filter) beats a single BNLJ",
+    "join_interval_overlap": "two-sided self-overlap: each side scans "
+                             "with its own filter + band replication",
+}
+
+
 @pytest.mark.parametrize(
     "name,required", [(n, r) for n, r, _ in AUDITED],
     ids=[n for n, _, _ in AUDITED])
 def test_plan_exhibits_required_operators(spark, name, required):
+    import re
+
     registry.load_all_modules()
     df = registry.QUERIES[name](spark, SF_MID)
     df.toArrow()  # execute so AQE settles on the final plan
@@ -39,3 +62,16 @@ def test_plan_exhibits_required_operators(spark, name, required):
         f"{name}: plan lost required operator(s) {missing} — a scale "
         "property asserted in PLANS.md regressed (regenerate with "
         "tools/dump_plans.py to inspect the drift)")
+
+    if name not in _MULTI_SCAN_OK:
+        final = plan.split("== Initial Plan ==")[0]
+        scans: dict[str, int] = {}
+        for m in re.finditer(r"Scan parquet[^\n]*?/(\w+)\.parquet", final):
+            scans[m.group(1)] = scans.get(m.group(1), 0) + 1
+        dups = {t: c for t, c in scans.items()
+                if t in _BIG_TABLES and c > 1}
+        assert not dups, (
+            f"{name}: fact table scanned more than once {dups} — a "
+            "derived frame is referenced twice and Catalyst rebuilt the "
+            "subtree; restructure as a window over the aggregate or "
+            "persist the shared frame (or whitelist with justification)")

@@ -131,10 +131,11 @@ AUDITED = [
      "per-supplier aggregate, so lineitem is scanned/aggregated exactly "
      "once (the crossJoin-scalar form made Catalyst recompute the whole "
      "revenue aggregate for the max branch — two fact scans)."),
-    ("q17_small_quantity", ["BroadcastHashJoin", "HashAggregate"],
-     "TPC-H Q17: the correlated per-part mean decorrelates to an "
-     "aggregate joined back onto the same brand slice; the brand dim is "
-     "a broadcast build side."),
+    ("q17_small_quantity", ["BroadcastHashJoin", "Window",
+                            "HashAggregate"],
+     "TPC-H Q17: the correlated per-part mean is a WINDOW over the one "
+     "brand-slice exchange (r07 — the join-back form scanned the fact "
+     "twice); the brand dim is a broadcast build side."),
     ("q21_waiting_orders", ["Window", "TakeOrderedAndProject"],
      "TPC-H Q21: the EXISTS / NOT EXISTS pair collapses to per-order "
      "collect_set windows over the one orderkey exchange the join "
@@ -143,13 +144,16 @@ AUDITED = [
      "gaps-and-islands: the per-user longest-streak argmax (rn=1) "
      "truncates map-side via WindowGroupLimit; island grouping rides "
      "the same user_id exchange."),
-    ("events_retention_cohort", ["HashAggregate"],
-     "cohort matrix: distinct user-weeks and first-week min share the "
-     "user_id exchange; the final (cohort × offset) aggregate is tiny."),
+    ("events_retention_cohort", ["HashAggregate", "Window"],
+     "cohort matrix: the first-week min is a per-user WINDOW over the "
+     "distinct user-weeks (r07 — the join-back form scanned events "
+     "twice); the final (cohort × offset) aggregate is tiny."),
     ("agg_heavy_hitters", ["BroadcastNestedLoopJoin", "HashAggregate"],
-     "exact heavy hitters: per-user partial→final counts; the global "
-     "total joins as a 1-row broadcast and the support test is an "
-     "integer cross-multiply, no division anywhere."),
+     "exact heavy hitters: per-user partial→final counts persisted once "
+     "(r07 — the total now SUMS the cached counts instead of "
+     "re-aggregating the source, which scanned events twice); the "
+     "1-row total joins broadcast and the support test is an integer "
+     "cross-multiply, no division anywhere."),
     ("sample_reservoir_group", ["WindowGroupLimit"],
      "deterministic reservoir: hash-rank rn<=3 truncates to 3 rows per "
      "source per map task BEFORE the exchange — shuffle volume is "
