@@ -95,6 +95,9 @@ EXTENDED = [
     # Q20's aggregate→aggregate→semi dominance chain.
     "q2_min_cost_supplier",
     "q20_dominant_suppliers",
+    # r07: the two-pass unigram-LM scorer (double corpus tokenization +
+    # vocab broadcast join — the heaviest explode after entropy).
+    "text_unigram_logprob",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's

@@ -532,3 +532,63 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("doc_id", "source", "n_chars",
                     F.round("prio_raw", 6).alias("priority")))
+
+
+# --- J42: unigram-LM negative log-likelihood scoring --------------------------
+
+# Per-token-type term computed once on the vocabulary (it depends only on
+# (c, N)), quantized to the 1e-15 grid BIGINT like J37, then summed per
+# doc — both engines derive identical doubles (same division shape, ln
+# pinned by M4/J37) and identical grid longs.
+_J42_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), lm AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), n AS (SELECT sum(c) AS n FROM lm)
+SELECT t.doc_id, count(*) AS n_tok,
+       round(CAST(sum(CAST(round(-ln(lm.c * 1.0 / (SELECT n FROM n))
+                                 * 1e15) AS BIGINT)) AS DOUBLE)
+             / 1e15 / count(*), 6) AS avg_nll
+FROM tok t JOIN lm ON t.w = lm.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@contract("text_unigram_logprob", oracle=_J42_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring — the CCNet/RedPajama-class perplexity
+    filter reduced to its SQL-expressible core: score every document by
+    the average negative log-likelihood of its tokens under the corpus's
+    own unigram language model (low avg_nll ⇒ stopword-like common text,
+    high ⇒ rare-token soup; curation stacks cut both tails). Complements
+    J37's entropy (distribution SHAPE within the doc) with a
+    corpus-relative signal: a doc of globally-rare tokens can have
+    identical entropy to one of common tokens but very different NLL.
+
+    Two passes over the corpus BY DESIGN (the standard LM-scoring
+    shape, whitelisted in the plans-suite scan guard): pass 1 builds
+    the language model — token-keyed partial→final counts (map-side
+    partials absorb stopword skew; no token-partitioned window exists
+    anywhere, which would put all of 'the' in one task) — plus the
+    total as a full-frame window over the VOCAB-sized aggregate; pass 2
+    re-tokenizes and joins the broadcast LM, so the per-doc aggregate
+    rides one doc_id exchange. The per-type NLL term is quantized
+    (×1e15 → BIGINT) on the vocabulary BEFORE the join, so the per-doc
+    sum is an exact long sum — J37's grid discipline. At 100 TB the LM
+    is a reusable artifact: persist pass 1's output and re-score any
+    corpus against it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    lm = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .withColumn("n", F.sum("c").over(Window.partitionBy())))
+    g = F.round(-F.log(F.col("c") * 1.0 / F.col("n")) * 1e15).cast("bigint")
+    scored = toks.join(F.broadcast(lm.select("w", g.alias("g"))), "w")
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.round((F.sum("g").cast("double") / F.lit(1e15))
+                         / F.count(F.lit(1)), 6).alias("avg_nll"))
+            .orderBy("doc_id"))

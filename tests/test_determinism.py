@@ -114,6 +114,9 @@ _NUMERIC = [
     # results under different write/shuffle parallelism.
     "stream_kafka_shim_live", "scan_schema_evolution",
     "sink_compaction_small_files",
+    # J42 (r07): per-type NLL quantized on the vocab BEFORE the join +
+    # exact long sums — the sweep proves ln/grid order-freedom.
+    "text_unigram_logprob",
 ]
 
 

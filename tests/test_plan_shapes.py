@@ -44,6 +44,9 @@ _MULTI_SCAN_OK = {
                           "its own pushed filter) beats a single BNLJ",
     "join_interval_overlap": "two-sided self-overlap: each side scans "
                              "with its own filter + band replication",
+    "text_unigram_logprob": "two passes BY DESIGN: pass 1 builds the "
+                            "(reusable) language model, pass 2 re-reads "
+                            "the corpus to score it against the LM",
 }
 
 

@@ -272,6 +272,11 @@ AUDITED = [
      "only fact-sized exchange; the filtered part dim broadcasts; the "
      "excluded-supplier set attaches as a broadcast LEFT ANTI; "
      "count-distinct runs partial→final."),
+    ("text_unigram_logprob", ["BroadcastHashJoin", "HashAggregate"],
+     "unigram-LM scoring: pass 1 builds the vocab-sized LM (partial "
+     "aggs absorb stopword skew — deliberately NO token-partitioned "
+     "window), pass 2 joins it back as a broadcast; the NLL term is "
+     "grid-quantized on the vocabulary before the join."),
     ("q20_dominant_suppliers", ["HashAggregate", "Window", "LeftSemi"],
      "TPC-H Q20: one (part, supplier) aggregate → per-part sum WINDOW "
      "(a re-aggregate join-back would scan the fact twice) → integer "
