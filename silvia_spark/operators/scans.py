@@ -260,6 +260,57 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# --- A17: custom Python Data Source SINK --------------------------------------
+
+_A17_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0) AS val_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("sink_python_datasource", oracle=_A17_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "bring your own sink" surface: a custom Python Data Source
+    WRITER (Spark 4 DataSource API, sources/jsonl_sink.py) — the API a
+    proprietary store/service connector implements, exercised through
+    its full exactly-once protocol: per-task uniquely-named data files →
+    WriterCommitMessages → one driver-side commit writing an atomic
+    manifest; readers resolve manifest-listed files ONLY, so failed or
+    duplicate task attempts are invisible. The readback goes through
+    that reader half (jsonl_sink.committed_files), and the oracle
+    recomputes the written aggregate from events — the hash proves plan
+    → distributed Python write tasks → commit → manifest → read-back
+    end-to-end, not just that save() returned. A8 is this contract's
+    read-side twin.
+
+    100 TB: the heavy lifting (the aggregate) happens BEFORE the sink;
+    what crosses the Python writer is the result table, and the commit
+    cost is one driver action proportional to task count — the same
+    boundary every foreachBatch/JDBC load stage accepts."""
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.sources.jsonl_sink import (JsonLinesSinkDataSource,
+                                                 committed_files)
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "val_sum"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="silvia_jsonl_"), "sink")
+    (agg.repartition(2)  # >1 write task: the commit collects >1 message
+     .write.format("silvia_jsonl").option("path", out)
+     .mode("append").save())
+
+    back = spark.read.schema(
+        "event_type STRING, cnt BIGINT, val_sum DOUBLE"
+    ).json(committed_files(out))
+    return back.orderBy("event_type")
+
+
 # --- A8: custom Python Data Source -------------------------------------------
 
 _A8_ORACLE = """

@@ -54,12 +54,13 @@ _PRIORITY: tuple[str, ...] = (
     # final r07 surface: tier 0 (8: the 4 ADVICE fixes + the 4 late-r07
     # single-fact-scan rewrites) + new contracts (8: M24–M28 TPC-H
     # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction) +
-    # r02 (7) = 24, leaving 26 of the 36 hash-checked r03 keys inside.
-    # Ten r03 keys are therefore deliberately deferred one round, priced
+    # r02 (7) = 25, leaving 25 of the 36 hash-checked r03 keys inside.
+    # Eleven r03 keys are therefore deliberately deferred one round, priced
     # one-for-one against the new/changed contracts: the window tail
     # (multimodal_frame_sample, text_tfidf, q10_returned_items,
     # sample_stratified, text_pack_sequences, source_rate_stream,
-    # sink_partition_overwrite, source_orc, window_ignore_nulls) plus
+    # sink_partition_overwrite, source_orc, window_ignore_nulls,
+    # scan_dpp_join) plus
     # stream_transform_with_state (rows-only by design — pinned by its
     # real-runner≡fallback pytest, the cheapest sacrifice), then the six
     # *_live replays (rows-only, pinned by batch≡stream pytest). Every
@@ -84,12 +85,13 @@ _PRIORITY: tuple[str, ...] = (
     "curation_pipeline",
     # -- tier 0b: NEW in r07 (8 slots) — the TPC-H completion set M24–M28,
     #    the kafka-transport e2e contract A15, the mergeSchema evolution
-    #    scan A16, the small-file compaction sink L10, and the J42
-    #    unigram-LM NLL scorer (9 slots). -----------------------------------
+    #    scan A16, the small-file compaction sink L10, the J42 unigram-LM
+    #    NLL scorer, and the A17 Python DataSource WRITER (10 slots). -------
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q16_supplier_part_counts", "q20_dominant_suppliers",
     "stream_kafka_shim_live", "scan_schema_evolution",
     "sink_compaction_small_files", "text_unigram_logprob",
+    "sink_python_datasource",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seven r02-era keys (oldest evidence anywhere) -----------

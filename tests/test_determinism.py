@@ -117,6 +117,10 @@ _NUMERIC = [
     # J42 (r07): per-type NLL quantized on the vocab BEFORE the join +
     # exact long sums — the sweep proves ln/grid order-freedom.
     "text_unigram_logprob",
+    # A17 (r07): grid sums JSON-round-tripped through the Python writer;
+    # the sweep proves write-parallelism (task file layout) cannot reach
+    # the committed result.
+    "sink_python_datasource",
 ]
 
 

@@ -89,3 +89,53 @@ def test_kafka_missing_subscription_fails_fast():
 def test_unknown_kind_rejected():
     with pytest.raises(ValueError, match="unknown source kind"):
         factory.source(_FakeSpark(), "pulsar")  # type: ignore[arg-type]
+
+
+# --- A17: the Python DataSource writer's commit protocol ----------------------
+
+
+def test_jsonl_sink_manifest_hides_orphans(tmp_path):
+    """A data file NOT listed in the manifest (failed/duplicate task
+    attempt, or garbage) must be invisible to the reader half."""
+    import json
+    import os
+
+    from silvia_spark.sources import jsonl_sink
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-committed.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 999}) + "\n")
+    with open(os.path.join(out, "_MANIFEST"), "w") as f:
+        json.dump({"files": ["part-committed.jsonl"], "rows": 1}, f)
+
+    files = jsonl_sink.committed_files(out)
+    assert files == [os.path.join(out, "part-committed.jsonl")]
+
+
+def test_jsonl_sink_end_to_end_commit(spark, tmp_path):
+    """Real write through the registered sink: every task file appears in
+    the manifest, row counts agree, and the readback equals the input."""
+    import json
+    import os
+
+    from silvia_spark.sources.jsonl_sink import (JsonLinesSinkDataSource,
+                                                 committed_files)
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id BIGINT, s STRING")
+    out = str(tmp_path / "sink")
+    (df.repartition(3).write.format("silvia_jsonl")
+     .option("path", out).mode("append").save())
+
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 10
+    assert len(manifest["files"]) == 3
+    back = spark.read.schema("id BIGINT, s STRING").json(
+        committed_files(out))
+    assert sorted((r.id, r.s) for r in back.collect()) == \
+        [(i, f"v{i}") for i in range(10)]
