@@ -5,9 +5,16 @@ are the longest member (tie -> smallest id), kept + removed == corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from examples.curate_corpus import curate
 from silvia_spark.io import load_table
 from tests.conftest import SF_SMALL
+
+# CI-mode only (suite-time budget): the front-door example is also
+# executable directly (python examples/curate_corpus.py) and its kernels
+# are covered in the default run by test_api_facade + test_properties.
+pytestmark = pytest.mark.full
 
 
 def test_example_pipeline_invariants(spark):

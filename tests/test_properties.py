@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -321,6 +323,8 @@ _merge_case = st.tuples(
     _parts)
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget): the default run
+# keeps the planted merge row-class + crash-path tests (test_r06_semantics)
 @given(case=_merge_case)
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
