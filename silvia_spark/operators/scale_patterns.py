@@ -563,16 +563,32 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
     groups per partition via pmod(hash(salt_col), target).
 
     Returns {partition_value: (files_before, files_after, target)} and
-    raises AssertionError when a partition exceeds its target, grows, or
-    fails to shrink while actually fragmented (an already-compact
-    partition is a no-op, not a failure). Partition values are unescaped
+    raises AssertionError when a partition exceeds its target — the one
+    hard bound: salt groups can merge under hash collisions but never
+    split, so files_after ≤ target always holds, and when the partition
+    was fragmented (before > target) that same bound IS the strict
+    reduction. When before < target the rewrite legitimately GROWS the
+    file count (oversized files split toward the target size) — that is
+    compaction working, not a failure. Partition values are unescaped
     from the dir names so values needing percent-escaping ('page view')
-    still hit the salt map. Driver-side listing cost ∝ partition count,
-    never rows; hash collisions between salt groups can merge files but
-    never split them, so the target is a hard upper bound."""
+    still hit the salt map; the partition column must be STRING-typed
+    and its values must survive Spark's partition-type re-inference
+    (checked up front — a numeric-looking value like '007' would be
+    read back as an int and silently miss the salt map otherwise).
+    Driver-side listing cost ∝ partition count, never rows."""
     import math
     from urllib.parse import unquote
 
+    from pyspark.sql.types import StringType
+
+    src_df = spark.read.parquet(src)
+    ptype = src_df.schema[part_col].dataType
+    if not isinstance(ptype, StringType):
+        raise ValueError(
+            f"compact_partitioned requires a STRING partition column; "
+            f"{part_col} reads back as {ptype.simpleString()} — a "
+            "numeric-looking partition value would miss the salt map "
+            "(disable partitionColumnTypeInference or cast the column)")
     prefix = f"{part_col}="
     before: dict[str, int] = {}
     targets: dict[str, int] = {}
@@ -588,7 +604,7 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
 
     tmap = F.create_map(*[lit for k in sorted(targets)
                           for lit in (F.lit(k), F.lit(targets[k]))])
-    (spark.read.parquet(src)
+    (src_df
      .withColumn("_salt", F.pmod(F.hash(salt_col), tmap[F.col(part_col)]))
      .repartition(part_col, "_salt")
      .drop("_salt")
@@ -602,16 +618,10 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
         n = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
         key = unquote(entry.split("=", 1)[1])
         if n > targets[key]:
+            # the one hard bound; with before > target it also implies
+            # strict reduction (n <= target < before)
             raise AssertionError(
                 f"compaction wrote {n} files for {key}, target "
                 f"{targets[key]}")
-        if n > before[key]:
-            raise AssertionError(
-                f"compaction grew {key}: {before[key]} -> {n}")
-        if before[key] > targets[key] and n >= before[key]:
-            # strict reduction is only owed where the layout was actually
-            # fragmented; an already-compact partition is a no-op
-            raise AssertionError(
-                f"compaction did not reduce {key}: {before[key]} -> {n}")
         stats[key] = (before[key], n, targets[key])
     return stats

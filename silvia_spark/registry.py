@@ -52,8 +52,9 @@ _PRIORITY: tuple[str, ...] = (
     # r04=47, r05=48, r06=50; all 194 checked at least once, 0 failures).
     # This round drains the evidence tail. Window arithmetic with the
     # final r07 surface: tier 0 (8: the 4 ADVICE fixes + the 4 late-r07
-    # single-fact-scan rewrites) + new contracts (8: M24–M28 TPC-H
-    # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction) +
+    # single-fact-scan rewrites) + new contracts (10: M24–M28 TPC-H
+    # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction,
+    # J42 unigram-LM NLL, A17 Python DataSource writer) +
     # r02 (7) = 25, leaving 25 of the 36 hash-checked r03 keys inside.
     # Eleven r03 keys are therefore deliberately deferred one round, priced
     # one-for-one against the new/changed contracts: the window tail
@@ -83,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     #    rebuilt+rescanned a shared fact subtree). ------------------------
     "q17_small_quantity", "events_retention_cohort", "agg_heavy_hitters",
     "curation_pipeline",
-    # -- tier 0b: NEW in r07 (8 slots) — the TPC-H completion set M24–M28,
+    # -- tier 0b: NEW in r07 — the TPC-H completion set M24–M28,
     #    the kafka-transport e2e contract A15, the mergeSchema evolution
     #    scan A16, the small-file compaction sink L10, the J42 unigram-LM
     #    NLL scorer, and the A17 Python DataSource WRITER (10 slots). -------

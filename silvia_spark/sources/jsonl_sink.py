@@ -63,14 +63,22 @@ class JsonLinesWriter(DataSourceWriter):
         return _FileCommit(name, n)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "files": sorted(m.filename for m in messages),
-            "rows": sum(m.rows for m in messages),
-        }
+        # append semantics for real: a prior commit's manifest is merged,
+        # not replaced — otherwise a second append would silently orphan
+        # every previously committed file. Single concurrent writer per
+        # path (like any manifest protocol without a transaction log).
+        files = sorted(m.filename for m in messages)
+        rows = sum(m.rows for m in messages)
+        prev_path = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(prev_path):
+            with open(prev_path, encoding="utf-8") as f:
+                prev = json.load(f)
+            files = sorted(set(prev["files"]) | set(files))
+            rows += prev["rows"]
         tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic
+            json.dump({"files": files, "rows": rows}, f)
+        os.rename(tmp, prev_path)  # atomic
 
     def abort(self, messages) -> None:
         # data files without a manifest entry are invisible to readers;

@@ -76,7 +76,7 @@ def test_contracts_on_real_executors():
 
 @pytest.mark.skipif(os.environ.get("SILVIA_FULL_LC") != "1",
                     reason="full executor sweep is ~5 min; opt in with "
-                           "SILVIA_FULL_LC=1 (last full run: r07 at 202 "
+                           "SILVIA_FULL_LC=1 (last full run: r07 at 204 "
                            "registered, green — FULL_LC_r07.log)")
 def test_all_contracts_on_real_executors():
     """EVERY batch contract hash-checked on real executors. Run after any

@@ -356,6 +356,15 @@ def test_merge_keyed_matches_dict_replay(spark, case, tmp_path_factory):
             want.pop((k, p), None)
         else:  # U and I both carry the payload; merge upserts either way
             want[(k, p)] = v
+    # documented edge (scans.py merge_keyed): a TOUCHED partition whose
+    # merge result is EMPTY emits no staged dir and its previous files
+    # stay in place — full partition deletes need an explicit drop
+    touched = {p for (k, p), _, _ in ops}
+    for p in touched:
+        if not any(pp == p for (_, pp) in want):
+            for (k, pp), v in base.items():
+                if pp == p:
+                    want[(k, pp)] = v
 
     root = tmp_path_factory.mktemp("merge_prop")
     out = str(root / "t")

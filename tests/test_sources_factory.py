@@ -139,3 +139,20 @@ def test_jsonl_sink_end_to_end_commit(spark, tmp_path):
         committed_files(out))
     assert sorted((r.id, r.s) for r in back.collect()) == \
         [(i, f"v{i}") for i in range(10)]
+
+
+def test_jsonl_sink_second_append_keeps_first_batch(spark, tmp_path):
+    """mode('append') must MEAN append: a second commit merges the
+    manifest instead of replacing it, so the first batch's committed
+    files stay visible."""
+    from silvia_spark.sources.jsonl_sink import (JsonLinesSinkDataSource,
+                                                 committed_files)
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    out = str(tmp_path / "sink")
+    for lo, hi in ((0, 5), (5, 10)):
+        (spark.createDataFrame([(i,) for i in range(lo, hi)], "id BIGINT")
+         .coalesce(1).write.format("silvia_jsonl")
+         .option("path", out).mode("append").save())
+    back = spark.read.schema("id BIGINT").json(committed_files(out))
+    assert sorted(r.id for r in back.collect()) == list(range(10))
