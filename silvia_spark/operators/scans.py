@@ -632,6 +632,11 @@ def merge_keyed(spark: SparkSession, path: str, changes: DataFrame,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(part_col).parquet(path))
         return
+    if path.startswith("file://"):
+        # file:// is the local-branch case, but os.* below needs a bare
+        # path — strip the scheme (file:///x → /x, file://host/x has no
+        # meaningful host locally so the remainder is treated as a path).
+        path = path[len("file://"):]
     norm = path.rstrip("/")
     token = uuid.uuid4().hex[:12]
     stage, trash = f"{norm}.stage-{token}", f"{norm}.trash-{token}"

@@ -174,10 +174,14 @@ def autoboot_host() -> str | None:
     is paid once per machine, later callers find the live socket."""
     if os.environ.get("SILVIA_PG_AUTOBOOT", "1") == "0":
         return None
-    if _alive(AUTOBOOT_ROOT):
-        # trust the live singleton only if the dir is ours/postgres's —
-        # a pre-planted world-readable server must not become the sink
-        return AUTOBOOT_ROOT if _owned_by_us(AUTOBOOT_ROOT) else None
+    if os.path.exists(AUTOBOOT_ROOT):
+        # Ownership gate FIRST: _alive() execs psql against the socket,
+        # which would already run SQL against a pre-planted
+        # world-writable server — never probe a dir we don't trust.
+        if not _owned_by_us(AUTOBOOT_ROOT):
+            return None
+        if _alive(AUTOBOOT_ROOT):
+            return AUTOBOOT_ROOT
     if not have_server_binaries():
         return None
     try:
@@ -208,40 +212,70 @@ def run_psql(host: str, script: str, *, db: str = PG_DB) -> str:
 
 
 def ensure_upsert_table(host: str, table: str) -> None:
+    """Create (or migrate) the upsert target. The key includes ``run_id``
+    so a caller-named table (``$SILVIA_PG_TABLE`` pointed at a shared
+    warehouse table) accumulates runs side by side instead of being
+    dropped up front — each run reads back only its own rows. A legacy
+    table from the pre-run_id protocol is migrated in place: existing
+    rows keep ``run_id = ''`` and stay readable."""
     run_psql(host, f"""
 CREATE TABLE IF NOT EXISTS {table} (
+  run_id     text   NOT NULL DEFAULT '',
   batch_id   bigint NOT NULL,
   event_type text   NOT NULL,
   cnt        bigint NOT NULL,
-  PRIMARY KEY (batch_id, event_type)
+  PRIMARY KEY (run_id, batch_id, event_type)
 );
+DO $$
+BEGIN
+  IF NOT EXISTS (SELECT 1 FROM information_schema.columns
+                 WHERE table_name = '{table}'
+                   AND column_name = 'run_id') THEN
+    ALTER TABLE {table} ADD COLUMN run_id text NOT NULL DEFAULT '';
+    ALTER TABLE {table} DROP CONSTRAINT IF EXISTS {table}_pkey;
+    ALTER TABLE {table} ADD PRIMARY KEY (run_id, batch_id, event_type);
+  END IF;
+END $$;
 """)
 
 
 def copy_upsert(host: str, table: str,
-                rows: list[tuple[int, str, int]]) -> None:
+                rows: list[tuple[int, str, int]],
+                run_id: str = "") -> None:
     """Stage + merge one micro-batch: COPY into a temp table (bulk path, the
     same wire shape a JDBC batch insert takes), then a single merge statement
-    keyed on (batch_id, event_type). Replay-idempotent by construction."""
+    keyed on (run_id, batch_id, event_type). Replay-idempotent by
+    construction; ``run_id`` scopes the merge so concurrent/successive runs
+    against one shared table never clobber each other's batches."""
     if not rows:
         return
-    data = "\n".join(f"{b}\t{t}\t{c}" for b, t, c in rows)
+    rid = run_id.replace("\\", "").replace("\t", "").replace("\n", "")
+    data = "\n".join(f"{rid}\t{b}\t{t}\t{c}" for b, t, c in rows)
     run_psql(host, f"""
 BEGIN;
 CREATE TEMP TABLE _stage (LIKE {table} INCLUDING ALL) ON COMMIT DROP;
-COPY _stage (batch_id, event_type, cnt) FROM STDIN;
+COPY _stage (run_id, batch_id, event_type, cnt) FROM STDIN;
 {data}
 \\.
-INSERT INTO {table} AS t (batch_id, event_type, cnt)
-SELECT batch_id, event_type, cnt FROM _stage
-ON CONFLICT (batch_id, event_type) DO UPDATE SET cnt = EXCLUDED.cnt;
+INSERT INTO {table} AS t (run_id, batch_id, event_type, cnt)
+SELECT run_id, batch_id, event_type, cnt FROM _stage
+ON CONFLICT (run_id, batch_id, event_type)
+DO UPDATE SET cnt = EXCLUDED.cnt;
 COMMIT;
 """)
 
 
-def read_upsert_table(host: str, table: str) -> list[tuple[int, str, int]]:
+def read_upsert_table(host: str, table: str,
+                      run_id: str | None = None) -> list[tuple[int, str,
+                                                               int]]:
+    """Rows as (batch_id, event_type, cnt); ``run_id`` (when given) limits
+    the readback to one run's rows — the caller-named-table contract."""
+    where = ""
+    if run_id is not None:
+        rid = run_id.replace("'", "''")
+        where = f"WHERE run_id = '{rid}' "
     out = run_psql(host, f"SELECT batch_id, event_type, cnt FROM {table} "
-                         f"ORDER BY batch_id, event_type;")
+                         f"{where}ORDER BY batch_id, event_type;")
     rows = []
     for line in out.strip().splitlines():
         b, t, c = line.split("|")

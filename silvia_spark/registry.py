@@ -35,88 +35,51 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 of the 199 registered per round) — see
-# SURVEY.md §5.1: a CORRECTNESS_rNN file holds AT MOST 50 entries, never the
-# full surface. Ordering is therefore part of the contract surface.
+# order under a bounded budget (50 per round of the 204 registered — count
+# is len(_PRIORITY) - 1 for the sentinel; tools/evidence_ledger.py checks
+# the two stay in sync) — see SURVEY.md §5.1: a CORRECTNESS_rNN file holds
+# AT MOST 50 entries, never the full surface. Ordering is therefore part
+# of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)
 # changed after their newest driver evidence go first (a green that predates
 # the code it vouches for is not evidence), then contracts the driver has
 # NEVER checked, then new contracts (sentinel), then evidence strictly
 # oldest-first until the window is full; everything fresher rolls past the
 # cut. Evidence ledger (latest driver round per contract) is derivable from
-# CORRECTNESS_r0{1..4}.json.
+# the full CORRECTNESS_r0{1..N}.json series via tools/evidence_ledger.py.
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r07 packing (evidence ledger after r06: r02=7, r03=42,
-    # r04=47, r05=48, r06=50; all 194 checked at least once, 0 failures).
-    # This round drains the evidence tail. Window arithmetic with the
-    # final r07 surface: tier 0 (8: the 4 ADVICE fixes + the 4 late-r07
-    # single-fact-scan rewrites) + new contracts (10: M24–M28 TPC-H
-    # completion, A15 kafka-shim e2e, A16 mergeSchema, L10 compaction,
-    # J42 unigram-LM NLL, A17 Python DataSource writer) +
-    # r02 (7) = 25, leaving 25 of the 36 hash-checked r03 keys inside.
-    # Eleven r03 keys are therefore deliberately deferred one round, priced
-    # one-for-one against the new/changed contracts: the window tail
-    # (multimodal_frame_sample, text_tfidf, q10_returned_items,
-    # sample_stratified, text_pack_sequences, source_rate_stream,
-    # sink_partition_overwrite, source_orc, window_ignore_nulls,
-    # scan_dpp_join) plus
-    # stream_transform_with_state (rows-only by design — pinned by its
-    # real-runner≡fallback pytest, the cheapest sacrifice), then the six
-    # *_live replays (rows-only, pinned by batch≡stream pytest). Every
-    # key left outside the window holds r03 evidence or newer and passes
-    # local parity every round — the r02 era is fully drained either
-    # way, which was this round's gate. ==================================
-    # -- tier 0: changed in r07 after their newest (r06) evidence — the
-    #    ADVICE fixes. A13 merge_keyed: staged-sibling write + per-partition
-    #    swap (data-loss window closed); A14 scd2: insert-key offset now
-    #    derived from max(c_custkey) both sides; J25 CC: single-task finish
-    #    guard lowered 5M→1M edges (Python-dict multiplier); I9: host now
-    #    resolves via pg.resolve_host() (auto-booted embedded server), table
-    #    per-invocation, and the contract carries a path-independent hash
-    #    oracle — first driver hash evidence for the PG loop. ----------------
-    "sink_merge_keyed", "sink_merge_scd2", "dedup_cluster_cc",
-    "stream_foreachbatch_upsert",
-    # -- tier 0 (late r07): the single-fact-scan rewrites — Q17 window
-    #    mean, retention-cohort window min, heavy-hitters persisted
-    #    counts, single-lineage curation pipeline (each previously
-    #    rebuilt+rescanned a shared fact subtree). ------------------------
-    "q17_small_quantity", "events_retention_cohort", "agg_heavy_hitters",
-    "curation_pipeline",
-    # -- tier 0b: NEW in r07 — the TPC-H completion set M24–M28,
-    #    the kafka-transport e2e contract A15, the mergeSchema evolution
-    #    scan A16, the small-file compaction sink L10, the J42 unigram-LM
-    #    NLL scorer, and the A17 Python DataSource WRITER (10 slots). -------
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q16_supplier_part_counts", "q20_dominant_suppliers",
-    "stream_kafka_shim_live", "scan_schema_evolution",
-    "sink_compaction_small_files", "text_unigram_logprob",
-    "sink_python_datasource",
+    # ============ r08 packing (evidence ledger after r07: r03=17, r04=43,
+    # r05=48, r06=46, r07=50; all 204 checked at least once, 0 failures).
+    # Window arithmetic: tier 0 (2 ADVICE fixes whose implementation
+    # changed this round) + new r08 contracts (sentinel) + the entire
+    # r03 tail (17: the 11 hash-checked keys deferred from r07 + the six
+    # *_live replays) + the oldest r04 keys fill the remaining slots.
+    # Each NEW contract registered this round displaces one r04 key
+    # (r04 keys beyond the cut roll to the r09 head — all hold green
+    # r04 evidence and pass local parity every round). After this round
+    # no contract's newest driver evidence is older than r04. ============
+    # -- tier 0: implementation changed in r08 after newest (r07)
+    #    evidence — the r07-ADVICE fixes. I9: caller-named PG tables are
+    #    no longer dropped (run_id-scoped merge + readback, pg.py
+    #    protocol change); A13 merge_keyed: file:// URIs now strip the
+    #    scheme before the local staged-swap branch. ----------------------
+    "stream_foreachbatch_upsert", "sink_merge_keyed",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: the seven r02-era keys (oldest evidence anywhere) -----------
-    "q6_forecast_revenue", "q18_large_orders", "scalar_array", "scalar_map",
-    "scalar_json", "scalar_cast", "scalar_hash",
-    # -- tier 2: the r03-era block, hash-checked contracts first (36) --------
-    "scan_parquet", "source_csv_tsv", "source_json_lines",
-    "sink_jdbc_postgres", "sink_parquet_partitioned", "proj_select_alias",
-    "filter_compound", "proj_distinct", "filter_like_regexp",
-    "subquery_scalar", "sort_multikey_nulls", "topk_limit", "limit_offset",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "scalar_string", "scalar_regexp", "scalar_date", "scalar_math",
-    "scalar_conditional", "pivot_unpivot", "join_null_safe",
-    "join_range_banded", "window_ignore_nulls", "scan_dpp_join",
-    "source_orc", "sink_partition_overwrite", "source_rate_stream",
-    "text_pack_sequences", "sample_stratified", "q10_returned_items",
-    "text_tfidf", "multimodal_frame_sample", "stream_transform_with_state",
-    # -- tier 2b: r03-era *_live replays — rows-only by design, so the
-    #    cheapest evidence to roll past the 50-cut (each is pinned by
-    #    tests/test_stream_equivalence.py batch≡stream instead) -------------
+    # -- tier 1: the seventeen r03-era keys (oldest evidence anywhere);
+    #    the *_live replays are rows-only by design but have not been
+    #    RUN by the driver since r03 — refresh the execution evidence. ----
+    "multimodal_frame_sample", "text_tfidf", "q10_returned_items",
+    "sample_stratified", "text_pack_sequences", "source_rate_stream",
+    "sink_partition_overwrite", "source_orc", "window_ignore_nulls",
+    "scan_dpp_join", "stream_transform_with_state",
     "stream_funnel_live", "stream_tumbling_live", "stream_session_live",
     "stream_dedup_live", "stream_static_join_live",
     "stream_stream_join_live",
-    # -- tier 3: r04-era evidence --------------------------------------------
+    # -- tier 2: r04-era evidence (43) — the window tail; the last ~12
+    #    roll past the cut one-for-one with new r08 contracts ------------
     "scan_schema_enforce", "agg_time_gapfill", "sim_topk_cosine",
     "sim_join_threshold", "sim_centroids", "multimodal_join", "sim_ann_ivf",
     "text_lang_detect", "sim_ann_ivf_kmeans", "dedup_docs_embedding",
@@ -132,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "q12_shipmode_priority", "set_except_all", "set_intersect_all",
     "generator_outer_pos", "stream_running_moments", "udtf_lateral",
     "udf_arrow_scalar",
-    # -- tier 4: r05-era evidence --------------------------------------------
+    # -- tier 3: r05-era evidence --------------------------------------------
     "join_inner_equi", "join_broadcast",
     "join_left_outer", "join_full_outer", "join_left_semi", "join_left_anti",
     "join_cross", "join_theta_range", "join_asof", "join_self",
@@ -148,7 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_attribution_touch", "dedup_near_keep_best", "embed_norm_stats",
     "text_entropy_quality", "sample_weighted_priority",
     "sim_ann_lsh_multiprobe", "window_trailing_interval", "source_xml",
-    # -- tier 5: r06-fresh evidence — dead last ------------------------------
+    # -- tier 4: r06-era evidence --------------------------------------------
     "scalar_variant", "sim_ann_lsh_multiprobe2", "join_interval_overlap",
     "dedup_url_canonical", "join_asof_nearest", "etl_ua_referer_enrich",
     "etl_ip_geo_range", "etl_currency_convert", "scalar_collation",
@@ -165,6 +128,23 @@ _PRIORITY: tuple[str, ...] = (
     "agg_collect_sorted", "agg_percentiles", "agg_rollup_multires",
     "window_percent_rank", "join_bucketed_colocated", "join_skew_salted",
     "scan_partition_pruned", "source_python_datasource",
+    # -- tier 5: r07-fresh evidence — dead last ------------------------------
+    "sink_merge_scd2", "dedup_cluster_cc", "q17_small_quantity",
+    "events_retention_cohort", "agg_heavy_hitters", "curation_pipeline",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q16_supplier_part_counts", "q20_dominant_suppliers",
+    "stream_kafka_shim_live", "scan_schema_evolution",
+    "sink_compaction_small_files", "text_unigram_logprob",
+    "sink_python_datasource", "q6_forecast_revenue", "q18_large_orders",
+    "scalar_array", "scalar_map", "scalar_json", "scalar_cast",
+    "scalar_hash", "scan_parquet", "source_csv_tsv", "source_json_lines",
+    "sink_jdbc_postgres", "sink_parquet_partitioned", "proj_select_alias",
+    "filter_compound", "proj_distinct", "filter_like_regexp",
+    "subquery_scalar", "sort_multikey_nulls", "topk_limit", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "scalar_string", "scalar_regexp", "scalar_date", "scalar_math",
+    "scalar_conditional", "pivot_unpivot", "join_null_safe",
+    "join_range_banded",
 )
 
 

@@ -334,10 +334,12 @@ def parquet_upsert_factory(out_dir: str):
     return upsert
 
 
-def pg_upsert_factory(host: str, table: str):
+def pg_upsert_factory(host: str, table: str, run_id: str = ""):
     """The live-PostgreSQL upsert: per-batch staged COPY + INSERT ... ON
-    CONFLICT DO UPDATE keyed (batch_id, event_type) — the production merge,
-    executed against a real server (silvia_spark/pg.py)."""
+    CONFLICT DO UPDATE keyed (run_id, batch_id, event_type) — the
+    production merge, executed against a real server (silvia_spark/pg.py).
+    ``run_id`` isolates this run's rows inside a shared caller-named
+    table; replays of a batch within the run stay idempotent."""
     from silvia_spark import pg
 
     pg.ensure_upsert_table(host, table)
@@ -347,7 +349,7 @@ def pg_upsert_factory(host: str, table: str):
                .agg(F.count(F.lit(1)).alias("cnt")))
         rows = [(int(batch_id), r["event_type"], int(r["cnt"]))
                 for r in agg.collect()]
-        pg.copy_upsert(host, table, rows)
+        pg.copy_upsert(host, table, rows, run_id=run_id)
     return upsert
 
 
@@ -383,15 +385,19 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if host:
         table = os.environ.get("SILVIA_PG_TABLE")
         auto_table = table is None
+        run_id = uuid.uuid4().hex[:12]
         if auto_table:
-            table = "event_summary_" + uuid.uuid4().hex[:12]
-        # The readback aggregates the WHOLE table as this run's result, so
-        # rows from a PREVIOUS run (different micro-batch segmentation,
-        # stale batch_ids) must never survive into it — reset up front for
-        # both the auto-named and the caller-named table. Replays of the
-        # same batch WITHIN the run stay idempotent via the keyed merge.
-        pg.run_psql(host, f"DROP TABLE IF EXISTS {table};")
-        upsert = pg_upsert_factory(host, table)
+            table = "event_summary_" + run_id
+            # Our own per-run table: a leftover of the same name can only
+            # be a uuid collision with a crashed run — safe to reset.
+            pg.run_psql(host, f"DROP TABLE IF EXISTS {table};")
+        # A caller-named table ($SILVIA_PG_TABLE → possibly a real
+        # warehouse table) is NEVER dropped: the merge and the readback
+        # are scoped to this run's run_id instead, so pre-existing rows
+        # and concurrent runs survive while this run's result stays
+        # isolated. Replays of a batch WITHIN the run remain idempotent
+        # via the (run_id, batch_id, event_type) merge key.
+        upsert = pg_upsert_factory(host, table, run_id=run_id)
     else:
         out_dir = os.path.join(tempfile.mkdtemp(prefix="silvia_upsert_"),
                                "tbl")
@@ -406,7 +412,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if host:
             back = spark.createDataFrame(
-                [(t, c) for _, t, c in pg.read_upsert_table(host, table)],
+                [(t, c) for _, t, c in
+                 pg.read_upsert_table(host, table, run_id=run_id)],
                 "event_type string, cnt long")
         else:
             back = spark.read.parquet(out_dir)

@@ -139,3 +139,65 @@ def test_default_run_resolves_real_pg_on_this_box(spark, monkeypatch):
         .agg(F.count(F.lit(1)).alias("cnt")).orderBy("event_type")
         .collect())
     assert got == want
+
+
+def test_caller_named_table_is_never_dropped(pg_server, spark, monkeypatch):
+    """The r07-ADVICE destruction bug: with $SILVIA_PG_TABLE pointing at a
+    real warehouse table, I9 ran DROP TABLE IF EXISTS on it up front.
+    Now the merge + readback are scoped by run_id: pre-existing rows
+    (including legacy rows from the pre-run_id schema) must survive the
+    run, and the run's own result must still equal the batch truth."""
+    from silvia_spark import pg
+
+    # a pre-existing "warehouse" table with another tenant's rows
+    pg.ensure_upsert_table(pg_server, "warehouse_t")
+    pg.copy_upsert(pg_server, "warehouse_t",
+                   [(1, "precious", 999)], run_id="older-run")
+    monkeypatch.setenv("SILVIA_PG_HOST", pg_server)
+    monkeypatch.setenv("SILVIA_PG_TABLE", "warehouse_t")
+
+    got = sorted(
+        tuple(r) for r in
+        registry.QUERIES["stream_foreachbatch_upsert"](spark, SF_SMALL)
+        .collect())
+
+    # pre-existing rows intact, run rows landed beside them
+    survivors = pg.read_upsert_table(pg_server, "warehouse_t",
+                                     run_id="older-run")
+    assert survivors == [(1, "precious", 999)]
+    import pyspark.sql.functions as F
+
+    from silvia_spark.io import load_table
+    want = sorted(
+        tuple(r) for r in
+        load_table(spark, SF_SMALL, "events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt")).orderBy("event_type")
+        .collect())
+    assert got == want
+
+
+def test_legacy_table_migrates_in_place(pg_server):
+    """A table created by the pre-run_id protocol (PK (batch_id,
+    event_type), no run_id column) must be migrated by
+    ensure_upsert_table without losing rows: legacy rows keep
+    run_id = '' and new run-scoped merges land beside them."""
+    from silvia_spark import pg
+
+    pg.run_psql(pg_server, """
+CREATE TABLE legacy_t (
+  batch_id   bigint NOT NULL,
+  event_type text   NOT NULL,
+  cnt        bigint NOT NULL,
+  PRIMARY KEY (batch_id, event_type)
+);
+INSERT INTO legacy_t VALUES (3, 'click', 7);
+""")
+    pg.ensure_upsert_table(pg_server, "legacy_t")
+    assert pg.read_upsert_table(pg_server, "legacy_t", run_id="") == [
+        (3, "click", 7)]
+    pg.copy_upsert(pg_server, "legacy_t", [(3, "click", 50)], run_id="r2")
+    # same (batch_id, event_type) under a different run_id coexists
+    assert pg.read_upsert_table(pg_server, "legacy_t") == [
+        (3, "click", 7), (3, "click", 50)]
+    assert pg.read_upsert_table(pg_server, "legacy_t", run_id="r2") == [
+        (3, "click", 50)]
