@@ -71,6 +71,15 @@ from silvia_spark.operators.scans import merge_keyed
 from silvia_spark.operators.scale_patterns import compact_partitioned
 from silvia_spark.operators.joins import nearest_asof
 
+# Manifest table layer (atomic multi-partition commits, time travel) -----------
+from silvia_spark.operators.manifest_table import (
+    commit_compaction,
+    commit_merge,
+    create_table,
+    read_snapshot,
+    vacuum,
+)
+
 # Dedup / clustering -----------------------------------------------------------
 from silvia_spark.functions.training_ops import jaccard_pairs
 from silvia_spark.functions.curation_extras import (
@@ -115,6 +124,9 @@ __all__ = [
     "source",
     # lake sinks / temporal joins
     "merge_keyed", "nearest_asof", "compact_partitioned",
+    # manifest table layer
+    "create_table", "read_snapshot", "commit_merge", "commit_compaction",
+    "vacuum",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

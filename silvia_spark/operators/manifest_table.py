@@ -1,0 +1,379 @@
+"""Snapshot-manifest table layer — the metadata half of the lake
+protocol whose file-layout half is merge_keyed / compact_partitioned
+(operators/scans.py, scale_patterns.py).
+
+Those kernels swap partition DIRECTORIES, so a reader racing a
+multi-partition MERGE can see partition A merged and B not (disclosed at
+scans.py's merge_keyed docstring). This module closes that gap the way
+every table format does — Delta/Iceberg-style, reduced to its load-
+bearing core:
+
+- data files accumulate under Hive-style partition dirs
+  (``part_col=value/part-<commit>-<n>.parquet``) with commit-unique
+  names; files are IMMUTABLE and never renamed over;
+- each commit writes a manifest ``_manifests/v{N}.json`` listing exactly
+  the files (with their partition value + rowcount) that make up
+  snapshot N;
+- visibility is ONE atomic pointer flip: ``_current`` is replaced via
+  write-temp + ``os.rename``. Readers resolve ``_current`` → manifest →
+  file list, so a crash anywhere before the flip leaves the previous
+  snapshot fully readable and the staged files invisible orphans
+  (tests/test_manifest_table.py kills the commit between stage and flip
+  to prove it);
+- old manifests stay on disk → time travel (``read_snapshot(version=k)``)
+  and safe GC (``vacuum`` deletes only files referenced by NO retained
+  manifest).
+
+Scale notes (100 TB): the manifest lists files, not rows — its size is
+O(files), kept in check by compaction (``commit_compaction`` rewrites a
+partition's small files through the same commit path). A MERGE's cost is
+still proportional to touched partitions only: untouched partitions
+contribute their existing entries to the new manifest by reference, and
+the pruned scan opens only touched partitions' files. Single-writer per
+table (manifest protocols need a lock service or CAS for multi-writer —
+out of scope, as it is for Delta without a LogStore). Local-filesystem
+renames here; on object stores the adopt step becomes a copy or a
+committer, and the pointer flip needs a CAS primitive (S3
+conditional-put) — the protocol shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silvia_spark.io import load_table
+from silvia_spark.registry import contract
+
+_MANIFESTS = "_manifests"
+_CURRENT = "_current"
+
+
+def _norm(path: str) -> str:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    return path.rstrip("/")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFESTS, f"v{version:06d}.json")
+
+
+def current_version(root: str) -> int | None:
+    """The committed snapshot version, or None for a non-table dir."""
+    root = _norm(root)
+    try:
+        with open(os.path.join(root, _CURRENT), encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def load_manifest(root: str, version: int | None = None) -> dict:
+    root = _norm(root)
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+    with open(_manifest_path(root, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_manifest(root: str, version: int, entries: list[dict],
+                    parent: int | None) -> None:
+    """Manifest files are write-once: mode "x" makes two writers racing
+    the same version an explicit error instead of silent last-wins. The
+    one exception is recovery: a manifest AHEAD of the committed pointer
+    is a leftover from a crash between manifest-write and pointer-flip
+    (it was never visible to any reader) — a re-applied commit may
+    replace it."""
+    os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    doc = {"version": version, "parent": parent,
+           "files": sorted(entries, key=lambda e: e["path"])}
+    path = _manifest_path(root, version)
+    committed = current_version(root)
+    if os.path.exists(path) and (committed is None or committed < version):
+        os.remove(path)
+    with open(path, "x", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1)
+
+
+def _flip_current(root: str, version: int) -> None:
+    """THE commit point. Everything before this is invisible staging;
+    os.rename over the pointer file is atomic on POSIX."""
+    tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.rename(tmp, os.path.join(root, _CURRENT))
+
+
+def _adopt_staged(root: str, stage: str, part_col: str,
+                  token: str) -> list[dict]:
+    """Move Spark's staged partition output into the live partition dirs
+    under commit-unique names; returns the new manifest entries. The
+    staged dir names are Spark's own escaped partition values — adopted
+    verbatim, no re-encoding (merge_keyed's proven idiom)."""
+    entries: list[dict] = []
+    prefix = f"{part_col}="
+    for part_entry in sorted(os.listdir(stage)):
+        if not part_entry.startswith(prefix):
+            continue  # _SUCCESS / committer metadata stay behind
+        live_dir = os.path.join(root, part_entry)
+        os.makedirs(live_dir, exist_ok=True)
+        value = unquote(part_entry[len(prefix):])
+        for i, fname in enumerate(sorted(
+                os.listdir(os.path.join(stage, part_entry)))):
+            if not fname.endswith(".parquet"):
+                continue
+            new_name = f"part-{token}-{i:05d}.parquet"
+            os.rename(os.path.join(stage, part_entry, fname),
+                      os.path.join(live_dir, new_name))
+            entries.append({"path": f"{part_entry}/{new_name}",
+                            "partition": value})
+    shutil.rmtree(stage)
+    return entries
+
+
+def _stage_write(df: DataFrame, root: str, part_col: str) -> list[dict]:
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(root, f".stage-{token}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    return _adopt_staged(root, stage, part_col, token)
+
+
+def create_table(df: DataFrame, path: str, part_col: str) -> int:
+    """Materialize ``df`` as snapshot v1 of a new manifest table."""
+    root = _norm(path)
+    os.makedirs(root, exist_ok=True)
+    if current_version(root) is not None:
+        raise FileExistsError(f"{root} is already a manifest table")
+    entries = _stage_write(df, root, part_col)
+    _write_manifest(root, 1, entries, parent=None)
+    _flip_current(root, 1)
+    return 1
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """Resolve pointer → manifest → file list; basePath recovers the
+    partition column from the Hive-style dir names. Orphan files (from
+    crashed or in-flight commits) are invisible by construction."""
+    root = _norm(path)
+    m = load_manifest(root, version)
+    files = [os.path.join(root, e["path"]) for e in m["files"]]
+    if not files:
+        raise ValueError(f"snapshot v{m['version']} is empty")
+    return spark.read.option("basePath", root).parquet(*files)
+
+
+def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
+                 keys: list[str], part_col: str) -> int:
+    """merge_keyed's MERGE plan, committed atomically across ALL touched
+    partitions via one manifest flip:
+
+    (1) touched-partition list from the change batch (tiny driver
+        action);
+    (2) current snapshot scanned PRUNED to touched partitions — the
+        manifest itself is the pruning index, untouched files are never
+        opened;
+    (3) anti-join on change keys + union of the U/I payload;
+    (4) staged write, files adopted under commit-unique names — all
+        invisible until
+    (5) the new manifest (untouched entries by reference + replacement
+        entries) is written and ``_current`` flips.
+
+    A reader can never observe a half-merged table: it resolves either
+    the old manifest (every partition pre-merge) or the new one (every
+    partition post-merge). A partition whose merge result is EMPTY is
+    genuinely dropped from the snapshot — the capability merge_keyed's
+    directory swap could not express. ``keys`` must include ``part_col``
+    so the anti-join cannot cross partitions."""
+    root = _norm(path)
+    m = load_manifest(root)
+    touched = {r[0] for r in changes.select(part_col).distinct().collect()}
+    cur_entries = [e for e in m["files"] if e["partition"] in touched]
+    keep_entries = [e for e in m["files"] if e["partition"] not in touched]
+
+    merged = changes.where(F.col("op") != "D").drop("op")
+    if cur_entries:
+        cur = spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, e["path"]) for e in cur_entries])
+        kept = cur.join(changes.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(merged)
+
+    new_entries = _stage_write(merged, root, part_col)
+    version = m["version"] + 1
+    _write_manifest(root, version, keep_entries + new_entries,
+                    parent=m["version"])
+    _flip_current(root, version)
+    return version
+
+
+def commit_compaction(spark: SparkSession, path: str, part_col: str,
+                      target_files: int = 1) -> int:
+    """Rewrite each multi-file partition of the current snapshot into
+    ``target_files`` files through the same stage→manifest→flip path.
+    Readers see the old layout or the new one, never a mix; the rewritten
+    partitions' old files stay on disk for time travel until vacuumed."""
+    root = _norm(path)
+    m = load_manifest(root)
+    by_part: dict[str, list[dict]] = {}
+    for e in m["files"]:
+        by_part.setdefault(e["partition"], []).append(e)
+    todo = {p: es for p, es in by_part.items() if len(es) > target_files}
+    if not todo:
+        return m["version"]
+    keep_entries = [e for p, es in by_part.items() if p not in todo
+                    for e in es]
+    cur = spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, e["path"]) for es in todo.values()
+          for e in es])
+    compacted = cur.repartition(target_files, F.col(part_col))
+    new_entries = _stage_write(compacted, root, part_col)
+    version = m["version"] + 1
+    _write_manifest(root, version, keep_entries + new_entries,
+                    parent=m["version"])
+    _flip_current(root, version)
+    return version
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained manifest (the last
+    ``keep_versions`` snapshots are retained, and their manifests kept).
+    Orphans from crashed commits are removed too. Returns deleted
+    relative paths. Never touches the current snapshot's files: the
+    current manifest is always retained."""
+    root = _norm(path)
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+    live: set[str] = set()
+    for v in keep:
+        live |= {e["path"] for e in load_manifest(root, v)["files"]}
+    deleted: list[str] = []
+    for part_entry in sorted(os.listdir(root)):
+        part_dir = os.path.join(root, part_entry)
+        if "=" not in part_entry or not os.path.isdir(part_dir):
+            continue
+        for fname in sorted(os.listdir(part_dir)):
+            rel = f"{part_entry}/{fname}"
+            if rel not in live:
+                os.remove(os.path.join(part_dir, fname))
+                deleted.append(rel)
+        if not os.listdir(part_dir):
+            os.rmdir(part_dir)
+    man_dir = os.path.join(root, _MANIFESTS)
+    for mf in sorted(os.listdir(man_dir)):
+        v = int(mf[1:-5])
+        if v not in keep:
+            os.remove(os.path.join(man_dir, mf))
+    return deleted
+
+
+# --- contract: atomic multi-partition MERGE through the manifest -------------
+
+# Change batch planted from the events corpus itself (A13's derivation,
+# extended with a FULL-partition delete — signup vanishes entirely, the
+# case a directory swap cannot commit atomically). The result reads BOTH
+# snapshots after the commit: v1's counts prove time travel / snapshot
+# isolation (the merge must not have disturbed the old version), v2's
+# aggregates prove the merge; signup's v2 row is the 0-count left-join
+# miss, proving the partition drop.
+_MANIFEST_ORACLE = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+chg AS (
+  SELECT event_id, event_type, value * 3 AS value, 'U' AS op
+  FROM base WHERE event_type IN ('click', 'error') AND event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, event_type, NULL, 'D'
+  FROM base WHERE event_type = 'signup'
+  UNION ALL
+  SELECT event_id + 10000000, 'error', value + 1.5, 'I'
+  FROM base WHERE event_type = 'error' AND event_id % 10 = 7
+),
+kept AS (
+  SELECT b.event_id, b.event_type, b.value
+  FROM base b LEFT JOIN chg c
+    ON b.event_id = c.event_id AND b.event_type = c.event_type
+  WHERE c.event_id IS NULL
+),
+merged AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT event_id, event_type, value FROM chg WHERE op <> 'D'
+),
+v1 AS (
+  SELECT event_type, count(*) AS cnt_v1 FROM base GROUP BY event_type
+),
+v2 AS (
+  SELECT event_type, count(*) AS cnt_v2,
+         CAST(sum(event_id) AS BIGINT) AS id_sum_v2,
+         (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0)
+           AS val_sum_v2
+  FROM merged GROUP BY event_type
+)
+SELECT v1.event_type, v1.cnt_v1,
+       COALESCE(v2.cnt_v2, 0) AS cnt_v2,
+       COALESCE(v2.id_sum_v2, 0) AS id_sum_v2,
+       COALESCE(v2.val_sum_v2, 0.0) AS val_sum_v2
+FROM v1 LEFT JOIN v2 ON v1.event_type = v2.event_type
+ORDER BY v1.event_type
+"""
+
+
+@contract("sink_table_manifest_commit", oracle=_MANIFEST_ORACLE)
+def sink_table_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-partition MERGE: plant events as manifest-table v1,
+    commit one change batch touching THREE partitions (updates in click
+    and error, inserts in error, a full delete of signup) as ONE
+    pointer flip, then read both snapshots back through the manifest.
+    The hash proves: v2 equals the relational merge (including signup
+    gone — a whole partition atomically dropped), AND v1 is still intact
+    after the commit (time travel / snapshot isolation)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_manifest_"), "tbl")
+    create_table(ev, root, "event_type")
+
+    upd = (ev.where(F.col("event_type").isin("click", "error")
+                    & (F.col("event_id") % 10 == 0))
+           .select("event_id", "event_type",
+                   (F.col("value") * 3).alias("value"),
+                   F.lit("U").alias("op")))
+    dele = (ev.where(F.col("event_type") == "signup")
+            .select("event_id", "event_type",
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit("D").alias("op")))
+    ins = (ev.where((F.col("event_type") == "error")
+                    & (F.col("event_id") % 10 == 7))
+           .select((F.col("event_id") + 10000000).alias("event_id"),
+                   F.lit("error").alias("event_type"),
+                   (F.col("value") + 1.5).alias("value"),
+                   F.lit("I").alias("op")))
+    commit_merge(spark, root,
+                 upd.unionByName(dele).unionByName(ins),
+                 ["event_id", "event_type"], "event_type")
+
+    from silvia_spark.functions.numeric import dsum
+    v1 = (read_snapshot(spark, root, version=1)
+          .groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt_v1")))
+    v2 = (read_snapshot(spark, root)
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("cnt_v2"),
+               F.sum("event_id").alias("id_sum_v2"),
+               dsum("value", "val_sum_v2")))
+    return (v1.join(v2, "event_type", "left")
+            .select("event_type", "cnt_v1",
+                    F.coalesce("cnt_v2", F.lit(0)).alias("cnt_v2"),
+                    F.coalesce("id_sum_v2", F.lit(0)).alias("id_sum_v2"),
+                    F.coalesce("val_sum_v2", F.lit(0.0)).alias("val_sum_v2"))
+            .orderBy("event_type"))

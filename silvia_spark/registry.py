@@ -66,6 +66,11 @@ _PRIORITY: tuple[str, ...] = (
     #    protocol change); A13 merge_keyed: file:// URIs now strip the
     #    scheme before the local staged-swap branch. ----------------------
     "stream_foreachbatch_upsert", "sink_merge_keyed",
+    # -- tier 0b: NEW in r08 — L11, the snapshot-manifest table layer
+    #    (atomic multi-partition MERGE/compaction commit via one pointer
+    #    flip; closes the cross-partition visibility gap A13/L10
+    #    disclosed). ------------------------------------------------------
+    "sink_table_manifest_commit",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seventeen r03-era keys (oldest evidence anywhere);
@@ -189,6 +194,7 @@ def load_all_modules() -> None:
         olap_extras3,
         olap_extras4,
         events_analytics,
+        manifest_table,
     )
     from silvia_spark.streaming import batch_twins, streams  # noqa: F401
     from silvia_spark.functions import (  # noqa: F401

@@ -121,6 +121,12 @@ _NUMERIC = [
     # the sweep proves write-parallelism (task file layout) cannot reach
     # the committed result.
     "sink_python_datasource",
+    # L11 (r08): the manifest MERGE under different write-parallelism
+    # must land identical v1/v2 snapshots — integer counts/id sums + the
+    # 1e-6-grid value sum are the order-free mechanisms, and the file
+    # layout (task count → file count per partition) must be invisible
+    # through the manifest readback.
+    "sink_table_manifest_commit",
 ]
 
 

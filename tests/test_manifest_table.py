@@ -1,0 +1,146 @@
+"""The manifest table layer's whole value is what happens when a commit
+DOESN'T finish — so these tests kill the commit at every stage boundary
+and prove a reader always resolves a complete snapshot. Plus the
+operational surface: time travel, vacuum GC, compaction commits, and
+crash recovery by re-applying the same change batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from silvia_spark.operators import manifest_table as mt
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p1", 30.0),
+         (4, "p2", 40.0), (5, "p2", 50.0), (6, "p3", 60.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+
+
+def _chg(spark):
+    # touches p1 (update), p2 (insert), p3 (full-partition delete)
+    return spark.createDataFrame(
+        [(1, "p1", 11.0, "U"), (9, "p2", 90.0, "I"),
+         (6, "p3", None, "D")],
+        "k BIGINT, part STRING, v DOUBLE, op STRING")
+
+
+def _rows(df):
+    return sorted((r.k, r.part, r.v) for r in df.collect())
+
+
+MERGED = [(1, "p1", 11.0), (2, "p1", 20.0), (3, "p1", 30.0),
+          (4, "p2", 40.0), (5, "p2", 50.0), (9, "p2", 90.0)]
+
+
+def test_merge_commits_atomically_and_time_travels(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert mt.create_table(_base(spark), root, "part") == 1
+    assert mt.commit_merge(spark, root, _chg(spark), ["k", "part"],
+                           "part") == 2
+    assert _rows(mt.read_snapshot(spark, root)) == MERGED
+    # p3 is GONE from the snapshot (whole-partition atomic delete) but
+    # its files are still on disk for time travel
+    assert _rows(mt.read_snapshot(spark, root, version=1)) == _rows(
+        _base(spark))
+    assert os.listdir(os.path.join(root, "part=p3"))
+
+
+def test_crash_before_pointer_flip_keeps_old_snapshot(spark, tmp_path,
+                                                      monkeypatch):
+    """Kill the commit BETWEEN manifest-write and pointer-flip: the
+    reader must still resolve v1 complete (no partition half-merged),
+    and re-applying the same batch must recover to a clean v2."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+
+    real_flip = mt._flip_current
+
+    def crash_flip(r, v):
+        raise OSError("induced crash before pointer flip")
+
+    monkeypatch.setattr(mt, "_flip_current", crash_flip)
+    with pytest.raises(OSError):
+        mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+    # the staged manifest exists, but no reader can see it
+    assert mt.current_version(root) == 1
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+
+    # recovery = re-apply the (idempotent, key-addressed) change batch
+    monkeypatch.setattr(mt, "_flip_current", real_flip)
+    assert mt.commit_merge(spark, root, _chg(spark), ["k", "part"],
+                           "part") == 2
+    assert _rows(mt.read_snapshot(spark, root)) == MERGED
+
+
+def test_crash_mid_adopt_keeps_old_snapshot(spark, tmp_path, monkeypatch):
+    """Kill the commit WHILE adopting staged files (some replacement
+    files already sit inside live partition dirs): they are orphans —
+    invisible to the reader, removed by vacuum."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+
+    real_rename, n = os.rename, []
+
+    def failing_rename(src, dst):
+        n.append(src)
+        if len(n) == 2:
+            raise OSError("induced crash mid-adopt")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(mt.os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+    monkeypatch.setattr(mt.os, "rename", real_rename)
+
+    assert mt.current_version(root) == 1
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+    # vacuum sweeps the orphaned adoptee(s) without touching live files
+    deleted = mt.vacuum(root, keep_versions=1)
+    assert all("part-" in d for d in deleted)
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+
+
+def test_vacuum_retires_old_snapshots(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+
+    deleted = mt.vacuum(root, keep_versions=1)
+    assert deleted  # v1-only files (replaced p1 files, dropped p3) gone
+    assert _rows(mt.read_snapshot(spark, root)) == MERGED
+    with pytest.raises(FileNotFoundError):
+        mt.read_snapshot(spark, root, version=1)
+    # p3's dir disappeared entirely with its last file
+    assert not os.path.exists(os.path.join(root, "part=p3"))
+
+
+def test_compaction_commit_preserves_content_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # many small files per partition: one per input slice
+    mt.create_table(_base(spark).repartition(6), root, "part")
+    v1_files = len(mt.load_manifest(root, 1)["files"])
+    assert v1_files > 3  # genuinely fragmented
+
+    assert mt.commit_compaction(spark, root, "part", target_files=1) == 2
+    m2 = mt.load_manifest(root, 2)
+    per_part: dict[str, int] = {}
+    for e in m2["files"]:
+        per_part[e["partition"]] = per_part.get(e["partition"], 0) + 1
+    assert set(per_part.values()) == {1}
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+    # pre-compaction layout still time-travels
+    assert _rows(mt.read_snapshot(spark, root, version=1)) == _rows(
+        _base(spark))
+    # a second compaction is a no-op commit (already compact)
+    assert mt.commit_compaction(spark, root, "part", target_files=1) == 2
+
+
+def test_create_refuses_existing_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    with pytest.raises(FileExistsError):
+        mt.create_table(_base(spark), root, "part")
