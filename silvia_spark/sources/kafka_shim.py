@@ -24,8 +24,16 @@ output contract instead of failing at ``.load()``:
 - ``failOnDataLoss``: accepted and ignored — a file topic has no
   retention, so the loss path cannot arise.
 
-Deliberately NOT emulated: ``subscribePattern``/``assign``, negative JSON
-offsets (-1/-2), consumer-group rebalancing, transactional markers.
+- subscription modes: ``subscribe`` (comma list), ``subscribePattern``
+  (regex full-matched against the topic dirs at stream-build time), and
+  ``assign`` (JSON ``{"topic": [0, 1]}`` per-partition whitelist) —
+  exactly one, like the real source.
+
+Deliberately NOT emulated: negative JSON offsets (-1/-2), runtime
+discovery of NEW topics matching a subscribePattern (broker metadata
+polling; the shim binds the match at build time and raises a typed error
+when nothing matches), consumer-group rebalancing, transactional
+markers.
 Downstream plans see only the output contract, so a query developed
 against the shim runs unchanged against a real broker's reader — and the
 factory's option plumbing (defaults, overrides, validation) is the SAME
@@ -116,14 +124,56 @@ def read_batch(spark: SparkSession, shim_dir: str, topic: str) -> DataFrame:
         os.path.join(shim_dir, topic))
 
 
+def _resolve_subscription(shim_dir: str, options: dict[str, str]
+                          ) -> tuple[list[str],
+                                     dict[str, set[int]] | None]:
+    """Topics (and, for assign, the partition whitelist) from exactly one
+    of subscribe / subscribePattern / assign — the real source's rule
+    (passing two is a Kafka config error, not a silent preference).
+
+    subscribePattern binds at stream-BUILD time against the existing
+    topic dirs (the real source also discovers new matching topics at
+    runtime — a broker-metadata feature a file listing cannot honor;
+    deliberate shim limitation, disclosed here)."""
+    modes = [k for k in ("subscribe", "subscribePattern", "assign")
+             if k in options]
+    if len(modes) != 1:
+        raise ValueError(
+            "kafka source requires exactly one of subscribe= / "
+            f"subscribePattern= / assign= (got {modes or 'none'})")
+    mode = modes[0]
+    if mode == "subscribe":
+        topics = [t.strip() for t in options[mode].split(",") if t.strip()]
+        if not topics:
+            raise ValueError("subscribe= names no topics")
+        return topics, None
+    if mode == "subscribePattern":
+        pat = re.compile(options[mode])
+        topics = sorted(
+            d for d in (os.listdir(shim_dir)
+                        if os.path.isdir(shim_dir) else [])
+            if os.path.isdir(os.path.join(shim_dir, d))
+            and pat.fullmatch(d))
+        if not topics:
+            raise ValueError(
+                f"subscribePattern {options[mode]!r} matches no existing "
+                "shim topic (pattern subscription binds at build time "
+                "against the topic dirs)")
+        return topics, None
+    spec = json.loads(options["assign"])
+    if not isinstance(spec, dict) or not spec:
+        raise ValueError(
+            'assign= must be a non-empty JSON object like '
+            '{"topic": [0, 1]}')
+    assigned = {t: {int(p) for p in parts} for t, parts in spec.items()}
+    return sorted(assigned), assigned
+
+
 def read_stream(spark: SparkSession, shim_dir: str,
                 options: dict[str, str]) -> DataFrame:
     """Build the shim stream for factory.source's kafka branch. ``options``
     is the merged defaults+caller dict the real reader would receive."""
-    if "subscribe" not in options:
-        raise ValueError(
-            "kafka shim supports subscribe= only (no pattern/assign)")
-    topics = [t.strip() for t in options["subscribe"].split(",") if t.strip()]
+    topics, assigned = _resolve_subscription(shim_dir, options)
     starting = options.get("startingOffsets", "latest")
 
     # Resolve per-(topic, partition) lower bounds BEFORE building the
@@ -154,6 +204,16 @@ def read_stream(spark: SparkSession, shim_dir: str,
     df = streams[0]
     for s in streams[1:]:
         df = df.unionByName(s)
+
+    if assigned is not None:
+        # per-partition assignment: only the named (topic, partition)
+        # pairs flow — the real source's consumer.assign() semantics
+        keep_assigned = F.lit(False)
+        for t, parts in sorted(assigned.items()):
+            keep_assigned = keep_assigned | (
+                (F.col("topic") == t)
+                & F.col("partition").isin(sorted(parts)))
+        df = df.where(keep_assigned)
 
     if not bounds:
         return df

@@ -105,3 +105,58 @@ def test_starting_offsets_latest_binds_at_build(spark, tmp_path):
     got, _ = _run_available_now(
         stream.select("offset"), spark, output_mode="append")
     assert sorted(r.offset for r in got.collect()) == [2, 3, 4]
+
+
+def test_subscribe_pattern_matches_topic_dirs(spark, tmp_path):
+    """subscribePattern: regex full-matched against the topic dirs at
+    build time — matching topics union, non-matching stay out."""
+    shim = str(tmp_path)
+    kafka_shim.produce(shim, "events_eu", _messages(["click", "view"]))
+    kafka_shim.produce(shim, "events_us", _messages(["click"]))
+    kafka_shim.produce(shim, "audit", _messages(["error"]))
+
+    stream = factory.source(
+        spark, "kafka", subscribePattern=r"events_.*",
+        startingOffsets="earliest",
+        **{"kafka.bootstrap.servers": f"shim://{shim}"})
+    got, _ = _run_available_now(_counts(stream), spark)
+    assert {(r.t, r.cnt) for r in got.collect()} == {("click", 2),
+                                                     ("view", 1)}
+
+
+def test_subscribe_pattern_no_match_is_typed_error(spark, tmp_path):
+    shim = str(tmp_path)
+    kafka_shim.produce(shim, "events", _messages(["click"]))
+    with pytest.raises(ValueError, match="matches no existing shim topic"):
+        factory.source(
+            spark, "kafka", subscribePattern=r"nope_.*",
+            **{"kafka.bootstrap.servers": f"shim://{shim}"})
+
+
+def test_assign_filters_to_named_partitions(spark, tmp_path):
+    """assign: only the whitelisted (topic, partition) pairs flow —
+    consumer.assign() semantics."""
+    shim = str(tmp_path)
+    kafka_shim.produce(shim, "events", _messages(["click"]), partition=0)
+    kafka_shim.produce(shim, "events", _messages(["view", "view"]),
+                       partition=1)
+    kafka_shim.produce(shim, "events", _messages(["error"]), partition=2)
+    kafka_shim.produce(shim, "other", _messages(["click"]), partition=0)
+
+    stream = factory.source(
+        spark, "kafka", assign=json.dumps({"events": [0, 1]}),
+        startingOffsets="earliest",
+        **{"kafka.bootstrap.servers": f"shim://{shim}"})
+    got, _ = _run_available_now(_counts(stream), spark)
+    assert {(r.t, r.cnt) for r in got.collect()} == {("click", 1),
+                                                     ("view", 2)}
+
+
+def test_two_subscription_modes_is_typed_error(spark, tmp_path):
+    shim = str(tmp_path)
+    kafka_shim.produce(shim, "events", _messages(["click"]))
+    with pytest.raises(ValueError, match="exactly one of"):
+        factory.source(
+            spark, "kafka", subscribe="events",
+            assign=json.dumps({"events": [0]}),
+            **{"kafka.bootstrap.servers": f"shim://{shim}"})
