@@ -379,3 +379,74 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_candidates(e, cand)
+
+
+# --- parameterized probe family: the recall-experiment kernel ----------------
+
+
+def bucket_keys_probed(spark: SparkSession, e: DataFrame, *,
+                       tables: int, probes: int,
+                       seed: int = 707,
+                       bits: int = _ANN_BITS) -> DataFrame:
+    """vec_id → (table_id, bucket_key, probe_keys array): the generic
+    (T, probe-depth) point of the family the three contract kernels fix
+    at (64, 0) / (24, 1) / (16, 3). ``probes`` ∈ {0, 1, 3}: base key
+    only, +weakest-bit flip, +both single flips and the double flip
+    (Lv et al.'s probe sequence for a ``bits``-bit key). Same
+    determinism discipline as the contract kernels: quantized integer
+    dots, lexicographic (|dot|, bit_pos) weak-bit ranking.
+
+    tools/ann_recall.py sweeps this kernel over table counts where the
+    closed-form model predicts recall << 1 and compares measured vs
+    predicted — the recall<1-regime evidence the hash-green contracts
+    (recall 1 on their corpus) structurally cannot provide."""
+    if probes not in (0, 1, 3):
+        raise ValueError("probes must be 0, 1 or 3")
+    nproj = tables * bits
+    dots = _quantized_dots(spark, e, seed, nproj)
+    bit_pos = F.expr(f"CAST(pmod(proj_id, {bits}) AS INT)")
+    bit_val = F.when(
+        F.col("dot_q") >= 0,
+        F.expr(f"shiftleft(1, pmod(proj_id, {bits}))")).otherwise(0)
+    per_tab = (
+        dots.select("vec_id",
+                    F.expr(f"proj_id div {bits}").alias("table_id"),
+                    bit_val.alias("bv"),
+                    F.struct(F.abs("dot_q").alias("m"),
+                             bit_pos.alias("p")).alias("margin"))
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bv").alias("bucket_key"),
+             F.slice(F.sort_array(F.collect_list("margin")), 1, 2)
+             .alias("weak2"))
+    )
+    if probes == 0:
+        probe_expr = F.expr("array()").cast("array<bigint>")
+    elif probes == 1:
+        probe_expr = F.expr(
+            "array(bucket_key ^ shiftleft(1, weak2[0].p))")
+    else:
+        probe_expr = F.expr(
+            "array(bucket_key ^ shiftleft(1, weak2[0].p),"
+            "      bucket_key ^ shiftleft(1, weak2[1].p),"
+            "      bucket_key ^ shiftleft(1, weak2[0].p)"
+            "                 ^ shiftleft(1, weak2[1].p))")
+    return per_tab.select("vec_id", "table_id", "bucket_key",
+                          probe_expr.alias("probe_keys"))
+
+
+def probed_candidates(buckets: DataFrame) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs from a ``bucket_keys_probed``
+    table: probe keys fan out on ONE join side (index size unchanged),
+    exactly the contract kernels' join shape."""
+    base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
+                          F.col("bucket_key").alias("k"))
+    probes = (buckets.select(F.col("vec_id").alias("vec_l"), "table_id",
+                             F.col("bucket_key").alias("k"))
+              .union(buckets.select(
+                  F.col("vec_id").alias("vec_l"), "table_id",
+                  F.explode("probe_keys").alias("k"))))
+    return (probes.join(base, ["table_id", "k"])
+            .where(F.col("vec_l") != F.col("vec_r"))
+            .select(F.least("vec_l", "vec_r").alias("vec_a"),
+                    F.greatest("vec_l", "vec_r").alias("vec_b"))
+            .distinct())
