@@ -160,6 +160,7 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "extended_sweep_sec": round(sum(extended.values()), 4),
         "iterative": iterative,
         "sf1_raw_ratios": _sf1_ratios(),
+        "skew_aqe": _skew_aqe(),
         "loadavg": loadavg,
         "sf": sf_val,
     }
@@ -175,6 +176,22 @@ def _sf1_ratios() -> dict[str, float]:
         with open(path) as f:
             return {k: v["ratio_raw"]
                     for k, v in json.load(f)["queries"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def _skew_aqe() -> dict:
+    """Compact before/after from the committed zipfian skew experiment
+    (SKEW_AQE.json, regenerate: tools/skew_aqe.py) — rides the artifact
+    line so each round's record carries the AQE skew-split evidence."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SKEW_AQE.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return {"off": d["unsalted_aqe_off_sec"],
+                "on": d["unsalted_aqe_on_sec"],
+                "split": d["skew_split_marker"]}
     except (OSError, KeyError, ValueError):
         return {}
 
