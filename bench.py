@@ -160,6 +160,7 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "extended_sweep_sec": round(sum(extended.values()), 4),
         "iterative": iterative,
         "sf1_raw_ratios": _sf1_ratios(),
+        "sf1_heavy": _sf1_heavy(),
         "skew_aqe": _skew_aqe(),
         "loadavg": loadavg,
         "sf": sf_val,
@@ -173,9 +174,39 @@ def _sf1_ratios() -> dict[str, float]:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_sf1.json")
     try:
+        abbrev = {"sim_topk_cosine": "topk", "dedup_docs_exact": "dedup"}
         with open(path) as f:
-            return {k: v["ratio_raw"]
+            return {abbrev.get(k, k): v["ratio_raw"]
                     for k, v in json.load(f)["queries"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+# Line-budget abbreviations for the sf1 heavy sweep (full names and the
+# verification record live in the committed BENCH_sf1_heavy.json).
+_SF1_HEAVY_ABBREV = {
+    "dedup_docs_minhash": "minhash",
+    "dedup_cluster_cc": "cc",
+    "curation_pipeline": "curation",
+    "text_unigram_logprob": "unigram",
+    "sim_ann_lsh": "lsh",
+    "sim_ann_lsh_multiprobe2": "lsh_mp2",
+}
+
+
+def _sf1_heavy() -> dict:
+    """Spark seconds from the committed sf1 heavy-operator appendix
+    (BENCH_sf1_heavy.json, regenerate: tools/bench_sf1_heavy.py — every
+    query verified on the 10x corpus before timing); rides the artifact
+    line (abbreviated keys, 2 decimals — budget) so each round's record
+    carries the at-scale heavy timings."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_sf1_heavy.json")
+    try:
+        with open(path) as f:
+            sec = json.load(f)["spark_sec"]
+        return {_SF1_HEAVY_ABBREV.get(k, k): round(v, 2)
+                for k, v in sec.items()}
     except (OSError, KeyError, ValueError):
         return {}
 
@@ -189,9 +220,10 @@ def _skew_aqe() -> dict:
     try:
         with open(path) as f:
             d = json.load(f)
-        return {"off": d["unsalted_aqe_off_sec"],
-                "on": d["unsalted_aqe_on_sec"],
-                "split": d["skew_split_marker"]}
+        if not d["skew_split_marker"]:
+            return {}  # stale artifact without the split is not evidence
+        return {"off": round(d["unsalted_aqe_off_sec"], 2),
+                "on": round(d["unsalted_aqe_on_sec"], 2)}
     except (OSError, KeyError, ValueError):
         return {}
 
@@ -288,7 +320,7 @@ def main() -> None:
             t0 = time.perf_counter()
             ext_plans[name].toArrow()
             extended[name] = min(extended[name], time.perf_counter() - t0)
-    extended = {k: round(v, 4) for k, v in extended.items()}
+    extended = {k: round(v, 3) for k, v in extended.items()}
 
     iterative = {name: float("inf") for name in ITERATIVE}
     for name in ITERATIVE:
@@ -363,8 +395,9 @@ def main() -> None:
                   for k in timings if k in BASELINE_MS}
     ratios_marg = {k: marginal[k] / (BASELINE_MS[k] / 1000.0)
                    for k in timings if k in BASELINE_MS}
-    breaches = {k: {"raw": round(ratios_raw[k], 2),
-                    "marginal": round(ratios_marg[k], 2)}
+    # compact keys (r = raw, m = marginal) — line budget
+    breaches = {k: {"r": round(ratios_raw[k], 2),
+                    "m": round(ratios_marg[k], 2)}
                 for k in ratios_raw if ratios_raw[k] > 2.0}
     # The final line must survive the driver's ~2000-char stdout-tail
     # capture AND carry everything the artifact is graded on: headline,
