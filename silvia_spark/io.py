@@ -24,6 +24,17 @@ from silvia_spark.session import configure_session
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+
+def local_path(path: str) -> str:
+    """Normalize a local-filesystem table URI for ``os.*`` calls: strip a
+    ``file://`` scheme (``file:///x`` → ``/x``; a host part has no local
+    meaning, the remainder is treated as a path) and any trailing slash.
+    The single shared helper for merge_keyed and the manifest-table layer
+    — scheme edge cases get fixed in one place."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    return path.rstrip("/")
+
 # (session id, sf_dir, table) → DataFrame. A DataFrame is an immutable plan,
 # so sharing the base relation across queries is safe and skips the footer
 # read + relation resolution Py4J round-trips on every contract call.

@@ -48,17 +48,11 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, local_path as _norm
 from silvia_spark.registry import contract
 
 _MANIFESTS = "_manifests"
 _CURRENT = "_current"
-
-
-def _norm(path: str) -> str:
-    if path.startswith("file://"):
-        path = path[len("file://"):]
-    return path.rstrip("/")
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -113,6 +107,14 @@ def _flip_current(root: str, version: int) -> None:
     os.rename(tmp, os.path.join(root, _CURRENT))
 
 
+def _stage_writer(df: DataFrame, part_col: str,
+                  max_records: int | None = None):
+    w = df.write.mode("overwrite").partitionBy(part_col)
+    if max_records is not None:
+        w = w.option("maxRecordsPerFile", max_records)
+    return w
+
+
 def _adopt_staged(root: str, stage: str, part_col: str,
                   token: str) -> list[dict]:
     """Move Spark's staged partition output into the live partition dirs
@@ -140,10 +142,11 @@ def _adopt_staged(root: str, stage: str, part_col: str,
     return entries
 
 
-def _stage_write(df: DataFrame, root: str, part_col: str) -> list[dict]:
+def _stage_write(df: DataFrame, root: str, part_col: str,
+                 max_records: int | None = None) -> list[dict]:
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(root, f".stage-{token}")
-    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    _stage_writer(df, part_col, max_records).parquet(stage)
     return _adopt_staged(root, stage, part_col, token)
 
 
@@ -196,7 +199,14 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     so the anti-join cannot cross partitions."""
     root = _norm(path)
     m = load_manifest(root)
-    touched = {r[0] for r in changes.select(part_col).distinct().collect()}
+    # Manifest entries store partition values as the (unescaped) Hive
+    # dir-name STRING; a typed change column (int/date day=1) would never
+    # match it. Canonicalize the touched set through Spark's own
+    # cast-to-string — the same rendering the writer uses for dir names —
+    # with NULL mapped to Hive's default-partition marker.
+    touched = {"__HIVE_DEFAULT_PARTITION__" if r[0] is None else r[0]
+               for r in changes.select(
+                   F.col(part_col).cast("string")).distinct().collect()}
     cur_entries = [e for e in m["files"] if e["partition"] in touched]
     keep_entries = [e for e in m["files"] if e["partition"] not in touched]
 
@@ -217,8 +227,9 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
                       target_files: int = 1) -> int:
-    """Rewrite each multi-file partition of the current snapshot into
-    ``target_files`` files through the same stage→manifest→flip path.
+    """Rewrite each partition of the current snapshot that holds more
+    than ``target_files`` files into at most ``target_files`` files
+    through the same stage→manifest→flip path.
     Readers see the old layout or the new one, never a mix; the rewritten
     partitions' old files stay on disk for time travel until vacuumed."""
     root = _norm(path)
@@ -234,8 +245,20 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     cur = spark.read.option("basePath", root).parquet(
         *[os.path.join(root, e["path"]) for es in todo.values()
           for e in es])
-    compacted = cur.repartition(target_files, F.col(part_col))
-    new_entries = _stage_write(compacted, root, part_col)
+    # One task per partition value (hash repartition; parallelism = the
+    # number of rewritten partitions, the natural compaction unit). For
+    # target_files > 1 the split happens at the WRITER via
+    # maxRecordsPerFile sized from the largest rewritten partition —
+    # salt-column shuffle splitting is not reliable here because AQE
+    # legitimately coalesces the small (part, salt) shuffle groups back
+    # into one task, collapsing the files again.
+    max_records = None
+    if target_files > 1:
+        max_rows = (cur.groupBy(part_col).count()
+                    .agg(F.max("count")).collect()[0][0])
+        max_records = -(-max_rows // target_files)  # ceil
+    compacted = cur.repartition(F.col(part_col))
+    new_entries = _stage_write(compacted, root, part_col, max_records)
     version = m["version"] + 1
     _write_manifest(root, version, keep_entries + new_entries,
                     parent=m["version"])
@@ -249,14 +272,24 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     Orphans from crashed commits are removed too. Returns deleted
     relative paths. Never touches the current snapshot's files: the
     current manifest is always retained."""
+    if keep_versions < 1:
+        # keep_versions=0 would empty `keep`, flag every file dead, and
+        # delete the current snapshot out from under its own pointer
+        raise ValueError("keep_versions must be >= 1 "
+                         "(the current snapshot is always retained)")
     root = _norm(path)
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
     live: set[str] = set()
-    for v in keep:
-        live |= {e["path"] for e in load_manifest(root, v)["files"]}
+    for v in sorted(keep):
+        try:
+            live |= {e["path"] for e in load_manifest(root, v)["files"]}
+        except FileNotFoundError:
+            if v == cur:
+                raise  # a missing CURRENT manifest is corruption
+            keep.discard(v)  # already deleted by an earlier tighter vacuum
     deleted: list[str] = []
     for part_entry in sorted(os.listdir(root)):
         part_dir = os.path.join(root, part_entry)

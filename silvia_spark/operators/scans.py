@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, local_path
 from silvia_spark.registry import contract
 from silvia_spark.schemas import EVENTS
 
@@ -632,12 +632,7 @@ def merge_keyed(spark: SparkSession, path: str, changes: DataFrame,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(part_col).parquet(path))
         return
-    if path.startswith("file://"):
-        # file:// is the local-branch case, but os.* below needs a bare
-        # path — strip the scheme (file:///x → /x, file://host/x has no
-        # meaningful host locally so the remainder is treated as a path).
-        path = path[len("file://"):]
-    norm = path.rstrip("/")
+    norm = local_path(path)
     token = uuid.uuid4().hex[:12]
     stage, trash = f"{norm}.stage-{token}", f"{norm}.trash-{token}"
     merged.write.mode("overwrite").partitionBy(part_col).parquet(stage)

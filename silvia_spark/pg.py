@@ -211,6 +211,15 @@ def run_psql(host: str, script: str, *, db: str = PG_DB) -> str:
     return proc.stdout
 
 
+def canon_run_id(run_id: str) -> str:
+    """The ONE canonical run-id form, shared by the write path (COPY text
+    format cannot carry backslash/tab/newline unescaped) and the readback
+    WHERE clause — writing a sanitized id but querying the raw one would
+    make a run's own rows unfindable."""
+    return (run_id.replace("\\", "").replace("\t", "")
+            .replace("\n", "").replace("\r", ""))
+
+
 def ensure_upsert_table(host: str, table: str) -> None:
     """Create (or migrate) the upsert target. The key includes ``run_id``
     so a caller-named table (``$SILVIA_PG_TABLE`` pointed at a shared
@@ -218,6 +227,15 @@ def ensure_upsert_table(host: str, table: str) -> None:
     dropped up front — each run reads back only its own rows. A legacy
     table from the pre-run_id protocol is migrated in place: existing
     rows keep ``run_id = ''`` and stay readable."""
+    # ``table`` may be schema-qualified (analytics.summary): the catalog
+    # check must scope on table_schema/table_name separately, and the
+    # legacy pkey's constraint NAME is always unqualified.
+    if "." in table:
+        schema, rel = table.rsplit(".", 1)
+        schema_pred = f"table_schema = '{schema}'"
+    else:
+        rel = table
+        schema_pred = "table_schema = current_schema()"
     run_psql(host, f"""
 CREATE TABLE IF NOT EXISTS {table} (
   run_id     text   NOT NULL DEFAULT '',
@@ -229,10 +247,11 @@ CREATE TABLE IF NOT EXISTS {table} (
 DO $$
 BEGIN
   IF NOT EXISTS (SELECT 1 FROM information_schema.columns
-                 WHERE table_name = '{table}'
+                 WHERE {schema_pred}
+                   AND table_name = '{rel}'
                    AND column_name = 'run_id') THEN
     ALTER TABLE {table} ADD COLUMN run_id text NOT NULL DEFAULT '';
-    ALTER TABLE {table} DROP CONSTRAINT IF EXISTS {table}_pkey;
+    ALTER TABLE {table} DROP CONSTRAINT IF EXISTS {rel}_pkey;
     ALTER TABLE {table} ADD PRIMARY KEY (run_id, batch_id, event_type);
   END IF;
 END $$;
@@ -249,7 +268,7 @@ def copy_upsert(host: str, table: str,
     against one shared table never clobber each other's batches."""
     if not rows:
         return
-    rid = run_id.replace("\\", "").replace("\t", "").replace("\n", "")
+    rid = canon_run_id(run_id)
     data = "\n".join(f"{rid}\t{b}\t{t}\t{c}" for b, t, c in rows)
     run_psql(host, f"""
 BEGIN;
@@ -272,7 +291,7 @@ def read_upsert_table(host: str, table: str,
     the readback to one run's rows — the caller-named-table contract."""
     where = ""
     if run_id is not None:
-        rid = run_id.replace("'", "''")
+        rid = canon_run_id(run_id).replace("'", "''")
         where = f"WHERE run_id = '{rid}' "
     out = run_psql(host, f"SELECT batch_id, event_type, cnt FROM {table} "
                          f"{where}ORDER BY batch_id, event_type;")

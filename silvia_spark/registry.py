@@ -35,9 +35,10 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing verification order. The driver walks ``queries()`` in dict
-# order under a bounded budget (50 per round of the 204 registered — count
-# is len(_PRIORITY) - 1 for the sentinel; tools/evidence_ledger.py checks
-# the two stay in sync) — see SURVEY.md §5.1: a CORRECTNESS_rNN file holds
+# order under a bounded budget (50 per round of the registered surface —
+# whose count is len(_PRIORITY) - 1 for the sentinel, NOT a literal here
+# because it grows with each round's contracts; tools/evidence_ledger.py
+# checks the two stay in sync) — see SURVEY.md §5.1: a CORRECTNESS_rNN file holds
 # AT MOST 50 entries, never the full surface. Ordering is therefore part
 # of the contract surface.
 # Rotation policy: contracts whose IMPLEMENTATION (plan OR oracle SQL)

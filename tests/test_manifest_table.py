@@ -144,3 +144,62 @@ def test_create_refuses_existing_table(spark, tmp_path):
     mt.create_table(_base(spark), root, "part")
     with pytest.raises(FileExistsError):
         mt.create_table(_base(spark), root, "part")
+
+
+def test_merge_with_int_partition_column(spark, tmp_path):
+    """README's own example partitions by an INT day column. Manifest
+    entries hold dir-name STRINGS; the touched-partition membership test
+    must canonicalize the typed change values or every merge silently
+    duplicates the touched partitions (old files kept AND new written)."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (4, 3, 40.0)],
+        "k BIGINT, day INT, v DOUBLE")
+    chg = spark.createDataFrame(
+        [(1, 1, 11.0, "U"), (9, 2, 90.0, "I"), (4, 3, None, "D")],
+        "k BIGINT, day INT, v DOUBLE, op STRING")
+    mt.create_table(base, root, "day")
+    assert mt.commit_merge(spark, root, chg, ["k", "day"], "day") == 2
+    got = sorted((r.k, r.day, r.v)
+                 for r in mt.read_snapshot(spark, root).collect())
+    assert got == [(1, 1, 11.0), (2, 1, 20.0), (3, 2, 30.0), (9, 2, 90.0)]
+    # and v1 still time-travels intact
+    assert len(mt.read_snapshot(spark, root, version=1).collect()) == 4
+
+
+def test_vacuum_rejects_zero_keep(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    with pytest.raises(ValueError):
+        mt.vacuum(root, keep_versions=0)
+    # table untouched
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+
+
+def test_vacuum_survives_manifest_gap(spark, tmp_path):
+    """A tighter earlier vacuum deletes old manifests; a later vacuum
+    whose retention window covers the deleted version must skip it, not
+    crash with FileNotFoundError."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+    mt.vacuum(root, keep_versions=1)  # deletes the v1 manifest
+    mt.vacuum(root, keep_versions=2)  # window covers the missing v1
+    assert _rows(mt.read_snapshot(spark, root)) == MERGED
+
+
+def test_compaction_honors_target_files(spark, tmp_path):
+    """target_files > 1 must actually split each rewritten partition:
+    repartition(part_col) alone funnels a partition value into ONE task
+    → one file, defeating the parameter's size-balancing purpose."""
+    root = str(tmp_path / "t")
+    big = spark.range(200).selectExpr(
+        "id AS k", "CAST('p1' AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    mt.create_table(big.repartition(8), root, "part")
+    assert len(mt.load_manifest(root, 1)["files"]) > 2
+
+    assert mt.commit_compaction(spark, root, "part", target_files=2) == 2
+    n_files = len(mt.load_manifest(root, 2)["files"])
+    assert 1 < n_files <= 2, n_files
+    got = sorted(r.k for r in mt.read_snapshot(spark, root).collect())
+    assert got == list(range(200))

@@ -201,3 +201,40 @@ INSERT INTO legacy_t VALUES (3, 'click', 7);
         (3, "click", 7), (3, "click", 50)]
     assert pg.read_upsert_table(pg_server, "legacy_t", run_id="r2") == [
         (3, "click", 50)]
+
+
+def test_schema_qualified_legacy_table_migrates(pg_server):
+    """ensure_upsert_table's catalog check must scope on (table_schema,
+    table_name): with the raw dotted name it never matches, the ALTER is
+    skipped, and the next COPY dies on the missing run_id column."""
+    from silvia_spark import pg
+
+    pg.run_psql(pg_server, """
+CREATE SCHEMA wh;
+CREATE TABLE wh.summary (
+  batch_id   bigint NOT NULL,
+  event_type text   NOT NULL,
+  cnt        bigint NOT NULL,
+  PRIMARY KEY (batch_id, event_type)
+);
+INSERT INTO wh.summary VALUES (1, 'view', 4);
+""")
+    pg.ensure_upsert_table(pg_server, "wh.summary")
+    pg.copy_upsert(pg_server, "wh.summary", [(1, "view", 9)], run_id="rx")
+    assert pg.read_upsert_table(pg_server, "wh.summary", run_id="rx") == [
+        (1, "view", 9)]
+    assert pg.read_upsert_table(pg_server, "wh.summary", run_id="") == [
+        (1, "view", 4)]
+
+
+def test_run_id_canonicalization_round_trips(pg_server):
+    """A run_id carrying COPY-hostile bytes (tab/newline/backslash) is
+    sanitized on write; the readback must apply the SAME canonical form
+    or the run's own rows become unfindable."""
+    from silvia_spark import pg
+
+    pg.ensure_upsert_table(pg_server, "canon_t")
+    raw = "r\t1\\x"
+    pg.copy_upsert(pg_server, "canon_t", [(5, "click", 3)], run_id=raw)
+    assert pg.read_upsert_table(pg_server, "canon_t", run_id=raw) == [
+        (5, "click", 3)]

@@ -25,13 +25,23 @@ pytestmark = pytest.mark.full
 from tools.skew_aqe import (_corpus, run_agg_on_join_key, run_unsalted)
 
 
+# every conf _set_confs mutates — leaking the aggressive 1m/2m AQE
+# tuning into the shared session would change later tests' plans
+_MUTATED_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+)
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     fact, dim = _corpus(spark)
     yield fact, dim
-    # restore the conf the tool mutates for its SMJ forcing
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    for key in _MUTATED_CONFS:
+        spark.conf.unset(key)
 
 
 def test_skew_split_fires_and_preserves_result(spark, corpus):
