@@ -73,9 +73,11 @@ from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
 from silvia_spark.operators.manifest_table import (
+    commit_append,
     commit_compaction,
     commit_merge,
     create_table,
+    read_changes,
     read_snapshot,
     vacuum,
 )
@@ -126,7 +128,7 @@ __all__ = [
     "merge_keyed", "nearest_asof", "compact_partitioned",
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
-    "vacuum",
+    "commit_append", "read_changes", "vacuum",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

@@ -80,7 +80,8 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 
 def _write_manifest(root: str, version: int, entries: list[dict],
-                    parent: int | None) -> None:
+                    parent: int | None,
+                    txns: dict[str, int] | None = None) -> None:
     """Manifest files are write-once: mode "x" makes two writers racing
     the same version an explicit error instead of silent last-wins. The
     one exception is recovery: a manifest AHEAD of the committed pointer
@@ -90,6 +91,11 @@ def _write_manifest(root: str, version: int, entries: list[dict],
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
     doc = {"version": version, "parent": parent,
            "files": sorted(entries, key=lambda e: e["path"])}
+    if txns:
+        # highest committed batch per streaming app id — the replay
+        # idempotence record commit_append consults (Delta txnAppId
+        # semantics); carried forward manifest-to-manifest
+        doc["txn"] = dict(sorted(txns.items()))
     path = _manifest_path(root, version)
     committed = current_version(root)
     if os.path.exists(path) and (committed is None or committed < version):
@@ -220,9 +226,66 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     new_entries = _stage_write(merged, root, part_col)
     version = m["version"] + 1
     _write_manifest(root, version, keep_entries + new_entries,
-                    parent=m["version"])
+                    parent=m["version"], txns=m.get("txn"))
     _flip_current(root, version)
     return version
+
+
+def commit_append(spark: SparkSession, path: str, batch: DataFrame,
+                  part_col: str, txn: tuple[str, int] | None = None) -> int:
+    """Append-only commit: stage the batch's files, adopt them, and write
+    a manifest carrying every prior entry PLUS the new ones — no rewrite,
+    no read of existing data. The streaming-ingestion primitive: cost is
+    O(batch), not O(partition).
+
+    ``txn=(app_id, batch_id)`` makes replays idempotent the way Delta's
+    txnAppId/txnVersion does: the manifest records the highest batch_id
+    committed per app, and a commit at-or-below it is a no-op returning
+    the current version. A sink that crashes after the pointer flip but
+    before checkpointing its offset will re-deliver the batch; the
+    recorded txn makes the re-delivery invisible instead of a duplicate.
+    If the table does not exist yet, the first commit creates it."""
+    root = _norm(path)
+    if current_version(root) is None:
+        os.makedirs(root, exist_ok=True)
+        entries = _stage_write(batch, root, part_col)
+        txns = {txn[0]: txn[1]} if txn else {}
+        _write_manifest(root, 1, entries, parent=None, txns=txns)
+        _flip_current(root, 1)
+        return 1
+    m = load_manifest(root)
+    txns = dict(m.get("txn", {}))
+    if txn is not None:
+        app, batch_id = txn
+        if app in txns and txns[app] >= batch_id:
+            return m["version"]  # replayed batch: already committed
+        txns[app] = batch_id
+    new_entries = _stage_write(batch, root, part_col)
+    version = m["version"] + 1
+    _write_manifest(root, version, m["files"] + new_entries,
+                    parent=m["version"], txns=txns)
+    _flip_current(root, version)
+    return version
+
+
+def read_changes(spark: SparkSession, path: str, since: int,
+                 to: int | None = None) -> DataFrame:
+    """Incremental read: the rows of every file present in snapshot
+    ``to`` (default: current) but NOT in snapshot ``since`` — appended
+    batches and rewritten touched partitions, never the untouched bulk.
+    File-granular (like Delta/Iceberg incremental scans without a
+    row-level change feed): a rewritten partition re-delivers its full
+    post-merge content, and a dropped partition simply contributes
+    nothing — downstream consumers treat the feed as upsert-by-key.
+    Returns an empty frame (correct schema) when nothing changed."""
+    root = _norm(path)
+    m_to = load_manifest(root, to)
+    old = {e["path"] for e in load_manifest(root, since)["files"]}
+    new_files = [os.path.join(root, e["path"]) for e in m_to["files"]
+                 if e["path"] not in old]
+    if not new_files:
+        return read_snapshot(spark, root, m_to["version"]).limit(0)
+    return spark.read.option("basePath", root).parquet(*new_files)
 
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
@@ -261,7 +324,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     new_entries = _stage_write(compacted, root, part_col, max_records)
     version = m["version"] + 1
     _write_manifest(root, version, keep_entries + new_entries,
-                    parent=m["version"])
+                    parent=m["version"], txns=m.get("txn"))
     _flip_current(root, version)
     return version
 
@@ -311,6 +374,29 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
 
 
 # --- contract: atomic multi-partition MERGE through the manifest -------------
+
+
+def _planted_changes(ev: DataFrame) -> DataFrame:
+    """The shared L11/L13 change batch over events: updates in click and
+    error, inserts in error, a FULL delete of signup (the atomicity case
+    a directory swap cannot express). Mirrors the `chg` CTE of both
+    oracles exactly."""
+    upd = (ev.where(F.col("event_type").isin("click", "error")
+                    & (F.col("event_id") % 10 == 0))
+           .select("event_id", "event_type",
+                   (F.col("value") * 3).alias("value"),
+                   F.lit("U").alias("op")))
+    dele = (ev.where(F.col("event_type") == "signup")
+            .select("event_id", "event_type",
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit("D").alias("op")))
+    ins = (ev.where((F.col("event_type") == "error")
+                    & (F.col("event_id") % 10 == 7))
+           .select((F.col("event_id") + 10000000).alias("event_id"),
+                   F.lit("error").alias("event_type"),
+                   (F.col("value") + 1.5).alias("value"),
+                   F.lit("I").alias("op")))
+    return upd.unionByName(dele).unionByName(ins)
 
 # Change batch planted from the events corpus itself (A13's derivation,
 # extended with a FULL-partition delete — signup vanishes entirely, the
@@ -376,24 +462,7 @@ def sink_table_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value")
     root = os.path.join(tempfile.mkdtemp(prefix="silvia_manifest_"), "tbl")
     create_table(ev, root, "event_type")
-
-    upd = (ev.where(F.col("event_type").isin("click", "error")
-                    & (F.col("event_id") % 10 == 0))
-           .select("event_id", "event_type",
-                   (F.col("value") * 3).alias("value"),
-                   F.lit("U").alias("op")))
-    dele = (ev.where(F.col("event_type") == "signup")
-            .select("event_id", "event_type",
-                    F.lit(None).cast("double").alias("value"),
-                    F.lit("D").alias("op")))
-    ins = (ev.where((F.col("event_type") == "error")
-                    & (F.col("event_id") % 10 == 7))
-           .select((F.col("event_id") + 10000000).alias("event_id"),
-                   F.lit("error").alias("event_type"),
-                   (F.col("value") + 1.5).alias("value"),
-                   F.lit("I").alias("op")))
-    commit_merge(spark, root,
-                 upd.unionByName(dele).unionByName(ins),
+    commit_merge(spark, root, _planted_changes(ev),
                  ["event_id", "event_type"], "event_type")
 
     from silvia_spark.functions.numeric import dsum
@@ -409,4 +478,72 @@ def sink_table_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cnt_v2", F.lit(0)).alias("cnt_v2"),
                     F.coalesce("id_sum_v2", F.lit(0)).alias("id_sum_v2"),
                     F.coalesce("val_sum_v2", F.lit(0.0)).alias("val_sum_v2"))
+            .orderBy("event_type"))
+
+
+# --- contract: incremental read between snapshots (L13) ----------------------
+
+# The change feed of the L11 merge: files new in v2 = the rewritten
+# click/error partitions' full post-merge content (file-granular
+# incremental — a rewritten partition re-delivers wholesale); signup was
+# dropped, so it contributes nothing. The oracle computes the merged
+# content restricted to the two rewritten partitions.
+_CHANGES_ORACLE = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+chg AS (
+  SELECT event_id, event_type, value * 3 AS value, 'U' AS op
+  FROM base WHERE event_type IN ('click', 'error') AND event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, event_type, NULL, 'D'
+  FROM base WHERE event_type = 'signup'
+  UNION ALL
+  SELECT event_id + 10000000, 'error', value + 1.5, 'I'
+  FROM base WHERE event_type = 'error' AND event_id % 10 = 7
+),
+kept AS (
+  SELECT b.event_id, b.event_type, b.value
+  FROM base b LEFT JOIN chg c
+    ON b.event_id = c.event_id AND b.event_type = c.event_type
+  WHERE c.event_id IS NULL
+),
+merged AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT event_id, event_type, value FROM chg WHERE op <> 'D'
+)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0) AS val_sum
+FROM merged
+WHERE event_type IN ('click', 'error')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("scan_manifest_changes", oracle=_CHANGES_ORACLE)
+def scan_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption of a manifest table: after the L11 merge,
+    ``read_changes(since=1)`` reads ONLY the files added by the v2
+    commit — the rewritten click/error partitions — never rescanning the
+    untouched bulk. This is the primitive a downstream training-data
+    pipeline polls instead of re-reading 100 TB: cost scales with what
+    changed. The hash proves the feed is exactly the touched partitions'
+    post-merge content (and nothing from the dropped or untouched
+    ones)."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mchg_"), "tbl")
+    create_table(ev, root, "event_type")
+    commit_merge(spark, root, _planted_changes(ev),
+                 ["event_id", "event_type"], "event_type")
+    return (read_changes(spark, root, since=1)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
             .orderBy("event_type"))

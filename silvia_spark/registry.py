@@ -72,6 +72,10 @@ _PRIORITY: tuple[str, ...] = (
     #    flip; closes the cross-partition visibility gap A13/L10
     #    disclosed). ------------------------------------------------------
     "sink_table_manifest_commit",
+    # -- tier 0c: NEW in r08 — the manifest layer's streaming half:
+    #    L12 exactly-once streaming ingestion (append commits + txn
+    #    replay guard), L13 incremental version-diff reads. ---------------
+    "stream_manifest_sink", "scan_manifest_changes",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seventeen r03-era keys (oldest evidence anywhere);

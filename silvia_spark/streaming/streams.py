@@ -427,6 +427,57 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# --- L12: exactly-once streaming ingestion into a manifest table -------------
+
+_L12_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0) AS val_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("stream_manifest_sink", oracle=_L12_ORACLE)
+def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the snapshot-manifest table (L11's layer)
+    with exactly-once semantics end to end: each micro-batch lands as ONE
+    append-only manifest commit (commit_append — O(batch) staged files +
+    a pointer flip, no partition rewrite), carrying a (query-id,
+    batch_id) transaction record. A batch re-delivered after a crash
+    between the table commit and the checkpoint write is recognized by
+    its recorded txn and skipped — Delta's txnAppId idempotence, proven
+    by replay in tests/test_manifest_table.py. The readback aggregates
+    the final snapshot through the manifest, so the driver hash proves
+    the whole stream→commit→snapshot-read loop against the batch oracle."""
+    from silvia_spark.operators.manifest_table import (commit_append,
+                                                       read_snapshot)
+    from silvia_spark.functions.numeric import dsum
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mtsink_"), "tbl")
+    app = "ingest-" + uuid.uuid4().hex[:8]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_append(spark, root, batch_df, "event_type",
+                      txn=(app, int(batch_id)))
+
+    ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
+    q = (ev.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    return (read_snapshot(spark, root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))
+
+
 # --- I10 live: transformWithStateInPandas (Spark 4 stateful API) -------------
 
 

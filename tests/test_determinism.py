@@ -127,6 +127,11 @@ _NUMERIC = [
     # layout (task count → file count per partition) must be invisible
     # through the manifest readback.
     "sink_table_manifest_commit",
+    # L12/L13 (r08): streaming append commits and the version-diff feed
+    # must be layout-invariant the same way — counts/id sums/grid value
+    # sums through the manifest readback.
+    "stream_manifest_sink",
+    "scan_manifest_changes",
 ]
 
 

@@ -188,6 +188,47 @@ def test_vacuum_survives_manifest_gap(spark, tmp_path):
     assert _rows(mt.read_snapshot(spark, root)) == MERGED
 
 
+def test_append_txn_replay_is_exactly_once(spark, tmp_path):
+    """commit_append's (app, batch_id) record is the streaming sink's
+    exactly-once mechanism: re-delivering an already-committed batch
+    (crash after pointer flip, before the checkpoint write) is a no-op,
+    and the record survives an intervening MERGE commit."""
+    root = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "p1", 10.0)],
+                               "k BIGINT, part STRING, v DOUBLE")
+    b1 = spark.createDataFrame([(2, "p1", 20.0)],
+                               "k BIGINT, part STRING, v DOUBLE")
+    assert mt.commit_append(spark, root, b0, "part", txn=("q", 0)) == 1
+    assert mt.commit_append(spark, root, b1, "part", txn=("q", 1)) == 2
+    # replay of batch 1: no new version, no duplicate rows
+    assert mt.commit_append(spark, root, b1, "part", txn=("q", 1)) == 2
+    assert sorted(r.k for r in mt.read_snapshot(spark, root).collect()) \
+        == [1, 2]
+    # a MERGE between appends must carry the txn record forward
+    chg = spark.createDataFrame([(1, "p1", 11.0, "U")],
+                                "k BIGINT, part STRING, v DOUBLE, op STRING")
+    assert mt.commit_merge(spark, root, chg, ["k", "part"], "part") == 3
+    assert mt.commit_append(spark, root, b1, "part", txn=("q", 1)) == 3
+    got = sorted((r.k, r.v) for r in mt.read_snapshot(spark, root).collect())
+    assert got == [(1, 11.0), (2, 20.0)]
+
+
+def test_read_changes_is_file_granular(spark, tmp_path):
+    """read_changes(since) = files new since that snapshot: an appended
+    batch delivers exactly its rows; same-version diff is empty with the
+    snapshot's schema."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    b = spark.createDataFrame([(7, "p9", 70.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")
+    delta = mt.read_changes(spark, root, since=1)
+    assert [(r.k, r.part, r.v) for r in delta.collect()] == [(7, "p9", 70.0)]
+    empty = mt.read_changes(spark, root, since=2, to=2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "part", "v"}
+
+
 def test_compaction_honors_target_files(spark, tmp_path):
     """target_files > 1 must actually split each rewritten partition:
     repartition(part_col) alone funnels a partition value into ONE task
