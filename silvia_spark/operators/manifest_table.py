@@ -29,11 +29,15 @@ O(files), kept in check by compaction (``commit_compaction`` rewrites a
 partition's small files through the same commit path). A MERGE's cost is
 still proportional to touched partitions only: untouched partitions
 contribute their existing entries to the new manifest by reference, and
-the pruned scan opens only touched partitions' files. Single-writer per
-table (manifest protocols need a lock service or CAS for multi-writer —
-out of scope, as it is for Delta without a LogStore). Local-filesystem
-renames here; on object stores the adopt step becomes a copy or a
-committer, and the pointer flip needs a CAS primitive (S3
+the pruned scan opens only touched partitions' files. Concurrency:
+APPENDS are multi-writer safe via optimistic version claims (append
+entries commute; the manifest's create-exclusive write is the CAS, lost
+claims rebase and retry — see commit_append); MERGE/compaction commits
+stay single-writer because their keep-lists are computed against one
+parent — a lost race there surfaces as an explicit FileExistsError,
+never silent corruption. Local-filesystem renames here; on object
+stores the adopt step becomes a copy or a committer, and the
+create-exclusive claim + pointer flip need a CAS primitive (S3
 conditional-put) — the protocol shape is unchanged.
 """
 
@@ -42,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from urllib.parse import unquote
 
@@ -53,6 +58,9 @@ from silvia_spark.registry import contract
 
 _MANIFESTS = "_manifests"
 _CURRENT = "_current"
+# optimistic-append rebase budget: each retry means another writer won a
+# version claim in the microseconds between our manifest load and write
+_APPEND_RETRIES = 50
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -81,13 +89,19 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 def _write_manifest(root: str, version: int, entries: list[dict],
                     parent: int | None,
-                    txns: dict[str, int] | None = None) -> None:
-    """Manifest files are write-once: mode "x" makes two writers racing
-    the same version an explicit error instead of silent last-wins. The
-    one exception is recovery: a manifest AHEAD of the committed pointer
-    is a leftover from a crash between manifest-write and pointer-flip
-    (it was never visible to any reader) — a re-applied commit may
-    replace it."""
+                    txns: dict[str, int] | None = None,
+                    occ: bool = False) -> None:
+    """Manifest files are write-once: mode "x" (O_CREAT|O_EXCL, an atomic
+    claim on POSIX) makes two writers racing the same version an explicit
+    error instead of silent last-wins. With ``occ=False`` (single-writer
+    commits) one recovery exception applies: a manifest AHEAD of the
+    committed pointer is a leftover from a crash between manifest-write
+    and pointer-flip (it was never visible to any reader) — a re-applied
+    commit may replace it. With ``occ=True`` (concurrent appenders) the
+    replace would let one live writer silently erase another's claim, so
+    FileExistsError always propagates as the conflict signal; a crashed
+    leftover that keeps blocking is cleared by ``vacuum`` (ahead-of-
+    current manifests are outside every retention window)."""
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
     doc = {"version": version, "parent": parent,
            "files": sorted(entries, key=lambda e: e["path"])}
@@ -98,7 +112,8 @@ def _write_manifest(root: str, version: int, entries: list[dict],
         doc["txn"] = dict(sorted(txns.items()))
     path = _manifest_path(root, version)
     committed = current_version(root)
-    if os.path.exists(path) and (committed is None or committed < version):
+    if not occ and os.path.exists(path) and (committed is None
+                                             or committed < version):
         os.remove(path)
     with open(path, "x", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
@@ -106,11 +121,25 @@ def _write_manifest(root: str, version: int, entries: list[dict],
 
 def _flip_current(root: str, version: int) -> None:
     """THE commit point. Everything before this is invisible staging;
-    os.rename over the pointer file is atomic on POSIX."""
-    tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(version))
-    os.rename(tmp, os.path.join(root, _CURRENT))
+    os.rename over the pointer file is atomic on POSIX (readers never
+    take a lock). The flock around check+rename keeps the pointer
+    MONOTONIC under concurrent appenders: without it, a delayed v2 flip
+    could land after a v3 flip and hide committed data. flock is
+    released by the OS on process death, so a crashed flipper cannot
+    wedge the table."""
+    import fcntl
+
+    with open(os.path.join(root, ".flip_lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        cur = current_version(root)
+        if cur is not None and cur >= version:
+            return  # a later commit (whose chain includes this one —
+            #         its parent manifest was loaded after our claim)
+            #         already advanced the pointer
+        tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(version))
+        os.rename(tmp, os.path.join(root, _CURRENT))
 
 
 def _stage_writer(df: DataFrame, part_col: str,
@@ -244,28 +273,60 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     the current version. A sink that crashes after the pointer flip but
     before checkpointing its offset will re-deliver the batch; the
     recorded txn makes the re-delivery invisible instead of a duplicate.
-    If the table does not exist yet, the first commit creates it."""
+    If the table does not exist yet, the first commit creates it.
+
+    Appends from CONCURRENT writers are safe: append entries commute, so
+    the commit is optimistic — stage once, then claim version N+1 via the
+    manifest's atomic create-exclusive write; losing the claim reloads
+    the new parent and retries against it (the staged files are already
+    adopted and stay valid — only the manifest reference is rebuilt).
+    MERGE/compaction stay single-writer: their keep-lists are computed
+    against one parent, so a lost race there is an explicit
+    FileExistsError, never silent corruption."""
     root = _norm(path)
     if current_version(root) is None:
         os.makedirs(root, exist_ok=True)
         entries = _stage_write(batch, root, part_col)
         txns = {txn[0]: txn[1]} if txn else {}
-        _write_manifest(root, 1, entries, parent=None, txns=txns)
-        _flip_current(root, 1)
-        return 1
-    m = load_manifest(root)
-    txns = dict(m.get("txn", {}))
-    if txn is not None:
-        app, batch_id = txn
-        if app in txns and txns[app] >= batch_id:
-            return m["version"]  # replayed batch: already committed
-        txns[app] = batch_id
-    new_entries = _stage_write(batch, root, part_col)
-    version = m["version"] + 1
-    _write_manifest(root, version, m["files"] + new_entries,
-                    parent=m["version"], txns=txns)
-    _flip_current(root, version)
-    return version
+        try:
+            _write_manifest(root, 1, entries, parent=None, txns=txns,
+                            occ=True)
+        except FileExistsError:
+            staged = entries  # racing create won v1; append to it below
+        else:
+            _flip_current(root, 1)
+            return 1
+    else:
+        staged = None
+    for _ in range(_APPEND_RETRIES):
+        try:
+            m = load_manifest(root)
+        except FileNotFoundError:
+            # a racing creator has written its v1 manifest but not yet
+            # flipped the pointer — microseconds away; wait it out
+            time.sleep(0.01)
+            continue
+        txns = dict(m.get("txn", {}))
+        if txn is not None:
+            app, batch_id = txn
+            if app in txns and txns[app] >= batch_id:
+                return m["version"]  # replayed batch: already committed
+            txns[app] = batch_id
+        if staged is None:
+            staged = _stage_write(batch, root, part_col)
+        version = m["version"] + 1
+        try:
+            _write_manifest(root, version, m["files"] + staged,
+                            parent=m["version"], txns=txns, occ=True)
+        except FileExistsError:
+            continue  # another writer claimed this version; rebase
+        _flip_current(root, version)
+        return version
+    raise RuntimeError(
+        f"commit_append lost {_APPEND_RETRIES} version races under "
+        f"{root} — either extreme writer contention, or a crashed "
+        "commit's leftover manifest is blocking the next version "
+        "(vacuum() clears ahead-of-current manifests)")
 
 
 def read_changes(spark: SparkSession, path: str, since: int,

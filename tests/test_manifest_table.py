@@ -213,6 +213,35 @@ def test_append_txn_replay_is_exactly_once(spark, tmp_path):
     assert got == [(1, 11.0), (2, 20.0)]
 
 
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    """Optimistic concurrency: N threads appending distinct batches race
+    version claims; every batch must land exactly once (lost claims
+    rebase onto the winner's manifest and retry) and the final snapshot
+    must carry them all."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    n = 6
+    batches = [
+        spark.createDataFrame([(100 + i, "p1", float(i))],
+                              "k BIGINT, part STRING, v DOUBLE")
+        for i in range(n)]
+
+    def append(i):
+        return mt.commit_append(spark, root, batches[i], "part",
+                                txn=(f"w{i}", 0))
+
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        versions = list(ex.map(append, range(n)))
+    assert sorted(versions) == list(range(2, n + 2))
+    got = sorted(r.k for r in mt.read_snapshot(spark, root).collect())
+    assert got == sorted([1, 2, 3, 4, 5, 6] + [100 + i for i in range(n)])
+    # every writer's txn record survived the races
+    txn = mt.load_manifest(root)["txn"]
+    assert txn == {f"w{i}": 0 for i in range(n)}
+
+
 def test_read_changes_is_file_granular(spark, tmp_path):
     """read_changes(since) = files new since that snapshot: an appended
     batch delivers exactly its rows; same-version diff is empty with the
