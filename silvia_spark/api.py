@@ -77,6 +77,7 @@ from silvia_spark.operators.manifest_table import (
     commit_compaction,
     commit_merge,
     create_table,
+    prune_entries,
     read_changes,
     read_snapshot,
     vacuum,
@@ -128,7 +129,7 @@ __all__ = [
     "merge_keyed", "nearest_asof", "compact_partitioned",
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
-    "commit_append", "read_changes", "vacuum",
+    "commit_append", "read_changes", "prune_entries", "vacuum",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

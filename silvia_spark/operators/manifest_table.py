@@ -150,12 +150,48 @@ def _stage_writer(df: DataFrame, part_col: str,
     return w
 
 
-def _adopt_staged(root: str, stage: str, part_col: str,
-                  token: str) -> list[dict]:
+def _stat_val(v):
+    """JSON-portable, order-preserving stat encoding: numbers stay
+    numbers; everything else (dates, timestamps, strings) becomes its
+    ISO-ish str(), whose lexicographic order matches the value order for
+    those types."""
+    return v if isinstance(v, (int, float)) else str(v)
+
+
+def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
+    """Footer-only read: rowcount + per-column [min, max] across row
+    groups. O(footer) per file, done once at adopt time on the driver —
+    the scan-pruning index readers consult instead of opening 100 TB of
+    files."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            s = md.row_group(g).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break  # a statless row group voids the whole file's entry
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[col] = [_stat_val(lo), _stat_val(hi)]
+    return md.num_rows, stats
+
+
+def _adopt_staged(root: str, stage: str, part_col: str, token: str,
+                  stats_cols: list[str] | None = None) -> list[dict]:
     """Move Spark's staged partition output into the live partition dirs
-    under commit-unique names; returns the new manifest entries. The
-    staged dir names are Spark's own escaped partition values — adopted
-    verbatim, no re-encoding (merge_keyed's proven idiom)."""
+    under commit-unique names; returns the new manifest entries (path,
+    partition value, rowcount, and — when ``stats_cols`` is given —
+    per-column min/max from the parquet footers). The staged dir names
+    are Spark's own escaped partition values — adopted verbatim, no
+    re-encoding (merge_keyed's proven idiom)."""
     entries: list[dict] = []
     prefix = f"{part_col}="
     for part_entry in sorted(os.listdir(stage)):
@@ -169,42 +205,100 @@ def _adopt_staged(root: str, stage: str, part_col: str,
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"part-{token}-{i:05d}.parquet"
-            os.rename(os.path.join(stage, part_entry, fname),
-                      os.path.join(live_dir, new_name))
-            entries.append({"path": f"{part_entry}/{new_name}",
-                            "partition": value})
+            src = os.path.join(stage, part_entry, fname)
+            entry = {"path": f"{part_entry}/{new_name}",
+                     "partition": value}
+            rows, stats = _file_stats(src, stats_cols or [])
+            entry["rows"] = rows
+            if stats:
+                entry["stats"] = stats
+            os.rename(src, os.path.join(live_dir, new_name))
+            entries.append(entry)
     shutil.rmtree(stage)
     return entries
 
 
 def _stage_write(df: DataFrame, root: str, part_col: str,
-                 max_records: int | None = None) -> list[dict]:
+                 max_records: int | None = None,
+                 stats_cols: list[str] | None = None) -> list[dict]:
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(root, f".stage-{token}")
     _stage_writer(df, part_col, max_records).parquet(stage)
-    return _adopt_staged(root, stage, part_col, token)
+    return _adopt_staged(root, stage, part_col, token, stats_cols)
 
 
-def create_table(df: DataFrame, path: str, part_col: str) -> int:
-    """Materialize ``df`` as snapshot v1 of a new manifest table."""
+def _table_stats_cols(m: dict) -> list[str]:
+    """The stat columns this table tracks = the union seen across the
+    parent manifest's entries, so every commit keeps collecting what
+    create_table established without re-plumbing the list."""
+    cols: set[str] = set()
+    for e in m["files"]:
+        cols |= set(e.get("stats", ()))
+    return sorted(cols)
+
+
+def create_table(df: DataFrame, path: str, part_col: str,
+                 stats_cols: list[str] | None = None) -> int:
+    """Materialize ``df`` as snapshot v1 of a new manifest table.
+    ``stats_cols`` establishes the per-file min/max index (footer-read at
+    adopt time) that ``read_snapshot(..., prune=...)`` consults; later
+    commits keep collecting the same columns automatically."""
     root = _norm(path)
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise FileExistsError(f"{root} is already a manifest table")
-    entries = _stage_write(df, root, part_col)
+    entries = _stage_write(df, root, part_col, stats_cols=stats_cols)
     _write_manifest(root, 1, entries, parent=None)
     _flip_current(root, 1)
     return 1
 
 
+def prune_entries(entries: list[dict],
+                  prune: dict[str, tuple]) -> list[dict]:
+    """Driver-side file skipping from the manifest's min/max index:
+    keep an entry iff every ``col: (lo, hi)`` range (either bound may be
+    None) OVERLAPS the file's recorded [min, max]. Files without stats
+    for a column are conservatively kept — pruning is always a superset,
+    so the caller's residual filter stays correct."""
+    kept = []
+    for e in entries:
+        stats = e.get("stats", {})
+        keep = True
+        for col, (lo, hi) in prune.items():
+            if col not in stats:
+                continue
+            fmin, fmax = stats[col]
+            if ((hi is not None and fmin > _stat_val(hi))
+                    or (lo is not None and fmax < _stat_val(lo))):
+                keep = False
+                break
+        if keep:
+            kept.append(e)
+    return kept
+
+
 def read_snapshot(spark: SparkSession, path: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  prune: dict[str, tuple] | None = None) -> DataFrame:
     """Resolve pointer → manifest → file list; basePath recovers the
     partition column from the Hive-style dir names. Orphan files (from
-    crashed or in-flight commits) are invisible by construction."""
+    crashed or in-flight commits) are invisible by construction.
+
+    ``prune={col: (lo, hi)}`` applies the manifest's per-file min/max
+    index BEFORE Spark ever lists a file: at 100 TB the difference
+    between "open every footer" and "open the 0.1% of files whose range
+    overlaps the predicate". File-granular and conservative — the caller
+    still applies the row-level filter; pruning only shrinks the file
+    list it runs over."""
     root = _norm(path)
     m = load_manifest(root, version)
-    files = [os.path.join(root, e["path"]) for e in m["files"]]
+    entries = m["files"]
+    if prune:
+        entries = prune_entries(entries, prune)
+        if not entries and m["files"]:
+            # everything pruned: an empty frame with the snapshot schema
+            return read_snapshot(spark, root, m["version"]).limit(0)
+    files = [os.path.join(root, e["path"]) for e in entries]
     if not files:
         raise ValueError(f"snapshot v{m['version']} is empty")
     return spark.read.option("basePath", root).parquet(*files)
@@ -252,7 +346,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
 
-    new_entries = _stage_write(merged, root, part_col)
+    new_entries = _stage_write(merged, root, part_col,
+                               stats_cols=_table_stats_cols(m))
     version = m["version"] + 1
     _write_manifest(root, version, keep_entries + new_entries,
                     parent=m["version"], txns=m.get("txn"))
@@ -313,7 +408,8 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 return m["version"]  # replayed batch: already committed
             txns[app] = batch_id
         if staged is None:
-            staged = _stage_write(batch, root, part_col)
+            staged = _stage_write(batch, root, part_col,
+                                  stats_cols=_table_stats_cols(m))
         version = m["version"] + 1
         try:
             _write_manifest(root, version, m["files"] + staged,
@@ -382,7 +478,8 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                     .agg(F.max("count")).collect()[0][0])
         max_records = -(-max_rows // target_files)  # ceil
     compacted = cur.repartition(F.col(part_col))
-    new_entries = _stage_write(compacted, root, part_col, max_records)
+    new_entries = _stage_write(compacted, root, part_col, max_records,
+                               stats_cols=_table_stats_cols(m))
     version = m["version"] + 1
     _write_manifest(root, version, keep_entries + new_entries,
                     parent=m["version"], txns=m.get("txn"))
@@ -608,3 +705,56 @@ def scan_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("event_id").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))
+
+
+# --- contract: stats-pruned snapshot scan (L14) ------------------------------
+
+_PRUNED_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS cnt,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+       (sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@contract("scan_manifest_pruned", oracle=_PRUNED_ORACLE)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping from the manifest's min/max index: lineitem is
+    range-clustered on l_shipdate at write time (repartitionByRange →
+    each file covers a narrow date band, the L8 zonemap discipline),
+    created as a manifest table with footer stats on l_shipdate, then a
+    one-year scan resolves the file list THROUGH the index — only
+    overlapping files are handed to Spark, the rest are never listed,
+    opened, or footer-read. The in-contract assertion pins that pruning
+    genuinely skipped files; the residual row filter + hash proves the
+    pruned scan loses nothing. At 100 TB this is the difference between
+    a metadata lookup and a cluster-wide file listing."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mprune_"), "tbl")
+    create_table(li.repartitionByRange(8, "l_shipdate"), root,
+                 "l_returnflag", stats_cols=["l_shipdate"])
+
+    lo, hi = "1996-01-01", "1996-12-31"
+    entries = load_manifest(root)["files"]
+    kept = prune_entries(entries, {"l_shipdate": (lo, hi)})
+    assert 0 < len(kept) < len(entries), (
+        f"stats pruning skipped nothing ({len(kept)}/{len(entries)} "
+        "files kept) — the range clustering or the footer index broke")
+
+    from silvia_spark.functions.numeric import dsum
+    snap = read_snapshot(spark, root, prune={"l_shipdate": (lo, hi)})
+    return (snap.where(F.col("l_shipdate").between(lo, hi))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"),
+                 dsum("l_extendedprice", "price_sum"))
+            .orderBy("l_returnflag"))

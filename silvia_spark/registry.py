@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     #    L12 exactly-once streaming ingestion (append commits + txn
     #    replay guard), L13 incremental version-diff reads. ---------------
     "stream_manifest_sink", "scan_manifest_changes",
+    "scan_manifest_pruned",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the seventeen r03-era keys (oldest evidence anywhere);

@@ -132,6 +132,7 @@ _NUMERIC = [
     # sums through the manifest readback.
     "stream_manifest_sink",
     "scan_manifest_changes",
+    "scan_manifest_pruned",
 ]
 
 

@@ -258,6 +258,40 @@ def test_read_changes_is_file_granular(spark, tmp_path):
     assert set(empty.columns) == {"k", "part", "v"}
 
 
+def test_stats_pruned_read_loses_nothing(spark, tmp_path):
+    """The min/max index is conservative: a pruned read + residual
+    filter equals the unpruned filter, statless files are kept, and the
+    everything-pruned case yields an empty frame with the right schema."""
+    root = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS part",
+        "CAST(id AS DOUBLE) AS v")
+    mt.create_table(df.repartitionByRange(5, "k"), root, "part",
+                    stats_cols=["k"])
+    m = mt.load_manifest(root)
+    assert all("stats" in e and "rows" in e for e in m["files"])
+    kept = mt.prune_entries(m["files"], {"k": (10, 29)})
+    assert 0 < len(kept) < len(m["files"])
+    got = sorted(r.k for r in
+                 mt.read_snapshot(spark, root, prune={"k": (10, 29)})
+                 .where("k BETWEEN 10 AND 29").collect())
+    assert got == list(range(10, 30))
+    # statless entries are conservatively kept
+    bare = [{"path": "p", "partition": "x"}]
+    assert mt.prune_entries(bare, {"k": (0, 1)}) == bare
+    # fully-out-of-range: empty result, schema intact
+    empty = mt.read_snapshot(spark, root, prune={"k": (1000, 2000)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "part", "v"}
+    # later commits keep collecting the established stat columns
+    b = spark.createDataFrame([(500, "0", 5.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")
+    new = [e for e in mt.load_manifest(root)["files"]
+           if e not in m["files"]]
+    assert new and all(e["stats"]["k"] == [500, 500] for e in new)
+
+
 def test_compaction_honors_target_files(spark, tmp_path):
     """target_files > 1 must actually split each rewritten partition:
     repartition(part_col) alone funnels a partition value into ONE task
