@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Worked end-to-end example: a manifest (lakehouse) table's full
+lifecycle with the composable facade (``silvia_spark.api``) — create,
+streaming-style appends with replay protection, an atomic
+multi-partition MERGE, compaction, time travel, the incremental change
+feed, stats-pruned reads, and GC.
+
+Every step is a real commit through the snapshot-manifest protocol
+(operators/manifest_table.py): immutable commit-named files, one
+manifest per snapshot, visibility = one atomic pointer flip. A reader
+can never observe a half-applied commit, and every version stays
+readable until vacuumed.
+
+Run it on the sf0.001 sample corpus:
+
+    python examples/lakehouse_table.py          # or: <sf_dir>
+
+Executed by tests/test_example_lakehouse.py, so the example cannot rot.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from silvia_spark import api
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    spark = api.get_session("lakehouse-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = api.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="lakehouse_"), "events_tbl")
+
+    # 1. create: snapshot v1, partitioned by event_type, with a min/max
+    #    index on event_id for pruned reads later
+    api.create_table(ev, root, "event_type", stats_cols=["event_id"])
+
+    # 2. streaming-style appends: O(batch) commits; the (app, batch_id)
+    #    txn makes a crash-replayed batch a no-op
+    batch = ev.where(F.col("event_id") % 97 == 0).withColumn(
+        "event_id", F.col("event_id") + 1_000_000)
+    v = api.commit_append(spark, root, batch, "event_type",
+                          txn=("ingest-demo", 0))
+    v_replay = api.commit_append(spark, root, batch, "event_type",
+                                 txn=("ingest-demo", 0))
+    assert v_replay == v, "replayed batch must not commit again"
+
+    # 3. atomic multi-partition MERGE: update clicks, drop signups —
+    #    one pointer flip, no half-merged state ever visible
+    chg = (ev.where((F.col("event_type") == "click")
+                    & (F.col("event_id") % 10 == 0))
+           .select("event_id", "event_type",
+                   (F.col("value") * 2).alias("value"),
+                   F.lit("U").alias("op"))
+           .unionByName(
+               ev.where(F.col("event_type") == "signup")
+               .select("event_id", "event_type",
+                       F.lit(None).cast("double").alias("value"),
+                       F.lit("D").alias("op"))))
+    v_merge = api.commit_merge(spark, root, chg,
+                               keys=["event_id", "event_type"],
+                               part_col="event_type")
+
+    # 4. downstream consumers poll the diff, never the bulk
+    feed_rows = api.read_changes(spark, root, since=v).count()
+
+    # 5. compaction rides the same commit path; history stays readable
+    api.commit_compaction(spark, root, "event_type", target_files=1)
+    v1_rows = api.read_snapshot(spark, root, version=1).count()
+    cur_rows = api.read_snapshot(spark, root).count()
+
+    # 6. stats-pruned read: the appended batch lives at event_id >= 1e6,
+    #    so the manifest index hands Spark only those files
+    pruned = api.read_snapshot(spark, root,
+                               prune={"event_id": (1_000_000, None)})
+    appended_back = pruned.where(F.col("event_id") >= 1_000_000).count()
+
+    # 7. GC everything no retained snapshot references
+    deleted = api.vacuum(root, keep_versions=1)
+
+    out = {"v_after_append": v, "v_after_merge": v_merge,
+           "feed_rows": feed_rows, "v1_rows": v1_rows,
+           "current_rows": cur_rows, "appended_back": appended_back,
+           "vacuumed_files": len(deleted)}
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
