@@ -182,31 +182,19 @@ def _sf1_ratios() -> dict[str, float]:
         return {}
 
 
-# Line-budget abbreviations for the sf1 heavy sweep (full names and the
-# verification record live in the committed BENCH_sf1_heavy.json).
-_SF1_HEAVY_ABBREV = {
-    "dedup_docs_minhash": "minhash",
-    "dedup_cluster_cc": "cc",
-    "curation_pipeline": "curation",
-    "text_unigram_logprob": "unigram",
-    "sim_ann_lsh": "lsh",
-    "sim_ann_lsh_multiprobe2": "lsh_mp2",
-}
-
-
 def _sf1_heavy() -> dict:
-    """Spark seconds from the committed sf1 heavy-operator appendix
+    """Pointer summary of the committed sf1 heavy-operator appendix
     (BENCH_sf1_heavy.json, regenerate: tools/bench_sf1_heavy.py — every
-    query verified on the 10x corpus before timing); rides the artifact
-    line (abbreviated keys, 2 decimals — budget) so each round's record
-    carries the at-scale heavy timings."""
+    query verified on the 10x corpus before timing). Only {count, total
+    seconds} ride the line (budget); the per-query timings and the
+    verification record are the committed artifact itself, which the
+    review reads directly like BENCH_sf1.json."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_sf1_heavy.json")
     try:
         with open(path) as f:
             sec = json.load(f)["spark_sec"]
-        return {_SF1_HEAVY_ABBREV.get(k, k): round(v, 2)
-                for k, v in sec.items()}
+        return {"n": len(sec), "sec": round(sum(sec.values()), 1)}
     except (OSError, KeyError, ValueError):
         return {}
 
