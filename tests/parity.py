@@ -11,11 +11,20 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
 
 from silvia_spark.schemas import TABLE_NAMES
+
+
+def _duck_path(sf_dir: str, table: str) -> str:
+    """DuckDB source path for a table: a single file, or a glob when the
+    table is a multi-file directory (the layout every real ingest
+    produces; ``spark.read.parquet`` handles both natively)."""
+    p = f"{sf_dir}/{table}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
 def _norm_cell(v) -> str:
@@ -48,7 +57,8 @@ def run_duckdb(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_duck_path(sf_dir, t)}')"
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
@@ -119,7 +129,7 @@ def driver_canon_issues(name: str, spark, sf_dir: str = "/root/testdata/sf0.01"
         con = duckdb.connect()
         for t in TABLE_NAMES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{sf_dir}/{t}.parquet')")
+                        f"read_parquet('{_duck_path(sf_dir, t)}')")
         odf = con.sql(registry.ORACLE[name]).df()
         con.close()
         import datetime

@@ -29,7 +29,12 @@ scale; each query instead gets an exact independent truth):
   RECORDED, consistent with the closed-form prediction.
 
 Timing = BASELINE.md method (warm, min over reps, driver
-materialization counted). DuckDB is timed only where it runs at sf1
+materialization counted). The corpus is written as 32-file directories
+(`_write_sharded`): a single generated file is ONE Spark input split
+regardless of maxPartitionBytes, which serializes the map-heavy
+shingle/signature work onto one core — the 100 TB design point this
+sweep stands in for is thousands of splits, and DuckDB gets the same
+multi-file parallelism over the glob. DuckDB is timed only where it runs at sf1
 (the linear oracle); quadratic-oracle rows record Spark only — there is
 no honest same-scale DuckDB number for them, and timing the oracle's
 all-pairs form would just benchmark the shape this engine exists to
@@ -56,15 +61,41 @@ COPIES = 10
 REPS = 5
 
 
+SHARDS = 32  # files per generated table — see _write_sharded
+
+
+def _write_sharded(table, path: str) -> None:
+    """Write ``table`` as a DIRECTORY of SHARDS parquet files.
+
+    A single small file is ONE Spark input split (a 5.9 MB file stays
+    one partition at any maxPartitionBytes), which serializes the
+    map-heavy work (shingling, LSH signatures) onto one core — the
+    first cut of this sweep measured sim_ann_lsh at 332 s for exactly
+    that reason. Real ingestion at any scale produces many files; 32
+    shards make the generated corpus look like that reality for BOTH
+    engines (DuckDB parallelizes across the glob just as Spark does
+    across splits)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        os.remove(path)  # stale single-file layout from the first cut
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    step = (n + SHARDS - 1) // SHARDS
+    for s in range(SHARDS):
+        pq.write_table(table.slice(s * step, step),
+                       os.path.join(path, f"part-{s:05d}.parquet"))
+
+
 def build_corpus() -> None:
-    """Disjoint-vocabulary 10× documents + symlinks for everything else
-    (embeddings reuses tools/bench_sf1.py's 20k-vector table)."""
+    """Disjoint-vocabulary 10× documents, sharded copies of the 20k
+    embeddings (built by tools/bench_sf1.py), symlinks for the rest."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(DATA_DIR, exist_ok=True)
     doc_path = os.path.join(DATA_DIR, "documents.parquet")
-    if not os.path.exists(doc_path):
+    if not os.path.isdir(doc_path):
         src = pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
         d = src.to_pydict()
         base = max(d["doc_id"]) + 1
@@ -83,19 +114,23 @@ def build_corpus() -> None:
             # COLUMN, and identical values keep every copy's filter
             # outcome identical to the original's
             out["n_chars"].extend(d["n_chars"])
-        pq.write_table(pa.table(
+        _write_sharded(pa.table(
             {k: pa.array(out[k], src.schema.field(k).type) for k in out}),
             doc_path)
 
     from tools.bench_sf1 import build_corpus as build_emb
     build_emb()  # ensures EMB_DIR embeddings exist
+    emb_path = os.path.join(DATA_DIR, "embeddings.parquet")
+    if os.path.islink(emb_path):
+        os.remove(emb_path)  # first cut symlinked the single file
+    if not os.path.isdir(emb_path):
+        _write_sharded(
+            pq.read_table(os.path.join(EMB_DIR, "embeddings.parquet")),
+            emb_path)
     for t in os.listdir(SRC_SF):
         link = os.path.join(DATA_DIR, t)
         if not os.path.exists(link):
-            src = (os.path.join(EMB_DIR, t)
-                   if t == "embeddings.parquet"
-                   else os.path.join(SRC_SF, t))
-            os.symlink(src, link)
+            os.symlink(os.path.join(SRC_SF, t), link)
 
 
 def _duck_rows(sql: str, sf_dir: str):
@@ -120,9 +155,12 @@ def _duck_rows(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in ("documents", "embeddings", "events"):
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"  # sharded-directory layout
+        elif not os.path.exists(p):
+            continue
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     rows = con.execute(sql).fetchall()
     con.close()
     if cache is not None:
@@ -207,20 +245,32 @@ def _verify_lsh_vs_numpy(spark, name: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(EMB_DIR, "embeddings.parquet"))
-    ids = np.asarray(t.column("vec_id").to_pylist())
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    truth: dict[tuple[int, int], float] = {}
-    block = 2048
-    n = mat.shape[0]
-    for i0 in range(0, n, block):
-        g = mat[i0:i0 + block] @ mat.T
-        for r in range(g.shape[0]):
-            i = i0 + r
-            for j in np.nonzero(g[r] >= 0.4)[0]:
-                if j > i:
-                    truth[(int(ids[i]), int(ids[j]))] = float(g[r][j])
+    # The exact truth is a property of the 20k vectors alone (layout- and
+    # query-independent) and costs ~8 min of single-core Python — cache it
+    # beside the DuckDB oracle rows.
+    cdir = os.path.join(DATA_DIR, "_oracle_cache")
+    os.makedirs(cdir, exist_ok=True)
+    cache = os.path.join(cdir, "gemm_truth_04.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            truth = {(a, b): c for a, b, c in json.load(f)}
+    else:
+        t = pq.read_table(os.path.join(EMB_DIR, "embeddings.parquet"))
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        truth = {}
+        block = 2048
+        n = mat.shape[0]
+        for i0 in range(0, n, block):
+            g = mat[i0:i0 + block] @ mat.T
+            for r in range(g.shape[0]):
+                i = i0 + r
+                for j in np.nonzero(g[r] >= 0.4)[0]:
+                    if j > i:
+                        truth[(int(ids[i]), int(ids[j]))] = float(g[r][j])
+        with open(cache, "w") as f:
+            json.dump([[a, b, c] for (a, b), c in truth.items()], f)
     got = {(a, b): c for a, b, c in _spark_rows(spark, name, DATA_DIR)}
     extra = [p for p in got if p not in truth]
     assert not extra, f"{name}: false positives {extra[:5]}"
@@ -317,6 +367,7 @@ def main() -> None:
         "metric": "sf1_heavy_sweep",
         "sf": 1.0,
         "copies": COPIES,
+        "layout": f"{SHARDS}-file directories (multi-split, both engines)",
         "verified": verified,
         "spark_sec": timings,
         "duckdb_sec": {"text_unigram_logprob": round(duck, 3)},
