@@ -34,8 +34,12 @@ APPENDS are multi-writer safe via optimistic version claims (append
 entries commute; the manifest's create-exclusive write is the CAS, lost
 claims rebase and retry — see commit_append); MERGE/compaction commits
 stay single-writer because their keep-lists are computed against one
-parent — a lost race there surfaces as an explicit FileExistsError,
-never silent corruption. Local-filesystem renames here; on object
+parent. Every committer verifies AFTER the pointer flip that the
+manifest committed under its claimed version is its own
+(``_claim_survived``): a claim usurped by a crash-recovery replace is
+therefore a rebase-and-retry for appenders and an explicit error for
+merge/compaction — never silent loss. Local-filesystem renames here;
+on object
 stores the adopt step becomes a copy or a committer, and the
 create-exclusive claim + pointer flip need a CAS primitive (S3
 conditional-put) — the protocol shape is unchanged.
@@ -61,6 +65,18 @@ _CURRENT = "_current"
 # optimistic-append rebase budget: each retry means another writer won a
 # version claim in the microseconds between our manifest load and write
 _APPEND_RETRIES = 50
+# vacuum treats an ahead-of-pointer manifest younger than this as a LIVE
+# in-flight claim (kept, files kept); older ones are crashed leftovers.
+# Claims normally live microseconds — a minute is orders of magnitude of
+# slack, while a genuinely crashed claim is reclaimable the next minute.
+_CLAIM_GRACE_SEC = 60
+
+
+class CommitAborted(RuntimeError):
+    """Raised at the flip when the claimed manifest no longer exists —
+    the claim was vacuumed (or usurped and then vacuumed) between the
+    create-exclusive write and the pointer flip. The commit wrote
+    nothing visible; appenders catch this and rebase."""
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -95,13 +111,15 @@ def _write_manifest(root: str, version: int, entries: list[dict],
     claim on POSIX) makes two writers racing the same version an explicit
     error instead of silent last-wins. With ``occ=False`` (single-writer
     commits) one recovery exception applies: a manifest AHEAD of the
-    committed pointer is a leftover from a crash between manifest-write
-    and pointer-flip (it was never visible to any reader) — a re-applied
-    commit may replace it. With ``occ=True`` (concurrent appenders) the
-    replace would let one live writer silently erase another's claim, so
-    FileExistsError always propagates as the conflict signal; a crashed
-    leftover that keeps blocking is cleared by ``vacuum`` (ahead-of-
-    current manifests are outside every retention window)."""
+    committed pointer is PRESUMED a leftover from a crash between
+    manifest-write and pointer-flip (it was never visible to any
+    reader) — a re-applied commit may replace it. The presumption can be
+    wrong (the manifest may be a LIVE appender's claim); that is safe
+    because every committer re-checks its claim after the flip via
+    ``_claim_survived`` — a usurped appender rebases and retries instead
+    of silently losing its batch. With ``occ=True`` (concurrent
+    appenders) FileExistsError always propagates as the conflict
+    signal."""
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
     doc = {"version": version, "parent": parent,
            "files": sorted(entries, key=lambda e: e["path"])}
@@ -133,13 +151,40 @@ def _flip_current(root: str, version: int) -> None:
         fcntl.flock(lf, fcntl.LOCK_EX)
         cur = current_version(root)
         if cur is not None and cur >= version:
-            return  # a later commit (whose chain includes this one —
-            #         its parent manifest was loaded after our claim)
-            #         already advanced the pointer
+            return  # the pointer already advanced past this version —
+            #         whether by our own chain or a usurping commit is
+            #         decided by the caller via _claim_survived
+        if not os.path.exists(_manifest_path(root, version)):
+            raise CommitAborted(
+                f"manifest v{version} vanished before its pointer flip "
+                f"(vacuumed as a stale claim) — nothing became visible")
         tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(version))
         os.rename(tmp, os.path.join(root, _CURRENT))
+
+
+def _claim_survived(root: str, version: int, entries: list[dict]) -> bool:
+    """Post-flip check that OUR entries are in the manifest actually
+    committed as ``version``. The create-exclusive claim can be usurped
+    in one window: a single-writer commit (merge/compaction/re-applied
+    crash recovery) may replace an AHEAD-of-pointer manifest it presumes
+    crashed, between our claim and our flip. The usurper's snapshot is
+    complete and consistent — but it does not contain this commit's
+    batch, so reporting success would silently lose it. Every committer
+    therefore verifies after the flip: appenders rebase and retry on
+    False, merge/compaction raise. ``entries`` is the FULL entry list
+    the committer wrote; commit-unique file names make exact path-set
+    equality the precise identity test (a usurper's staged names can
+    never coincide). Missing manifest (committed then vacuumed inside
+    the window) counts as not-survived — for appenders the txn record
+    makes the ensuing re-commit idempotent."""
+    try:
+        m = load_manifest(root, version)
+    except FileNotFoundError:
+        return False
+    return ({e["path"] for e in entries}
+            == {e["path"] for e in m["files"]})
 
 
 def _stage_writer(df: DataFrame, part_col: str,
@@ -277,6 +322,17 @@ def prune_entries(entries: list[dict],
     return kept
 
 
+def _empty_like(spark: SparkSession, root: str, m: dict) -> DataFrame:
+    """Empty frame with snapshot ``m``'s schema from a single file's
+    footer (basePath recovers the partition column; the writer's
+    canonical string rendering keeps its inferred type consistent with
+    the full-list read)."""
+    if not m["files"]:
+        raise ValueError(f"snapshot v{m['version']} is empty")
+    one = os.path.join(root, m["files"][0]["path"])
+    return spark.read.option("basePath", root).parquet(one).limit(0)
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None,
                   prune: dict[str, tuple] | None = None) -> DataFrame:
@@ -296,8 +352,10 @@ def read_snapshot(spark: SparkSession, path: str,
     if prune:
         entries = prune_entries(entries, prune)
         if not entries and m["files"]:
-            # everything pruned: an empty frame with the snapshot schema
-            return read_snapshot(spark, root, m["version"]).limit(0)
+            # everything pruned: an empty frame with the snapshot schema,
+            # read from ONE file — listing the full snapshot just for a
+            # schema would pay the exact cost the index exists to avoid
+            return _empty_like(spark, root, m)
     files = [os.path.join(root, e["path"]) for e in entries]
     if not files:
         raise ValueError(f"snapshot v{m['version']} is empty")
@@ -352,6 +410,11 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     _write_manifest(root, version, keep_entries + new_entries,
                     parent=m["version"], txns=m.get("txn"))
     _flip_current(root, version)
+    if not _claim_survived(root, version, keep_entries + new_entries):
+        raise RuntimeError(
+            f"merge lost v{version} to a concurrent commit after its "
+            f"claim — the table advanced without this merge; re-run it "
+            f"against the new snapshot")
     return version
 
 
@@ -375,24 +438,50 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     manifest's atomic create-exclusive write; losing the claim reloads
     the new parent and retries against it (the staged files are already
     adopted and stay valid — only the manifest reference is rebuilt).
-    MERGE/compaction stay single-writer: their keep-lists are computed
-    against one parent, so a lost race there is an explicit
-    FileExistsError, never silent corruption."""
+    Every commit verifies its claim survived the flip
+    (``_claim_survived``), so a claim usurped by a crash-recovery
+    replace rebases too. MERGE/compaction stay single-writer: their
+    keep-lists are computed against one parent, so a lost race there is
+    an explicit error (FileExistsError at the claim, RuntimeError after
+    the flip), never silent corruption."""
     root = _norm(path)
+    staged = None
     if current_version(root) is None:
         os.makedirs(root, exist_ok=True)
-        entries = _stage_write(batch, root, part_col)
-        txns = {txn[0]: txn[1]} if txn else {}
-        try:
-            _write_manifest(root, 1, entries, parent=None, txns=txns,
-                            occ=True)
-        except FileExistsError:
-            staged = entries  # racing create won v1; append to it below
-        else:
-            _flip_current(root, 1)
-            return 1
-    else:
-        staged = None
+        staged = _stage_write(batch, root, part_col)
+        txns0 = {txn[0]: txn[1]} if txn else {}
+        for i in range(_APPEND_RETRIES):
+            if current_version(root) is not None:
+                break  # a racing creator committed; rebase as an append
+            try:
+                _write_manifest(root, 1, staged, parent=None, txns=txns0,
+                                occ=True)
+            except FileExistsError:
+                # a live creator is microseconds from its flip, or a
+                # CRASHED creator's leftover claim is blocking v1 (no
+                # committed pointer exists, so vacuum can't clear it).
+                # Wait out the live case; half the budget in, presume
+                # crash and reclaim — a usurped live creator detects it
+                # post-flip via _claim_survived and rebases, so the
+                # reclaim is never a silent loss.
+                if i >= _APPEND_RETRIES // 2:
+                    try:
+                        os.remove(_manifest_path(root, 1))
+                    except FileNotFoundError:
+                        pass
+                else:
+                    time.sleep(0.01)
+                continue
+            try:
+                _flip_current(root, 1)
+            except CommitAborted:
+                continue
+            if _claim_survived(root, 1, staged):
+                return 1
+        if current_version(root) is None:
+            raise RuntimeError(
+                f"table create under {root} unresolved after "
+                f"{_APPEND_RETRIES} attempts")
     for _ in range(_APPEND_RETRIES):
         try:
             m = load_manifest(root)
@@ -407,22 +496,38 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             if app in txns and txns[app] >= batch_id:
                 return m["version"]  # replayed batch: already committed
             txns[app] = batch_id
+        if staged is not None and not all(
+                os.path.exists(os.path.join(root, e["path"]))
+                for e in staged):
+            staged = None  # adopted files vacuumed mid-stall; restage
         if staged is None:
             staged = _stage_write(batch, root, part_col,
                                   stats_cols=_table_stats_cols(m))
         version = m["version"] + 1
+        entries = m["files"] + staged
         try:
-            _write_manifest(root, version, m["files"] + staged,
+            _write_manifest(root, version, entries,
                             parent=m["version"], txns=txns, occ=True)
         except FileExistsError:
-            continue  # another writer claimed this version; rebase
-        _flip_current(root, version)
-        return version
+            # another writer claimed this version; give it its flip
+            # window (otherwise every rebase re-reads the same committed
+            # parent and the whole retry budget burns inside one race)
+            time.sleep(0.01)
+            continue
+        try:
+            _flip_current(root, version)
+        except CommitAborted:
+            staged = None  # claim vacuumed → files may be gone; restage
+            continue
+        if _claim_survived(root, version, entries):
+            return version
+        # a single-writer commit usurped the claim between write and
+        # flip (see _claim_survived) — staged files are untouched, only
+        # the manifest reference must be rebuilt against the new parent
     raise RuntimeError(
         f"commit_append lost {_APPEND_RETRIES} version races under "
-        f"{root} — either extreme writer contention, or a crashed "
-        "commit's leftover manifest is blocking the next version "
-        "(vacuum() clears ahead-of-current manifests)")
+        f"{root} — extreme writer contention (every claim was taken or "
+        "usurped within its flip window)")
 
 
 def read_changes(spark: SparkSession, path: str, since: int,
@@ -441,7 +546,7 @@ def read_changes(spark: SparkSession, path: str, since: int,
     new_files = [os.path.join(root, e["path"]) for e in m_to["files"]
                  if e["path"] not in old]
     if not new_files:
-        return read_snapshot(spark, root, m_to["version"]).limit(0)
+        return _empty_like(spark, root, m_to)
     return spark.read.option("basePath", root).parquet(*new_files)
 
 
@@ -484,15 +589,22 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     _write_manifest(root, version, keep_entries + new_entries,
                     parent=m["version"], txns=m.get("txn"))
     _flip_current(root, version)
+    if not _claim_survived(root, version, keep_entries + new_entries):
+        raise RuntimeError(
+            f"compaction lost v{version} to a concurrent commit after "
+            f"its claim — the table advanced without it; re-run")
     return version
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_versions`` snapshots are retained, and their manifests kept).
-    Orphans from crashed commits are removed too. Returns deleted
-    relative paths. Never touches the current snapshot's files: the
-    current manifest is always retained."""
+    Orphans from crashed commits are removed too, EXCEPT in-flight
+    optimistic claims: an ahead-of-pointer manifest younger than
+    ``_CLAIM_GRACE_SEC`` is retained with its files (see the claim
+    comment in the body). Returns deleted relative paths. Never touches
+    the current snapshot's files: the current manifest is always
+    retained."""
     if keep_versions < 1:
         # keep_versions=0 would empty `keep`, flag every file dead, and
         # delete the current snapshot out from under its own pointer
@@ -503,6 +615,18 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+    # An AHEAD-of-pointer manifest is an in-flight optimistic claim or a
+    # crashed commit's leftover. A claim lives microseconds; one younger
+    # than the grace window is presumed LIVE and fully retained
+    # (manifest AND the adopted files it references — deleting either
+    # would brick the committer mid-flip). Older ones are crashed:
+    # manifest removed, their unreferenced files GC'd below.
+    now = time.time()
+    for mf in sorted(os.listdir(os.path.join(root, _MANIFESTS))):
+        v = int(mf[1:-5])
+        mp = os.path.join(root, _MANIFESTS, mf)
+        if v > cur and now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC:
+            keep.add(v)
     live: set[str] = set()
     for v in sorted(keep):
         try:

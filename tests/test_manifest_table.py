@@ -307,3 +307,131 @@ def test_compaction_honors_target_files(spark, tmp_path):
     assert 1 < n_files <= 2, n_files
     got = sorted(r.k for r in mt.read_snapshot(spark, root).collect())
     assert got == list(range(200))
+
+
+# --- claim-usurpation protocol (see _claim_survived) --------------------
+
+
+def _fab_table(tmp_path):
+    """Hand-built one-file table — the claim/vacuum protocol tests need
+    no Spark data, only manifests and marker files."""
+    root = str(tmp_path / "fab")
+    os.makedirs(os.path.join(root, "part=p1"))
+    with open(os.path.join(root, "part=p1", "f1.parquet"), "w") as f:
+        f.write("x")
+    mt._write_manifest(
+        root, 1, [{"path": "part=p1/f1.parquet", "partition": "p1",
+                   "rows": 1}], parent=None)
+    mt._flip_current(root, 1)
+    return root
+
+
+def test_vacuum_spares_inflight_claims(tmp_path):
+    """An ahead-of-pointer manifest younger than the grace window is a
+    LIVE optimistic claim: vacuum must keep it AND its adopted files
+    (deleting either bricks the committer mid-flip). Past the window it
+    is a crashed leftover and is reclaimed."""
+    import time
+
+    root = _fab_table(tmp_path)
+    f2 = os.path.join(root, "part=p1", "f2.parquet")
+    with open(f2, "w") as f:
+        f.write("y")
+    claim = [{"path": "part=p1/f1.parquet", "partition": "p1", "rows": 1},
+             {"path": "part=p1/f2.parquet", "partition": "p1", "rows": 1}]
+    mt._write_manifest(root, 2, claim, parent=1, occ=True)
+
+    assert mt.vacuum(root) == []
+    assert os.path.exists(mt._manifest_path(root, 2))
+    assert os.path.exists(f2)
+
+    old = time.time() - mt._CLAIM_GRACE_SEC - 10
+    os.utime(mt._manifest_path(root, 2), (old, old))
+    assert mt.vacuum(root) == ["part=p1/f2.parquet"]
+    assert not os.path.exists(mt._manifest_path(root, 2))
+    assert not os.path.exists(f2)
+
+
+def test_flip_aborts_on_vacuumed_claim(tmp_path):
+    """If the claimed manifest is gone by flip time (vacuumed as a stale
+    leftover), the flip must abort loudly — a pointer to a missing
+    manifest would brick every subsequent read."""
+    root = _fab_table(tmp_path)
+    mt._write_manifest(root, 2, [], parent=1, occ=True)
+    os.remove(mt._manifest_path(root, 2))
+    with pytest.raises(mt.CommitAborted):
+        mt._flip_current(root, 2)
+    assert mt.current_version(root) == 1
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_usurped_append_claim_rebases_not_lost(spark, tmp_path,
+                                               monkeypatch):
+    """THE lost-batch race: an appender claims v2; before its flip a
+    merge replaces the claim (crash-recovery presumption), commits its
+    own v2, and flips. The appender must DETECT the usurpation after the
+    flip and rebase onto v3 — both the merge and the append must be in
+    the final snapshot."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    batch = spark.createDataFrame([(42, "p9", 420.0)],
+                                  "k BIGINT, part STRING, v DOUBLE")
+    real_flip = mt._flip_current
+    fired = {}
+
+    def usurping_flip(r, version):
+        if not fired:
+            fired["v"] = version
+            mt.commit_merge(spark, root, _chg(spark), ["k", "part"],
+                            "part")
+        return real_flip(r, version)
+
+    monkeypatch.setattr(mt, "_flip_current", usurping_flip)
+    assert mt.commit_append(spark, root, batch, "part") == 3
+    assert fired["v"] == 2  # the appender's first claim was indeed v2
+    assert _rows(mt.read_snapshot(spark, root)) == sorted(
+        MERGED + [(42, "p9", 420.0)])
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch):
+    """Two single-writer commits racing is operator error, but it must
+    surface as an explicit error on the loser — never a silently
+    dropped merge."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    other = spark.createDataFrame([(99, "p1", 990.0, "I")],
+                                  "k BIGINT, part STRING, v DOUBLE, "
+                                  "op STRING")
+    real_flip = mt._flip_current
+    fired = {}
+
+    def usurping_flip(r, version):
+        if not fired:
+            fired["v"] = version
+            mt.commit_merge(spark, root, other, ["k", "part"], "part")
+        return real_flip(r, version)
+
+    monkeypatch.setattr(mt, "_flip_current", usurping_flip)
+    with pytest.raises(RuntimeError, match="lost v2 to a concurrent"):
+        mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+    # the usurper's snapshot is the committed one, fully consistent
+    assert _rows(mt.read_snapshot(spark, root)) == sorted(
+        _rows(_base(spark)) + [(99, "p1", 990.0)])
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_crashed_create_is_reclaimed(spark, tmp_path):
+    """A creator that crashed between manifest-write and pointer-flip
+    leaves a v1 claim with no committed pointer — vacuum cannot run (no
+    snapshot) so commit_append itself must wait out the flip window,
+    presume the crash, and reclaim v1."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, mt._MANIFESTS))
+    mt._write_manifest(root, 1, [{"path": "part=px/ghost.parquet",
+                                  "partition": "px", "rows": 1}],
+                       parent=None, occ=True)
+    batch = spark.createDataFrame([(1, "p1", 10.0)],
+                                  "k BIGINT, part STRING, v DOUBLE")
+    assert mt.commit_append(spark, root, batch, "part") == 1
+    assert _rows(mt.read_snapshot(spark, root)) == [(1, "p1", 10.0)]

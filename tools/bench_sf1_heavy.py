@@ -123,14 +123,41 @@ def build_corpus() -> None:
     emb_path = os.path.join(DATA_DIR, "embeddings.parquet")
     if os.path.islink(emb_path):
         os.remove(emb_path)  # first cut symlinked the single file
-    if not os.path.isdir(emb_path):
+    # Digest marker invalidates the sharded copy (and, via the same
+    # digest in the truth-cache filename, the cached GEMM truth) if the
+    # EMB_DIR source is ever regenerated with different content.
+    marker = os.path.join(emb_path, ".source_digest")
+    dig = _emb_digest()
+    stale = (not os.path.isdir(emb_path)
+             or not os.path.exists(marker)
+             or open(marker).read().strip() != dig)
+    if stale:
+        if os.path.isdir(emb_path):
+            import shutil
+
+            shutil.rmtree(emb_path)
         _write_sharded(
             pq.read_table(os.path.join(EMB_DIR, "embeddings.parquet")),
             emb_path)
+        with open(marker, "w") as f:
+            f.write(dig)
     for t in os.listdir(SRC_SF):
         link = os.path.join(DATA_DIR, t)
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC_SF, t), link)
+
+
+def _emb_digest() -> str:
+    """Content digest of the EMB_DIR source corpus — keys the sharded
+    copy and the cached exact-GEMM truth to the data they were computed
+    from."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(os.path.join(EMB_DIR, "embeddings.parquet"), "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
 
 
 def _duck_rows(sql: str, sf_dir: str):
@@ -153,14 +180,13 @@ def _duck_rows(sql: str, sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    from tests.parity import _duck_path
+
     for t in ("documents", "embeddings", "events"):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"  # sharded-directory layout
-        elif not os.path.exists(p):
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             continue
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{_duck_path(sf_dir, t)}')")
     rows = con.execute(sql).fetchall()
     con.close()
     if cache is not None:
@@ -250,7 +276,7 @@ def _verify_lsh_vs_numpy(spark, name: str) -> dict:
     # beside the DuckDB oracle rows.
     cdir = os.path.join(DATA_DIR, "_oracle_cache")
     os.makedirs(cdir, exist_ok=True)
-    cache = os.path.join(cdir, "gemm_truth_04.json")
+    cache = os.path.join(cdir, f"gemm_truth_04_{_emb_digest()}.json")
     if os.path.exists(cache):
         with open(cache) as f:
             truth = {(a, b): c for a, b, c in json.load(f)}
