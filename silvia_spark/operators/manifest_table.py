@@ -129,39 +129,76 @@ def _write_manifest(root: str, version: int, entries: list[dict],
         # semantics); carried forward manifest-to-manifest
         doc["txn"] = dict(sorted(txns.items()))
     path = _manifest_path(root, version)
-    committed = current_version(root)
-    if not occ and os.path.exists(path) and (committed is None
-                                             or committed < version):
-        os.remove(path)
+    if not occ and os.path.exists(path):
+        # locked + pointer-rechecked: if the version committed in the
+        # meantime the reclaim refuses and the "x" below raises
+        _reclaim_claim(root, version)
     with open(path, "x", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
 
 
-def _flip_current(root: str, version: int) -> None:
+def _flip_current(root: str, version: int,
+                  entries: list[dict] | None = None) -> bool:
     """THE commit point. Everything before this is invisible staging;
     os.rename over the pointer file is atomic on POSIX (readers never
     take a lock). The flock around check+rename keeps the pointer
     MONOTONIC under concurrent appenders: without it, a delayed v2 flip
     could land after a v3 flip and hide committed data. flock is
     released by the OS on process death, so a crashed flipper cannot
-    wedge the table."""
+    wedge the table.
+
+    Returns True only when this call flipped the pointer AND the
+    manifest it made current is the caller's own (``entries`` path-set
+    match, checked under the lock) — a True return therefore PROVES the
+    commit. False means the pointer had already advanced, or the
+    manifest at ``version`` was usurped before our flip (it is still a
+    complete snapshot, so it is flipped for its owner); the caller
+    decides with _claim_survived. Raises CommitAborted when the claimed
+    manifest no longer exists (reclaimed as a stale leftover)."""
     import fcntl
 
     with open(os.path.join(root, ".flip_lock"), "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         cur = current_version(root)
         if cur is not None and cur >= version:
-            return  # the pointer already advanced past this version —
-            #         whether by our own chain or a usurping commit is
-            #         decided by the caller via _claim_survived
-        if not os.path.exists(_manifest_path(root, version)):
+            return False
+        try:
+            with open(_manifest_path(root, version),
+                      encoding="utf-8") as f:
+                doc = json.load(f)
+        except FileNotFoundError:
             raise CommitAborted(
                 f"manifest v{version} vanished before its pointer flip "
-                f"(vacuumed as a stale claim) — nothing became visible")
+                f"(reclaimed as a stale claim) — nothing became visible"
+            ) from None
+        ours = entries is None or (
+            {e["path"] for e in doc["files"]}
+            == {e["path"] for e in entries})
         tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(version))
         os.rename(tmp, os.path.join(root, _CURRENT))
+        return ours
+
+
+def _reclaim_claim(root: str, version: int) -> bool:
+    """Remove a presumed-crashed claim manifest — under the flip lock
+    with a committed-pointer re-check, so a claim that committed in the
+    microseconds before our remove can never be deleted (deleting a
+    committed manifest would leave the pointer dangling and brick every
+    read). Returns False when ``version`` is already committed."""
+    import fcntl
+
+    with open(os.path.join(root, ".flip_lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        cur = current_version(root)
+        if cur is not None and cur >= version:
+            return False
+        try:
+            os.remove(_manifest_path(root, version))
+        except FileNotFoundError:
+            pass
+        return True
 
 
 def _claim_survived(root: str, version: int, entries: list[dict]) -> bool:
@@ -323,14 +360,21 @@ def prune_entries(entries: list[dict],
 
 
 def _empty_like(spark: SparkSession, root: str, m: dict) -> DataFrame:
-    """Empty frame with snapshot ``m``'s schema from a single file's
-    footer (basePath recovers the partition column; the writer's
-    canonical string rendering keeps its inferred type consistent with
-    the full-list read)."""
+    """Empty frame with snapshot ``m``'s schema, read from ONE file per
+    distinct partition value rather than the whole snapshot. Spark
+    infers the partition column's type from the SET of directory values,
+    so keeping every distinct value in the path list reproduces the
+    full-list read's schema exactly (one file alone could infer int for
+    'part=1' where the full table with 'part=alpha' infers string) at
+    O(partitions), not O(files), listing cost."""
     if not m["files"]:
         raise ValueError(f"snapshot v{m['version']} is empty")
-    one = os.path.join(root, m["files"][0]["path"])
-    return spark.read.option("basePath", root).parquet(one).limit(0)
+    one_per_value: dict[str, str] = {}
+    for e in m["files"]:
+        one_per_value.setdefault(e["partition"],
+                                 os.path.join(root, e["path"]))
+    return (spark.read.option("basePath", root)
+            .parquet(*one_per_value.values()).limit(0))
 
 
 def read_snapshot(spark: SparkSession, path: str,
@@ -407,10 +451,11 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     new_entries = _stage_write(merged, root, part_col,
                                stats_cols=_table_stats_cols(m))
     version = m["version"] + 1
-    _write_manifest(root, version, keep_entries + new_entries,
+    entries = keep_entries + new_entries
+    _write_manifest(root, version, entries,
                     parent=m["version"], txns=m.get("txn"))
-    _flip_current(root, version)
-    if not _claim_survived(root, version, keep_entries + new_entries):
+    if not (_flip_current(root, version, entries)
+            or _claim_survived(root, version, entries)):
         raise RuntimeError(
             f"merge lost v{version} to a concurrent commit after its "
             f"claim — the table advanced without this merge; re-run it "
@@ -461,23 +506,21 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 # CRASHED creator's leftover claim is blocking v1 (no
                 # committed pointer exists, so vacuum can't clear it).
                 # Wait out the live case; half the budget in, presume
-                # crash and reclaim — a usurped live creator detects it
-                # post-flip via _claim_survived and rebases, so the
-                # reclaim is never a silent loss.
+                # crash and reclaim. The reclaim is pointer-checked
+                # under the flip lock (never deletes a committed v1),
+                # and a reclaimed LIVE creator gets CommitAborted at its
+                # flip and retries — loud, never a silent loss.
                 if i >= _APPEND_RETRIES // 2:
-                    try:
-                        os.remove(_manifest_path(root, 1))
-                    except FileNotFoundError:
-                        pass
+                    _reclaim_claim(root, 1)
                 else:
                     time.sleep(0.01)
                 continue
             try:
-                _flip_current(root, 1)
+                if _flip_current(root, 1, staged) or _claim_survived(
+                        root, 1, staged):
+                    return 1
             except CommitAborted:
                 continue
-            if _claim_survived(root, 1, staged):
-                return 1
         if current_version(root) is None:
             raise RuntimeError(
                 f"table create under {root} unresolved after "
@@ -515,12 +558,12 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             time.sleep(0.01)
             continue
         try:
-            _flip_current(root, version)
+            if (_flip_current(root, version, entries)
+                    or _claim_survived(root, version, entries)):
+                return version
         except CommitAborted:
-            staged = None  # claim vacuumed → files may be gone; restage
-            continue
-        if _claim_survived(root, version, entries):
-            return version
+            pass  # claim reclaimed; the loop-top existence check
+            #      restages only if the files were GC'd too
         # a single-writer commit usurped the claim between write and
         # flip (see _claim_survived) — staged files are untouched, only
         # the manifest reference must be rebuilt against the new parent
@@ -586,10 +629,11 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     new_entries = _stage_write(compacted, root, part_col, max_records,
                                stats_cols=_table_stats_cols(m))
     version = m["version"] + 1
-    _write_manifest(root, version, keep_entries + new_entries,
+    entries = keep_entries + new_entries
+    _write_manifest(root, version, entries,
                     parent=m["version"], txns=m.get("txn"))
-    _flip_current(root, version)
-    if not _claim_survived(root, version, keep_entries + new_entries):
+    if not (_flip_current(root, version, entries)
+            or _claim_survived(root, version, entries)):
         raise RuntimeError(
             f"compaction lost v{version} to a concurrent commit after "
             f"its claim — the table advanced without it; re-run")
@@ -610,23 +654,37 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         # delete the current snapshot out from under its own pointer
         raise ValueError("keep_versions must be >= 1 "
                          "(the current snapshot is always retained)")
+    import fcntl
+
     root = _norm(path)
-    cur = current_version(root)
-    if cur is None:
-        raise FileNotFoundError(f"no committed snapshot under {root}")
-    keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
-    # An AHEAD-of-pointer manifest is an in-flight optimistic claim or a
-    # crashed commit's leftover. A claim lives microseconds; one younger
-    # than the grace window is presumed LIVE and fully retained
-    # (manifest AND the adopted files it references — deleting either
-    # would brick the committer mid-flip). Older ones are crashed:
-    # manifest removed, their unreferenced files GC'd below.
-    now = time.time()
-    for mf in sorted(os.listdir(os.path.join(root, _MANIFESTS))):
-        v = int(mf[1:-5])
-        mp = os.path.join(root, _MANIFESTS, mf)
-        if v > cur and now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC:
-            keep.add(v)
+    # The pointer read + ahead-claim triage happen under the flip lock:
+    # a stalled committer whose manifest we retire can then only observe
+    # CommitAborted at its (serialized) flip — without the lock it could
+    # flip between our decision and our deletions, committing a snapshot
+    # whose files this vacuum is simultaneously GC'ing.
+    with open(os.path.join(root, ".flip_lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        cur = current_version(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        # An AHEAD-of-pointer manifest is an in-flight optimistic claim
+        # or a crashed commit's leftover. A claim lives microseconds;
+        # one younger than the grace window is presumed LIVE and fully
+        # retained (manifest AND the adopted files it references —
+        # deleting either would brick the committer mid-flip). Older
+        # ones are crashed: manifest removed HERE under the lock, so the
+        # owner can never flip it; its files are GC'd below.
+        now = time.time()
+        for mf in sorted(os.listdir(os.path.join(root, _MANIFESTS))):
+            v = int(mf[1:-5])
+            mp = os.path.join(root, _MANIFESTS, mf)
+            if v <= cur:
+                continue
+            if now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC:
+                keep.add(v)
+            else:
+                os.remove(mp)
     live: set[str] = set()
     for v in sorted(keep):
         try:

@@ -59,7 +59,7 @@ def test_crash_before_pointer_flip_keeps_old_snapshot(spark, tmp_path,
 
     real_flip = mt._flip_current
 
-    def crash_flip(r, v):
+    def crash_flip(*a, **k):
         raise OSError("induced crash before pointer flip")
 
     monkeypatch.setattr(mt, "_flip_current", crash_flip)
@@ -379,12 +379,12 @@ def test_usurped_append_claim_rebases_not_lost(spark, tmp_path,
     real_flip = mt._flip_current
     fired = {}
 
-    def usurping_flip(r, version):
+    def usurping_flip(r, version, entries=None):
         if not fired:
             fired["v"] = version
             mt.commit_merge(spark, root, _chg(spark), ["k", "part"],
                             "part")
-        return real_flip(r, version)
+        return real_flip(r, version, entries)
 
     monkeypatch.setattr(mt, "_flip_current", usurping_flip)
     assert mt.commit_append(spark, root, batch, "part") == 3
@@ -406,11 +406,11 @@ def test_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch):
     real_flip = mt._flip_current
     fired = {}
 
-    def usurping_flip(r, version):
+    def usurping_flip(r, version, entries=None):
         if not fired:
             fired["v"] = version
             mt.commit_merge(spark, root, other, ["k", "part"], "part")
-        return real_flip(r, version)
+        return real_flip(r, version, entries)
 
     monkeypatch.setattr(mt, "_flip_current", usurping_flip)
     with pytest.raises(RuntimeError, match="lost v2 to a concurrent"):
@@ -435,3 +435,34 @@ def test_crashed_create_is_reclaimed(spark, tmp_path):
                                   "k BIGINT, part STRING, v DOUBLE")
     assert mt.commit_append(spark, root, batch, "part") == 1
     assert _rows(mt.read_snapshot(spark, root)) == [(1, "p1", 10.0)]
+
+
+def test_reclaim_refuses_committed_version(tmp_path):
+    """The crash-recovery reclaim must never delete a manifest whose
+    version is already committed — the pointer would dangle and every
+    read would break."""
+    root = _fab_table(tmp_path)
+    assert mt._reclaim_claim(root, 1) is False
+    assert os.path.exists(mt._manifest_path(root, 1))
+    mt._write_manifest(root, 2, [], parent=1, occ=True)
+    assert mt._reclaim_claim(root, 2) is True
+    assert not os.path.exists(mt._manifest_path(root, 2))
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_empty_reads_keep_partition_type(spark, tmp_path):
+    """Empty results (fully-pruned read, no-change feed) must carry the
+    SAME schema as non-empty reads: partition-type inference runs over
+    one file per distinct value, so a numeric-looking value next to a
+    string one still infers string, exactly like the full-list read."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "1", 10.0), (2, "alpha", 20.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(df, root, "part", stats_cols=["k"])
+    full_schema = mt.read_snapshot(spark, root).schema
+    empty = mt.read_snapshot(spark, root, prune={"k": (100, 200)})
+    assert empty.count() == 0
+    assert empty.schema == full_schema
+    nochange = mt.read_changes(spark, root, since=1, to=1)
+    assert nochange.schema == full_schema
