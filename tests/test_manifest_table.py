@@ -466,3 +466,56 @@ def test_empty_reads_keep_partition_type(spark, tmp_path):
     assert empty.schema == full_schema
     nochange = mt.read_changes(spark, root, since=1, to=1)
     assert nochange.schema == full_schema
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_concurrent_append_merge_vacuum_stress(spark, tmp_path):
+    """Live-thread stress of the whole claim protocol: appenders, a
+    merger (retrying on explicit conflict errors), and a vacuum loop all
+    race one table. Invariant: every ACKNOWLEDGED commit's rows are in
+    the final snapshot — conflicts may surface as explicit retries,
+    never as silent loss — and the final snapshot is readable."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    acks: dict[int, int] = {}
+
+    def appender(i):
+        b = spark.createDataFrame([(1000 + i, "p1", float(i))],
+                                  "k BIGINT, part STRING, v DOUBLE")
+        acks[i] = mt.commit_append(spark, root, b, "part",
+                                   txn=(f"s{i}", 0))
+
+    merged: list[int] = []
+
+    def merger():
+        chg = spark.createDataFrame([(2000, "p2", 7.0, "I")],
+                                    "k BIGINT, part STRING, v DOUBLE, "
+                                    "op STRING")
+        for _ in range(8):
+            try:
+                merged.append(mt.commit_merge(spark, root, chg,
+                                              ["k", "part"], "part"))
+                return
+            except (RuntimeError, FileExistsError):
+                time.sleep(0.01)  # explicit conflict: rebase by re-run
+
+    def vacuumer():
+        for _ in range(6):
+            mt.vacuum(root, keep_versions=2)
+            time.sleep(0.02)
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        futs = ([ex.submit(appender, i) for i in range(4)]
+                + [ex.submit(merger), ex.submit(vacuumer)])
+        for f in futs:
+            f.result()
+
+    rows = {r.k for r in mt.read_snapshot(spark, root).collect()}
+    for i in acks:  # every acknowledged append is visible
+        assert 1000 + i in rows, f"append {i} (v{acks[i]}) lost"
+    if merged:  # the merge is visible iff it reported success
+        assert 2000 in rows
+    assert {1, 2, 3, 4, 5} <= rows  # untouched base keys intact
