@@ -43,6 +43,7 @@ def _counts(df):
     return parsed.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_batch_eq_replayed_stream_multibatch(spark, tmp_path):
     """Three produce() batches replay as three micro-batches whose final
     aggregate equals the batch run over the same topic — the offline

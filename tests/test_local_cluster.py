@@ -64,6 +64,10 @@ print("LC_FAIL:" + ",".join(bad) if bad else "LC_ALL_OK")
 """
 
 
+@pytest.mark.full  # CI-mode only: 65 s of worker-JVM spin-up dominates
+#                    the default loop; rerun explicitly (or CI / the
+#                    SILVIA_FULL_LC sweep) after touching UDF, session,
+#                    or serialization code
 def test_contracts_on_real_executors():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _SCRIPT.format(repo=repo, names=_MATRIX)

@@ -76,6 +76,7 @@ def test_crash_before_pointer_flip_keeps_old_snapshot(spark, tmp_path,
     assert _rows(mt.read_snapshot(spark, root)) == MERGED
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_crash_mid_adopt_keeps_old_snapshot(spark, tmp_path, monkeypatch):
     """Kill the commit WHILE adopting staged files (some replacement
     files already sit inside live partition dirs): they are orphans —
@@ -118,6 +119,7 @@ def test_vacuum_retires_old_snapshots(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "part=p3"))
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_compaction_commit_preserves_content_and_history(spark, tmp_path):
     root = str(tmp_path / "t")
     # many small files per partition: one per input slice
@@ -146,6 +148,7 @@ def test_create_refuses_existing_table(spark, tmp_path):
         mt.create_table(_base(spark), root, "part")
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_merge_with_int_partition_column(spark, tmp_path):
     """README's own example partitions by an INT day column. Manifest
     entries hold dir-name STRINGS; the touched-partition membership test
@@ -176,6 +179,7 @@ def test_vacuum_rejects_zero_keep(spark, tmp_path):
     assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_vacuum_survives_manifest_gap(spark, tmp_path):
     """A tighter earlier vacuum deletes old manifests; a later vacuum
     whose retention window covers the deleted version must skip it, not
@@ -188,6 +192,7 @@ def test_vacuum_survives_manifest_gap(spark, tmp_path):
     assert _rows(mt.read_snapshot(spark, root)) == MERGED
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_append_txn_replay_is_exactly_once(spark, tmp_path):
     """commit_append's (app, batch_id) record is the streaming sink's
     exactly-once mechanism: re-delivering an already-committed batch

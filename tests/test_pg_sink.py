@@ -70,6 +70,7 @@ def test_copy_upsert_replay_is_exactly_once(pg_server):
         (7, "click", 101), (7, "view", 240), (8, "click", 11)]
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_parquet_upsert_replay_is_exactly_once(spark, tmp_path):
     """The offline degradation holds the same property via dynamic
     partition overwrite: re-running a batch replaces its partition."""
@@ -87,6 +88,7 @@ def test_parquet_upsert_replay_is_exactly_once(spark, tmp_path):
                     ("view", 1, 3), ("view", 1, 4)]
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_contract_through_postgres_matches_parquet_path(pg_server, spark,
                                                         monkeypatch):
     """stream_foreachbatch_upsert end-to-end through the real server equals
