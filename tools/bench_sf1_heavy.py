@@ -21,12 +21,16 @@ scale; each query instead gets an exact independent truth):
 - `text_unigram_logprob`: the oracle is LINEAR (LM build + scoring
   join) — run it directly on the sf1 corpus, same as sf0.1.
 - `sim_ann_lsh`, `sim_ann_lsh_multiprobe2`: exact numpy GEMM truth over
-  the 20k-vector corpus. At this density ~1.4e5 pairs sit just above
-  the 0.4 threshold, so closed-form expected misses ≈ 1–2 (the recall<1
-  regime ANN_RECALL.json measures deliberately): asserted here as
-  precision == 1 (every emitted pair is a true pair, cosine matching
-  numpy to 2e-6) and recall ≥ 1 − 5e-5 with the observed misses
-  RECORDED, consistent with the closed-form prediction.
+  the 20k-vector corpus. Asserted here as precision == 1 (every emitted
+  pair is a true pair, cosine matching numpy to 2e-6) and
+  recall ≥ 1 − 5e-5 with the observed misses RECORDED next to the
+  closed-form expectation. For probed configs the closed form is a
+  LOWER bound on recall, not an estimate — the model charges each probe
+  a fixed-bit disagreement probability while the kernel probes the
+  smallest-|margin| bit, the one most likely to disagree — so observing
+  fewer misses than 'expected' (e.g. 0 vs 21 for multiprobe2) is the
+  documented behavior, measured systematically in ANN_RECALL.json
+  (probe-0 rows match the model to ~1σ; probed rows beat it).
 
 Timing = BASELINE.md method (warm, min over reps, driver
 materialization counted). The corpus is written as 32-file directories
