@@ -27,12 +27,22 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def local_path(path: str) -> str:
     """Normalize a local-filesystem table URI for ``os.*`` calls: strip a
-    ``file://`` scheme (``file:///x`` → ``/x``; a host part has no local
-    meaning, the remainder is treated as a path) and any trailing slash.
-    The single shared helper for merge_keyed and the manifest-table layer
-    — scheme edge cases get fixed in one place."""
-    if path.startswith("file://"):
-        path = path[len("file://"):]
+    ``file:`` scheme in ANY of its spellings — Hadoop renders local URIs
+    as ``file:/x``, Spark and users write ``file:///x``, and RFC 8089
+    allows ``file://host/x`` (a host part has no local meaning here; the
+    remainder is treated as a path). All collapse to ``/x``. Trailing
+    slashes are dropped. The single shared helper for merge_keyed and
+    the manifest-table layer — scheme edge cases get fixed in one
+    place."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            # file://<authority>/path — drop the authority segment
+            # (empty for file:///x; a non-empty host is ignored)
+            rest = rest[2:]
+            slash = rest.find("/")
+            rest = rest[slash:] if slash >= 0 else "/"
+        path = "/" + rest.lstrip("/")
     return path.rstrip("/")
 
 # (session id, sf_dir, table) → DataFrame. A DataFrame is an immutable plan,

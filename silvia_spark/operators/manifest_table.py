@@ -427,7 +427,15 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     partition post-merge). A partition whose merge result is EMPTY is
     genuinely dropped from the snapshot — the capability merge_keyed's
     directory swap could not express. ``keys`` must include ``part_col``
-    so the anti-join cannot cross partitions."""
+    so the anti-join cannot cross partitions (enforced: an anti-join
+    that crossed partitions would silently delete rows in partitions the
+    commit then never rewrites)."""
+    if part_col not in keys:
+        raise ValueError(
+            f"commit_merge keys {keys} must include part_col "
+            f"{part_col!r}: without it the anti-join can delete rows in "
+            "partitions the merge does not rewrite, leaving stale "
+            "duplicates in the committed snapshot")
     root = _norm(path)
     m = load_manifest(root)
     # Manifest entries store partition values as the (unescaped) Hive
@@ -643,12 +651,25 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_versions`` snapshots are retained, and their manifests kept).
-    Orphans from crashed commits are removed too, EXCEPT in-flight
-    optimistic claims: an ahead-of-pointer manifest younger than
-    ``_CLAIM_GRACE_SEC`` is retained with its files (see the claim
-    comment in the body). Returns deleted relative paths. Never touches
-    the current snapshot's files: the current manifest is always
-    retained."""
+    Orphans from crashed commits are removed too, EXCEPT anything that
+    might belong to an in-flight commit: an ahead-of-pointer manifest
+    younger than ``_CLAIM_GRACE_SEC`` is retained with its files, and a
+    data file referenced by NO manifest at all is removed only once its
+    mtime passes the same grace (mirroring Delta/Iceberg's retention
+    threshold: a committer's freshly adopted files are unreferenced
+    until its manifest lands — deleting them mid-adoption would publish
+    a snapshot with missing files). Files referenced only by RETIRED
+    manifests (superseded snapshots, aged crashed claims) are known-dead
+    and deleted immediately regardless of age. Returns deleted relative
+    paths. Never touches the current snapshot's files: the current
+    manifest is always retained.
+
+    Retention contract for READERS (same one Delta documents): a
+    DataFrame resolved from ``read_snapshot(version=k)`` holds a plain
+    file list — if vacuum later retires snapshot k, re-executing that
+    plan fails with missing input files. Size ``keep_versions`` (and
+    vacuum cadence) to exceed the longest downstream job that re-reads a
+    pinned version; see SCALE.md."""
     if keep_versions < 1:
         # keep_versions=0 would empty `keep`, flag every file dead, and
         # delete the current snapshot out from under its own pointer
@@ -657,59 +678,86 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     import fcntl
 
     root = _norm(path)
-    # The pointer read + ahead-claim triage happen under the flip lock:
-    # a stalled committer whose manifest we retire can then only observe
-    # CommitAborted at its (serialized) flip — without the lock it could
-    # flip between our decision and our deletions, committing a snapshot
-    # whose files this vacuum is simultaneously GC'ing.
+    # The ENTIRE vacuum — pointer read, ahead-claim triage, live-set
+    # construction, both deletion sweeps — runs under the flip lock.
+    # Releasing it between triage and deletion would let a committer
+    # claim AND flip in the gap: the stale keep/live sets would then
+    # direct the sweeps to delete the just-committed manifest (leaving
+    # _current dangling — every read bricked) and its data files.
+    # Holding the lock pins the pointer for the whole sweep; committers
+    # block for its duration at their flip (a local unlink sweep) rather
+    # than race it. Claim MANIFESTS can still be WRITTEN concurrently
+    # (the create-exclusive write takes no lock): those appear after the
+    # triage listing, are never in it, and their files are protected by
+    # the orphan mtime grace below — nothing written mid-vacuum can be
+    # deleted by it.
     with open(os.path.join(root, ".flip_lock"), "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         cur = current_version(root)
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
-        # An AHEAD-of-pointer manifest is an in-flight optimistic claim
-        # or a crashed commit's leftover. A claim lives microseconds;
-        # one younger than the grace window is presumed LIVE and fully
-        # retained (manifest AND the adopted files it references —
-        # deleting either would brick the committer mid-flip). Older
-        # ones are crashed: manifest removed HERE under the lock, so the
-        # owner can never flip it; its files are GC'd below.
+        # Manifest triage (single listing — nothing with v <= cur can
+        # appear later while we hold the flip lock):
+        # - v in keep: retained snapshot, contributes to `live`.
+        # - v <= cur, not in keep: RETIRED snapshot — manifest removed,
+        #   its file list recorded as known-dead.
+        # - v > cur: in-flight optimistic claim or crashed leftover. A
+        #   claim lives microseconds; one younger than the grace window
+        #   is presumed LIVE and fully retained (manifest AND adopted
+        #   files — deleting either would brick the committer mid-flip).
+        #   Older ones are crashed: manifest removed HERE under the
+        #   lock, so the owner can never flip it; its files are
+        #   known-dead.
         now = time.time()
+        dead_known: set[str] = set()
         for mf in sorted(os.listdir(os.path.join(root, _MANIFESTS))):
             v = int(mf[1:-5])
             mp = os.path.join(root, _MANIFESTS, mf)
-            if v <= cur:
+            if v in keep:
                 continue
-            if now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC:
+            if (v > cur
+                    and now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC):
                 keep.add(v)
-            else:
-                os.remove(mp)
-    live: set[str] = set()
-    for v in sorted(keep):
-        try:
-            live |= {e["path"] for e in load_manifest(root, v)["files"]}
-        except FileNotFoundError:
-            if v == cur:
-                raise  # a missing CURRENT manifest is corruption
-            keep.discard(v)  # already deleted by an earlier tighter vacuum
-    deleted: list[str] = []
-    for part_entry in sorted(os.listdir(root)):
-        part_dir = os.path.join(root, part_entry)
-        if "=" not in part_entry or not os.path.isdir(part_dir):
-            continue
-        for fname in sorted(os.listdir(part_dir)):
-            rel = f"{part_entry}/{fname}"
-            if rel not in live:
-                os.remove(os.path.join(part_dir, fname))
+                continue
+            with open(mp, encoding="utf-8") as f:
+                dead_known |= {e["path"] for e in json.load(f)["files"]}
+            os.remove(mp)
+        live: set[str] = set()
+        for v in sorted(keep):
+            try:
+                live |= {e["path"]
+                         for e in load_manifest(root, v)["files"]}
+            except FileNotFoundError:
+                if v == cur:
+                    raise  # a missing CURRENT manifest is corruption
+                keep.discard(v)  # deleted by an earlier tighter vacuum
+        deleted: list[str] = []
+        for part_entry in sorted(os.listdir(root)):
+            part_dir = os.path.join(root, part_entry)
+            if "=" not in part_entry or not os.path.isdir(part_dir):
+                continue
+            for fname in sorted(os.listdir(part_dir)):
+                rel = f"{part_entry}/{fname}"
+                if rel in live:
+                    continue
+                fp = os.path.join(part_dir, fname)
+                if rel not in dead_known:
+                    # referenced by NO manifest: either a crashed
+                    # commit's old orphan, or a LIVE commit's freshly
+                    # adopted file whose manifest has not landed yet
+                    # (or landed after our triage listing). Only age
+                    # can tell them apart — the grace spares the young.
+                    try:
+                        if (now - os.path.getmtime(fp)
+                                <= _CLAIM_GRACE_SEC):
+                            continue
+                    except FileNotFoundError:
+                        continue  # raced its committer's restage cleanup
+                os.remove(fp)
                 deleted.append(rel)
-        if not os.listdir(part_dir):
-            os.rmdir(part_dir)
-    man_dir = os.path.join(root, _MANIFESTS)
-    for mf in sorted(os.listdir(man_dir)):
-        v = int(mf[1:-5])
-        if v not in keep:
-            os.remove(os.path.join(man_dir, mf))
+            if not os.listdir(part_dir):
+                os.rmdir(part_dir)
     return deleted
 
 

@@ -34,3 +34,18 @@ def test_different_plan_replaces_and_unpersists(spark):
     assert b.count() == 20
     b.unpersist()
     _LIVE_CACHES.pop("test.replace", None)
+
+
+def test_local_path_handles_all_file_scheme_spellings():
+    """r08 ADVICE: Hadoop renders local URIs as file:/path (single
+    slash); the old prefix-strip only knew file:// and passed the rest
+    through as a bogus relative path."""
+    from silvia_spark.io import local_path
+
+    assert local_path("/a/b") == "/a/b"
+    assert local_path("/a/b/") == "/a/b"
+    assert local_path("file:/a/b") == "/a/b"
+    assert local_path("file:///a/b") == "/a/b"
+    assert local_path("file://localhost/a/b") == "/a/b"
+    assert local_path("relative/path") == "relative/path"
+    assert local_path("s3a://bucket/a") == "s3a://bucket/a"

@@ -99,9 +99,20 @@ def test_crash_mid_adopt_keeps_old_snapshot(spark, tmp_path, monkeypatch):
 
     assert mt.current_version(root) == 1
     assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
-    # vacuum sweeps the orphaned adoptee(s) without touching live files
+    # a FRESH orphaned adoptee is indistinguishable from a live commit's
+    # mid-adoption file — vacuum must spare it inside the grace window
+    assert mt.vacuum(root, keep_versions=1) == []
+    # past the grace window it is a crashed commit's leftover: swept
+    import time as _time
+
+    old = _time.time() - mt._CLAIM_GRACE_SEC - 10
+    for part_entry in os.listdir(root):
+        pd = os.path.join(root, part_entry)
+        if "=" in part_entry and os.path.isdir(pd):
+            for fname in os.listdir(pd):
+                os.utime(os.path.join(pd, fname), (old, old))
     deleted = mt.vacuum(root, keep_versions=1)
-    assert all("part-" in d for d in deleted)
+    assert deleted and all("part-" in d for d in deleted)
     assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
 
 
@@ -524,3 +535,51 @@ def test_concurrent_append_merge_vacuum_stress(spark, tmp_path):
     if merged:  # the merge is visible iff it reported success
         assert 2000 in rows
     assert {1, 2, 3, 4, 5} <= rows  # untouched base keys intact
+
+
+def test_merge_requires_part_col_in_keys(spark, tmp_path):
+    """r08 ADVICE: keys omitting part_col would anti-join rows away in
+    partitions the commit never rewrites — must be refused up front."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    with pytest.raises(ValueError, match="part_col"):
+        mt.commit_merge(spark, root, _chg(spark), ["k"], "part")
+    # nothing committed by the refused call
+    assert mt.current_version(root) == 1
+
+
+def test_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch):
+    """The r08 ADVICE race: a committer adopts files and writes its claim
+    manifest WHILE vacuum is mid-sweep (the create-exclusive manifest
+    write takes no flip lock, so it can land after vacuum's triage).
+    Vacuum's triage-time live set cannot contain them — the orphan mtime
+    grace must spare the fresh data file, the claim manifest must survive
+    (no post-triage manifest sweep exists to delete it), and the
+    committer must still be able to flip."""
+    root = _fab_table(tmp_path)
+    real_listdir = os.listdir
+    injected = []
+
+    def listdir_hook(p):
+        if p == os.path.join(root, "part=p1") and not injected:
+            injected.append(True)
+            # concurrent appender lands between triage and file sweep
+            with open(os.path.join(root, "part=p1", "f2.parquet"),
+                      "w") as f:
+                f.write("y")
+            mt._write_manifest(
+                root, 2,
+                [{"path": "part=p1/f1.parquet", "partition": "p1",
+                  "rows": 1},
+                 {"path": "part=p1/f2.parquet", "partition": "p1",
+                  "rows": 1}],
+                parent=1, occ=True)
+        return real_listdir(p)
+
+    monkeypatch.setattr(mt.os, "listdir", listdir_hook)
+    assert mt.vacuum(root) == []
+    monkeypatch.setattr(mt.os, "listdir", real_listdir)
+    assert os.path.exists(os.path.join(root, "part=p1", "f2.parquet"))
+    assert os.path.exists(mt._manifest_path(root, 2))
+    assert mt._flip_current(root, 2)
+    assert mt.current_version(root) == 2
