@@ -140,7 +140,7 @@ def _geo(d: dict[str, float]) -> float:
 
 def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
                   ratios_raw, ratios_marg, breaches, extended, iterative,
-                  loadavg, sf_val) -> dict:
+                  loadavg, sf_val, load_gate) -> dict:
     """The one self-contained JSON object the driver's stdout-tail capture
     must fully hold (~2000-char cap). Keep keys/prose lean — growth here is
     regression-guarded by tests/test_bench_artifact.py."""
@@ -163,6 +163,7 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "sf1_heavy": _sf1_heavy(),
         "skew_aqe": _skew_aqe(),
         "loadavg": loadavg,
+        "load_gate": load_gate,
         "sf": sf_val,
     }
 
@@ -216,9 +217,32 @@ def _skew_aqe() -> dict:
         return {}
 
 
+def _load_gate() -> dict:
+    """Idle-box gate (r08 verdict item 4): two consecutive driver BENCH
+    artifacts were load-polluted (loadavg 13.5 / 5.8 vs BASELINE.md's
+    idle method), which shows up as a uniform drift of every headline
+    query tracking floor_sec. Wait up to SPARK_GRAFT_LOAD_WAIT_SEC
+    (default 300) for the 1-min loadavg to drop below
+    SPARK_GRAFT_LOAD_GATE (default 2.0); if it never does, stamp
+    ``degraded: true`` so the artifact itself declares its numbers
+    incomparable to the idle baseline instead of leaving the next
+    reviewer to reverse-engineer the drift."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+    deadline = time.monotonic() + wait
+    waited = 0
+    while os.getloadavg()[0] >= gate:
+        if time.monotonic() >= deadline:
+            return {"degraded": True, "gate": gate, "waited_sec": waited}
+        time.sleep(5)
+        waited += 5
+    return {"degraded": False, "gate": gate, "waited_sec": waited}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_gate = _load_gate()  # before session start: its JVM adds load
     from silvia_spark.session import get_session
     from silvia_spark import registry
     registry.load_all_modules()
@@ -398,7 +422,8 @@ def main() -> None:
     print(json.dumps(headline_line(
         total, timings, compile_total, floor, floor_scan, marginal,
         ratios_raw, ratios_marg, breaches, extended, iterative,
-        [round(load_start, 2), round(os.getloadavg()[0], 2)], sf_val)))
+        [round(load_start, 2), round(os.getloadavg()[0], 2)], sf_val,
+        load_gate)))
 
     # Free the persisted LSH/SimHash build sides (one live cache per slot
     # survives the sweep otherwise — harmless at exit here, but the bench

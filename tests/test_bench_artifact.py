@@ -59,7 +59,8 @@ def test_final_line_fits_tail_capture_worst_case(monkeypatch):
         floor=0.0117, floor_scan=0.0162, marginal=marginal,
         ratios_raw=ratios, ratios_marg=ratios, breaches=breaches,
         extended=extended, iterative=iterative,
-        loadavg=[12.34, 12.34], sf_val=0.1))
+        loadavg=[12.34, 12.34], sf_val=0.1,
+        load_gate={"degraded": True, "gate": 2.0, "waited_sec": 300}))
     assert len(line) <= _TAIL_BUDGET, (
         f"final bench line would be {len(line)} chars — trims needed "
         "(move a field to the diagnostics line) or the driver tail "
@@ -72,10 +73,14 @@ def test_extended_and_iterative_ride_the_final_line():
         {k: 0.005 for k in bench.HEADLINE}, {k: 0.5 for k in bench.HEADLINE},
         {k: 0.05 for k in bench.HEADLINE}, {},
         {k: 0.02 for k in bench.EXTENDED},
-        {k: 0.9 for k in bench.ITERATIVE}, [0.5, 1.0], 0.1)
+        {k: 0.9 for k in bench.ITERATIVE}, [0.5, 1.0], 0.1,
+        {"degraded": False, "gate": 2.0, "waited_sec": 0})
     assert set(line["extended"]) == set(bench.EXTENDED)
     assert set(line["iterative"]) == set(bench.ITERATIVE)
     assert "floor_scan_sec" in line and "raw_gate_breaches" in line
+    # r08 verdict item 4: the artifact must carry the idle-box gate field
+    assert line["load_gate"] == {"degraded": False, "gate": 2.0,
+                                 "waited_sec": 0}
 
 
 def _baseline_md_headline_ms() -> dict[str, float]:
