@@ -93,7 +93,11 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def load_manifest(root: str, version: int | None = None) -> dict:
+def _load_doc(root: str, version: int | None = None) -> dict:
+    """The manifest DOCUMENT as written — O(segments), never resolves
+    segment entry lists. The O(batch) commit paths (commit_append's txn
+    check, parent segment list) depend on this staying cheap at 10⁵–10⁶
+    table files."""
     root = _norm(root)
     if version is None:
         version = current_version(root)
@@ -103,10 +107,67 @@ def load_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _write_manifest(root: str, version: int, entries: list[dict],
-                    parent: int | None,
-                    txns: dict[str, int] | None = None,
-                    occ: bool = False) -> None:
+def _segment_file(root: str, name: str) -> str:
+    return os.path.join(root, _MANIFESTS, name)
+
+
+def _read_segment(root: str, name: str) -> list[dict]:
+    with open(_segment_file(root, name), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_segment(root: str, entries: list[dict]) -> dict:
+    """Write one immutable entry-list segment (uuid-named, so two
+    commits can never collide) and return its manifest descriptor:
+    count + the distinct partition values inside + a per-column min/max
+    rollup of the entries' stats. The descriptor is what rides in every
+    subsequent manifest; the entry list itself is read again only by a
+    commit that must REWRITE this segment (its partitions intersect a
+    merge/compaction's touched set) or by a resolving reader."""
+    os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    name = f"seg-{uuid.uuid4().hex[:16]}.json"
+    with open(_segment_file(root, name), "x", encoding="utf-8") as f:
+        json.dump(sorted(entries, key=lambda e: e["path"]), f)
+    desc = {"path": name, "count": len(entries),
+            "partitions": sorted({e["partition"] for e in entries})}
+    rollup: dict[str, list] = {}
+    for e in entries:
+        for c, (lo, hi) in e.get("stats", {}).items():
+            cur = rollup.get(c)
+            if cur is None:
+                rollup[c] = [lo, hi]
+            else:
+                cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
+    if rollup:
+        desc["stats"] = rollup
+    return desc
+
+
+def _resolve(root: str, doc: dict) -> list[dict]:
+    """Full entry list of a manifest doc — inline ``files`` (format v1)
+    or the concatenation of its segments (format v2). O(total files);
+    reads and maintenance ops pay it, commits don't."""
+    if "files" in doc:
+        return doc["files"]
+    return [e for s in doc.get("segments", ())
+            for e in _read_segment(root, s["path"])]
+
+
+def load_manifest(root: str, version: int | None = None) -> dict:
+    """Manifest doc with ``files`` RESOLVED (segment lists concatenated)
+    — the read-path view. Commit paths use ``_load_doc`` instead: the
+    whole point of the segment layer is that a commit never materializes
+    the full entry list."""
+    root = _norm(root)
+    doc = _load_doc(root, version)
+    if "files" not in doc:
+        doc = dict(doc)
+        doc["files"] = _resolve(root, doc)
+    return doc
+
+
+def _write_doc(root: str, version: int, doc: dict,
+               occ: bool = False) -> None:
     """Manifest files are write-once: mode "x" (O_CREAT|O_EXCL, an atomic
     claim on POSIX) makes two writers racing the same version an explicit
     error instead of silent last-wins. With ``occ=False`` (single-writer
@@ -121,13 +182,6 @@ def _write_manifest(root: str, version: int, entries: list[dict],
     appenders) FileExistsError always propagates as the conflict
     signal."""
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
-    doc = {"version": version, "parent": parent,
-           "files": sorted(entries, key=lambda e: e["path"])}
-    if txns:
-        # highest committed batch per streaming app id — the replay
-        # idempotence record commit_append consults (Delta txnAppId
-        # semantics); carried forward manifest-to-manifest
-        doc["txn"] = dict(sorted(txns.items()))
     path = _manifest_path(root, version)
     if not occ and os.path.exists(path):
         # locked + pointer-rechecked: if the version committed in the
@@ -137,8 +191,50 @@ def _write_manifest(root: str, version: int, entries: list[dict],
         json.dump(doc, f, indent=1)
 
 
+def _make_doc(version: int, parent: int | None,
+              segments: list[dict],
+              txns: dict[str, int] | None = None,
+              commit_id: str | None = None,
+              schema: str | None = None,
+              stats_cols: list[str] | None = None) -> dict:
+    doc: dict = {"version": version, "parent": parent,
+                 "segments": segments}
+    if commit_id:
+        # the committer's identity for the post-flip _claim_survived
+        # check — O(1), no entry-list resolution at the flip
+        doc["commit_id"] = commit_id
+    if schema:
+        # per-version read schema (StructType.json()): evolved snapshots
+        # NULL-fill files written before a column existed, and time
+        # travel reads each version with the schema it committed under
+        doc["schema"] = schema
+    if stats_cols:
+        doc["stats_cols"] = sorted(stats_cols)
+    if txns:
+        # highest committed batch per streaming app id — the replay
+        # idempotence record commit_append consults (Delta txnAppId
+        # semantics); carried forward manifest-to-manifest
+        doc["txn"] = dict(sorted(txns.items()))
+    return doc
+
+
+def _write_manifest(root: str, version: int, entries: list[dict],
+                    parent: int | None,
+                    txns: dict[str, int] | None = None,
+                    occ: bool = False) -> None:
+    """Format-v1 (inline ``files``) writer — kept for the protocol tests
+    that fabricate tables by hand and as the migration source format;
+    production commit paths write segmented v2 docs via ``_write_doc``."""
+    doc = {"version": version, "parent": parent,
+           "files": sorted(entries, key=lambda e: e["path"])}
+    if txns:
+        doc["txn"] = dict(sorted(txns.items()))
+    _write_doc(root, version, doc, occ=occ)
+
+
 def _flip_current(root: str, version: int,
-                  entries: list[dict] | None = None) -> bool:
+                  entries: list[dict] | None = None,
+                  commit_id: str | None = None) -> bool:
     """THE commit point. Everything before this is invisible staging;
     os.rename over the pointer file is atomic on POSIX (readers never
     take a lock). The flock around check+rename keeps the pointer
@@ -148,8 +244,9 @@ def _flip_current(root: str, version: int,
     wedge the table.
 
     Returns True only when this call flipped the pointer AND the
-    manifest it made current is the caller's own (``entries`` path-set
-    match, checked under the lock) — a True return therefore PROVES the
+    manifest it made current is the caller's own (``commit_id`` match —
+    O(1), the v2 path — or ``entries`` path-set match for v1 docs,
+    checked under the lock) — a True return therefore PROVES the
     commit. False means the pointer had already advanced, or the
     manifest at ``version`` was usurped before our flip (it is still a
     complete snapshot, so it is flipped for its owner); the caller
@@ -171,9 +268,13 @@ def _flip_current(root: str, version: int,
                 f"manifest v{version} vanished before its pointer flip "
                 f"(reclaimed as a stale claim) — nothing became visible"
             ) from None
-        ours = entries is None or (
-            {e["path"] for e in doc["files"]}
-            == {e["path"] for e in entries})
+        if commit_id is not None:
+            ours = doc.get("commit_id") == commit_id
+        elif entries is not None:
+            ours = ({e["path"] for e in _resolve(root, doc)}
+                    == {e["path"] for e in entries})
+        else:
+            ours = True
         tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(version))
@@ -201,27 +302,32 @@ def _reclaim_claim(root: str, version: int) -> bool:
         return True
 
 
-def _claim_survived(root: str, version: int, entries: list[dict]) -> bool:
-    """Post-flip check that OUR entries are in the manifest actually
-    committed as ``version``. The create-exclusive claim can be usurped
+def _claim_survived(root: str, version: int,
+                    entries: list[dict] | None = None,
+                    commit_id: str | None = None) -> bool:
+    """Post-flip check that the manifest actually committed as
+    ``version`` is OURS. The create-exclusive claim can be usurped
     in one window: a single-writer commit (merge/compaction/re-applied
     crash recovery) may replace an AHEAD-of-pointer manifest it presumes
     crashed, between our claim and our flip. The usurper's snapshot is
     complete and consistent — but it does not contain this commit's
     batch, so reporting success would silently lose it. Every committer
     therefore verifies after the flip: appenders rebase and retry on
-    False, merge/compaction raise. ``entries`` is the FULL entry list
-    the committer wrote; commit-unique file names make exact path-set
-    equality the precise identity test (a usurper's staged names can
-    never coincide). Missing manifest (committed then vacuumed inside
-    the window) counts as not-survived — for appenders the txn record
-    makes the ensuing re-commit idempotent."""
+    False, merge/compaction raise. Identity is the doc's ``commit_id``
+    (uuid per commit attempt — O(1), no entry resolution) on the v2
+    path, or exact data-file path-set equality for v1 callers
+    (commit-unique file names make that precise too). Missing manifest
+    (committed then vacuumed inside the window) counts as not-survived —
+    for appenders the txn record makes the ensuing re-commit
+    idempotent."""
     try:
-        m = load_manifest(root, version)
+        doc = _load_doc(root, version)
     except FileNotFoundError:
         return False
+    if commit_id is not None:
+        return doc.get("commit_id") == commit_id
     return ({e["path"] for e in entries}
-            == {e["path"] for e in m["files"]})
+            == {e["path"] for e in _resolve(root, doc)})
 
 
 def _stage_writer(df: DataFrame, part_col: str,
@@ -309,14 +415,67 @@ def _stage_write(df: DataFrame, root: str, part_col: str,
     return _adopt_staged(root, stage, part_col, token, stats_cols)
 
 
-def _table_stats_cols(m: dict) -> list[str]:
-    """The stat columns this table tracks = the union seen across the
-    parent manifest's entries, so every commit keeps collecting what
-    create_table established without re-plumbing the list."""
+def _doc_stats_cols(root: str, doc: dict) -> list[str]:
+    """The stat columns this table tracks. v2 docs record them directly
+    (O(1)); for v1 docs fall back to the union across entries, so every
+    commit keeps collecting what create_table established without
+    re-plumbing the list."""
+    sc = doc.get("stats_cols")
+    if sc is not None:
+        return sc
     cols: set[str] = set()
-    for e in m["files"]:
+    for e in _resolve(root, doc):
         cols |= set(e.get("stats", ()))
     return sorted(cols)
+
+
+class SchemaEvolutionError(TypeError):
+    """Raised when an append's schema cannot compose with the table's:
+    a shared column changed type, or new columns arrived while the
+    caller pinned ``evolve=False``."""
+
+
+def _read_schema(doc: dict):
+    sj = doc.get("schema")
+    if not sj:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(sj))
+
+
+def _evolve_schema(table_schema_json: str | None, batch_schema,
+                   evolve: bool) -> str | None:
+    """Additive schema evolution (A16's mergeSchema discipline inside the
+    manifest layer): columns NEW in the batch are appended to the table
+    schema; columns MISSING from the batch are fine (its files NULL-fill
+    on read); a type change on a shared column is always an error. With
+    ``evolve=False`` new columns are refused by policy. Returns the
+    (possibly unchanged) schema json; None for legacy tables that never
+    recorded a schema."""
+    if table_schema_json is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    tbl = StructType.fromJson(json.loads(table_schema_json))
+    by_name = {f.name: f for f in tbl.fields}
+    new = []
+    for f in batch_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            new.append(f)
+        elif old.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {old.dataType.simpleString()}"
+                f", batch has {f.dataType.simpleString()} — type changes "
+                "never merge")
+    if not new:
+        return table_schema_json
+    if not evolve:
+        raise SchemaEvolutionError(
+            f"append adds columns {[f.name for f in new]} but "
+            "evolve=False pins the table schema")
+    return StructType(tbl.fields + new).json()
 
 
 def create_table(df: DataFrame, path: str, part_col: str,
@@ -324,14 +483,21 @@ def create_table(df: DataFrame, path: str, part_col: str,
     """Materialize ``df`` as snapshot v1 of a new manifest table.
     ``stats_cols`` establishes the per-file min/max index (footer-read at
     adopt time) that ``read_snapshot(..., prune=...)`` consults; later
-    commits keep collecting the same columns automatically."""
+    commits keep collecting the same columns automatically. The manifest
+    records the table schema (evolved additively by later appends) and
+    the partition column."""
     root = _norm(path)
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise FileExistsError(f"{root} is already a manifest table")
     entries = _stage_write(df, root, part_col, stats_cols=stats_cols)
-    _write_manifest(root, 1, entries, parent=None)
-    _flip_current(root, 1)
+    commit_id = uuid.uuid4().hex
+    segs = [_write_segment(root, entries)] if entries else []
+    doc = _make_doc(1, None, segs, commit_id=commit_id,
+                    schema=df.schema.json(), stats_cols=stats_cols)
+    doc["part_col"] = part_col
+    _write_doc(root, 1, doc)
+    _flip_current(root, 1, commit_id=commit_id)
     return 1
 
 
@@ -359,51 +525,139 @@ def prune_entries(entries: list[dict],
     return kept
 
 
+def _reader(spark: SparkSession, root: str, doc: dict):
+    """Snapshot reader: basePath recovers the partition column from the
+    Hive-style dir names; when the manifest records a schema, the read
+    uses it EXPLICITLY — files written before a column existed NULL-fill
+    it (the parquet reader matches by name), and time travel reads each
+    version with the schema it committed under. Spark surfaces partition
+    columns last, matching the inference path's column order."""
+    r = spark.read
+    sch = _read_schema(doc)
+    if sch is not None:
+        r = r.schema(sch)
+    return r.option("basePath", root)
+
+
 def _empty_like(spark: SparkSession, root: str, m: dict) -> DataFrame:
-    """Empty frame with snapshot ``m``'s schema, read from ONE file per
-    distinct partition value rather than the whole snapshot. Spark
+    """Empty frame with snapshot ``m``'s read schema. When the manifest
+    records a schema this is pure metadata (no file touched): the fields
+    reordered the way a real read surfaces them (partition column last).
+    Legacy fallback: read ONE file per distinct partition value — Spark
     infers the partition column's type from the SET of directory values,
-    so keeping every distinct value in the path list reproduces the
-    full-list read's schema exactly (one file alone could infer int for
-    'part=1' where the full table with 'part=alpha' infers string) at
-    O(partitions), not O(files), listing cost."""
-    if not m["files"]:
+    so keeping every distinct value reproduces the full-list read's
+    schema exactly (one file alone could infer int for 'part=1' where
+    the full table with 'part=alpha' infers string) at O(partitions)
+    listing cost."""
+    sch = _read_schema(m)
+    part_col = m.get("part_col")
+    if sch is not None and part_col is not None:
+        from pyspark.sql.types import StructType
+
+        ordered = StructType(
+            [f for f in sch.fields if f.name != part_col]
+            + [f for f in sch.fields if f.name == part_col])
+        return spark.createDataFrame([], ordered)
+    entries = _resolve(root, m)
+    if not entries:
         raise ValueError(f"snapshot v{m['version']} is empty")
     one_per_value: dict[str, str] = {}
-    for e in m["files"]:
+    for e in entries:
         one_per_value.setdefault(e["partition"],
                                  os.path.join(root, e["path"]))
     return (spark.read.option("basePath", root)
             .parquet(*one_per_value.values()).limit(0))
 
 
+def _seg_overlaps(desc: dict, prune: dict[str, tuple]) -> bool:
+    """Segment-level pruning from the descriptor's stats rollup — same
+    conservative overlap rule as prune_entries, applied BEFORE the
+    segment's entry list is even read."""
+    stats = desc.get("stats", {})
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue
+        smin, smax = stats[col]
+        if ((hi is not None and smin > _stat_val(hi))
+                or (lo is not None and smax < _stat_val(lo))):
+            return False
+    return True
+
+
+def _split_segments(root: str, doc: dict,
+                    touched: set[str]) -> tuple[list[dict], list[dict]]:
+    """(carried segment descriptors, resolved entries of the rest).
+    A segment is carried by reference iff its partition set is disjoint
+    from ``touched`` — the rewrite-only-what-changed primitive shared by
+    merge and compaction. v1 docs (inline ``files``) have nothing to
+    carry: everything resolves, and the commit's rewrite migrates the
+    table to the segmented format."""
+    if "files" in doc:
+        return [], doc["files"]
+    carried: list[dict] = []
+    resolved: list[dict] = []
+    for s in doc.get("segments", ()):
+        if touched & set(s["partitions"]):
+            resolved.extend(_read_segment(root, s["path"]))
+        else:
+            carried.append(s)
+    return carried, resolved
+
+
+# manifest-doc size bound: a commit that would push the segment count
+# past this folds the smallest segments into one (log-structured merge).
+# 64 descriptors keep the doc a few KiB however many files the table
+# holds; the fold's amortized cost per append is O(smallest segments).
+_MAX_SEGMENTS = 64
+
+
+def _coalesce_segments(root: str,
+                       segments: list[dict]) -> list[dict]:
+    if len(segments) <= _MAX_SEGMENTS:
+        return segments
+    by_count = sorted(segments, key=lambda s: s["count"])
+    k = len(segments) - _MAX_SEGMENTS + 1
+    to_merge, rest = by_count[:k], by_count[k:]
+    merged = [e for s in to_merge
+              for e in _read_segment(root, s["path"])]
+    if merged:
+        rest.append(_write_segment(root, merged))
+    return rest
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None,
                   prune: dict[str, tuple] | None = None) -> DataFrame:
-    """Resolve pointer → manifest → file list; basePath recovers the
-    partition column from the Hive-style dir names. Orphan files (from
+    """Resolve pointer → manifest → file list. Orphan files (from
     crashed or in-flight commits) are invisible by construction.
 
-    ``prune={col: (lo, hi)}`` applies the manifest's per-file min/max
-    index BEFORE Spark ever lists a file: at 100 TB the difference
+    ``prune={col: (lo, hi)}`` applies the manifest's min/max index
+    BEFORE Spark ever lists a file — first at SEGMENT granularity (a
+    segment whose stats rollup misses the range is skipped without
+    reading its entry list), then per file: at 100 TB the difference
     between "open every footer" and "open the 0.1% of files whose range
     overlaps the predicate". File-granular and conservative — the caller
     still applies the row-level filter; pruning only shrinks the file
     list it runs over."""
     root = _norm(path)
-    m = load_manifest(root, version)
-    entries = m["files"]
+    m = _load_doc(root, version)
+    if prune and "segments" in m:
+        nonempty = any(s["count"] for s in m["segments"])
+        entries = [e for s in m["segments"] if _seg_overlaps(s, prune)
+                   for e in _read_segment(root, s["path"])]
+    else:
+        entries = _resolve(root, m)
+        nonempty = bool(entries)
     if prune:
         entries = prune_entries(entries, prune)
-        if not entries and m["files"]:
-            # everything pruned: an empty frame with the snapshot schema,
-            # read from ONE file — listing the full snapshot just for a
-            # schema would pay the exact cost the index exists to avoid
+        if not entries and nonempty:
+            # everything pruned: an empty frame with the snapshot
+            # schema — never a full-snapshot listing just for a schema
             return _empty_like(spark, root, m)
     files = [os.path.join(root, e["path"]) for e in entries]
     if not files:
         raise ValueError(f"snapshot v{m['version']} is empty")
-    return spark.read.option("basePath", root).parquet(*files)
+    return _reader(spark, root, m).parquet(*files)
 
 
 def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
@@ -437,7 +691,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             "partitions the merge does not rewrite, leaving stale "
             "duplicates in the committed snapshot")
     root = _norm(path)
-    m = load_manifest(root)
+    doc = _load_doc(root)
+    commit_id = uuid.uuid4().hex
     # Manifest entries store partition values as the (unescaped) Hive
     # dir-name STRING; a typed change column (int/date day=1) would never
     # match it. Canonicalize the touched set through Spark's own
@@ -446,24 +701,39 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     touched = {"__HIVE_DEFAULT_PARTITION__" if r[0] is None else r[0]
                for r in changes.select(
                    F.col(part_col).cast("string")).distinct().collect()}
-    cur_entries = [e for e in m["files"] if e["partition"] in touched]
-    keep_entries = [e for e in m["files"] if e["partition"] not in touched]
+    # Untouched SEGMENTS carry into the new manifest by reference —
+    # never read, never rewritten: metadata cost is O(touched), the
+    # manifest-list shape that keeps a 1-partition merge on a 10⁶-file
+    # table from rewriting 10⁶ entries. Only segments whose partition
+    # set intersects the change batch are resolved; their untouched
+    # entries are re-homed into a fresh segment (same data files).
+    carried, resolved = _split_segments(root, doc, touched)
+    cur_entries = [e for e in resolved if e["partition"] in touched]
+    rehome = [e for e in resolved if e["partition"] not in touched]
 
     merged = changes.where(F.col("op") != "D").drop("op")
     if cur_entries:
-        cur = spark.read.option("basePath", root).parquet(
+        cur = _reader(spark, root, doc).parquet(
             *[os.path.join(root, e["path"]) for e in cur_entries])
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
 
     new_entries = _stage_write(merged, root, part_col,
-                               stats_cols=_table_stats_cols(m))
-    version = m["version"] + 1
-    entries = keep_entries + new_entries
-    _write_manifest(root, version, entries,
-                    parent=m["version"], txns=m.get("txn"))
-    if not (_flip_current(root, version, entries)
-            or _claim_survived(root, version, entries)):
+                               stats_cols=_doc_stats_cols(root, doc))
+    segs = list(carried)
+    if rehome:
+        segs.append(_write_segment(root, rehome))
+    if new_entries:
+        segs.append(_write_segment(root, new_entries))
+    version = doc["version"] + 1
+    newdoc = _make_doc(version, doc["version"], segs,
+                       txns=doc.get("txn"), commit_id=commit_id,
+                       schema=doc.get("schema"),
+                       stats_cols=doc.get("stats_cols"))
+    newdoc["part_col"] = doc.get("part_col", part_col)
+    _write_doc(root, version, newdoc)
+    if not (_flip_current(root, version, commit_id=commit_id)
+            or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
             f"merge lost v{version} to a concurrent commit after its "
             f"claim — the table advanced without this merge; re-run it "
@@ -472,11 +742,22 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
 
 
 def commit_append(spark: SparkSession, path: str, batch: DataFrame,
-                  part_col: str, txn: tuple[str, int] | None = None) -> int:
-    """Append-only commit: stage the batch's files, adopt them, and write
-    a manifest carrying every prior entry PLUS the new ones — no rewrite,
-    no read of existing data. The streaming-ingestion primitive: cost is
-    O(batch), not O(partition).
+                  part_col: str, txn: tuple[str, int] | None = None,
+                  evolve: bool = True) -> int:
+    """Append-only commit: stage the batch's files, adopt them, write ONE
+    new segment listing them, and write a manifest referencing the
+    parent's segments PLUS the new one — no rewrite, no read of existing
+    data OR existing metadata entries. The streaming-ingestion
+    primitive: cost is O(batch + segment count), not O(table files) —
+    the manifest doc holds ≤ _MAX_SEGMENTS descriptors however many
+    files the table accumulates (tools/bench_manifest_scale.py measures
+    the curve; SCALE.md records it).
+
+    Schema evolution is additive (``_evolve_schema``): a batch carrying
+    NEW columns widens the recorded table schema, and older files
+    NULL-fill those columns on read; a batch MISSING table columns is
+    fine (its files NULL-fill). ``evolve=False`` refuses new columns
+    with SchemaEvolutionError; type changes always raise.
 
     ``txn=(app_id, batch_id)`` makes replays idempotent the way Delta's
     txnAppId/txnVersion does: the manifest records the highest batch_id
@@ -499,16 +780,23 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     the flip), never silent corruption."""
     root = _norm(path)
     staged = None
+    staged_seg = None
+    commit_id = uuid.uuid4().hex
     if current_version(root) is None:
         os.makedirs(root, exist_ok=True)
         staged = _stage_write(batch, root, part_col)
+        staged_seg = _write_segment(root, staged) if staged else None
         txns0 = {txn[0]: txn[1]} if txn else {}
         for i in range(_APPEND_RETRIES):
             if current_version(root) is not None:
                 break  # a racing creator committed; rebase as an append
+            doc1 = _make_doc(1, None,
+                             [staged_seg] if staged_seg else [],
+                             txns=txns0, commit_id=commit_id,
+                             schema=batch.schema.json())
+            doc1["part_col"] = part_col
             try:
-                _write_manifest(root, 1, staged, parent=None, txns=txns0,
-                                occ=True)
+                _write_doc(root, 1, doc1, occ=True)
             except FileExistsError:
                 # a live creator is microseconds from its flip, or a
                 # CRASHED creator's leftover claim is blocking v1 (no
@@ -524,8 +812,9 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                     time.sleep(0.01)
                 continue
             try:
-                if _flip_current(root, 1, staged) or _claim_survived(
-                        root, 1, staged):
+                if (_flip_current(root, 1, commit_id=commit_id)
+                        or _claim_survived(root, 1,
+                                           commit_id=commit_id)):
                     return 1
             except CommitAborted:
                 continue
@@ -535,30 +824,51 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 f"{_APPEND_RETRIES} attempts")
     for _ in range(_APPEND_RETRIES):
         try:
-            m = load_manifest(root)
+            doc = _load_doc(root)
         except FileNotFoundError:
             # a racing creator has written its v1 manifest but not yet
             # flipped the pointer — microseconds away; wait it out
             time.sleep(0.01)
             continue
-        txns = dict(m.get("txn", {}))
+        txns = dict(doc.get("txn", {}))
         if txn is not None:
             app, batch_id = txn
             if app in txns and txns[app] >= batch_id:
-                return m["version"]  # replayed batch: already committed
+                return doc["version"]  # replayed batch: already committed
             txns[app] = batch_id
         if staged is not None and not all(
                 os.path.exists(os.path.join(root, e["path"]))
                 for e in staged):
-            staged = None  # adopted files vacuumed mid-stall; restage
+            staged = staged_seg = None  # vacuumed mid-stall; restage
         if staged is None:
             staged = _stage_write(batch, root, part_col,
-                                  stats_cols=_table_stats_cols(m))
-        version = m["version"] + 1
-        entries = m["files"] + staged
+                                  stats_cols=_doc_stats_cols(root, doc))
+            staged_seg = _write_segment(root, staged) if staged else None
+        elif staged_seg is not None and not os.path.exists(
+                _segment_file(root, staged_seg["path"])):
+            # data files survive but the segment was GC'd as an orphan:
+            # rewrite the (tiny) segment from the already-adopted entries
+            staged_seg = _write_segment(root, staged)
+        # parent metadata carries by reference: segment DESCRIPTORS are
+        # copied, entry lists never touched. A v1-format parent (inline
+        # files) migrates here: its entries become one segment, once.
+        if "files" in doc:
+            parent_segs = ([_write_segment(root, doc["files"])]
+                           if doc["files"] else [])
+        else:
+            parent_segs = list(doc.get("segments", ()))
+        segments = parent_segs + ([staged_seg] if staged_seg else [])
+        segments = _coalesce_segments(root, segments)
+        schema_json = _evolve_schema(doc.get("schema"), batch.schema,
+                                     evolve)
+        version = doc["version"] + 1
+        newdoc = _make_doc(version, doc["version"], segments, txns=txns,
+                           commit_id=commit_id, schema=schema_json,
+                           stats_cols=doc.get("stats_cols"))
+        if doc.get("part_col") or part_col:
+            newdoc["part_col"] = doc.get("part_col", part_col)
         try:
-            _write_manifest(root, version, entries,
-                            parent=m["version"], txns=txns, occ=True)
+            _write_doc(root, version, newdoc, occ=True)
         except FileExistsError:
             # another writer claimed this version; give it its flip
             # window (otherwise every rebase re-reads the same committed
@@ -566,8 +876,9 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             time.sleep(0.01)
             continue
         try:
-            if (_flip_current(root, version, entries)
-                    or _claim_survived(root, version, entries)):
+            if (_flip_current(root, version, commit_id=commit_id)
+                    or _claim_survived(root, version,
+                                       commit_id=commit_id)):
                 return version
         except CommitAborted:
             pass  # claim reclaimed; the loop-top existence check
@@ -592,13 +903,29 @@ def read_changes(spark: SparkSession, path: str, since: int,
     nothing — downstream consumers treat the feed as upsert-by-key.
     Returns an empty frame (correct schema) when nothing changed."""
     root = _norm(path)
-    m_to = load_manifest(root, to)
-    old = {e["path"] for e in load_manifest(root, since)["files"]}
-    new_files = [os.path.join(root, e["path"]) for e in m_to["files"]
+    m_to = _load_doc(root, to)
+    m_since = _load_doc(root, since)
+    # Segment-level fast path: segments carried by reference between the
+    # two snapshots cannot contain new files — only segments NEW in
+    # ``to`` are resolved. (A rewritten partition's survivors are
+    # re-homed into a new segment but keep their file names, so the
+    # entry-path diff below still excludes them.)
+    if "segments" in m_to and "segments" in m_since:
+        since_segs = {s["path"] for s in m_since["segments"]}
+        to_entries = [e for s in m_to["segments"]
+                      if s["path"] not in since_segs
+                      for e in _read_segment(root, s["path"])]
+    else:
+        to_entries = _resolve(root, m_to)
+    old = {e["path"] for e in _resolve(root, m_since)}
+    new_files = [os.path.join(root, e["path"]) for e in to_entries
                  if e["path"] not in old]
     if not new_files:
         return _empty_like(spark, root, m_to)
-    return spark.read.option("basePath", root).parquet(*new_files)
+    # read with the DESTINATION snapshot's schema: a feed crossing a
+    # schema-evolution boundary NULL-fills the new columns for files
+    # written before they existed
+    return _reader(spark, root, m_to).parquet(*new_files)
 
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
@@ -607,18 +934,22 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     than ``target_files`` files into at most ``target_files`` files
     through the same stage→manifest→flip path.
     Readers see the old layout or the new one, never a mix; the rewritten
-    partitions' old files stay on disk for time travel until vacuumed."""
+    partitions' old files stay on disk for time travel until vacuumed.
+    Metadata cost is O(table files) — compaction is the maintenance op
+    that may legitimately resolve every segment (it needs per-partition
+    file counts); untouched segments still carry by reference."""
     root = _norm(path)
-    m = load_manifest(root)
+    m = _load_doc(root)
+    commit_id = uuid.uuid4().hex
     by_part: dict[str, list[dict]] = {}
-    for e in m["files"]:
+    for e in _resolve(root, m):
         by_part.setdefault(e["partition"], []).append(e)
     todo = {p: es for p, es in by_part.items() if len(es) > target_files}
     if not todo:
         return m["version"]
-    keep_entries = [e for p, es in by_part.items() if p not in todo
-                    for e in es]
-    cur = spark.read.option("basePath", root).parquet(
+    carried, resolved = _split_segments(root, m, set(todo))
+    rehome = [e for e in resolved if e["partition"] not in todo]
+    cur = _reader(spark, root, m).parquet(
         *[os.path.join(root, e["path"]) for es in todo.values()
           for e in es])
     # One task per partition value (hash repartition; parallelism = the
@@ -635,13 +966,20 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
         max_records = -(-max_rows // target_files)  # ceil
     compacted = cur.repartition(F.col(part_col))
     new_entries = _stage_write(compacted, root, part_col, max_records,
-                               stats_cols=_table_stats_cols(m))
+                               stats_cols=_doc_stats_cols(root, m))
+    segs = list(carried)
+    if rehome:
+        segs.append(_write_segment(root, rehome))
+    if new_entries:
+        segs.append(_write_segment(root, new_entries))
     version = m["version"] + 1
-    entries = keep_entries + new_entries
-    _write_manifest(root, version, entries,
-                    parent=m["version"], txns=m.get("txn"))
-    if not (_flip_current(root, version, entries)
-            or _claim_survived(root, version, entries)):
+    newdoc = _make_doc(version, m["version"], segs, txns=m.get("txn"),
+                       commit_id=commit_id, schema=m.get("schema"),
+                       stats_cols=m.get("stats_cols"))
+    newdoc["part_col"] = m.get("part_col", part_col)
+    _write_doc(root, version, newdoc)
+    if not (_flip_current(root, version, commit_id=commit_id)
+            or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
             f"compaction lost v{version} to a concurrent commit after "
             f"its claim — the table advanced without it; re-run")
@@ -710,10 +1048,13 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         #   lock, so the owner can never flip it; its files are
         #   known-dead.
         now = time.time()
-        dead_known: set[str] = set()
-        for mf in sorted(os.listdir(os.path.join(root, _MANIFESTS))):
+        man_dir = os.path.join(root, _MANIFESTS)
+        retired_docs: list[dict] = []
+        for mf in sorted(os.listdir(man_dir)):
+            if not (mf.startswith("v") and mf.endswith(".json")):
+                continue  # segment files are triaged after the live set
             v = int(mf[1:-5])
-            mp = os.path.join(root, _MANIFESTS, mf)
+            mp = os.path.join(man_dir, mf)
             if v in keep:
                 continue
             if (v > cur
@@ -721,17 +1062,52 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 keep.add(v)
                 continue
             with open(mp, encoding="utf-8") as f:
-                dead_known |= {e["path"] for e in json.load(f)["files"]}
+                retired_docs.append(json.load(f))
             os.remove(mp)
         live: set[str] = set()
+        kept_segs: set[str] = set()
         for v in sorted(keep):
             try:
-                live |= {e["path"]
-                         for e in load_manifest(root, v)["files"]}
+                doc = _load_doc(root, v)
             except FileNotFoundError:
                 if v == cur:
                     raise  # a missing CURRENT manifest is corruption
                 keep.discard(v)  # deleted by an earlier tighter vacuum
+                continue
+            kept_segs |= {s["path"] for s in doc.get("segments", ())}
+            live |= {e["path"] for e in _resolve(root, doc)}
+        # Known-dead files = those referenced ONLY by manifests retired
+        # above. Segments shared with a kept manifest (carried forward
+        # by reference) are NOT dead — the `live` check in the sweep
+        # protects their entries, and the segment file itself survives
+        # via kept_segs. Dead segments are removed with their manifests.
+        dead_known: set[str] = set()
+        for doc in retired_docs:
+            if "files" in doc:
+                dead_known |= {e["path"] for e in doc["files"]}
+                continue
+            for s in doc.get("segments", ()):
+                if s["path"] in kept_segs:
+                    continue
+                try:
+                    dead_known |= {e["path"]
+                                   for e in _read_segment(root,
+                                                          s["path"])}
+                    os.remove(_segment_file(root, s["path"]))
+                except FileNotFoundError:
+                    pass  # shared with an earlier-retired manifest
+        # Orphan segment files (written by a commit that crashed before
+        # its manifest, or by one whose manifest landed after our
+        # triage): same mtime grace as orphan data files.
+        for fname in sorted(os.listdir(man_dir)):
+            if not fname.startswith("seg-") or fname in kept_segs:
+                continue
+            fp = os.path.join(man_dir, fname)
+            try:
+                if now - os.path.getmtime(fp) > _CLAIM_GRACE_SEC:
+                    os.remove(fp)
+            except FileNotFoundError:
+                continue
         deleted: list[str] = []
         for part_entry in sorted(os.listdir(root)):
             part_dir = os.path.join(root, part_entry)

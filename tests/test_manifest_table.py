@@ -395,12 +395,12 @@ def test_usurped_append_claim_rebases_not_lost(spark, tmp_path,
     real_flip = mt._flip_current
     fired = {}
 
-    def usurping_flip(r, version, entries=None):
+    def usurping_flip(r, version, entries=None, **kw):
         if not fired:
             fired["v"] = version
             mt.commit_merge(spark, root, _chg(spark), ["k", "part"],
                             "part")
-        return real_flip(r, version, entries)
+        return real_flip(r, version, entries, **kw)
 
     monkeypatch.setattr(mt, "_flip_current", usurping_flip)
     assert mt.commit_append(spark, root, batch, "part") == 3
@@ -422,11 +422,11 @@ def test_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch):
     real_flip = mt._flip_current
     fired = {}
 
-    def usurping_flip(r, version, entries=None):
+    def usurping_flip(r, version, entries=None, **kw):
         if not fired:
             fired["v"] = version
             mt.commit_merge(spark, root, other, ["k", "part"], "part")
-        return real_flip(r, version, entries)
+        return real_flip(r, version, entries, **kw)
 
     monkeypatch.setattr(mt, "_flip_current", usurping_flip)
     with pytest.raises(RuntimeError, match="lost v2 to a concurrent"):
@@ -583,3 +583,138 @@ def test_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch):
     assert os.path.exists(mt._manifest_path(root, 2))
     assert mt._flip_current(root, 2)
     assert mt.current_version(root) == 2
+
+
+# --- segmented manifests + schema evolution (r09) ------------------------
+
+
+def test_append_manifest_doc_is_o_batch_not_o_table(spark, tmp_path):
+    """The r08 verdict's #1 item: a 1-file append must not rewrite the
+    full entry list. v2 manifests hold segment DESCRIPTORS; an append
+    adds one and carries the parent's by reference, so the doc on disk
+    stays O(segments) and the parent's segment files are untouched."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    d1 = mt._load_doc(root)
+    assert "files" not in d1 and len(d1["segments"]) == 1
+    b = spark.createDataFrame([(10, "p1", 100.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    assert mt.commit_append(spark, root, b, "part") == 2
+    d2 = mt._load_doc(root)
+    segs2 = {s["path"] for s in d2["segments"]}
+    assert len(d2["segments"]) == 2
+    # parent segment carried by REFERENCE (same descriptor path)
+    assert d1["segments"][0]["path"] in segs2
+    # and the resolved view still matches a full read
+    assert len(mt.load_manifest(root)["files"]) == (
+        d1["segments"][0]["count"] + 1)
+    assert _rows(mt.read_snapshot(spark, root)) == sorted(
+        _rows(_base(spark)) + [(10, "p1", 100.0)])
+
+
+def test_merge_carries_untouched_segments_by_reference(spark, tmp_path):
+    """A merge touching one partition must not read or rewrite segments
+    fully outside it."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    # second segment entirely in p9
+    b = spark.createDataFrame([(50, "p9", 500.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")
+    seg_p9 = [s for s in mt._load_doc(root)["segments"]
+              if s["partitions"] == ["p9"]]
+    assert len(seg_p9) == 1
+    chg = spark.createDataFrame([(1, "p1", 11.0, "U")],
+                                "k BIGINT, part STRING, v DOUBLE, "
+                                "op STRING")
+    mt.commit_merge(spark, root, chg, ["k", "part"], "part")
+    d3 = mt._load_doc(root)
+    assert seg_p9[0]["path"] in {s["path"] for s in d3["segments"]}
+    got = _rows(mt.read_snapshot(spark, root))
+    assert (1, "p1", 11.0) in got and (50, "p9", 500.0) in got
+
+
+def test_segment_coalescing_bounds_manifest_size(spark, tmp_path,
+                                                 monkeypatch):
+    """Appends fold the smallest segments once the count passes
+    _MAX_SEGMENTS — the manifest doc can never grow past O(bound)."""
+    monkeypatch.setattr(mt, "_MAX_SEGMENTS", 4)
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    for i in range(8):
+        b = spark.createDataFrame([(100 + i, "p1", float(i))],
+                                  "k BIGINT, part STRING, v DOUBLE")
+        mt.commit_append(spark, root, b, "part")
+    d = mt._load_doc(root)
+    assert len(d["segments"]) <= 4
+    rows = _rows(mt.read_snapshot(spark, root))
+    assert len(rows) == 6 + 8  # nothing lost across folds
+    # vacuum after folding: orphaned pre-fold segment files get GC'd by
+    # age, kept ones stay; content intact
+    mt.vacuum(root, keep_versions=1)
+    assert _rows(mt.read_snapshot(spark, root)) == rows
+
+
+def test_schema_evolution_append_and_time_travel(spark, tmp_path):
+    """r08 verdict item 2: an append carrying a NEW column commits; the
+    evolved snapshot NULL-fills old files; the old snapshot still reads
+    with its own schema; read_changes crosses the boundary with the new
+    schema."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    b = spark.createDataFrame([(10, "p1", 100.0, "en")],
+                              "k BIGINT, part STRING, v DOUBLE, "
+                              "lang STRING")
+    assert mt.commit_append(spark, root, b, "part") == 2
+
+    v2 = mt.read_snapshot(spark, root)
+    assert "lang" in v2.columns
+    by_k = {r.k: r.lang for r in v2.collect()}
+    assert by_k[10] == "en" and by_k[1] is None  # old files NULL-fill
+    v1 = mt.read_snapshot(spark, root, version=1)
+    assert "lang" not in v1.columns  # time travel keeps the old schema
+    chg = mt.read_changes(spark, root, since=1)
+    assert [(r.k, r.lang) for r in chg.collect()] == [(10, "en")]
+
+    # a batch MISSING a data column also commits (NULL-filled)
+    b2 = spark.createDataFrame([(11, "p1")], "k BIGINT, part STRING")
+    assert mt.commit_append(spark, root, b2, "part") == 3
+    r11 = [r for r in mt.read_snapshot(spark, root).collect()
+           if r.k == 11][0]
+    assert r11.v is None and r11.lang is None
+
+
+def test_schema_evolution_policy_and_type_conflicts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    extra = spark.createDataFrame([(10, "p1", 1.0, 5)],
+                                  "k BIGINT, part STRING, v DOUBLE, "
+                                  "n INT")
+    with pytest.raises(mt.SchemaEvolutionError, match="evolve=False"):
+        mt.commit_append(spark, root, extra, "part", evolve=False)
+    retyped = spark.createDataFrame([(10, "p1", "oops")],
+                                    "k BIGINT, part STRING, v STRING")
+    with pytest.raises(mt.SchemaEvolutionError, match="type changes"):
+        mt.commit_append(spark, root, retyped, "part")
+    assert mt.current_version(root) == 1  # nothing committed
+
+
+def test_v1_format_tables_still_read_and_migrate(spark, tmp_path):
+    """A table whose manifests predate the segment format (inline
+    ``files``) keeps reading, and its first append migrates it to
+    segments without losing entries."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    # rewrite v1 as an inline-files doc (the old format)
+    m = mt.load_manifest(root, 1)
+    os.remove(mt._manifest_path(root, 1))
+    mt._write_manifest(root, 1, m["files"], parent=None)
+    assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
+
+    b = spark.createDataFrame([(10, "p2", 100.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    assert mt.commit_append(spark, root, b, "part") == 2
+    d2 = mt._load_doc(root)
+    assert "files" not in d2 and len(d2["segments"]) == 2
+    assert _rows(mt.read_snapshot(spark, root)) == sorted(
+        _rows(_base(spark)) + [(10, "p2", 100.0)])
