@@ -1364,3 +1364,77 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"),
                  dsum("l_extendedprice", "price_sum"))
             .orderBy("l_returnflag"))
+
+
+# --- contract: schema evolution through the manifest layer (L15) -------------
+
+# An append carrying a NEW column (src) commits through the manifest;
+# the evolved snapshot NULL-fills src for every pre-evolution file. The
+# oracle reproduces the relational view: base rows with NULL src UNION
+# the appended batch. The contract body additionally pins (assertions)
+# that v1 time-travels WITHOUT the column and that the change feed since
+# v1 carries exactly the appended rows with the new column populated.
+_EVOLUTION_ORACLE = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+appended AS (
+  SELECT event_id + 20000000 AS event_id, event_type,
+         value + 0.25 AS value, 'late' AS src
+  FROM base WHERE event_type = 'click' AND event_id % 7 = 0
+),
+v2 AS (
+  SELECT event_id, event_type, value, NULL AS src FROM base
+  UNION ALL
+  SELECT * FROM appended
+)
+SELECT event_type, count(*) AS cnt, count(src) AS src_cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0)
+         AS val_sum
+FROM v2 GROUP BY event_type ORDER BY event_type
+"""
+
+
+@contract("scan_manifest_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def scan_manifest_schema_evolution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Additive schema evolution inside the manifest table (A16's
+    mergeSchema discipline composed with L11's atomic commit): plant
+    events as v1, append a batch carrying a NEW column (src) as v2, and
+    aggregate the evolved snapshot. The hash proves old files NULL-fill
+    the new column under the v2 read schema; the in-body assertions pin
+    that v1 still reads with its ORIGINAL schema (time travel is
+    schema-accurate, not just file-accurate) and that read_changes
+    across the evolution boundary delivers exactly the appended rows."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mevo_"), "tbl")
+    create_table(ev, root, "event_type")
+    batch = (ev.where((F.col("event_type") == "click")
+                      & (F.col("event_id") % 7 == 0))
+             .select((F.col("event_id") + 20000000).alias("event_id"),
+                     "event_type",
+                     (F.col("value") + 0.25).alias("value"),
+                     F.lit("late").alias("src")))
+    commit_append(spark, root, batch, "event_type")
+
+    v1_cols = set(read_snapshot(spark, root, version=1).columns)
+    assert "src" not in v1_cols, (
+        "time travel leaked the evolved column into the v1 schema")
+    feed = read_changes(spark, root, since=1)
+    n_appended, n_src = (feed.agg(
+        F.count(F.lit(1)), F.count("src")).collect()[0])
+    assert n_appended == n_src and n_appended == batch.count(), (
+        "change feed across the evolution boundary lost rows or src "
+        f"values ({n_appended} rows, {n_src} src)")
+
+    return (read_snapshot(spark, root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.count("src").alias("src_cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))

@@ -51,95 +51,70 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r08 packing (evidence ledger after r07: r03=17, r04=43,
-    # r05=48, r06=46, r07=50; all 204 checked at least once, 0 failures).
-    # Window arithmetic: tier 0 (2 ADVICE fixes whose implementation
-    # changed this round) + new r08 contracts (sentinel) + the entire
-    # r03 tail (17: the 11 hash-checked keys deferred from r07 + the six
-    # *_live replays) + the oldest r04 keys fill the remaining slots.
-    # Each NEW contract registered this round displaces one r04 key
-    # (r04 keys beyond the cut roll to the r09 head — all hold green
-    # r04 evidence and pass local parity every round). After this round
-    # no contract's newest driver evidence is older than r04. ============
-    # -- tier 0: implementation changed in r08 after newest (r07)
-    #    evidence — the r07-ADVICE fixes. I9: caller-named PG tables are
-    #    no longer dropped (run_id-scoped merge + readback, pg.py
-    #    protocol change); A13 merge_keyed: file:// URIs now strip the
-    #    scheme before the local staged-swap branch. ----------------------
-    "stream_foreachbatch_upsert", "sink_merge_keyed",
-    # -- tier 0b: NEW in r08 — L11, the snapshot-manifest table layer
-    #    (atomic multi-partition MERGE/compaction commit via one pointer
-    #    flip; closes the cross-partition visibility gap A13/L10
-    #    disclosed). ------------------------------------------------------
-    "sink_table_manifest_commit",
-    # -- tier 0c: NEW in r08 — the manifest layer's streaming half:
-    #    L12 exactly-once streaming ingestion (append commits + txn
-    #    replay guard), L13 incremental version-diff reads. ---------------
-    "stream_manifest_sink", "scan_manifest_changes",
-    "scan_manifest_pruned",
+    # ============ r09 packing (evidence ledger after r08: r04=16, r05=48,
+    # r06=46, r07=48, r08=50; all 208 checked at least once, 0 failures).
+    # Window arithmetic: tier 0 (5 contracts whose implementation changed
+    # in r09) + new r09 contracts (sentinel) + the entire r04 tail (16,
+    # the r08 verdict's item 6) + the oldest r05 keys fill the remaining
+    # slots. Each NEW contract registered this round displaces one r05
+    # key (r05 keys beyond the cut roll to the r10 head — all hold green
+    # r05 evidence and pass local parity every round). After this round
+    # no contract's newest driver evidence is older than r05. ============
+    # -- tier 0: implementation changed in r09 after newest (r08)
+    #    evidence — the manifest layer was rewritten onto segmented
+    #    manifests (O(batch) appends, commit_id claim identity, recorded
+    #    read schemas) and vacuum's locking/grace semantics changed
+    #    (r08 ADVICE); merge_keyed consumes the rewritten local_path URI
+    #    normalizer (file:/ spellings). ------------------------------------
+    "sink_table_manifest_commit", "stream_manifest_sink",
+    "scan_manifest_changes", "scan_manifest_pruned", "sink_merge_keyed",
+    # -- tier 0b: NEW in r09 — L15, additive schema evolution through the
+    #    manifest layer (per-version read schemas; verdict item 2). --------
+    "scan_manifest_schema_evolution",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: the seventeen r03-era keys (oldest evidence anywhere);
-    #    the *_live replays are rows-only by design but have not been
-    #    RUN by the driver since r03 — refresh the execution evidence. ----
-    "multimodal_frame_sample", "text_tfidf", "q10_returned_items",
-    "sample_stratified", "text_pack_sequences", "source_rate_stream",
-    "sink_partition_overwrite", "source_orc", "window_ignore_nulls",
-    "scan_dpp_join", "stream_transform_with_state",
-    "stream_funnel_live", "stream_tumbling_live", "stream_session_live",
-    "stream_dedup_live", "stream_static_join_live",
-    "stream_stream_join_live",
-    # -- tier 2: r04-era evidence (43) — the window tail; the last ~12
-    #    roll past the cut one-for-one with new r08 contracts ------------
-    "scan_schema_enforce", "agg_time_gapfill", "sim_topk_cosine",
-    "sim_join_threshold", "sim_centroids", "multimodal_join", "sim_ann_ivf",
-    "text_lang_detect", "sim_ann_ivf_kmeans", "dedup_docs_embedding",
-    "text_ngram_jaccard", "etl_events_enriched",
-    "stream_watermark_late", "q5_local_supplier", "q4_order_priority",
-    "q14_promo_revenue", "q19_disjunctive", "q22_dormant_customers",
-    "agg_mode_frequent", "text_unicode_normalize", "text_pii_scrub",
-    "q7_volume_shipping", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "q21_waiting_orders", "window_gaps_islands",
+    # -- tier 1: the sixteen r04-era keys (oldest evidence anywhere) ------
     "sample_reservoir_group", "text_repetition_filter", "data_mix_sample",
     "shard_assign_balanced", "doc_chunk_windows", "embed_quantize_int8",
     "join_bloom_pruned", "agg_approx_percentile", "window_anomaly_zscore",
     "q12_shipmode_priority", "set_except_all", "set_intersect_all",
     "generator_outer_pos", "stream_running_moments", "udtf_lateral",
     "udf_arrow_scalar",
-    # -- tier 3: r05-era evidence --------------------------------------------
-    "join_inner_equi", "join_broadcast",
-    "join_left_outer", "join_full_outer", "join_left_semi", "join_left_anti",
-    "join_cross", "join_theta_range", "join_asof", "join_self",
-    "join_5way_star", "agg_pricing_summary", "q3_shipping_priority",
-    "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_having", "agg_stats", "window_rank_topn",
-    "window_row_dense_ntile", "window_lag_lead", "text_contamination",
-    "agg_histogram_width", "agg_bitwise", "agg_corr_exact",
-    "agg_bool_quantifiers", "agg_filtered_counts", "agg_string_listagg",
-    "scalar_try_arith", "scalar_url_parse", "scalar_radix", "scalar_bit_ops",
+    # -- tier 2: r05-era evidence (48) — the window tail; the last ~21
+    #    roll past the cut, one fewer for each new r09 contract ----------
+    "join_inner_equi", "join_broadcast", "join_left_outer",
+    "join_full_outer", "join_left_semi", "join_left_anti", "join_cross",
+    "join_theta_range", "join_asof", "join_self", "join_5way_star",
+    "agg_pricing_summary", "q3_shipping_priority", "agg_count_distinct",
+    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_stats", "window_rank_topn", "window_row_dense_ntile",
+    "window_lag_lead", "text_contamination", "agg_histogram_width",
+    "agg_bitwise", "agg_corr_exact", "agg_bool_quantifiers",
+    "agg_filtered_counts", "agg_string_listagg", "scalar_try_arith",
+    "scalar_url_parse", "scalar_radix", "scalar_bit_ops",
     "scalar_datetime_iso", "join_or_keys_union", "sink_sorted_zonemap",
     "source_json_corrupt", "stream_moments_live", "events_funnel_conversion",
     "events_attribution_touch", "dedup_near_keep_best", "embed_norm_stats",
     "text_entropy_quality", "sample_weighted_priority",
     "sim_ann_lsh_multiprobe", "window_trailing_interval", "source_xml",
-    # -- tier 4: r06-era evidence --------------------------------------------
+    # -- tier 3: r06-era evidence -----------------------------------------
     "scalar_variant", "sim_ann_lsh_multiprobe2", "join_interval_overlap",
     "dedup_url_canonical", "join_asof_nearest", "etl_ua_referer_enrich",
     "etl_ip_geo_range", "etl_currency_convert", "scalar_collation",
     "window_moving_frame", "window_range_frame", "window_first_last",
     "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
     "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join", "dedup_docs_exact",
-    "dedup_docs_minhash", "dedup_docs_simhash", "sim_ann_lsh",
-    "text_fuzzy_pairs", "udf_python_scalar", "udf_pandas_scalar",
-    "udaf_pandas_grouped", "udtf_apply_in_pandas", "udtf_python",
-    "udf_arrow_map", "text_tokenize_stats", "text_term_freq",
-    "text_lang_profile", "text_fingerprint", "text_token_bpe",
-    "multimodal_decode", "text_quality_filter", "filter_null_semantics",
-    "agg_collect_sorted", "agg_percentiles", "agg_rollup_multires",
-    "window_percent_rank", "join_bucketed_colocated", "join_skew_salted",
-    "scan_partition_pruned", "source_python_datasource",
-    # -- tier 5: r07-fresh evidence — dead last ------------------------------
+    "stream_stream_join", "dedup_docs_exact", "dedup_docs_minhash",
+    "dedup_docs_simhash", "sim_ann_lsh", "text_fuzzy_pairs",
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
+    "text_tokenize_stats", "text_term_freq", "text_lang_profile",
+    "text_fingerprint", "text_token_bpe", "multimodal_decode",
+    "text_quality_filter", "filter_null_semantics", "agg_collect_sorted",
+    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
+    "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
+    "source_python_datasource",
+    # -- tier 4: r07-era evidence -----------------------------------------
     "sink_merge_scd2", "dedup_cluster_cc", "q17_small_quantity",
     "events_retention_cohort", "agg_heavy_hitters", "curation_pipeline",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -156,6 +131,23 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_string", "scalar_regexp", "scalar_date", "scalar_math",
     "scalar_conditional", "pivot_unpivot", "join_null_safe",
     "join_range_banded",
+    # -- tier 5: r08-fresh evidence — dead last ---------------------------
+    "stream_foreachbatch_upsert", "multimodal_frame_sample", "text_tfidf",
+    "q10_returned_items", "sample_stratified", "text_pack_sequences",
+    "source_rate_stream", "sink_partition_overwrite", "source_orc",
+    "window_ignore_nulls", "scan_dpp_join", "stream_transform_with_state",
+    "stream_funnel_live", "stream_tumbling_live", "stream_session_live",
+    "stream_dedup_live", "stream_static_join_live",
+    "stream_stream_join_live", "scan_schema_enforce", "agg_time_gapfill",
+    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
+    "multimodal_join", "sim_ann_ivf", "text_lang_detect",
+    "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
+    "etl_events_enriched", "stream_watermark_late", "q5_local_supplier",
+    "q4_order_priority", "q14_promo_revenue", "q19_disjunctive",
+    "q22_dormant_customers", "agg_mode_frequent", "text_unicode_normalize",
+    "text_pii_scrub", "q7_volume_shipping", "q8_market_share",
+    "q13_order_distribution", "q15_top_supplier", "q21_waiting_orders",
+    "window_gaps_islands",
 )
 
 

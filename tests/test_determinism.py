@@ -133,6 +133,10 @@ _NUMERIC = [
     "stream_manifest_sink",
     "scan_manifest_changes",
     "scan_manifest_pruned",
+    # L15 (r09): the evolved snapshot (NULL-filled old files + appended
+    # batch) must read identically whatever task layout wrote either
+    # commit — counts/src counts/id sums/grid value sums.
+    "scan_manifest_schema_evolution",
 ]
 
 
