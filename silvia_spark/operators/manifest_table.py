@@ -423,6 +423,11 @@ def _doc_stats_cols(root: str, doc: dict) -> list[str]:
     sc = doc.get("stats_cols")
     if sc is not None:
         return sc
+    if "segments" in doc:
+        # v2 docs answer from metadata alone — resolving every entry to
+        # learn "no stats tracked" would put O(table files) back into
+        # the append path this layer exists to avoid
+        return []
     cols: set[str] = set()
     for e in _resolve(root, doc):
         cols |= set(e.get("stats", ()))

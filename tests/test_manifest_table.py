@@ -718,3 +718,27 @@ def test_v1_format_tables_still_read_and_migrate(spark, tmp_path):
     assert "files" not in d2 and len(d2["segments"]) == 2
     assert _rows(mt.read_snapshot(spark, root)) == sorted(
         _rows(_base(spark)) + [(10, "p2", 100.0)])
+
+
+def test_vacuum_under_slow_reader(spark, tmp_path):
+    """The retention contract (documented in vacuum's docstring +
+    SCALE.md): a reader holding a resolved old-snapshot DataFrame is NOT
+    protected from vacuum — Spark plans hold plain file lists, so
+    re-executing after the snapshot is retired fails with missing
+    inputs. keep_versions is the knob: sized over the reader's lifetime
+    the same plan keeps working."""
+    from py4j.protocol import Py4JJavaError
+
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    slow_reader = mt.read_snapshot(spark, root, version=1)
+    assert len(slow_reader.collect()) == 6
+
+    mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+    # retention sized over the reader's lifetime: the old plan still runs
+    mt.vacuum(root, keep_versions=2)
+    assert len(slow_reader.collect()) == 6
+    # retention shorter than the reader: re-execution loudly fails
+    mt.vacuum(root, keep_versions=1)
+    with pytest.raises(Py4JJavaError):
+        slow_reader.collect()
