@@ -38,18 +38,21 @@ parent. Every committer verifies AFTER the pointer flip that the
 manifest committed under its claimed version is its own
 (``_claim_survived``): a claim usurped by a crash-recovery replace is
 therefore a rebase-and-retry for appenders and an explicit error for
-merge/compaction — never silent loss. Local-filesystem renames here;
-on object
-stores the adopt step becomes a copy or a committer, and the
-create-exclusive claim + pointer flip need a CAS primitive (S3
-conditional-put) — the protocol shape is unchanged.
+merge/compaction — never silent loss.
+
+Filesystem portability: every protocol-relevant filesystem touch goes
+through the ``FS`` adapter (manifest_fs.py). POSIX gets O_EXCL claims,
+rename-as-pointer-flip, and flock; an object store gets conditional-put
+claims, plain-PUT pointer writes, copy+delete adoption, and a lease
+mutex — the protocol itself is identical, and the object-store
+simulator re-runs the crash/usurpation/vacuum tests flock-free
+(tests/test_manifest_objectstore.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from urllib.parse import unquote
@@ -58,7 +61,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from silvia_spark.io import load_table, local_path as _norm
+from silvia_spark.operators.manifest_fs import LocalFS
 from silvia_spark.registry import contract
+
+# Filesystem adapter seam (manifest_fs.py): every protocol-relevant
+# filesystem touch routes through FS. The default is POSIX; the
+# object-store simulator (conditional put + lease, no O_EXCL / rename /
+# flock) is proven against the same protocol tests in
+# tests/test_manifest_objectstore.py. Swap per-process via
+# ``manifest_table.FS = adapter``.
+FS = LocalFS()
 
 _MANIFESTS = "_manifests"
 _CURRENT = "_current"
@@ -87,8 +99,7 @@ def current_version(root: str) -> int | None:
     """The committed snapshot version, or None for a non-table dir."""
     root = _norm(root)
     try:
-        with open(os.path.join(root, _CURRENT), encoding="utf-8") as f:
-            return int(f.read().strip())
+        return int(FS.read_text(os.path.join(root, _CURRENT)).strip())
     except FileNotFoundError:
         return None
 
@@ -103,8 +114,7 @@ def _load_doc(root: str, version: int | None = None) -> dict:
         version = current_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
-    with open(_manifest_path(root, version), encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(FS.read_text(_manifest_path(root, version)))
 
 
 def _segment_file(root: str, name: str) -> str:
@@ -112,8 +122,7 @@ def _segment_file(root: str, name: str) -> str:
 
 
 def _read_segment(root: str, name: str) -> list[dict]:
-    with open(_segment_file(root, name), encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(FS.read_text(_segment_file(root, name)))
 
 
 def _write_segment(root: str, entries: list[dict]) -> dict:
@@ -124,10 +133,12 @@ def _write_segment(root: str, entries: list[dict]) -> dict:
     subsequent manifest; the entry list itself is read again only by a
     commit that must REWRITE this segment (its partitions intersect a
     merge/compaction's touched set) or by a resolving reader."""
-    os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    FS.makedirs(os.path.join(root, _MANIFESTS))
     name = f"seg-{uuid.uuid4().hex[:16]}.json"
-    with open(_segment_file(root, name), "x", encoding="utf-8") as f:
-        json.dump(sorted(entries, key=lambda e: e["path"]), f)
+    if not FS.put_if_absent(
+            _segment_file(root, name),
+            json.dumps(sorted(entries, key=lambda e: e["path"]))):
+        raise FileExistsError(name)  # uuid collision: effectively never
     desc = {"path": name, "count": len(entries),
             "partitions": sorted({e["partition"] for e in entries})}
     rollup: dict[str, list] = {}
@@ -181,14 +192,14 @@ def _write_doc(root: str, version: int, doc: dict,
     of silently losing its batch. With ``occ=True`` (concurrent
     appenders) FileExistsError always propagates as the conflict
     signal."""
-    os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    FS.makedirs(os.path.join(root, _MANIFESTS))
     path = _manifest_path(root, version)
-    if not occ and os.path.exists(path):
+    if not occ and FS.exists(path):
         # locked + pointer-rechecked: if the version committed in the
-        # meantime the reclaim refuses and the "x" below raises
+        # meantime the reclaim refuses and the conditional put raises
         _reclaim_claim(root, version)
-    with open(path, "x", encoding="utf-8") as f:
-        json.dump(doc, f, indent=1)
+    if not FS.put_if_absent(path, json.dumps(doc, indent=1)):
+        raise FileExistsError(path)
 
 
 def _make_doc(version: int, parent: int | None,
@@ -236,12 +247,14 @@ def _flip_current(root: str, version: int,
                   entries: list[dict] | None = None,
                   commit_id: str | None = None) -> bool:
     """THE commit point. Everything before this is invisible staging;
-    os.rename over the pointer file is atomic on POSIX (readers never
-    take a lock). The flock around check+rename keeps the pointer
-    MONOTONIC under concurrent appenders: without it, a delayed v2 flip
-    could land after a v3 flip and hide committed data. flock is
-    released by the OS on process death, so a crashed flipper cannot
-    wedge the table.
+    the pointer write is atomic (FS.put_atomic: write-temp + rename on
+    POSIX, a plain object PUT on a store — readers never take a lock).
+    The FS.locked section around check+write keeps the pointer MONOTONIC
+    under concurrent appenders: without it, a delayed v2 flip could land
+    after a v3 flip and hide committed data. The POSIX lock is flock
+    (OS-released on process death); the object-store lock is an
+    age-expired lease — either way a crashed flipper cannot wedge the
+    table.
 
     Returns True only when this call flipped the pointer AND the
     manifest it made current is the caller's own (``commit_id`` match —
@@ -252,17 +265,12 @@ def _flip_current(root: str, version: int,
     complete snapshot, so it is flipped for its owner); the caller
     decides with _claim_survived. Raises CommitAborted when the claimed
     manifest no longer exists (reclaimed as a stale leftover)."""
-    import fcntl
-
-    with open(os.path.join(root, ".flip_lock"), "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
+    with FS.locked(root):
         cur = current_version(root)
         if cur is not None and cur >= version:
             return False
         try:
-            with open(_manifest_path(root, version),
-                      encoding="utf-8") as f:
-                doc = json.load(f)
+            doc = json.loads(FS.read_text(_manifest_path(root, version)))
         except FileNotFoundError:
             raise CommitAborted(
                 f"manifest v{version} vanished before its pointer flip "
@@ -275,10 +283,7 @@ def _flip_current(root: str, version: int,
                     == {e["path"] for e in entries})
         else:
             ours = True
-        tmp = os.path.join(root, f".{_CURRENT}-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(version))
-        os.rename(tmp, os.path.join(root, _CURRENT))
+        FS.put_atomic(os.path.join(root, _CURRENT), str(version))
         return ours
 
 
@@ -288,15 +293,12 @@ def _reclaim_claim(root: str, version: int) -> bool:
     microseconds before our remove can never be deleted (deleting a
     committed manifest would leave the pointer dangling and brick every
     read). Returns False when ``version`` is already committed."""
-    import fcntl
-
-    with open(os.path.join(root, ".flip_lock"), "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
+    with FS.locked(root):
         cur = current_version(root)
         if cur is not None and cur >= version:
             return False
         try:
-            os.remove(_manifest_path(root, version))
+            FS.remove(_manifest_path(root, version))
         except FileNotFoundError:
             pass
         return True
@@ -379,17 +381,21 @@ def _adopt_staged(root: str, stage: str, part_col: str, token: str,
     partition value, rowcount, and — when ``stats_cols`` is given —
     per-column min/max from the parquet footers). The staged dir names
     are Spark's own escaped partition values — adopted verbatim, no
-    re-encoding (merge_keyed's proven idiom)."""
+    re-encoding (merge_keyed's proven idiom). Adopt goes through
+    FS.move_in (rename on POSIX, copy+delete on an object store — safe
+    either way because the destination name is commit-unique and
+    invisible until the manifest lands); the footer stats read happens
+    on the STAGED file, before the move."""
     entries: list[dict] = []
     prefix = f"{part_col}="
-    for part_entry in sorted(os.listdir(stage)):
+    for part_entry in sorted(FS.listdir(stage)):
         if not part_entry.startswith(prefix):
             continue  # _SUCCESS / committer metadata stay behind
         live_dir = os.path.join(root, part_entry)
-        os.makedirs(live_dir, exist_ok=True)
+        FS.makedirs(live_dir)
         value = unquote(part_entry[len(prefix):])
         for i, fname in enumerate(sorted(
-                os.listdir(os.path.join(stage, part_entry)))):
+                FS.listdir(os.path.join(stage, part_entry)))):
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"part-{token}-{i:05d}.parquet"
@@ -400,9 +406,9 @@ def _adopt_staged(root: str, stage: str, part_col: str, token: str,
             entry["rows"] = rows
             if stats:
                 entry["stats"] = stats
-            os.rename(src, os.path.join(live_dir, new_name))
+            FS.move_in(src, os.path.join(live_dir, new_name))
             entries.append(entry)
-    shutil.rmtree(stage)
+    FS.rmtree(stage)
     return entries
 
 
@@ -492,7 +498,7 @@ def create_table(df: DataFrame, path: str, part_col: str,
     records the table schema (evolved additively by later appends) and
     the partition column."""
     root = _norm(path)
-    os.makedirs(root, exist_ok=True)
+    FS.makedirs(root)
     if current_version(root) is not None:
         raise FileExistsError(f"{root} is already a manifest table")
     entries = _stage_write(df, root, part_col, stats_cols=stats_cols)
@@ -788,7 +794,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     staged_seg = None
     commit_id = uuid.uuid4().hex
     if current_version(root) is None:
-        os.makedirs(root, exist_ok=True)
+        FS.makedirs(root)
         staged = _stage_write(batch, root, part_col)
         staged_seg = _write_segment(root, staged) if staged else None
         txns0 = {txn[0]: txn[1]} if txn else {}
@@ -842,14 +848,14 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 return doc["version"]  # replayed batch: already committed
             txns[app] = batch_id
         if staged is not None and not all(
-                os.path.exists(os.path.join(root, e["path"]))
+                FS.exists(os.path.join(root, e["path"]))
                 for e in staged):
             staged = staged_seg = None  # vacuumed mid-stall; restage
         if staged is None:
             staged = _stage_write(batch, root, part_col,
                                   stats_cols=_doc_stats_cols(root, doc))
             staged_seg = _write_segment(root, staged) if staged else None
-        elif staged_seg is not None and not os.path.exists(
+        elif staged_seg is not None and not FS.exists(
                 _segment_file(root, staged_seg["path"])):
             # data files survive but the segment was GC'd as an orphan:
             # rewrite the (tiny) segment from the already-adopted entries
@@ -1018,8 +1024,6 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         # delete the current snapshot out from under its own pointer
         raise ValueError("keep_versions must be >= 1 "
                          "(the current snapshot is always retained)")
-    import fcntl
-
     root = _norm(path)
     # The ENTIRE vacuum — pointer read, ahead-claim triage, live-set
     # construction, both deletion sweeps — runs under the flip lock.
@@ -1034,8 +1038,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # triage listing, are never in it, and their files are protected by
     # the orphan mtime grace below — nothing written mid-vacuum can be
     # deleted by it.
-    with open(os.path.join(root, ".flip_lock"), "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
+    with FS.locked(root):
         cur = current_version(root)
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -1055,7 +1058,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         now = time.time()
         man_dir = os.path.join(root, _MANIFESTS)
         retired_docs: list[dict] = []
-        for mf in sorted(os.listdir(man_dir)):
+        for mf in sorted(FS.listdir(man_dir)):
             if not (mf.startswith("v") and mf.endswith(".json")):
                 continue  # segment files are triaged after the live set
             v = int(mf[1:-5])
@@ -1063,12 +1066,11 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             if v in keep:
                 continue
             if (v > cur
-                    and now - os.path.getmtime(mp) <= _CLAIM_GRACE_SEC):
+                    and now - FS.mtime(mp) <= _CLAIM_GRACE_SEC):
                 keep.add(v)
                 continue
-            with open(mp, encoding="utf-8") as f:
-                retired_docs.append(json.load(f))
-            os.remove(mp)
+            retired_docs.append(json.loads(FS.read_text(mp)))
+            FS.remove(mp)
         live: set[str] = set()
         kept_segs: set[str] = set()
         for v in sorted(keep):
@@ -1098,27 +1100,27 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     dead_known |= {e["path"]
                                    for e in _read_segment(root,
                                                           s["path"])}
-                    os.remove(_segment_file(root, s["path"]))
+                    FS.remove(_segment_file(root, s["path"]))
                 except FileNotFoundError:
                     pass  # shared with an earlier-retired manifest
         # Orphan segment files (written by a commit that crashed before
         # its manifest, or by one whose manifest landed after our
         # triage): same mtime grace as orphan data files.
-        for fname in sorted(os.listdir(man_dir)):
+        for fname in sorted(FS.listdir(man_dir)):
             if not fname.startswith("seg-") or fname in kept_segs:
                 continue
             fp = os.path.join(man_dir, fname)
             try:
-                if now - os.path.getmtime(fp) > _CLAIM_GRACE_SEC:
-                    os.remove(fp)
+                if now - FS.mtime(fp) > _CLAIM_GRACE_SEC:
+                    FS.remove(fp)
             except FileNotFoundError:
                 continue
         deleted: list[str] = []
-        for part_entry in sorted(os.listdir(root)):
+        for part_entry in sorted(FS.listdir(root)):
             part_dir = os.path.join(root, part_entry)
-            if "=" not in part_entry or not os.path.isdir(part_dir):
+            if "=" not in part_entry or not FS.isdir(part_dir):
                 continue
-            for fname in sorted(os.listdir(part_dir)):
+            for fname in sorted(FS.listdir(part_dir)):
                 rel = f"{part_entry}/{fname}"
                 if rel in live:
                     continue
@@ -1130,15 +1132,14 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     # (or landed after our triage listing). Only age
                     # can tell them apart — the grace spares the young.
                     try:
-                        if (now - os.path.getmtime(fp)
+                        if (now - FS.mtime(fp)
                                 <= _CLAIM_GRACE_SEC):
                             continue
                     except FileNotFoundError:
                         continue  # raced its committer's restage cleanup
-                os.remove(fp)
+                FS.remove(fp)
                 deleted.append(rel)
-            if not os.listdir(part_dir):
-                os.rmdir(part_dir)
+            FS.rmdir_if_empty(part_dir)
     return deleted
 
 

@@ -1,0 +1,129 @@
+"""The manifest commit protocol re-run on object-store semantics
+(r08 verdict item 3): tests/test_manifest_table.py's crash, usurpation,
+vacuum, and evolution scenarios executed with ``manifest_table.FS``
+swapped to ObjectStoreSimFS — conditional put + plain PUT + copy/delete
++ age-expired lease; no O_EXCL, no rename-as-commit, no flock. Green
+here proves the protocol's atomicity claims rest on primitives every
+object store has, not on POSIX crutches.
+
+The simulator lives in silvia_spark/operators/manifest_fs.py; wiring a
+real S3/GCS client means implementing the same five-method interface
+with the store's conditional-put headers.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+import tests.test_manifest_table as base
+from silvia_spark.operators import manifest_table as mt
+from silvia_spark.operators.manifest_fs import ObjectStoreSimFS
+
+
+@pytest.fixture(autouse=True)
+def objectstore_fs(monkeypatch):
+    monkeypatch.setattr(mt, "FS", ObjectStoreSimFS())
+
+
+# --- fast, no-Spark protocol pins (default suite) -------------------------
+
+
+def test_os_vacuum_spares_inflight_claims(tmp_path):
+    base.test_vacuum_spares_inflight_claims(tmp_path)
+
+
+def test_os_flip_aborts_on_vacuumed_claim(tmp_path):
+    base.test_flip_aborts_on_vacuumed_claim(tmp_path)
+
+
+def test_os_reclaim_refuses_committed_version(tmp_path):
+    base.test_reclaim_refuses_committed_version(tmp_path)
+
+
+def test_lease_mutex_serializes_and_breaks_expired(tmp_path):
+    """The lease that replaces flock: contenders serialize through the
+    conditional put, and an expired (crashed-holder) lease is broken by
+    age instead of wedging the table."""
+    fs = ObjectStoreSimFS()
+    root = str(tmp_path)
+    order: list[int] = []
+
+    def hold(i):
+        with fs.locked(root):
+            order.append(i)
+            time.sleep(0.05)
+            order.append(i)
+
+    ts = [threading.Thread(target=hold, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # strict serialization: each holder's two marks are adjacent
+    assert all(order[i] == order[i + 1] for i in range(0, 6, 2))
+
+    # a crashed holder's lease is broken once it ages past the TTL
+    lease = os.path.join(root, ".flip_lease")
+    with open(lease, "w") as f:
+        f.write("dead-holder")
+    old = time.time() - fs.LEASE_TTL_SEC - 5
+    os.utime(lease, (old, old))
+    t0 = time.time()
+    with fs.locked(root):
+        pass
+    assert time.time() - t0 < fs.LEASE_TTL_SEC  # broke it, didn't wait
+
+
+# --- full protocol reruns (CI mode; suite-time budget) ---------------------
+
+
+@pytest.mark.full
+def test_os_merge_commits_atomically_and_time_travels(spark, tmp_path):
+    base.test_merge_commits_atomically_and_time_travels(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_crash_before_pointer_flip(spark, tmp_path, monkeypatch):
+    base.test_crash_before_pointer_flip_keeps_old_snapshot(
+        spark, tmp_path, monkeypatch)
+
+
+@pytest.mark.full
+def test_os_vacuum_retires_old_snapshots(spark, tmp_path):
+    base.test_vacuum_retires_old_snapshots(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_usurped_append_claim_rebases_not_lost(spark, tmp_path,
+                                                  monkeypatch):
+    base.test_usurped_append_claim_rebases_not_lost(
+        spark, tmp_path, monkeypatch)
+
+
+@pytest.mark.full
+def test_os_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch):
+    base.test_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch)
+
+
+@pytest.mark.full
+def test_os_crashed_create_is_reclaimed(spark, tmp_path):
+    base.test_crashed_create_is_reclaimed(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch):
+    base.test_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch)
+
+
+@pytest.mark.full
+def test_os_schema_evolution(spark, tmp_path):
+    base.test_schema_evolution_append_and_time_travel(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_concurrent_append_merge_vacuum_stress(spark, tmp_path):
+    base.test_concurrent_append_merge_vacuum_stress(spark, tmp_path)
