@@ -82,12 +82,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
                                prune={"event_id": (1_000_000, None)})
     appended_back = pruned.where(F.col("event_id") >= 1_000_000).count()
 
-    # 7. GC everything no retained snapshot references
+    # 7. SQL read surface: register snapshots as temp views — current
+    #    and as-of v1 side by side — and query them from spark.sql with
+    #    plain SQL (snapshot isolation: the views don't shift if another
+    #    commit lands; re-register to advance)
+    api.register_snapshot_view(spark, root, "events_tbl")
+    api.register_snapshot_view(spark, root, "events_tbl_v1", version=1)
+    sql_drift = spark.sql("""
+        SELECT cur.event_type, cur.cnt - v1.cnt AS drift
+        FROM (SELECT event_type, count(*) AS cnt FROM events_tbl
+              GROUP BY event_type) cur
+        JOIN (SELECT event_type, count(*) AS cnt FROM events_tbl_v1
+              GROUP BY event_type) v1 USING (event_type)
+        ORDER BY event_type
+    """).collect()
+
+    # 8. GC everything no retained snapshot references
     deleted = api.vacuum(root, keep_versions=1)
 
     out = {"v_after_append": v, "v_after_merge": v_merge,
            "feed_rows": feed_rows, "v1_rows": v1_rows,
            "current_rows": cur_rows, "appended_back": appended_back,
+           "sql_drift_rows": len(sql_drift),
            "vacuumed_files": len(deleted)}
     print(out)
     return out

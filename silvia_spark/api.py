@@ -80,6 +80,7 @@ from silvia_spark.operators.manifest_table import (
     prune_entries,
     read_changes,
     read_snapshot,
+    register_snapshot_view,
     vacuum,
 )
 
@@ -130,6 +131,7 @@ __all__ = [
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
     "commit_append", "read_changes", "prune_entries", "vacuum",
+    "register_snapshot_view",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

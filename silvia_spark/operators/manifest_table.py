@@ -1143,6 +1143,24 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def register_snapshot_view(spark: SparkSession, path: str, name: str,
+                           version: int | None = None,
+                           prune: dict[str, tuple] | None = None
+                           ) -> DataFrame:
+    """SQL read surface for a manifest table: expose a snapshot as a
+    temp view so ``spark.sql("SELECT ... FROM name")`` queries it —
+    including time travel (``version=k``) and index-pruned reads —
+    through the engine's SQL entry point. The view captures the
+    snapshot's resolved file list at REGISTRATION time (snapshot
+    isolation, the Delta-reader discipline): commits after registration
+    do not shift it; re-register to advance, or register ``version=k``
+    views side by side for as-of comparisons in one SQL statement.
+    Returns the backing DataFrame."""
+    df = read_snapshot(spark, path, version=version, prune=prune)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 # --- contract: atomic multi-partition MERGE through the manifest -------------
 
 

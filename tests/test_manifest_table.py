@@ -742,3 +742,36 @@ def test_vacuum_under_slow_reader(spark, tmp_path):
     mt.vacuum(root, keep_versions=1)
     with pytest.raises(Py4JJavaError):
         slow_reader.collect()
+
+
+def test_sql_view_over_manifest_table(spark, tmp_path):
+    """SQL read surface (r08 verdict item 7): snapshots registered as
+    temp views are queryable via spark.sql, with time travel side by
+    side, and hold snapshot isolation — a commit AFTER registration does
+    not shift an already-registered view."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
+
+    mt.register_snapshot_view(spark, root, "tbl_cur")
+    mt.register_snapshot_view(spark, root, "tbl_v1", version=1)
+    got = spark.sql("""
+        SELECT part, cur.n AS n_cur, v1.n AS n_v1
+        FROM (SELECT part, count(*) AS n FROM tbl_cur GROUP BY part) cur
+        FULL JOIN (SELECT part, count(*) AS n FROM tbl_v1
+                   GROUP BY part) v1 USING (part)
+        ORDER BY part
+    """).collect()
+    assert [(r.part, r.n_cur, r.n_v1) for r in got] == [
+        ("p1", 3, 3), ("p2", 3, 2), ("p3", None, 1)]
+
+    # snapshot isolation: a later commit doesn't shift the view
+    late = spark.createDataFrame([(77, "p2", 770.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, late, "part")
+    assert spark.sql("SELECT count(*) AS n FROM tbl_cur"
+                     ).collect()[0].n == 6
+    # re-registering advances to the new snapshot
+    mt.register_snapshot_view(spark, root, "tbl_cur")
+    assert spark.sql("SELECT count(*) AS n FROM tbl_cur"
+                     ).collect()[0].n == 7
