@@ -256,8 +256,19 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions after the least/greatest normalization), so the index
     size is unchanged — only the probe fan-out doubles. Same exact
     all-pairs oracle as the base contract: green hash ⇒ recall 1 on
-    this corpus at 2.7× less work. Deterministic end-to-end: quantized
-    integer dots + lexicographic weakest-bit tiebreak."""
+    this corpus at 2.7× less INDEX work. Deterministic end-to-end:
+    quantized integer dots + lexicographic weakest-bit tiebreak.
+
+    When the knob pays — measured, not argued (ANN_CROSSOVER.json,
+    tools/ann_crossover.py): the table/probe trade shrinks the INDEX
+    stage only, and the probe fan-out GROWS the candidate-join input.
+    Index-bound pipelines (rare candidates: high thresholds, large
+    dims, small corpora — sf0.1 here: index = 84% of base wall time)
+    win 1.7× end-to-end; candidate-bound ones (dense corpora at low
+    thresholds — 20k vectors at 0.4: ~195M distinct candidates, join +
+    verify = 95% of wall) LOSE ~25% (259 s vs base 208 s at sf1).
+    Estimate the index share first; candidate cost is governed by B
+    (bucket occupancy), not by this knob."""
     e = load_table(spark, sf_dir, "embeddings")
     buckets = managed_persist(
         cap_buckets(bucket_keys_multiprobe(spark, e), _ANN_BUCKET_CAP),
@@ -352,6 +363,13 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation) — so the model is a sizing lower bound, and the exact
     all-pairs oracle stays the empirical gate: green hash ⇒ recall 1 on
     this corpus at 4× less GEMM than the base contract.
+
+    4× less GEMM is NOT 4× less work: the crossover is measured in
+    ANN_CROSSOVER.json (see multiprobe-1's docstring for the decision
+    rule). Index-bound regimes win 2.1× end-to-end (8.6 s vs 17.9 s at
+    sf0.1); candidate-bound ones lose ~27% (264 s vs 208 s at 20k
+    vectors, threshold 0.4) because the 4× probe fan-out feeds the
+    same-bucket join that already dominates.
 
     Same capping discipline as multiprobe-1: the flip-key union gets its
     own cap pass (never capped together with base rows), bounding every
