@@ -41,7 +41,13 @@ def local_path(path: str) -> str:
             # (empty for file:///x; a non-empty host is ignored)
             rest = rest[2:]
             slash = rest.find("/")
-            rest = rest[slash:] if slash >= 0 else "/"
+            rest = rest[slash:] if slash >= 0 else ""
+        if not rest.startswith("/"):
+            # file:relative/p or file://host-with-no-path: silently
+            # rewriting these to an absolute path would point os.* at a
+            # DIFFERENT location than Spark resolved — fail loudly
+            raise ValueError(
+                f"unsupported file: URI (no absolute path): {path!r}")
         path = "/" + rest.lstrip("/")
     return path.rstrip("/")
 

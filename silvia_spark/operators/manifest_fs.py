@@ -48,15 +48,23 @@ class LocalFS:
 
     def put_if_absent(self, path: str, data: str) -> bool:
         """Create-exclusive claim; False when the path already exists
-        (the CAS-failure signal). Data is fully written before the name
-        wins: "x" creates the inode atomically, and claim files are
-        only trusted after this returns True."""
+        (the CAS-failure signal). Content-atomic: the data is fully
+        written to a hidden temp file first and the visible name is
+        taken with os.link — exclusive like O_EXCL, but a concurrent
+        reader (vacuum triage, a racing appender's _load_doc) can never
+        observe a partially-written claim under the final name (open
+        "x" + write exposed exactly that window — r09 review finding)."""
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(data)
         try:
-            with open(path, "x", encoding="utf-8") as f:
-                f.write(data)
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
+        finally:
+            os.remove(tmp)
 
     def put_atomic(self, path: str, data: str) -> None:
         tmp = os.path.join(os.path.dirname(path),
@@ -90,8 +98,15 @@ class LocalFS:
         shutil.rmtree(path)
 
     def rmdir_if_empty(self, path: str) -> None:
-        if not os.listdir(path):
-            os.rmdir(path)
+        """Best-effort: adoption takes no lock, so a committer can drop
+        a file into the dir between our listdir and rmdir (ENOTEMPTY) or
+        another sweep can beat us to it (ENOENT) — both are fine
+        outcomes, not errors."""
+        try:
+            if not os.listdir(path):
+                os.rmdir(path)
+        except OSError:
+            pass
 
     @contextmanager
     def locked(self, root: str):
@@ -125,8 +140,13 @@ class ObjectStoreSimFS(LocalFS):
         with self._cas_guard:  # the store's server-side If-None-Match
             if os.path.exists(path):
                 return False
-            with open(path, "w", encoding="utf-8") as f:
+            # objects become visible complete or not at all — that is
+            # the store's guarantee; temp+replace reproduces it locally
+            # (simulator plumbing, like _cas_guard itself)
+            tmp = f"{path}.cas-{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write(data)
+            os.replace(tmp, path)
             return True
 
     def put_atomic(self, path: str, data: str) -> None:
@@ -149,33 +169,58 @@ class ObjectStoreSimFS(LocalFS):
     def locked(self, root: str):
         """Lease-object mutex: take ``.flip_lease`` via conditional
         put; a holder that died is detected by lease age (TTL) and the
-        lease is broken with delete+retake. Spin briefly — flips are
-        microseconds, vacuum sweeps are the long pole."""
+        lease is broken with an age-rechecked delete. A LIVE holder
+        renews the lease's mtime on a heartbeat (TTL/3) for as long as
+        it holds the section, so a long vacuum sweep is never broken
+        mid-deletion by a TTL that was sized for microsecond flips —
+        only a holder that actually died stops renewing and ages out.
+        Break and release both run under the CAS guard (the store's
+        conditional-delete), so a breaker can never delete a lease that
+        was renewed or re-issued after its age check."""
+        import threading
+
         lease = os.path.join(root, ".flip_lease")
         token = uuid.uuid4().hex
         while True:
             if self.put_if_absent(lease, token):
                 break
-            try:
-                if time.time() - self.mtime(lease) > self.LEASE_TTL_SEC:
-                    # expired holder: break the lease and re-contend
-                    # (delete is idempotent; two breakers race to the
-                    # conditional put, one wins)
-                    try:
-                        self.remove(lease)
-                    except FileNotFoundError:
-                        pass
-                    continue
-            except FileNotFoundError:
-                continue  # released between our put and our mtime probe
+            with self._cas_guard:
+                # atomic age-check + break: nothing can renew or
+                # re-issue between the check and the delete
+                try:
+                    if (time.time() - os.path.getmtime(lease)
+                            > self.LEASE_TTL_SEC):
+                        os.remove(lease)
+                except FileNotFoundError:
+                    pass
             time.sleep(0.002)
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(self.LEASE_TTL_SEC / 3):
+                with self._cas_guard:
+                    try:
+                        with open(lease, encoding="utf-8") as f:
+                            if f.read() != token:
+                                return  # lost it; never touch again
+                        os.utime(lease, None)
+                    except FileNotFoundError:
+                        return
+
+        beat = threading.Thread(target=_beat, daemon=True)
+        beat.start()
         try:
             yield
         finally:
-            # release only OUR lease: a TTL-breaker may have re-issued
-            # it to someone else while we overstayed
-            try:
-                if self.read_text(lease) == token:
-                    self.remove(lease)
-            except FileNotFoundError:
-                pass
+            stop.set()
+            beat.join(timeout=1.0)
+            with self._cas_guard:
+                # conditional delete: only OUR lease — a breaker may
+                # have re-issued it while we overstayed a missed beat
+                try:
+                    with open(lease, encoding="utf-8") as f:
+                        mine = f.read() == token
+                    if mine:
+                        os.remove(lease)
+                except FileNotFoundError:
+                    pass

@@ -141,14 +141,23 @@ def _write_segment(root: str, entries: list[dict]) -> dict:
         raise FileExistsError(name)  # uuid collision: effectively never
     desc = {"path": name, "count": len(entries),
             "partitions": sorted({e["partition"] for e in entries})}
+    # Rollup a column ONLY when every entry in the segment carries stats
+    # for it: segment-level pruning skips the whole entry list, so a
+    # rollup that ignored a statless file would let _seg_overlaps drop a
+    # file that per-entry pruning conservatively keeps — silently wrong
+    # query results (r09 review finding).
     rollup: dict[str, list] = {}
+    covered: dict[str, int] = {}
     for e in entries:
         for c, (lo, hi) in e.get("stats", {}).items():
+            covered[c] = covered.get(c, 0) + 1
             cur = rollup.get(c)
             if cur is None:
                 rollup[c] = [lo, hi]
             else:
                 cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
+    rollup = {c: v for c, v in rollup.items()
+              if covered[c] == len(entries)}
     if rollup:
         desc["stats"] = rollup
     return desc
@@ -194,12 +203,43 @@ def _write_doc(root: str, version: int, doc: dict,
     signal."""
     FS.makedirs(os.path.join(root, _MANIFESTS))
     path = _manifest_path(root, version)
+    cur = current_version(root)
+    if cur is not None and cur >= version:
+        # The version already committed AND its manifest may since have
+        # been vacuumed: without this check a stale committer (one that
+        # loaded its parent before several commits + a vacuum landed)
+        # would re-create v{N}.json behind the pointer, and its post-flip
+        # _claim_survived would find its own doc and report success for
+        # a commit that never became visible (r09 review finding).
+        raise FileExistsError(
+            f"version {version} is already committed (current={cur}) — "
+            "stale parent; reload and rebase")
     if not occ and FS.exists(path):
         # locked + pointer-rechecked: if the version committed in the
         # meantime the reclaim refuses and the conditional put raises
         _reclaim_claim(root, version)
     if not FS.put_if_absent(path, json.dumps(doc, indent=1)):
         raise FileExistsError(path)
+    cur = current_version(root)
+    if cur is not None and cur >= version:
+        # Pointer passed `version` in the microseconds between the
+        # pre-check and our put (commit + vacuum-retire in that window):
+        # our fresh claim sits BEHIND the pointer, nobody will ever flip
+        # it (flips refuse cur >= version), and left in place it would
+        # masquerade as the retained snapshot v{N} for time travel.
+        # Withdraw it — under the flip lock, and only if the doc on disk
+        # is verbatim OURS: in the one legit interleaving (a usurper
+        # replaced our claim and committed ITS doc at this version) the
+        # doc differs and must stay.
+        with FS.locked(root):
+            try:
+                if json.loads(FS.read_text(path)) == doc:
+                    FS.remove(path)
+            except FileNotFoundError:
+                pass
+        raise FileExistsError(
+            f"version {version} committed while claiming it — stale "
+            "parent; reload and rebase")
 
 
 def _make_doc(version: int, parent: int | None,
@@ -406,7 +446,14 @@ def _adopt_staged(root: str, stage: str, part_col: str, token: str,
             entry["rows"] = rows
             if stats:
                 entry["stats"] = stats
-            FS.move_in(src, os.path.join(live_dir, new_name))
+            try:
+                FS.move_in(src, os.path.join(live_dir, new_name))
+            except FileNotFoundError:
+                # vacuum's empty-dir sweep can remove live_dir between
+                # our makedirs and the move (adoption takes no lock) —
+                # recreate and retry once
+                FS.makedirs(live_dir)
+                FS.move_in(src, os.path.join(live_dir, new_name))
             entries.append(entry)
     FS.rmtree(stage)
     return entries
@@ -475,7 +522,12 @@ def _evolve_schema(table_schema_json: str | None, batch_schema,
         old = by_name.get(f.name)
         if old is None:
             new.append(f)
-        elif old.dataType != f.dataType:
+        elif old.dataType.simpleString() != f.dataType.simpleString():
+            # simpleString strips nullability at every nesting level:
+            # array containsNull / struct-field nullable differences are
+            # merge-compatible (Delta ORs them; Spark's reader treats
+            # read-schema nullability as advisory) and must not be
+            # rejected as type changes — only genuine type drift is.
             raise SchemaEvolutionError(
                 f"column {f.name!r}: table has {old.dataType.simpleString()}"
                 f", batch has {f.dataType.simpleString()} — type changes "
@@ -729,18 +781,21 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
 
+    stats_cols = _doc_stats_cols(root, doc)
     new_entries = _stage_write(merged, root, part_col,
-                               stats_cols=_doc_stats_cols(root, doc))
+                               stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
         segs.append(_write_segment(root, rehome))
     if new_entries:
         segs.append(_write_segment(root, new_entries))
+    segs = _coalesce_segments(root, segs)  # merge-only workloads must
+    #                              respect the manifest-size bound too
     version = doc["version"] + 1
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
-                       stats_cols=doc.get("stats_cols"))
+                       stats_cols=stats_cols)
     newdoc["part_col"] = doc.get("part_col", part_col)
     _write_doc(root, version, newdoc)
     if not (_flip_current(root, version, commit_id=commit_id)
@@ -851,9 +906,10 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 FS.exists(os.path.join(root, e["path"]))
                 for e in staged):
             staged = staged_seg = None  # vacuumed mid-stall; restage
+        stats_cols = _doc_stats_cols(root, doc)
         if staged is None:
             staged = _stage_write(batch, root, part_col,
-                                  stats_cols=_doc_stats_cols(root, doc))
+                                  stats_cols=stats_cols)
             staged_seg = _write_segment(root, staged) if staged else None
         elif staged_seg is not None and not FS.exists(
                 _segment_file(root, staged_seg["path"])):
@@ -875,7 +931,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         version = doc["version"] + 1
         newdoc = _make_doc(version, doc["version"], segments, txns=txns,
                            commit_id=commit_id, schema=schema_json,
-                           stats_cols=doc.get("stats_cols"))
+                           stats_cols=stats_cols)
         if doc.get("part_col") or part_col:
             newdoc["part_col"] = doc.get("part_col", part_col)
         try:
@@ -976,17 +1032,19 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                     .agg(F.max("count")).collect()[0][0])
         max_records = -(-max_rows // target_files)  # ceil
     compacted = cur.repartition(F.col(part_col))
+    stats_cols = _doc_stats_cols(root, m)
     new_entries = _stage_write(compacted, root, part_col, max_records,
-                               stats_cols=_doc_stats_cols(root, m))
+                               stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
         segs.append(_write_segment(root, rehome))
     if new_entries:
         segs.append(_write_segment(root, new_entries))
+    segs = _coalesce_segments(root, segs)
     version = m["version"] + 1
     newdoc = _make_doc(version, m["version"], segs, txns=m.get("txn"),
                        commit_id=commit_id, schema=m.get("schema"),
-                       stats_cols=m.get("stats_cols"))
+                       stats_cols=stats_cols)
     newdoc["part_col"] = m.get("part_col", part_col)
     _write_doc(root, version, newdoc)
     if not (_flip_current(root, version, commit_id=commit_id)
@@ -1069,7 +1127,12 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     and now - FS.mtime(mp) <= _CLAIM_GRACE_SEC):
                 keep.add(v)
                 continue
-            retired_docs.append(json.loads(FS.read_text(mp)))
+            try:
+                retired_docs.append(json.loads(FS.read_text(mp)))
+            except ValueError:
+                pass  # unparseable leftover (torn write from a crashed
+                #       writer on a non-atomic FS): remove it; its files
+                #       are in no live set and age out as orphans
             FS.remove(mp)
         live: set[str] = set()
         kept_segs: set[str] = set()
@@ -1081,6 +1144,11 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     raise  # a missing CURRENT manifest is corruption
                 keep.discard(v)  # deleted by an earlier tighter vacuum
                 continue
+            except ValueError:
+                if v == cur:
+                    raise  # an unreadable CURRENT manifest is corruption
+                keep.discard(v)  # mid-write claim on a non-atomic FS:
+                continue  # its segments/files are young — grace-spared
             kept_segs |= {s["path"] for s in doc.get("segments", ())}
             live |= {e["path"] for e in _resolve(root, doc)}
         # Known-dead files = those referenced ONLY by manifests retired

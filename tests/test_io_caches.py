@@ -49,3 +49,11 @@ def test_local_path_handles_all_file_scheme_spellings():
     assert local_path("file://localhost/a/b") == "/a/b"
     assert local_path("relative/path") == "relative/path"
     assert local_path("s3a://bucket/a") == "s3a://bucket/a"
+    # malformed file: URIs fail loudly instead of silently targeting a
+    # different absolute location (r09 review finding)
+    import pytest
+
+    with pytest.raises(ValueError):
+        local_path("file:relative/p")
+    with pytest.raises(ValueError):
+        local_path("file://host-only")

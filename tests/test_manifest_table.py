@@ -705,10 +705,14 @@ def test_v1_format_tables_still_read_and_migrate(spark, tmp_path):
     segments without losing entries."""
     root = str(tmp_path / "t")
     mt.create_table(_base(spark), root, "part")
-    # rewrite v1 as an inline-files doc (the old format)
+    # rewrite v1 as an inline-files doc (the old format); the pointer
+    # comes off first — the stale-version guard refuses any writes at
+    # or below a committed version
     m = mt.load_manifest(root, 1)
+    os.remove(os.path.join(root, mt._CURRENT))
     os.remove(mt._manifest_path(root, 1))
     mt._write_manifest(root, 1, m["files"], parent=None)
+    mt._flip_current(root, 1)
     assert _rows(mt.read_snapshot(spark, root)) == _rows(_base(spark))
 
     b = spark.createDataFrame([(10, "p2", 100.0)],
@@ -775,3 +779,78 @@ def test_sql_view_over_manifest_table(spark, tmp_path):
     mt.register_snapshot_view(spark, root, "tbl_cur")
     assert spark.sql("SELECT count(*) AS n FROM tbl_cur"
                      ).collect()[0].n == 7
+
+
+def test_segment_rollup_voided_by_statless_entry(tmp_path):
+    """r09 review finding: a segment's stats rollup must cover EVERY
+    entry, else segment-level pruning drops files that per-entry pruning
+    conservatively keeps."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, mt._MANIFESTS))
+    entries = [
+        {"path": "part=p1/a.parquet", "partition": "p1", "rows": 1,
+         "stats": {"x": [0, 10]}},
+        {"path": "part=p1/b.parquet", "partition": "p1", "rows": 1},
+    ]
+    desc = mt._write_segment(root, entries)
+    assert "stats" not in desc  # x is NOT fully covered — no rollup
+    # a statless segment must never be skipped by the pruned read
+    assert mt._seg_overlaps(desc, {"x": (50, 60)})
+    # fully-covered columns still roll up
+    desc2 = mt._write_segment(root, [
+        {"path": "part=p1/c.parquet", "partition": "p1", "rows": 1,
+         "stats": {"x": [0, 10]}},
+        {"path": "part=p1/d.parquet", "partition": "p1", "rows": 1,
+         "stats": {"x": [20, 30]}},
+    ])
+    assert desc2["stats"] == {"x": [0, 30]}
+    assert not mt._seg_overlaps(desc2, {"x": (50, 60)})
+
+
+def test_stats_cols_survive_v1_migration(spark, tmp_path):
+    """r09 review finding: the first commit on a v1-format table must
+    carry the computed stats-column union into the v2 doc, or stats
+    collection silently stops for every later commit."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part", stats_cols=["k"])
+    m = mt.load_manifest(root, 1)
+    os.remove(os.path.join(root, mt._CURRENT))
+    os.remove(mt._manifest_path(root, 1))
+    mt._write_manifest(root, 1, m["files"], parent=None)  # v1 format
+    mt._flip_current(root, 1)
+
+    b = spark.createDataFrame([(10, "p2", 100.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")
+    d2 = mt._load_doc(root)
+    assert d2.get("stats_cols") == ["k"]
+    b2 = spark.createDataFrame([(11, "p2", 110.0)],
+                               "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b2, "part")
+    # the post-migration append still collects per-file k stats
+    new = [e for e in mt.load_manifest(root)["files"]
+           if e["partition"] == "p2" and e["rows"] == 1]
+    assert new and all("stats" in e and "k" in e["stats"] for e in new)
+
+
+def test_stale_committer_cannot_claim_passed_version(spark, tmp_path):
+    """r09 review finding: a committer whose parent snapshot was passed
+    AND whose target version was vacuum-retired must fail loudly — not
+    re-create the retired manifest and report a commit that never
+    became visible."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    stale_doc = mt._load_doc(root)  # parent = v1
+
+    b = spark.createDataFrame([(10, "p1", 100.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")   # v2
+    mt.commit_append(spark, root, b.withColumn(
+        "k", b.k + 1), "part")                 # v3
+    mt.vacuum(root, keep_versions=1)           # retires v1, v2
+
+    # the stale committer writes against its old parent: version 2
+    with pytest.raises(FileExistsError, match="already committed"):
+        mt._write_doc(root, 2, mt._make_doc(
+            2, 1, [], commit_id="stale"), occ=True)
+    assert not os.path.exists(mt._manifest_path(root, 2))
