@@ -54,6 +54,11 @@ class LocalFS:
         reader (vacuum triage, a racing appender's _load_doc) can never
         observe a partially-written claim under the final name (open
         "x" + write exposed exactly that window — r09 review finding)."""
+        if os.path.exists(path):
+            # fast path for the contended-append loop: a lost claim
+            # costs a stat, not a full payload write + link + unlink
+            # (os.link below remains the authoritative exclusivity)
+            return False
         tmp = os.path.join(os.path.dirname(path),
                            f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -140,13 +145,9 @@ class ObjectStoreSimFS(LocalFS):
         with self._cas_guard:  # the store's server-side If-None-Match
             if os.path.exists(path):
                 return False
-            # objects become visible complete or not at all — that is
-            # the store's guarantee; temp+replace reproduces it locally
-            # (simulator plumbing, like _cas_guard itself)
-            tmp = f"{path}.cas-{uuid.uuid4().hex}"
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(data)
-            os.replace(tmp, path)
+            # objects become visible complete or not at all — the
+            # store's own guarantee; put_atomic reproduces it locally
+            self.put_atomic(path, data)
             return True
 
     def put_atomic(self, path: str, data: str) -> None:

@@ -188,58 +188,46 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 def _write_doc(root: str, version: int, doc: dict,
                occ: bool = False) -> None:
-    """Manifest files are write-once: mode "x" (O_CREAT|O_EXCL, an atomic
-    claim on POSIX) makes two writers racing the same version an explicit
-    error instead of silent last-wins. With ``occ=False`` (single-writer
-    commits) one recovery exception applies: a manifest AHEAD of the
-    committed pointer is PRESUMED a leftover from a crash between
-    manifest-write and pointer-flip (it was never visible to any
-    reader) — a re-applied commit may replace it. The presumption can be
-    wrong (the manifest may be a LIVE appender's claim); that is safe
-    because every committer re-checks its claim after the flip via
-    ``_claim_survived`` — a usurped appender rebases and retries instead
-    of silently losing its batch. With ``occ=True`` (concurrent
+    """Write-once version claim, taken UNDER the flip lock with the
+    committed-pointer check inside: the pointer cannot advance between
+    the check and the put (flips and vacuum hold the same lock), so a
+    claim can never land at or behind the committed pointer. Without
+    this, a stale committer whose target version had committed AND been
+    vacuum-retired could re-create v{N}.json behind the pointer and its
+    post-flip _claim_survived would report success for a commit that
+    never became visible — and any withdrawal heuristic for such a
+    claim can be tricked into deleting a manifest that a resumed
+    stalled flipper just made current (both r09 review findings; the
+    lock closes the whole family). The conditional put keeps two
+    writers racing the same version an explicit error instead of
+    silent last-wins. With ``occ=False`` (single-writer commits) one
+    recovery exception applies: a manifest AHEAD of the committed
+    pointer is PRESUMED a leftover from a crash between manifest-write
+    and pointer-flip (it was never visible to any reader) — a
+    re-applied commit may replace it. The presumption can be wrong
+    (the manifest may be a LIVE appender's claim); that is safe because
+    every committer re-checks its claim after the flip via
+    ``_claim_survived`` — a usurped appender rebases and retries
+    instead of silently losing its batch. With ``occ=True`` (concurrent
     appenders) FileExistsError always propagates as the conflict
     signal."""
     FS.makedirs(os.path.join(root, _MANIFESTS))
     path = _manifest_path(root, version)
-    cur = current_version(root)
-    if cur is not None and cur >= version:
-        # The version already committed AND its manifest may since have
-        # been vacuumed: without this check a stale committer (one that
-        # loaded its parent before several commits + a vacuum landed)
-        # would re-create v{N}.json behind the pointer, and its post-flip
-        # _claim_survived would find its own doc and report success for
-        # a commit that never became visible (r09 review finding).
-        raise FileExistsError(
-            f"version {version} is already committed (current={cur}) — "
-            "stale parent; reload and rebase")
-    if not occ and FS.exists(path):
-        # locked + pointer-rechecked: if the version committed in the
-        # meantime the reclaim refuses and the conditional put raises
-        _reclaim_claim(root, version)
-    if not FS.put_if_absent(path, json.dumps(doc, indent=1)):
-        raise FileExistsError(path)
-    cur = current_version(root)
-    if cur is not None and cur >= version:
-        # Pointer passed `version` in the microseconds between the
-        # pre-check and our put (commit + vacuum-retire in that window):
-        # our fresh claim sits BEHIND the pointer, nobody will ever flip
-        # it (flips refuse cur >= version), and left in place it would
-        # masquerade as the retained snapshot v{N} for time travel.
-        # Withdraw it — under the flip lock, and only if the doc on disk
-        # is verbatim OURS: in the one legit interleaving (a usurper
-        # replaced our claim and committed ITS doc at this version) the
-        # doc differs and must stay.
-        with FS.locked(root):
+    with FS.locked(root):
+        cur = current_version(root)
+        if cur is not None and cur >= version:
+            raise FileExistsError(
+                f"version {version} is already committed "
+                f"(current={cur}) — stale parent; reload and rebase")
+        if not occ and FS.exists(path):
+            # ahead-of-pointer leftover (pointer re-checked above,
+            # under the same lock a reclaim would take): replace it
             try:
-                if json.loads(FS.read_text(path)) == doc:
-                    FS.remove(path)
+                FS.remove(path)
             except FileNotFoundError:
                 pass
-        raise FileExistsError(
-            f"version {version} committed while claiming it — stale "
-            "parent; reload and rebase")
+        if not FS.put_if_absent(path, json.dumps(doc, indent=1)):
+            raise FileExistsError(path)
 
 
 def _make_doc(version: int, parent: int | None,
@@ -1183,6 +1171,22 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     FS.remove(fp)
             except FileNotFoundError:
                 continue
+        # Crashed-writer temp files: the content-atomic write protocols
+        # (put_if_absent's .tmp-*, put_atomic's .<name>-* / *.put-*)
+        # leak their temp on a crash between write and link/replace —
+        # aged ones are swept here so a long-lived table cannot
+        # accumulate them. Live lock/lease files never match.
+        for d in (man_dir, root):
+            for fname in sorted(FS.listdir(d)):
+                if not (fname.startswith(".tmp-") or ".put-" in fname
+                        or fname.startswith(f".{_CURRENT}-")):
+                    continue
+                fp = os.path.join(d, fname)
+                try:
+                    if now - FS.mtime(fp) > _CLAIM_GRACE_SEC:
+                        FS.remove(fp)
+                except (FileNotFoundError, OSError):
+                    continue
         deleted: list[str] = []
         for part_entry in sorted(FS.listdir(root)):
             part_dir = os.path.join(root, part_entry)

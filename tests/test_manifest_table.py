@@ -549,13 +549,12 @@ def test_merge_requires_part_col_in_keys(spark, tmp_path):
 
 
 def test_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch):
-    """The r08 ADVICE race: a committer adopts files and writes its claim
-    manifest WHILE vacuum is mid-sweep (the create-exclusive manifest
-    write takes no flip lock, so it can land after vacuum's triage).
-    Vacuum's triage-time live set cannot contain them — the orphan mtime
-    grace must spare the fresh data file, the claim manifest must survive
-    (no post-triage manifest sweep exists to delete it), and the
-    committer must still be able to flip."""
+    """The r08 ADVICE race, tightened by the r09 locked-claim protocol:
+    manifest claims now take the flip lock, so a claim can never land
+    mid-vacuum at all (it blocks until the sweep finishes). ADOPTION is
+    still lock-free — a committer's data file CAN land between triage
+    and the file sweep, and the orphan mtime grace must spare it; the
+    committer's subsequent claim + flip must then succeed."""
     root = _fab_table(tmp_path)
     real_listdir = os.listdir
     injected = []
@@ -563,24 +562,24 @@ def test_vacuum_spares_commit_staged_mid_sweep(tmp_path, monkeypatch):
     def listdir_hook(p):
         if p == os.path.join(root, "part=p1") and not injected:
             injected.append(True)
-            # concurrent appender lands between triage and file sweep
+            # concurrent ADOPTION lands between triage and file sweep
+            # (adoption takes no lock; the claim write now would block
+            # on the flip lock vacuum holds — by design)
             with open(os.path.join(root, "part=p1", "f2.parquet"),
                       "w") as f:
                 f.write("y")
-            mt._write_manifest(
-                root, 2,
-                [{"path": "part=p1/f1.parquet", "partition": "p1",
-                  "rows": 1},
-                 {"path": "part=p1/f2.parquet", "partition": "p1",
-                  "rows": 1}],
-                parent=1, occ=True)
         return real_listdir(p)
 
     monkeypatch.setattr(mt.os, "listdir", listdir_hook)
     assert mt.vacuum(root) == []
     monkeypatch.setattr(mt.os, "listdir", real_listdir)
     assert os.path.exists(os.path.join(root, "part=p1", "f2.parquet"))
-    assert os.path.exists(mt._manifest_path(root, 2))
+    # the committer's claim + flip proceed once vacuum releases the lock
+    mt._write_manifest(
+        root, 2,
+        [{"path": "part=p1/f1.parquet", "partition": "p1", "rows": 1},
+         {"path": "part=p1/f2.parquet", "partition": "p1", "rows": 1}],
+        parent=1, occ=True)
     assert mt._flip_current(root, 2)
     assert mt.current_version(root) == 2
 
