@@ -72,6 +72,7 @@ from silvia_spark.operators.scale_patterns import compact_partitioned
 from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
+from silvia_spark.sources.manifest_stream import read_stream_table
 from silvia_spark.operators.manifest_table import (
     commit_append,
     commit_compaction,
@@ -131,7 +132,7 @@ __all__ = [
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
     "commit_append", "read_changes", "prune_entries", "vacuum",
-    "register_snapshot_view",
+    "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

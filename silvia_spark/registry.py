@@ -69,8 +69,10 @@ _PRIORITY: tuple[str, ...] = (
     "sink_table_manifest_commit", "stream_manifest_sink",
     "scan_manifest_changes", "scan_manifest_pruned", "sink_merge_keyed",
     # -- tier 0b: NEW in r09 — L15, additive schema evolution through the
-    #    manifest layer (per-version read schemas; verdict item 2). --------
-    "scan_manifest_schema_evolution",
+    #    manifest layer (per-version read schemas; verdict item 2), and
+    #    L16, the manifest table as a streaming SOURCE (version offsets,
+    #    file-granular micro-batches; sources/manifest_stream.py). --------
+    "scan_manifest_schema_evolution", "stream_manifest_source",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the sixteen r04-era keys (oldest evidence anywhere) ------

@@ -726,3 +726,59 @@ def stream_kafka_shim_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("m.i").alias("id_sum")))
     out = _run_to_memory(agg, spark, output_mode="complete")
     return out.orderBy("event_type")
+
+
+# --- L16: manifest table as a STREAMING SOURCE --------------------------------
+
+# The stream starts at version 1 (after the initial snapshot), so it
+# delivers exactly the two appended batches — the oracle recomputes that
+# subset. Green hash ⇒ the version-offset diff semantics deliver the
+# appended commits and nothing from the starting snapshot.
+def _l16_oracle() -> str:
+    from silvia_spark.functions.numeric import sql_dsum
+    return f"""
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       {sql_dsum("value", "val_sum")}
+FROM events
+WHERE event_id % 3 <> 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("stream_manifest_source", oracle=_l16_oracle())
+def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest table as a streaming SOURCE (sources/manifest_stream.py,
+    the read half of L12's exactly-once write): offsets are table
+    versions, each micro-batch is the file-granular diff between two
+    committed snapshots (read_changes' set), one InputPartition per
+    changed file (executor-parallel, no driver data). Here the table is
+    created from one third of events and two more thirds are appended as
+    v2/v3; the stream starts at version 1, so the availableNow run
+    delivers exactly the appended commits — the hash proves the
+    version-diff semantics end-to-end through Spark's streaming engine.
+    tests/test_manifest_stream_source.py additionally pins checkpointed
+    exactly-once resumption across separate runs."""
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.io import load_table
+    from silvia_spark.operators.manifest_table import (commit_append,
+                                                       create_table)
+    from silvia_spark.sources.manifest_stream import read_stream_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msrc_"), "tbl")
+    create_table(ev.where(F.col("event_id") % 3 == 0), root, "event_type")
+    commit_append(spark, root, ev.where(F.col("event_id") % 3 == 1),
+                  "event_type")
+    commit_append(spark, root, ev.where(F.col("event_id") % 3 == 2),
+                  "event_type")
+
+    feed = read_stream_table(spark, root, starting_version=1)
+    out = _run_to_memory(feed, spark)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))

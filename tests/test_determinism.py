@@ -137,6 +137,11 @@ _NUMERIC = [
     # batch) must read identically whatever task layout wrote either
     # commit — counts/src counts/id sums/grid value sums.
     "scan_manifest_schema_evolution",
+    # L16 (r09): the streaming-source feed covers the same version diff
+    # whatever task layout wrote the commits (file count per commit must
+    # be invisible through the per-file partitions) — counts/id sums/
+    # grid value sums.
+    "stream_manifest_source",
 ]
 
 

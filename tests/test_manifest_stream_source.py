@@ -1,0 +1,108 @@
+"""The manifest streaming source's exactly-once story across RUNS: a
+checkpointed query that stops and restarts must resume from its
+committed version offset — new commits arrive, already-delivered ones
+never re-deliver. (The in-run semantics are hash-checked by the L16
+contract; this pins the offset checkpointing the contract can't.)"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from silvia_spark.operators import manifest_table as mt
+from silvia_spark.sources.manifest_stream import read_stream_table
+
+
+def _run_available_now(spark, root, out_dir, checkpoint):
+    """One availableNow run into a durable parquet sink (the memory sink
+    cannot recover a checkpoint); returns only THIS run's output rows.
+    Each micro-batch lands in its own epoch subdir so runs stay
+    distinguishable."""
+    before = set(os.listdir(out_dir)) if os.path.isdir(out_dir) else set()
+    q = (read_stream_table(spark, root)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    new = [os.path.join(out_dir, f)
+           for f in set(os.listdir(out_dir)) - before
+           if f.endswith(".parquet")]
+    if not new:
+        return spark.createDataFrame(
+            [], mt.read_snapshot(spark, root).schema)
+    return spark.read.parquet(*new)
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_checkpointed_stream_resumes_at_version_offset(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p2", 20.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+
+    out = str(tmp_path / "out")
+    got1 = _run_available_now(spark, root, out, ckpt)
+    assert sorted(r.k for r in got1.collect()) == [1, 2]
+
+    b = spark.createDataFrame([(3, "p1", 30.0), (4, "p2", 40.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b, "part")
+    got2 = _run_available_now(spark, root, out, ckpt)
+    # only the NEW commit arrives — versions before the checkpointed
+    # offset never re-deliver
+    assert sorted(r.k for r in got2.collect()) == [3, 4]
+
+    # no new commits: the third run delivers nothing (and doesn't hang)
+    got3 = _run_available_now(spark, root, out, ckpt)
+    assert got3.count() == 0
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_stream_delivers_merge_rewrites_file_granular(spark, tmp_path):
+    """A MERGE's rewritten partition re-delivers wholesale (the same
+    upsert-by-key semantics as read_changes); untouched partitions stay
+    silent."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    out = str(tmp_path / "out")
+    _run_available_now(spark, root, out, ckpt)
+
+    chg = spark.createDataFrame([(1, "p1", 11.0, "U")],
+                                "k BIGINT, part STRING, v DOUBLE, "
+                                "op STRING")
+    mt.commit_merge(spark, root, chg, ["k", "part"], "part")
+    got = _run_available_now(spark, root, out, ckpt)
+    rows = sorted((r.k, r.part, r.v) for r in got.collect())
+    # p1 re-delivered post-merge (k=1 updated, k=2 carried); p2 silent
+    assert rows == [(1, "p1", 11.0), (2, "p1", 20.0)]
+
+
+def test_stream_schema_matches_snapshot_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0)], "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    stream_schema = read_stream_table(spark, root).schema
+    batch_schema = mt.read_snapshot(spark, root).schema
+    assert [f.name for f in stream_schema.fields] == [
+        f.name for f in batch_schema.fields]
+    # int partition columns cast from dir-name strings
+    root2 = str(tmp_path / "t2")
+    mt.create_table(spark.createDataFrame(
+        [(1, 7, 10.0)], "k BIGINT, day INT, v DOUBLE"), root2, "day")
+    df = read_stream_table(spark, root2)
+    q = (df.writeStream.format("memory").queryName("msrc_int")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    row = spark.table("msrc_int").collect()[0]
+    assert (row.k, row.day, row.v) == (1, 7, 10.0)
+    assert isinstance(row.day, int)
