@@ -125,14 +125,22 @@ def _read_segment(root: str, name: str) -> list[dict]:
     return json.loads(FS.read_text(_segment_file(root, name)))
 
 
-def _write_segment(root: str, entries: list[dict]) -> dict:
+def _write_segment(root: str, entries: list[dict],
+                   reused: bool = False) -> dict:
     """Write one immutable entry-list segment (uuid-named, so two
     commits can never collide) and return its manifest descriptor:
     count + the distinct partition values inside + a per-column min/max
     rollup of the entries' stats. The descriptor is what rides in every
     subsequent manifest; the entry list itself is read again only by a
     commit that must REWRITE this segment (its partitions intersect a
-    merge/compaction's touched set) or by a resolving reader."""
+    merge/compaction's touched set) or by a resolving reader.
+
+    ``reused=True`` marks a segment whose entries reference data files
+    that already existed in the parent snapshot (merge/compaction
+    re-homes, coalescing folds). Version-diff readers (_diff_entries)
+    use the flag: entries of an unmarked new segment are guaranteed-new
+    files (append batches have commit-unique names) and need no
+    membership check against the old snapshot."""
     FS.makedirs(os.path.join(root, _MANIFESTS))
     name = f"seg-{uuid.uuid4().hex[:16]}.json"
     if not FS.put_if_absent(
@@ -160,6 +168,8 @@ def _write_segment(root: str, entries: list[dict]) -> dict:
               if covered[c] == len(entries)}
     if rollup:
         desc["stats"] = rollup
+    if reused:
+        desc["reused"] = True
     return desc
 
 
@@ -672,8 +682,38 @@ def _coalesce_segments(root: str,
     merged = [e for s in to_merge
               for e in _read_segment(root, s["path"])]
     if merged:
-        rest.append(_write_segment(root, merged))
+        rest.append(_write_segment(root, merged, reused=True))
     return rest
+
+
+def _diff_entries(root: str, m_since: dict, m_to: dict) -> list[dict]:
+    """Entries of files present in ``m_to`` but not in ``m_since`` — the
+    version-diff primitive behind read_changes and the streaming source.
+    Cost is O(changed), not O(table): segments carried by reference
+    between the two docs cannot contain new files, so only segments NEW
+    in ``to`` are read; of those, unmarked segments are append batches
+    (commit-unique file names — every entry is new by construction) and
+    only ``reused``-marked ones (re-homes, folds) are diffed against the
+    old snapshot, restricted to the partitions they touch."""
+    if "segments" not in m_to or "segments" not in m_since:
+        old = {e["path"] for e in _resolve(root, m_since)}
+        return [e for e in _resolve(root, m_to)
+                if e["path"] not in old]
+    since_names = {s["path"] for s in m_since["segments"]}
+    new_segs = [s for s in m_to["segments"]
+                if s["path"] not in since_names]
+    fresh = [e for s in new_segs if not s.get("reused")
+             for e in _read_segment(root, s["path"])]
+    reused_segs = [s for s in new_segs if s.get("reused")]
+    if not reused_segs:
+        return fresh
+    touched = {p for s in reused_segs for p in s["partitions"]}
+    old = {e["path"] for s in m_since["segments"]
+           if touched & set(s["partitions"])
+           for e in _read_segment(root, s["path"])}
+    return fresh + [e for s in reused_segs
+                    for e in _read_segment(root, s["path"])
+                    if e["path"] not in old]
 
 
 def read_snapshot(spark: SparkSession, path: str,
@@ -774,7 +814,7 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                                stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
-        segs.append(_write_segment(root, rehome))
+        segs.append(_write_segment(root, rehome, reused=True))
     if new_entries:
         segs.append(_write_segment(root, new_entries))
     segs = _coalesce_segments(root, segs)  # merge-only workloads must
@@ -908,7 +948,8 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         # copied, entry lists never touched. A v1-format parent (inline
         # files) migrates here: its entries become one segment, once.
         if "files" in doc:
-            parent_segs = ([_write_segment(root, doc["files"])]
+            parent_segs = ([_write_segment(root, doc["files"],
+                                           reused=True)]
                            if doc["files"] else [])
         else:
             parent_segs = list(doc.get("segments", ()))
@@ -960,21 +1001,8 @@ def read_changes(spark: SparkSession, path: str, since: int,
     root = _norm(path)
     m_to = _load_doc(root, to)
     m_since = _load_doc(root, since)
-    # Segment-level fast path: segments carried by reference between the
-    # two snapshots cannot contain new files — only segments NEW in
-    # ``to`` are resolved. (A rewritten partition's survivors are
-    # re-homed into a new segment but keep their file names, so the
-    # entry-path diff below still excludes them.)
-    if "segments" in m_to and "segments" in m_since:
-        since_segs = {s["path"] for s in m_since["segments"]}
-        to_entries = [e for s in m_to["segments"]
-                      if s["path"] not in since_segs
-                      for e in _read_segment(root, s["path"])]
-    else:
-        to_entries = _resolve(root, m_to)
-    old = {e["path"] for e in _resolve(root, m_since)}
-    new_files = [os.path.join(root, e["path"]) for e in to_entries
-                 if e["path"] not in old]
+    new_files = [os.path.join(root, e["path"])
+                 for e in _diff_entries(root, m_since, m_to)]
     if not new_files:
         return _empty_like(spark, root, m_to)
     # read with the DESTINATION snapshot's schema: a feed crossing a
@@ -1025,7 +1053,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                                stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
-        segs.append(_write_segment(root, rehome))
+        segs.append(_write_segment(root, rehome, reused=True))
     if new_entries:
         segs.append(_write_segment(root, new_entries))
     segs = _coalesce_segments(root, segs)

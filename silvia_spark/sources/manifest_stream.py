@@ -5,11 +5,19 @@ snapshot-manifest layer (operators/manifest_table.py).
 
 Offsets are table VERSIONS: each micro-batch covers the file-granular
 diff between two committed snapshots (the same set read_changes
-resolves), so a batch is deterministic under replay — Spark checkpoints
-the version range, and re-running it re-reads the identical file list.
-One InputPartition per changed file keeps the read executor-parallel
-with no driver data movement; partition-column values come from the
-manifest entries (never re-parsed from paths).
+resolves, via the shared ``_diff_entries`` — O(changed) per batch, not
+O(table), thanks to segment carry-by-reference and the ``reused``
+segment markers), so a batch is deterministic under replay: Spark
+checkpoints the version range and re-running it re-reads the identical
+file list. One InputPartition per changed file keeps the read
+executor-parallel with no driver data movement; rows are delivered as
+Arrow RecordBatches (no per-row Python objects); partition-column
+values come from the manifest entries (never re-parsed from paths).
+
+Schema: fixed at stream start from the table's recorded read schema. A
+mid-stream schema EVOLUTION fails the stream with an explicit error
+(Delta's behavior) — silently NULL-dropping a column a producer just
+added would be data loss; restart the stream to adopt the new schema.
 
 Retention contract (same as read_changes / Delta): a checkpointed
 stream that falls further behind than ``vacuum``'s ``keep_versions``
@@ -53,6 +61,16 @@ def _table_schema(root: str) -> StructType:
                       + [f for f in sch.fields if f.name == part_col])
 
 
+def _type_map(schema_json: str | None) -> dict[str, str]:
+    """name → simpleString type map, the nullability-free comparison the
+    mid-stream evolution guard uses (same normalization as
+    _evolve_schema)."""
+    if not schema_json:
+        return {}
+    sch = StructType.fromJson(json.loads(schema_json))
+    return {f.name: f.dataType.simpleString() for f in sch.fields}
+
+
 class _FileSlice(InputPartition):
     def __init__(self, path: str, part_value: str):
         self.path, self.part_value = path, part_value
@@ -60,8 +78,15 @@ class _FileSlice(InputPartition):
 
 class ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
+        from silvia_spark.operators.manifest_table import _load_doc
+
         self.root = local_path(options["path"])
         self.schema = schema
+        doc = _load_doc(self.root)
+        # the partition FIELD is resolved by NAME from the table's
+        # metadata — a user-supplied schema may reorder or drop columns
+        self.part_col = doc.get("part_col")
+        self.schema_types = _type_map(doc.get("schema"))
         self.start_version = int(options.get("startingversion", "0"))
 
     def initialOffset(self) -> dict:
@@ -77,38 +102,60 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": max(cur, self.start_version)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        from silvia_spark.operators.manifest_table import load_manifest
+        from silvia_spark.operators.manifest_table import (_diff_entries,
+                                                           _load_doc,
+                                                           _resolve)
 
         sv, ev = int(start["version"]), int(end["version"])
         if ev <= sv:
             return []
-        old = (set() if sv == 0 else
-               {e["path"] for e in load_manifest(self.root, sv)["files"]})
-        return [
-            _FileSlice(os.path.join(self.root, e["path"]), e["partition"])
-            for e in load_manifest(self.root, ev)["files"]
-            if e["path"] not in old
-        ]
+        m_to = _load_doc(self.root, ev)
+        to_types = _type_map(m_to.get("schema"))
+        if self.schema_types and to_types \
+                and to_types != self.schema_types:
+            raise RuntimeError(
+                f"table schema changed by version {ev} "
+                f"(stream started with {sorted(self.schema_types)}, "
+                f"table now has {sorted(to_types)}): restart the stream "
+                "to adopt the new schema — delivering rows under the "
+                "old one would silently drop the new columns")
+        if sv == 0:
+            entries = _resolve(self.root, m_to)
+        else:
+            entries = _diff_entries(self.root,
+                                    _load_doc(self.root, sv), m_to)
+        return [_FileSlice(os.path.join(self.root, e["path"]),
+                           e["partition"]) for e in entries]
 
     def read(self, partition: _FileSlice):
-        # Executor-side: pyarrow reads the one parquet file; columns are
-        # aligned to the stream schema by NAME (a file written before a
-        # schema evolution NULL-fills the newer columns), and the
-        # partition column is materialized from the manifest entry's
-        # recorded value, cast per the schema type.
+        # Executor-side, columnar end-to-end: pyarrow reads the one
+        # parquet file and the batch is handed to Spark as Arrow
+        # RecordBatches — no per-row Python objects. Columns align to
+        # the stream schema by NAME (a file written before a schema
+        # evolution NULL-fills the newer columns); the partition column
+        # is materialized from the manifest entry's recorded value.
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(partition.path)
-        cols = {name: tbl.column(name).to_pylist()
-                for name in tbl.column_names}
         n = tbl.num_rows
-        part_field = self.schema.fields[-1]
-        pv = _cast_partition(partition.part_value, part_field)
-        out_cols = []
-        for f in self.schema.fields[:-1]:
-            out_cols.append(cols.get(f.name, [None] * n))
-        out_cols.append([pv] * n)
-        yield from zip(*out_cols)
+        arrays, names = [], []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == self.part_col:
+                pv = _cast_partition(partition.part_value, f)
+                col = (pa.nulls(n, type=at) if pv is None
+                       else pa.array([pv] * n, type=at))
+            elif f.name in tbl.column_names:
+                col = tbl.column(f.name)
+                if col.type != at:
+                    col = col.cast(at)
+            else:
+                col = pa.nulls(n, type=at)
+            arrays.append(col)
+            names.append(f.name)
+        yield from pa.table(arrays, names=names).to_batches()
 
 
 def _cast_partition(value: str, field):
@@ -150,10 +197,9 @@ def read_stream_table(spark, path: str, starting_version: int = 0):
     micro-batch of its file-granular changes; a rewritten partition
     re-delivers wholesale (upsert-by-key downstream, like read_changes).
     """
-    try:
-        spark.dataSource.register(ManifestTableDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering replaces the previous binding — idempotent by the
+    # DataSource API's own contract, so no exception dance is needed
+    spark.dataSource.register(ManifestTableDataSource)
     return (spark.readStream.format("silvia_manifest")
             .option("path", path)
             .option("startingVersion", str(starting_version))

@@ -72,10 +72,13 @@ def test_cross_process_appends_no_loss(spark, tmp_path):
                      for k, v in json.loads(line[-1][5:]).items()})
 
     assert len(acks) == 12  # 3 drivers x 4 acknowledged batches
-    rows = {r.k: r.v for r in mt.read_snapshot(spark, root).collect()}
+    raw = mt.read_snapshot(spark, root).collect()
+    assert len(raw) == 2 + 12, (  # EXACTLY once: a replayed commit would
+        f"row count {len(raw)} != 14 — duplicate or lost batches")
+    rows = {r.k: r.v for r in raw}
+    assert len(rows) == len(raw)  # no duplicate keys hiding in the count
     missing = [k for k in acks if k not in rows]
     assert not missing, f"acknowledged batches lost: {missing}"
-    assert len(rows) == 2 + 12  # exactly once: base + every batch
     # txn replay guard held across processes too: the recorded highest
     # batch ids per app are all 3
     txn = mt._load_doc(root).get("txn", {})

@@ -106,3 +106,32 @@ def test_stream_schema_matches_snapshot_read(spark, tmp_path):
     row = spark.table("msrc_int").collect()[0]
     assert (row.k, row.day, row.v) == (1, 7, 10.0)
     assert isinstance(row.day, int)
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_stream_fails_loudly_on_mid_stream_evolution(spark, tmp_path):
+    """A LONG-RUNNING stream whose table evolves mid-flight must FAIL at
+    the next batch (Delta's behavior) — its reader pinned the old schema
+    at start, and delivering rows under it would silently drop the new
+    column. A RESTARTED stream constructs a fresh reader and adopts the
+    evolved schema."""
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 10.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    # the long-running reader, constructed BEFORE the evolution
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    assert reader.partitions({"version": 0}, {"version": 1})
+
+    evolved = spark.createDataFrame([(2, "p1", 20.0, "en")],
+                                    "k BIGINT, part STRING, v DOUBLE, "
+                                    "lang STRING")
+    mt.commit_append(spark, root, evolved, "part")
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"version": 1}, {"version": 2})
+    # a fresh reader (stream restart) adopts the evolved schema
+    df = read_stream_table(spark, root)
+    assert "lang" in df.columns
