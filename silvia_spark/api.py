@@ -68,7 +68,11 @@ from silvia_spark.sources.factory import source
 
 # Lake sinks / temporal joins --------------------------------------------------
 from silvia_spark.operators.scans import merge_keyed
-from silvia_spark.operators.scale_patterns import compact_partitioned
+from silvia_spark.operators.scale_patterns import (
+    cluster_zorder,
+    compact_partitioned,
+    zorder_key,
+)
 from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
@@ -129,6 +133,7 @@ __all__ = [
     "source",
     # lake sinks / temporal joins
     "merge_keyed", "nearest_asof", "compact_partitioned",
+    "cluster_zorder", "zorder_key",
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
     "commit_append", "read_changes", "prune_entries", "vacuum",

@@ -625,3 +625,119 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
                 f"{targets[key]}")
         stats[key] = (before[key], n, targets[key])
     return stats
+
+
+# --- L17: Z-order clustering for multi-column manifest pruning ----------------
+
+
+def zorder_key(cols: list, bounds: list[tuple[float, float]],
+               bits: int = 16):
+    """Morton (interleaved-bit) clustering key over N numeric columns:
+    each column is min/max-normalized to a ``bits``-bit integer and the
+    bits are interleaved, so rows close in the key are close in EVERY
+    clustered dimension — range-partitioning files by this key gives
+    each file a narrow min/max envelope on ALL the columns at once,
+    which is what makes a multi-column manifest stats index effective
+    (a plain sort clusters only its leading column; the trailing ones
+    stay full-range in every file). The whole expression is built from
+    codegen arithmetic/bit ops — no UDF in the write path.
+
+    ``bounds`` are (lo, hi) literals per column (a tiny pre-agg; at
+    cluster scale compute them once per write and reuse). Out-of-bounds
+    values clamp, so stale bounds degrade clustering, never correctness.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            continue  # constant column contributes no discrimination
+        q = F.floor((c.cast("double") - float(lo)) / span
+                    * ((1 << bits) - 1)).cast("bigint")
+        q = F.least(F.lit((1 << bits) - 1),
+                    F.greatest(F.lit(0), q))
+        for b in range(bits):
+            key = key.bitwiseOR(F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i))
+    return key
+
+
+def cluster_zorder(df: DataFrame, cols: list[str], n_files: int,
+                   bits: int = 16) -> DataFrame:
+    """Range-partition ``df`` into ``n_files`` z-ordered slices over
+    ``cols`` (bounds from one tiny min/max agg). Feed the result to
+    create_table with ``stats_cols=cols`` for a manifest index that
+    prunes on every clustered dimension."""
+    row = df.agg(*[f(F.col(c).cast("double"))
+                   for c in cols for f in (F.min, F.max)]).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    z = zorder_key([F.col(c) for c in cols], bounds, bits)
+    return (df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .drop("_z"))
+
+
+_L17_ORACLE = """
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+       (sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+  AND l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@contract("scan_manifest_zorder", oracle=_L17_ORACLE)
+def scan_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering feeding the manifest min/max index (L14's
+    skipping made MULTI-dimensional): lineitem is Morton-clustered on
+    (l_shipdate, l_quantity), written as a manifest table with stats on
+    both columns, and a two-range predicate resolves the file list
+    through the index. The in-contract assertions pin that pruning
+    skips files on EACH dimension independently — the property a
+    single-column sort cannot give (its trailing column stays
+    full-range in every file) — and the residual filter + hash proves
+    the pruned scan loses nothing."""
+    import tempfile
+
+    from silvia_spark.operators.manifest_table import (create_table,
+                                                       load_manifest,
+                                                       prune_entries,
+                                                       read_snapshot)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+    clustered = cluster_zorder(
+        li.withColumn("_ship_days", F.datediff(
+            "l_shipdate", F.lit("1992-01-01"))),
+        ["_ship_days", "l_quantity"], n_files=16).drop("_ship_days")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_zorder_"), "tbl")
+    create_table(clustered, root, "l_returnflag",
+                 stats_cols=["l_shipdate", "l_quantity"])
+
+    d_lo, d_hi = "1996-01-01", "1996-06-30"
+    q_lo, q_hi = 10, 20
+    entries = load_manifest(root)["files"]
+    kept_d = prune_entries(entries, {"l_shipdate": (d_lo, d_hi)})
+    kept_q = prune_entries(entries, {"l_quantity": (q_lo, q_hi)})
+    assert 0 < len(kept_d) < len(entries), (
+        f"z-order gave no l_shipdate pruning ({len(kept_d)}/"
+        f"{len(entries)} kept)")
+    assert 0 < len(kept_q) < len(entries), (
+        f"z-order gave no l_quantity pruning ({len(kept_q)}/"
+        f"{len(entries)} kept) — the interleave collapsed to a "
+        "single-column sort")
+
+    snap = read_snapshot(spark, root, prune={
+        "l_shipdate": (d_lo, d_hi), "l_quantity": (q_lo, q_hi)})
+    return (snap.where(F.col("l_shipdate").between(d_lo, d_hi)
+                       & F.col("l_quantity").between(q_lo, q_hi))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"),
+                 dsum("l_extendedprice", "price_sum"))
+            .orderBy("l_returnflag"))

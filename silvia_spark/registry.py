@@ -72,7 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     #    manifest layer (per-version read schemas; verdict item 2), and
     #    L16, the manifest table as a streaming SOURCE (version offsets,
     #    file-granular micro-batches; sources/manifest_stream.py). --------
+    #    L17 z-order clustering feeding a multi-column manifest index. --
     "scan_manifest_schema_evolution", "stream_manifest_source",
+    "scan_manifest_zorder",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the sixteen r04-era keys (oldest evidence anywhere) ------

@@ -142,6 +142,11 @@ _NUMERIC = [
     # be invisible through the per-file partitions) — counts/id sums/
     # grid value sums.
     "stream_manifest_source",
+    # L17 (r09): the z-ordered write's FILE LAYOUT moves with input
+    # partitioning, but the pruned+residual-filtered aggregate must not
+    # — pruning is a superset by construction; the sweep proves the
+    # layout cannot reach the result.
+    "scan_manifest_zorder",
 ]
 
 
