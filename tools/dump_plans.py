@@ -283,6 +283,24 @@ AUDITED = [
      "dominance cut → distinct semi-set → LEFT SEMI onto the "
      "broadcast-dim-filtered supplier table; only bare ids cross the "
      "final exchanges."),
+    ("scan_manifest_pruned", ["HashAggregate", "PushedFilters"],
+     "manifest min/max skipping: the returned plan scans ONLY the "
+     "index-kept files (file list resolved driver-side through the "
+     "manifest, before Spark ever lists), the residual range filter is "
+     "still pushed to the parquet reader, and the rollup runs "
+     "partial→final."),
+    ("scan_manifest_zorder", ["HashAggregate", "PushedFilters"],
+     "z-ordered manifest scan: the two-range predicate prunes files on "
+     "BOTH clustered dimensions through the index (asserted "
+     "in-contract), the residual two-range filter pushes into the "
+     "pruned scan, and the aggregate is partial→final; the Morton key "
+     "itself is write-path-only codegen (never in this read plan)."),
+    ("scan_manifest_schema_evolution", ["HashAggregate"],
+     "evolved snapshot read: the explicit per-version read schema "
+     "NULL-fills pre-evolution files inside the vectorized parquet "
+     "reader itself — no union, no per-file branching in the plan; one "
+     "scan node over the snapshot's file list, partial→final "
+     "aggregation above it."),
 ]
 
 
