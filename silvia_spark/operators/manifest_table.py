@@ -1243,6 +1243,25 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def ensure_table(root: str, build) -> None:
+    """Create-once helper for read-only fixture tables shared across
+    runs: call ``build()`` (which must create_table at ``root``) unless
+    a committed snapshot already exists; a concurrent creator's
+    FileExistsError is waited out until its pointer flip lands. Only for
+    tables that are never mutated after creation — a contract that
+    commits against its table must build a fresh one per run."""
+    if current_version(root) is not None:
+        return
+    try:
+        build()
+    except FileExistsError:
+        for _ in range(240):
+            if current_version(root) is not None:
+                return
+            time.sleep(0.5)
+        raise
+
+
 def register_snapshot_view(spark: SparkSession, path: str, name: str,
                            version: int | None = None,
                            prune: dict[str, tuple] | None = None
@@ -1464,16 +1483,21 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely skipped files; the residual row filter + hash proves the
     pruned scan loses nothing. At 100 TB this is the difference between
     a metadata lookup and a cluster-wide file listing."""
-    import tempfile
+    from silvia_spark.operators.scale_patterns import _fixture_table_dir
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mprune_"), "tbl")
-    create_table(li.repartitionByRange(8, "l_shipdate"), root,
-                 "l_returnflag", stats_cols=["l_shipdate"])
+    root = _fixture_table_dir("silvia_mprune", sf_dir, "lineitem")
+    ensure_table(root, lambda: create_table(
+        li.repartitionByRange(8, "l_shipdate"), root,
+        "l_returnflag", stats_cols=["l_shipdate"]))
 
-    lo, hi = "1996-01-01", "1996-12-31"
+    # bounds at the stats' own granularity (str(timestamp)): a bare date
+    # string sorts BEFORE that day's midnight stat, so a file whose min
+    # is exactly the boundary midnight would be wrongly pruned while the
+    # residual filter keeps its rows (r09 review finding)
+    lo, hi = "1996-01-01 00:00:00", "1996-12-31 00:00:00"
     entries = load_manifest(root)["files"]
     kept = prune_entries(entries, {"l_shipdate": (lo, hi)})
     assert 0 < len(kept) < len(entries), (
@@ -1482,7 +1506,8 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from silvia_spark.functions.numeric import dsum
     snap = read_snapshot(spark, root, prune={"l_shipdate": (lo, hi)})
-    return (snap.where(F.col("l_shipdate").between(lo, hi))
+    return (snap.where(F.col("l_shipdate").between(
+        "1996-01-01", "1996-12-31"))
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"),

@@ -630,6 +630,18 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
 # --- L17: Z-order clustering for multi-column manifest pruning ----------------
 
 
+def _fixture_table_dir(prefix: str, sf_dir: str, table: str) -> str:
+    """Deterministic reuse dir for create-once read-only manifest
+    fixtures (the mkdtemp-per-run pattern leaked a full table copy per
+    invocation). Keyed on the sf tag AND the source parquet's mtime, so
+    a regenerated corpus never resolves a stale fixture."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    mtime = int(os.path.getmtime(os.path.join(sf_dir,
+                                              f"{table}.parquet")))
+    return os.path.join(tempfile.gettempdir(),
+                        f"{prefix}_{tag}_{mtime}", "tbl")
+
+
 def zorder_key(cols: list, bounds: list[tuple[float, float]],
                bits: int = 16):
     """Morton (interleaved-bit) clustering key over N numeric columns:
@@ -646,9 +658,26 @@ def zorder_key(cols: list, bounds: list[tuple[float, float]],
     cluster scale compute them once per write and reuse). Out-of-bounds
     values clamp, so stale bounds degrade clustering, never correctness.
     """
+    import math
+
     n = len(cols)
+    if len(bounds) != n:
+        raise ValueError(
+            f"zorder_key got {n} columns but {len(bounds)} bounds")
+    if n * bits > 63:
+        # bit 63 is the bigint sign (inverting the order of the top
+        # half-range) and shift counts wrap at 64 — both silently
+        # destroy the clustering rather than erroring downstream
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits > 63; "
+            "lower bits= (e.g. bits=63//n)")
     key = F.lit(0).cast("bigint")
     for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        if (lo is None or hi is None
+                or math.isnan(float(lo)) or math.isnan(float(hi))):
+            raise ValueError(
+                f"zorder_key bounds for column {i} are {lo!r}..{hi!r} "
+                "(empty input or NULL/NaN-only column?)")
         span = float(hi) - float(lo)
         if span <= 0:
             continue  # constant column contributes no discrimination
@@ -668,13 +697,16 @@ def cluster_zorder(df: DataFrame, cols: list[str], n_files: int,
     ``cols`` (bounds from one tiny min/max agg). Feed the result to
     create_table with ``stats_cols=cols`` for a manifest index that
     prunes on every clustered dimension."""
+    import uuid as _uuid
+
     row = df.agg(*[f(F.col(c).cast("double"))
                    for c in cols for f in (F.min, F.max)]).collect()[0]
     bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
     z = zorder_key([F.col(c) for c in cols], bounds, bits)
-    return (df.withColumn("_z", z)
-            .repartitionByRange(n_files, "_z")
-            .drop("_z"))
+    zcol = f"_z_{_uuid.uuid4().hex[:8]}"  # collision-safe temp name
+    return (df.withColumn(zcol, z)
+            .repartitionByRange(n_files, zcol)
+            .drop(zcol))
 
 
 _L17_ORACLE = """
@@ -701,9 +733,7 @@ def scan_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-column sort cannot give (its trailing column stays
     full-range in every file) — and the residual filter + hash proves
     the pruned scan loses nothing."""
-    import tempfile
-
-    from silvia_spark.operators.manifest_table import (create_table,
+    from silvia_spark.operators.manifest_table import (ensure_table,
                                                        load_manifest,
                                                        prune_entries,
                                                        read_snapshot)
@@ -711,15 +741,26 @@ def scan_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    clustered = cluster_zorder(
-        li.withColumn("_ship_days", F.datediff(
-            "l_shipdate", F.lit("1992-01-01"))),
-        ["_ship_days", "l_quantity"], n_files=16).drop("_ship_days")
-    root = os.path.join(tempfile.mkdtemp(prefix="silvia_zorder_"), "tbl")
-    create_table(clustered, root, "l_returnflag",
-                 stats_cols=["l_shipdate", "l_quantity"])
+    root = _fixture_table_dir("silvia_zorder", sf_dir, "lineitem")
 
-    d_lo, d_hi = "1996-01-01", "1996-06-30"
+    def _build():
+        from silvia_spark.operators.manifest_table import create_table
+
+        clustered = cluster_zorder(
+            li.withColumn("_ship_days", F.datediff(
+                "l_shipdate", F.lit("1992-01-01"))),
+            ["_ship_days", "l_quantity"], n_files=16).drop("_ship_days")
+        create_table(clustered, root, "l_returnflag",
+                     stats_cols=["l_shipdate", "l_quantity"])
+
+    ensure_table(root, _build)
+
+    # prune bounds carry the SAME granularity as the recorded stats
+    # (str(timestamp) = 'YYYY-MM-DD HH:MM:SS'): a bare date string sorts
+    # BEFORE that day's midnight stat lexicographically, so a file whose
+    # min is exactly the boundary midnight would be wrongly pruned while
+    # the residual filter keeps its rows (r09 review finding)
+    d_lo, d_hi = "1996-01-01 00:00:00", "1996-06-30 00:00:00"
     q_lo, q_hi = 10, 20
     entries = load_manifest(root)["files"]
     kept_d = prune_entries(entries, {"l_shipdate": (d_lo, d_hi)})
@@ -734,7 +775,8 @@ def scan_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = read_snapshot(spark, root, prune={
         "l_shipdate": (d_lo, d_hi), "l_quantity": (q_lo, q_hi)})
-    return (snap.where(F.col("l_shipdate").between(d_lo, d_hi)
+    return (snap.where(F.col("l_shipdate").between(
+        "1996-01-01", "1996-06-30")
                        & F.col("l_quantity").between(q_lo, q_hi))
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("cnt"),
