@@ -634,12 +634,16 @@ def _fixture_table_dir(prefix: str, sf_dir: str, table: str) -> str:
     """Deterministic reuse dir for create-once read-only manifest
     fixtures (the mkdtemp-per-run pattern leaked a full table copy per
     invocation). Keyed on the sf tag AND the source parquet's mtime, so
-    a regenerated corpus never resolves a stale fixture."""
+    a regenerated corpus never resolves a stale fixture. The fixture
+    format version is part of the key: bump it when the manifest layout
+    or the stats semantics change, or an old fixture from a previous
+    round would satisfy the path and fail the new code confusingly."""
+    ver = 2  # segmented manifests + fully-covered stats rollups (r09)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     mtime = int(os.path.getmtime(os.path.join(sf_dir,
                                               f"{table}.parquet")))
     return os.path.join(tempfile.gettempdir(),
-                        f"{prefix}_{tag}_{mtime}", "tbl")
+                        f"{prefix}_v{ver}_{tag}_{mtime}", "tbl")
 
 
 def zorder_key(cols: list, bounds: list[tuple[float, float]],
