@@ -1249,12 +1249,19 @@ def ensure_table(root: str, build) -> None:
     a committed snapshot already exists; a concurrent creator's
     FileExistsError is waited out until its pointer flip lands. Only for
     tables that are never mutated after creation — a contract that
-    commits against its table must build a fresh one per run."""
+    commits against its table must build a fresh one per run.
+
+    Two racing creators: the claim writes serialize on the flip lock,
+    so the second either sees the committed pointer (FileExistsError
+    from create_table / the stale-version guard) or replaces the
+    first's un-flipped claim — the FIRST then gets CommitAborted at its
+    flip while the second commits. Both losers land here and wait for
+    the winner's pointer."""
     if current_version(root) is not None:
         return
     try:
         build()
-    except FileExistsError:
+    except (FileExistsError, CommitAborted):
         for _ in range(240):
             if current_version(root) is not None:
                 return
@@ -1488,7 +1495,8 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    root = _fixture_table_dir("silvia_mprune", sf_dir, "lineitem")
+    root = _fixture_table_dir("silvia_mprune", sf_dir, "lineitem",
+                              spark)
     ensure_table(root, lambda: create_table(
         li.repartitionByRange(8, "l_shipdate"), root,
         "l_returnflag", stats_cols=["l_shipdate"]))

@@ -630,20 +630,35 @@ def compact_partitioned(spark: SparkSession, src: str, dst: str, *,
 # --- L17: Z-order clustering for multi-column manifest pruning ----------------
 
 
-def _fixture_table_dir(prefix: str, sf_dir: str, table: str) -> str:
+def _fixture_table_dir(prefix: str, sf_dir: str, table: str,
+                       spark: SparkSession) -> str:
     """Deterministic reuse dir for create-once read-only manifest
     fixtures (the mkdtemp-per-run pattern leaked a full table copy per
-    invocation). Keyed on the sf tag AND the source parquet's mtime, so
-    a regenerated corpus never resolves a stale fixture. The fixture
-    format version is part of the key: bump it when the manifest layout
-    or the stats semantics change, or an old fixture from a previous
-    round would satisfy the path and fail the new code confusingly."""
+    invocation). The key carries everything that must invalidate reuse:
+    - an abspath digest of the source parquet (no corpus aliasing
+      through path-separator collapsing),
+    - its mtime (a regenerated corpus never resolves a stale fixture),
+    - the session's shuffle-partition setting — the determinism sweep
+      varies it precisely to vary the WRITE LAYOUT, so each layout
+      builds its own fixture instead of the sweep reading one frozen
+      copy and passing vacuously,
+    - the uid (a shared /tmp on a multi-user host must not cross-read
+      or cross-wedge another user's fixture),
+    - a format version: bump when the manifest layout or stats
+      semantics change, or an old round's fixture would satisfy the
+      path and fail new code confusingly."""
+    import hashlib
+
     ver = 2  # segmented manifests + fully-covered stats rollups (r09)
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    mtime = int(os.path.getmtime(os.path.join(sf_dir,
-                                              f"{table}.parquet")))
-    return os.path.join(tempfile.gettempdir(),
-                        f"{prefix}_v{ver}_{tag}_{mtime}", "tbl")
+    srcf = os.path.join(sf_dir, f"{table}.parquet")
+    digest = hashlib.md5(
+        os.path.abspath(srcf).encode()).hexdigest()[:10]
+    mtime = int(os.path.getmtime(srcf))
+    shuffle = spark.conf.get("spark.sql.shuffle.partitions", "0")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_v{ver}_u{os.getuid()}_{digest}_{mtime}_p{shuffle}",
+        "tbl")
 
 
 def zorder_key(cols: list, bounds: list[tuple[float, float]],
@@ -745,7 +760,8 @@ def scan_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    root = _fixture_table_dir("silvia_zorder", sf_dir, "lineitem")
+    root = _fixture_table_dir("silvia_zorder", sf_dir, "lineitem",
+                              spark)
 
     def _build():
         from silvia_spark.operators.manifest_table import create_table
