@@ -26,7 +26,29 @@ POSIX crutches (no O_EXCL claims, no rename-as-commit, no flock) — so
 the protocol tests can prove the commit/usurpation/vacuum semantics
 survive on conditional-put + lease alone. It is a semantics simulator,
 not an S3 client: wiring a real boto3/GCS client means implementing
-this same interface with the store's conditional-put headers.
+this same interface with the store's conditional-put headers
+(``s3_fs.py`` is that port, env-gated).
+
+Porting notes — lease vs fencing (r09 advice): a lease is NOT mutual
+exclusion against a STALLED holder. A holder paused past the TTL (GC,
+SIGSTOP, VM migration) has its lease broken and another holder admitted,
+yet it resumes and executes the rest of its critical section. The one
+write whose loss of exclusion corrupts the table is the POINTER write
+(a regressed ``_current`` hides committed data), so that write is
+FENCED: ``put_fenced`` performs it conditionally on the lease still
+being the caller's own, in the store's server-side atomic step (S3
+``If-Match`` on the lease etag read at acquisition, GCS
+``ifGenerationMatch``) — a fencing token in the Chubby/ZooKeeper sense.
+Vacuum's DELETE sweep under a broken lease is benign by the protocol's
+own invariants: every path it deletes was either unreferenced by all
+retained manifests at triage (still true later — manifests are
+immutable and new commits only reference freshly adopted,
+grace-protected files) or belonged to a retired snapshot; the one
+delete that could race a live commit (an aged ahead-of-pointer claim)
+is re-checked by that committer's post-flip ``_claim_survived``. The
+''protocol needs nothing POSIX'' claim is therefore scoped: crash AND
+stall failures are covered for the pointer, crash failures for
+everything else.
 """
 
 from __future__ import annotations
@@ -36,6 +58,17 @@ import shutil
 import time
 import uuid
 from contextlib import contextmanager
+
+
+class LeaseLost(RuntimeError):
+    """Raised by a FENCED write when the caller's lease was broken
+    between acquisition and the write: a live-but-stalled holder (GC
+    pause, suspended process) that missed heartbeats past the TTL must
+    NOT execute its pointer write after another holder took over —
+    doing so would regress ``_current`` and hide committed data. The
+    fenced write is the object-store analogue of a fencing token: the
+    write happens conditionally on the lease still being ours, in the
+    same server-side atomic step (r09 advice finding)."""
 
 
 class LocalFS:
@@ -78,8 +111,25 @@ class LocalFS:
             f.write(data)
         os.rename(tmp, path)
 
+    def put_fenced(self, root: str, path: str, data: str) -> None:
+        """Pointer write fenced against lease loss. On POSIX this is
+        just ``put_atomic``: flock cannot be 'broken by age' — a stalled
+        holder KEEPS the lock (the OS releases it only on process
+        death), so the stalled-writer-after-takeover scenario is
+        structurally impossible and no extra check is needed."""
+        self.put_atomic(path, data)
+
     def move_in(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+        # Vacuum's orphan grace is keyed to mtime, but rename PRESERVES
+        # the staged file's write-time mtime: a commit whose Spark
+        # staging stage ran longer than the grace window would adopt
+        # files already past grace, and a concurrent vacuum could sweep
+        # them before the manifest claim lands. Refreshing here makes
+        # grace measure time-since-ADOPTION — the claim follows within
+        # milliseconds (r09 advice finding). The object-store adapter
+        # needs no equivalent: its copy creates the destination fresh.
+        os.utime(dst, None)
 
     def remove(self, path: str) -> None:
         os.remove(path)
@@ -140,6 +190,9 @@ class ObjectStoreSimFS(LocalFS):
         import threading
 
         self._cas_guard = threading.Lock()
+        # per-thread map root → lease token currently held by THIS
+        # thread; put_fenced checks the on-store lease against it
+        self._tls = threading.local()
 
     def put_if_absent(self, path: str, data: str) -> bool:
         with self._cas_guard:  # the store's server-side If-None-Match
@@ -164,7 +217,37 @@ class ObjectStoreSimFS(LocalFS):
 
     def move_in(self, src: str, dst: str) -> None:
         shutil.copyfile(src, dst)  # no rename on an object store
-        os.remove(src)
+        os.remove(src)  # (the copy is born with a fresh mtime, so the
+        #                 adoption-grace refresh is inherent here)
+
+    def put_fenced(self, root: str, path: str, data: str) -> None:
+        """Pointer write CONDITIONAL on the caller's lease still being
+        its own — the fencing-token discipline a real store needs
+        because a lease (unlike flock) can be broken by age while its
+        holder is merely stalled. The lease-token check and the write
+        are one server-side atomic step here (under ``_cas_guard``,
+        standing in for S3's ``If-Match``-on-etag / GCS's
+        ``ifGenerationMatch`` conditional PUT): a holder whose lease was
+        broken — or re-issued to someone else — gets ``LeaseLost``
+        instead of silently regressing the pointer."""
+        held = getattr(self._tls, "held", {}).get(root)
+        lease = os.path.join(root, ".flip_lease")
+        with self._cas_guard:
+            try:
+                with open(lease, encoding="utf-8") as f:
+                    current = f.read()
+            except FileNotFoundError:
+                current = None
+            if held is None or current != held:
+                raise LeaseLost(
+                    f"lease under {root} is no longer ours (held="
+                    f"{held!r}, store={current!r}): the critical "
+                    "section outlived the TTL and another holder took "
+                    "over — refusing the pointer write")
+            tmp = f"{path}.put-{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(data)
+            os.replace(tmp, path)
 
     @contextmanager
     def locked(self, root: str):
@@ -210,9 +293,13 @@ class ObjectStoreSimFS(LocalFS):
 
         beat = threading.Thread(target=_beat, daemon=True)
         beat.start()
+        if not hasattr(self._tls, "held"):
+            self._tls.held = {}
+        self._tls.held[root] = token
         try:
             yield
         finally:
+            self._tls.held.pop(root, None)
             stop.set()
             beat.join(timeout=1.0)
             with self._cas_guard:

@@ -197,7 +197,8 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 
 def _write_doc(root: str, version: int, doc: dict,
-               occ: bool = False) -> None:
+               occ: bool = False,
+               verify_paths: list[str] | None = None) -> None:
     """Write-once version claim, taken UNDER the flip lock with the
     committed-pointer check inside: the pointer cannot advance between
     the check and the put (flips and vacuum hold the same lock), so a
@@ -229,6 +230,24 @@ def _write_doc(root: str, version: int, doc: dict,
             raise FileExistsError(
                 f"version {version} is already committed "
                 f"(current={cur}) — stale parent; reload and rebase")
+        if verify_paths is not None:
+            # Adoption is lock-free, so a vacuum can in principle sweep
+            # a freshly adopted file before this claim lands (the mtime
+            # refresh at adoption makes that a milliseconds-vs-60s race,
+            # but unlikely is not impossible). Re-checking existence
+            # HERE — under the same lock vacuum holds for its whole
+            # sweep — makes publishing a snapshot that references
+            # deleted files structurally impossible: after this check
+            # the claim lands under the lock, and a young claim's files
+            # are grace-protected by vacuum's triage (r09 advice).
+            missing = [p for p in verify_paths
+                       if not FS.exists(os.path.join(root, p))]
+            if missing:
+                raise CommitAborted(
+                    f"{len(missing)} staged file(s) vanished before the "
+                    f"v{version} claim (vacuumed as aged orphans?): "
+                    f"{missing[:3]} — nothing became visible; restage "
+                    "and retry")
         if not occ and FS.exists(path):
             # ahead-of-pointer leftover (pointer re-checked above,
             # under the same lock a reclaim would take): replace it
@@ -321,7 +340,12 @@ def _flip_current(root: str, version: int,
                     == {e["path"] for e in entries})
         else:
             ours = True
-        FS.put_atomic(os.path.join(root, _CURRENT), str(version))
+        # FENCED pointer write: on POSIX this is the plain atomic
+        # rename (flock cannot be broken by age); on a lease-based
+        # store the write is conditional on the lease still being ours,
+        # so a stalled holder whose lease aged out raises LeaseLost
+        # instead of regressing the pointer after a takeover.
+        FS.put_fenced(root, os.path.join(root, _CURRENT), str(version))
         return ours
 
 
@@ -756,11 +780,17 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     """merge_keyed's MERGE plan, committed atomically across ALL touched
     partitions via one manifest flip:
 
-    (1) touched-partition list from the change batch (tiny driver
-        action);
-    (2) current snapshot scanned PRUNED to touched partitions — the
-        manifest itself is the pruning index, untouched files are never
-        opened;
+    (1) touched-partition list + per-partition key min/max from the
+        change batch (ONE tiny driver action);
+    (2) current snapshot scanned PRUNED twice — to touched partitions
+        (the manifest is the pruning index, untouched files are never
+        opened), then FILE-granular inside them: when the table's
+        per-file stats index covers a key column, files whose recorded
+        [min, max] is disjoint from the partition's change-key range
+        are carried by reference (byte-identical paths in the new
+        manifest) instead of rewritten — a 1-row update to a hot
+        partition rewrites only the files that can contain its key,
+        Delta's stats-pruned copy-on-write;
     (3) anti-join on change keys + union of the U/I payload;
     (4) staged write, files adopted under commit-unique names — all
         invisible until
@@ -784,14 +814,34 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     root = _norm(path)
     doc = _load_doc(root)
     commit_id = uuid.uuid4().hex
+    stats_cols = _doc_stats_cols(root, doc)
+    # Key columns the per-file min/max index covers: used below to
+    # shrink the rewrite set INSIDE touched partitions (r09 verdict
+    # item 2 — without this a 1-row update to a hot 1 TB partition
+    # rewrites 1 TB; with it, only the files whose recorded key range
+    # can contain a change key rewrite).
+    key_cols = [k for k in keys if k != part_col and k in stats_cols]
     # Manifest entries store partition values as the (unescaped) Hive
     # dir-name STRING; a typed change column (int/date day=1) would never
     # match it. Canonicalize the touched set through Spark's own
     # cast-to-string — the same rendering the writer uses for dir names —
-    # with NULL mapped to Hive's default-partition marker.
-    touched = {"__HIVE_DEFAULT_PARTITION__" if r[0] is None else r[0]
-               for r in changes.select(
-                   F.col(part_col).cast("string")).distinct().collect()}
+    # with NULL mapped to Hive's default-partition marker. The SAME tiny
+    # driver agg also collects per-partition min/max of every indexed
+    # key column (one job, O(touched partitions) rows).
+    aggs = [a for k in key_cols
+            for a in (F.min(k).alias(f"__lo_{k}"),
+                      F.max(k).alias(f"__hi_{k}"))]
+    rng_rows = (changes.groupBy(
+        F.col(part_col).cast("string").alias("__p"))
+        .agg(*aggs) if aggs else
+        changes.select(F.col(part_col).cast("string").alias("__p"))
+        .distinct()).collect()
+    touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+               else r["__p"] for r in rng_rows}
+    rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+            else r["__p"]):
+           {k: (r[f"__lo_{k}"], r[f"__hi_{k}"]) for k in key_cols}
+           for r in rng_rows}
     # Untouched SEGMENTS carry into the new manifest by reference —
     # never read, never rewritten: metadata cost is O(touched), the
     # manifest-list shape that keeps a 1-partition merge on a 10⁶-file
@@ -802,14 +852,34 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     cur_entries = [e for e in resolved if e["partition"] in touched]
     rehome = [e for e in resolved if e["partition"] not in touched]
 
+    # File-granular rewrite pruning: within a touched partition, a file
+    # whose recorded [min, max] on an indexed KEY column is disjoint
+    # from the change batch's key range IN THAT PARTITION cannot contain
+    # any row the anti-join would remove — it is carried by reference
+    # (byte-identical path in the new manifest) instead of rewritten.
+    # Conservative exactly like prune_entries: statless files and
+    # overlapping ranges rewrite; all-NULL change keys prune nothing
+    # (their bound is None). Equality semantics make disjoint-on-ANY-key
+    # sufficient: a row must match EVERY key to be replaced.
+    if key_cols and cur_entries:
+        by_part: dict[str, list[dict]] = {}
+        for e in cur_entries:
+            by_part.setdefault(e["partition"], []).append(e)
+        cur_entries = []
+        for p, es in by_part.items():
+            pr = {k: v for k, v in rng.get(p, {}).items()
+                  if v[0] is not None}
+            need = prune_entries(es, pr) if pr else es
+            need_paths = {e["path"] for e in need}
+            cur_entries.extend(need)
+            rehome.extend(e for e in es if e["path"] not in need_paths)
+
     merged = changes.where(F.col("op") != "D").drop("op")
     if cur_entries:
         cur = _reader(spark, root, doc).parquet(
             *[os.path.join(root, e["path"]) for e in cur_entries])
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
-
-    stats_cols = _doc_stats_cols(root, doc)
     new_entries = _stage_write(merged, root, part_col,
                                stats_cols=stats_cols)
     segs = list(carried)
@@ -825,7 +895,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        schema=doc.get("schema"),
                        stats_cols=stats_cols)
     newdoc["part_col"] = doc.get("part_col", part_col)
-    _write_doc(root, version, newdoc)
+    _write_doc(root, version, newdoc,
+               verify_paths=[e["path"] for e in new_entries])
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
@@ -916,6 +987,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             raise RuntimeError(
                 f"table create under {root} unresolved after "
                 f"{_APPEND_RETRIES} attempts")
+    stats_backfilled = False
     for _ in range(_APPEND_RETRIES):
         try:
             doc = _load_doc(root)
@@ -935,6 +1007,32 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 for e in staged):
             staged = staged_seg = None  # vacuumed mid-stall; restage
         stats_cols = _doc_stats_cols(root, doc)
+        if staged and stats_cols and not stats_backfilled and any(
+                set(stats_cols) - set(e.get("stats", {}))
+                for e in staged):
+            stats_backfilled = True  # once: footer reads are
+            #                          deterministic, retries gain nothing
+            # The loser of the v1 creation race staged BEFORE stats_cols
+            # were knowable (no table existed), so its adopted files
+            # carry no per-file min/max. Committing them as-is would be
+            # correct (pruning conservatively keeps statless files) but
+            # would silently degrade the index and void any segment
+            # rollup they join — backfill from the adopted files'
+            # footers instead (O(batch) footer reads, once) and rewrite
+            # the tiny segment (r09 advice finding). Columns a footer
+            # genuinely lacks stats for stay absent — that is the same
+            # outcome a first-time stage records.
+            for e in staged:
+                _, stats = _file_stats(os.path.join(root, e["path"]),
+                                       stats_cols)
+                if stats:
+                    e["stats"] = stats
+            if all(set(stats_cols) - set(e.get("stats", {}))
+                   for e in staged):
+                pass  # footers carry no stats at all: nothing to gain,
+                #       and rewriting the segment each retry would churn
+            else:
+                staged_seg = _write_segment(root, staged)
         if staged is None:
             staged = _stage_write(batch, root, part_col,
                                   stats_cols=stats_cols)
@@ -964,12 +1062,17 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         if doc.get("part_col") or part_col:
             newdoc["part_col"] = doc.get("part_col", part_col)
         try:
-            _write_doc(root, version, newdoc, occ=True)
+            _write_doc(root, version, newdoc, occ=True,
+                       verify_paths=[e["path"] for e in staged or []])
         except FileExistsError:
             # another writer claimed this version; give it its flip
             # window (otherwise every rebase re-reads the same committed
             # parent and the whole retry budget burns inside one race)
             time.sleep(0.01)
+            continue
+        except CommitAborted:
+            # staged files swept before the claim landed — the loop-top
+            # existence check restages them against the fresh parent
             continue
         try:
             if (_flip_current(root, version, commit_id=commit_id)
@@ -1062,7 +1165,8 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                        commit_id=commit_id, schema=m.get("schema"),
                        stats_cols=stats_cols)
     newdoc["part_col"] = m.get("part_col", part_col)
-    _write_doc(root, version, newdoc)
+    _write_doc(root, version, newdoc,
+               verify_paths=[e["path"] for e in new_entries])
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
@@ -1111,7 +1215,14 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # (the create-exclusive write takes no lock): those appear after the
     # triage listing, are never in it, and their files are protected by
     # the orphan mtime grace below — nothing written mid-vacuum can be
-    # deleted by it.
+    # deleted by it. Files adopted BEFORE the vacuum but not yet claimed
+    # are covered by the same grace because adoption REFRESHES mtime
+    # (LocalFS.move_in — grace measures time-since-adoption, not
+    # time-since-Spark-wrote-the-staged-file), and as the final belt
+    # every commit re-verifies its staged files exist under this same
+    # lock before its claim lands (_write_doc verify_paths) — a sweep
+    # that somehow won the race aborts the commit instead of letting it
+    # publish a snapshot referencing deleted files.
     with FS.locked(root):
         cur = current_version(root)
         if cur is None:

@@ -127,3 +127,37 @@ def test_os_schema_evolution(spark, tmp_path):
 @pytest.mark.full
 def test_os_concurrent_append_merge_vacuum_stress(spark, tmp_path):
     base.test_concurrent_append_merge_vacuum_stress(spark, tmp_path)
+
+
+def test_os_fenced_pointer_write_refuses_broken_lease(tmp_path):
+    """r09 advice: a lease is not mutual exclusion against a STALLED
+    holder — one paused past the TTL resumes and executes its pointer
+    write after another holder took over, regressing _current. The
+    pointer write is therefore FENCED: conditional on the lease still
+    being the writer's own, in the same server-side atomic step."""
+    from silvia_spark.operators.manifest_fs import (LeaseLost,
+                                                    ObjectStoreSimFS)
+
+    fs = ObjectStoreSimFS()
+    root = str(tmp_path)
+    ptr = os.path.join(root, "_current")
+    fs.put_atomic(ptr, "1")
+
+    with fs.locked(root):
+        # simulate the takeover: our lease aged out mid-stall and a
+        # second holder re-issued it under its own token
+        fs.put_atomic(os.path.join(root, ".flip_lease"), "usurper")
+        with pytest.raises(LeaseLost):
+            fs.put_fenced(root, ptr, "2")
+    assert fs.read_text(ptr) == "1", "fenced write must not regress"
+    os.remove(os.path.join(root, ".flip_lease"))  # clear the fake
+
+    # a write with no lease held at all is refused too
+    with pytest.raises(LeaseLost):
+        fs.put_fenced(root, ptr, "2")
+
+    # the healthy path: held lease, fenced write lands
+    with fs.locked(root):
+        fs.put_fenced(root, ptr, "2")
+    assert fs.read_text(ptr) == "2"
+

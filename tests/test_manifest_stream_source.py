@@ -130,8 +130,48 @@ def test_stream_fails_loudly_on_mid_stream_evolution(spark, tmp_path):
                                     "k BIGINT, part STRING, v DOUBLE, "
                                     "lang STRING")
     mt.commit_append(spark, root, evolved, "part")
-    with pytest.raises(RuntimeError, match="schema changed"):
+    with pytest.raises(RuntimeError, match="restart the stream"):
         reader.partitions({"version": 1}, {"version": 2})
     # a fresh reader (stream restart) adopts the evolved schema
     df = read_stream_table(spark, root)
     assert "lang" in df.columns
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_replayed_batch_survives_post_evolution_restart(spark, tmp_path):
+    """Checkpoint-recovery wedge (r09 advice): Spark replays the last
+    WAL-planned batch with its ORIGINAL end offset. If the table evolved
+    after that end version, the restarted reader is constructed with the
+    NEW schema — the replayed old batch must be DELIVERABLE under it
+    (NULL-filling the new column by name), not refused. Refusing wedges
+    the stream permanently: every restart rebuilds the same reader and
+    re-raises on the same replayed offsets."""
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 10.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    evolved = spark.createDataFrame([(2, "p1", 20.0, "en")],
+                                    "k BIGINT, part STRING, v DOUBLE, "
+                                    "lang STRING")
+    mt.commit_append(spark, root, evolved, "part")
+
+    # the post-restart reader: constructed AFTER the evolution, replays
+    # the pre-evolution batch (end offset pinned at version 1 by the WAL)
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert parts, "replayed pre-evolution batch must still plan"
+    batches = list(reader.read(parts[0]))
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches(batches)
+    # the old file's rows deliver with lang NULL-filled by name
+    assert tbl.column("lang").null_count == tbl.num_rows
+    assert tbl.column("k").to_pylist() == [1]
+    # and the post-evolution batch delivers normally under the same reader
+    parts2 = reader.partitions({"version": 1}, {"version": 2})
+    tbl2 = pa.Table.from_batches(
+        [b for p in parts2 for b in reader.read(p)])
+    assert tbl2.column("lang").to_pylist() == ["en"]

@@ -853,3 +853,131 @@ def test_stale_committer_cannot_claim_passed_version(spark, tmp_path):
         mt._write_doc(root, 2, mt._make_doc(
             2, 1, [], commit_id="stale"), occ=True)
     assert not os.path.exists(mt._manifest_path(root, 2))
+
+
+def test_adoption_refreshes_mtime_for_vacuum_grace(tmp_path):
+    """r09 advice: os.rename preserves the staged file's WRITE-time
+    mtime, so a commit whose staging ran longer than the grace window
+    would adopt files already vacuum-eligible. move_in must refresh
+    mtime so grace measures time-since-adoption."""
+    import time
+
+    from silvia_spark.operators.manifest_fs import LocalFS
+
+    src = str(tmp_path / "staged.parquet")
+    dst = str(tmp_path / "adopted.parquet")
+    with open(src, "w") as f:
+        f.write("x")
+    old = time.time() - mt._CLAIM_GRACE_SEC - 120
+    os.utime(src, (old, old))
+    LocalFS().move_in(src, dst)
+    assert time.time() - os.path.getmtime(dst) < 10
+
+
+def test_write_doc_aborts_when_staged_files_vanished(tmp_path):
+    """The belt behind the mtime fix: the claim write re-verifies its
+    staged files exist UNDER the flip lock (the same lock vacuum holds
+    for its whole sweep) — publishing a snapshot that references
+    deleted files must be structurally impossible, not just unlikely."""
+    root = _fab_table(tmp_path)
+    entries = [{"path": "part=p1/f1.parquet", "partition": "p1",
+                "rows": 1},
+               {"path": "part=p1/ghost.parquet", "partition": "p1",
+                "rows": 1}]
+    with pytest.raises(mt.CommitAborted, match="vanished before"):
+        mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
+                      verify_paths=[e["path"] for e in entries])
+    assert not os.path.exists(mt._manifest_path(root, 2))
+    # with every file present the same claim lands
+    mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
+                  verify_paths=["part=p1/f1.parquet"])
+    assert os.path.exists(mt._manifest_path(root, 2))
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_creation_race_loser_backfills_stats(spark, tmp_path,
+                                             monkeypatch):
+    """r09 advice: the loser of the v1 creation race staged before
+    stats_cols were knowable; its append-loop commit must backfill
+    per-file min/max from the adopted footers so the table's pruning
+    index is not silently degraded."""
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part", stats_cols=["k"])
+
+    # simulate the loser: current_version reports None ONCE (the append
+    # takes the creation path and stages statless), then reality
+    real_cv = mt.current_version
+    calls = {"n": 0}
+
+    def flaky_cv(r):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None
+        return real_cv(r)
+
+    monkeypatch.setattr(mt, "current_version", flaky_cv)
+    b = spark.createDataFrame([(42, "p1", 420.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    v = mt.commit_append(spark, root, b, "part")
+    monkeypatch.setattr(mt, "current_version", real_cv)
+    assert v == 2
+    new = [e for e in mt.load_manifest(root)["files"] if e["rows"] == 1
+           and e["partition"] == "p1"
+           and e["path"] not in {x["path"] for x in
+                                 mt.load_manifest(root, 1)["files"]}]
+    assert new, "appended entry missing"
+    assert all("stats" in e and "k" in e["stats"] for e in new), (
+        "creation-race loser committed statless entries — the pruning "
+        "index silently degraded")
+    assert new[0]["stats"]["k"] == [42, 42]
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_merge_rewrites_only_key_overlapping_files(spark, tmp_path):
+    """Stats-pruned file-granular MERGE (r09 verdict item 2): in a
+    touched partition, files whose per-file key [min, max] is disjoint
+    from the change batch's key range must survive the merge
+    byte-identical (carried by reference), and only overlapping files
+    rewrite. A 1-row update to a hot partition must not rewrite the
+    partition."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, "p1", float(k)) for k in range(100)]
+        + [(k, "p2", float(k)) for k in range(100)],
+        "k BIGINT, part STRING, v DOUBLE")
+    # 4 range-clustered files per partition, disjoint k bands
+    mt.create_table(df.repartitionByRange(4, "k"), root, "part",
+                    stats_cols=["k"])
+    v1 = {e["path"]: os.path.getmtime(os.path.join(root, e["path"]))
+          for e in mt.load_manifest(root)["files"]}
+    assert len([p for p in v1 if p.startswith("part=p1/")]) == 4
+
+    chg = spark.createDataFrame([(5, "p1", 555.0, "U")],
+                                "k BIGINT, part STRING, v DOUBLE, "
+                                "op STRING")
+    assert mt.commit_merge(spark, root, chg, ["k", "part"], "part") == 2
+
+    v2_paths = {e["path"] for e in mt.load_manifest(root)["files"]}
+    survived = set(v1) & v2_paths
+    # p2 untouched (4 files) + p1's 3 non-overlapping files carried
+    assert len(survived) == 7, (
+        f"expected 7 carried files, got {len(survived)}: the merge "
+        "rewrote files whose key range cannot contain the change key")
+    assert all(os.path.getmtime(os.path.join(root, p)) == v1[p]
+               for p in survived), "carried files were rewritten on disk"
+    rows = sorted((r.k, r.part, r.v)
+                  for r in mt.read_snapshot(spark, root).collect())
+    expect = sorted([(k, "p1", 555.0 if k == 5 else float(k))
+                     for k in range(100)]
+                    + [(k, "p2", float(k)) for k in range(100)])
+    assert rows == expect
+
+    # a DELETE whose key overlaps nothing prunes the whole rewrite:
+    # every file carries, the snapshot is unchanged
+    miss = spark.createDataFrame([(10**9, "p1", None, "D")],
+                                 "k BIGINT, part STRING, v DOUBLE, "
+                                 "op STRING")
+    mt.commit_merge(spark, root, miss, ["k", "part"], "part")
+    v3_paths = {e["path"] for e in mt.load_manifest(root)["files"]}
+    assert v3_paths == v2_paths
+    assert mt.read_snapshot(spark, root).count() == 200

@@ -334,6 +334,13 @@ def _log(msg: str) -> None:
 
 
 def main() -> None:
+    # Idle-box gate (r09 verdict: the r08 sf1-heavy artifact recorded
+    # loadavg 46.78 — self-polluted numbers). Same gate as bench.py's
+    # headline sweep: wait for the box, stamp degraded otherwise.
+    from bench import _load_gate
+
+    load_gate = _load_gate()
+    _log(f"load gate: {load_gate}")
     _log("building corpus")
     build_corpus()
     from silvia_spark import registry
@@ -407,6 +414,7 @@ def main() -> None:
                  "record Spark only — no honest same-scale DuckDB "
                  "number exists for the all-pairs form"),
         "loadavg": round(os.getloadavg()[0], 2),
+        "load_gate": load_gate,
     }
     out = os.path.join(REPO, "BENCH_sf1_heavy.json")
     with open(out, "w") as f:
