@@ -466,6 +466,10 @@ def _adopt_staged(root: str, stage: str, part_col: str, token: str,
                      "partition": value}
             rows, stats = _file_stats(src, stats_cols or [])
             entry["rows"] = rows
+            # per-file byte size: the streaming source's
+            # maxBytesPerTrigger admission control reads it from the
+            # manifest instead of HEAD-ing 100 TB of files
+            entry["bytes"] = os.path.getsize(src)
             if stats:
                 entry["stats"] = stats
             try:

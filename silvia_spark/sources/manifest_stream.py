@@ -14,10 +14,31 @@ executor-parallel with no driver data movement; rows are delivered as
 Arrow RecordBatches (no per-row Python objects); partition-column
 values come from the manifest entries (never re-parsed from paths).
 
+Admission control (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``,
+Delta's options): with a limit set, offsets gain an intra-version file
+``index`` and each micro-batch admits at most N files / B bytes — a
+stream started at version 0 on a 100 TB table drains the snapshot as
+many bounded batches instead of one table-sized one, and a backlogged
+consumer catches up version by version, split within versions. Offsets
+stay a pure function of the immutable manifests, so replayed batches
+re-plan identically. The Python streaming API's ``latestOffset``
+receives no start offset (and is called blind on restarts and before
+``initialOffset`` on fresh starts — measured, see ``_trace``), so the
+walk position is persisted as a sidecar note under the table
+(``.stream_admission/``), monotonic-max, landed by the restart-replay
+``partitions(committed, committed)`` call before any blind read: fresh
+starts AND restarts both stay bounded. The note is a bounding hint
+only — exactly-once rides on the checkpointed offsets; a missing-or-
+stale note can only enlarge a batch, never lose or duplicate rows, and
+an UNWRITABLE table root degrades the blind restart batch to one
+unbounded (still exactly-once) catch-up.
+
 Schema: fixed at stream start from the table's recorded read schema. A
 mid-stream schema EVOLUTION fails the stream with an explicit error
 (Delta's behavior) — silently NULL-dropping a column a producer just
-added would be data loss; restart the stream to adopt the new schema.
+added would be data loss; restart the stream to adopt the new schema
+(already-planned pre-evolution batches replay fine under the evolved
+reader: columns align by name and NULL-fill).
 
 Retention contract (same as read_changes / Delta): a checkpointed
 stream that falls further behind than ``vacuum``'s ``keep_versions``
@@ -42,6 +63,18 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
 from pyspark.sql.types import StructType
 
 from silvia_spark.io import local_path
+
+
+def _trace(msg: str) -> None:
+    """Protocol-sequence trace, gated on SILVIA_MSRC_TRACE=<file>: the
+    Python streaming API's driver-side call order (initialOffset /
+    latestOffset / partitions / commit, across fresh starts and
+    checkpoint restarts) is load-bearing for admission control and not
+    documented — this is how it was measured."""
+    path = os.environ.get("SILVIA_MSRC_TRACE")
+    if path:
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(msg + "\n")
 
 
 def _table_schema(root: str) -> StructType:
@@ -92,28 +125,117 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.schema_types = {f.name: f.dataType.simpleString()
                              for f in schema.fields}
         self.start_version = int(options.get("startingversion", "0"))
+        # --- admission control (Delta's maxFilesPerTrigger /
+        # maxBytesPerTrigger): without it a stream started at version 0
+        # on a large table delivers the ENTIRE snapshot as one
+        # micro-batch — at 100 TB the first batch is the table. With a
+        # limit set, offsets gain an intra-version ``index`` and
+        # latestOffset advances at most N files / B bytes past the last
+        # planned position per trigger, splitting a version's file list
+        # across micro-batches. At least one file is always admitted so
+        # a single over-budget file cannot stall the stream.
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        self.limited = (self.max_files is not None
+                        or self.max_bytes is not None)
+        # Last planned/committed position (version, files-consumed-in-
+        # version). None = unknown: the Python streaming API's
+        # latestOffset receives no start offset, and Spark calls it
+        # BEFORE initialOffset on a fresh start and blind after a
+        # restart (measured — see _trace). The position is therefore
+        # ALSO persisted as a sidecar NOTE under the table
+        # (.stream_admission/, monotonic max, written by partitions/
+        # commit/latestOffset): on a restart Spark first re-plans the
+        # last offset-log batch — partitions(committed, committed),
+        # observed under both processingTime and availableNow triggers
+        # — which lands the note at >= the committed position before
+        # the blind latestOffset reads it, so the walk can never start
+        # behind the checkpoint (an offset behind committed would plan
+        # a backwards batch and re-deliver). A missing note therefore
+        # means a genuinely fresh start, where walking from
+        # (startingVersion, 0) is safe because nothing was delivered.
+        # The note is a bounding HINT only — exactly-once correctness
+        # rides entirely on the checkpointed offsets. Concurrent
+        # queries with IDENTICAL options on one table share a note key
+        # (ahead-only interference: a batch may exceed its bound, never
+        # lose or duplicate rows); pass a distinct streamId option to
+        # give each its own.
+        self._pos: tuple[int, int] | None = None
+        self._fl_cache: dict[int, list] = {}
+        self._note_ok = True
+        if self.limited:
+            import hashlib
 
-    def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+            key = hashlib.sha1("\x1f".join(
+                (str(self.start_version), str(self.max_files),
+                 str(self.max_bytes), options.get("streamid", ""))
+            ).encode()).hexdigest()[:16]
+            self._note = os.path.join(self.root, ".stream_admission",
+                                      f"pos-{key}.json")
 
-    def latestOffset(self) -> dict:
-        from silvia_spark.operators.manifest_table import current_version
+    def _note_read(self) -> tuple[int, int] | None:
+        try:
+            with open(self._note, encoding="utf-8") as f:
+                d = json.load(f)
+            return (int(d["version"]), int(d["index"]))
+        except (OSError, ValueError, KeyError):
+            return None
 
-        cur = current_version(self.root)
-        if cur is None:
-            raise FileNotFoundError(
-                f"no committed snapshot under {self.root}")
-        return {"version": max(cur, self.start_version)}
+    def _note_write(self, pos: tuple[int, int]) -> None:
+        """Monotonic-max, atomic, best-effort: a read-only table root
+        degrades to the safe unbounded-catch-up behavior, never to an
+        error."""
+        if not self._note_ok:
+            return
+        try:
+            cur = self._note_read()
+            if cur is not None and cur >= pos:
+                return
+            os.makedirs(os.path.dirname(self._note), exist_ok=True)
+            tmp = f"{self._note}.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": pos[0], "index": pos[1]}, f)
+            os.replace(tmp, self._note)
+        except OSError:
+            self._note_ok = False
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+    # -- per-version file lists (the walk units of limited mode) -------
+
+    def _fl(self, v: int) -> list[dict]:
+        """FL(v): the files version v ADDED — a pure function of the
+        table's immutable manifests, so replayed (start, end) ranges
+        re-plan the identical batch. FL(v) = [] for v <= startingVersion
+        (never delivered), the full snapshot for v == 1, else the
+        file-granular diff from v-1 (read_changes' set)."""
         from silvia_spark.operators.manifest_table import (_diff_entries,
                                                            _load_doc,
                                                            _resolve)
 
-        sv, ev = int(start["version"]), int(end["version"])
-        if ev <= sv:
+        if v <= self.start_version:
             return []
-        m_to = _load_doc(self.root, ev)
+        got = self._fl_cache.get(v)
+        if got is not None:
+            return got
+        m_to = _load_doc(self.root, v)
+        self._guard_schema(v, m_to)
+        if v == 1:
+            fl = _resolve(self.root, m_to)
+        else:
+            fl = _diff_entries(self.root, _load_doc(self.root, v - 1),
+                               m_to)
+        if len(self._fl_cache) > 16:
+            self._fl_cache.clear()  # bound driver memory; recompute is
+            #                         cheap (O(changed) per version)
+        self._fl_cache[v] = fl
+        return fl
+
+    def _guard_schema(self, ev: int, m_to: dict) -> None:
         to_types = _type_map(m_to.get("schema"))
         # Evolution guard, REPRESENTABILITY form: raise only when the
         # batch's end-version schema carries a column the reader schema
@@ -137,6 +259,127 @@ class ManifestStreamReader(DataSourceStreamReader):
                 f"{sorted(self.schema_types)}): restart the stream to "
                 "adopt the new schema — delivering rows under the old "
                 "one would silently drop or corrupt them")
+
+    def initialOffset(self) -> dict:
+        _trace(f"initialOffset pos={self._pos}")
+        if self.limited:
+            self._pos = (self.start_version, 0)
+            return {"version": self.start_version, "index": 0}
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from silvia_spark.operators.manifest_table import current_version
+
+        cur = current_version(self.root)
+        _trace(f"latestOffset pos={self._pos} cur={cur}")
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {self.root}")
+        if not self.limited:
+            return {"version": max(cur, self.start_version)}
+        if cur <= self.start_version:
+            return {"version": self.start_version, "index": 0}
+        if self._pos is None:
+            note = self._note_read()
+            if note is not None:
+                self._pos = note  # restart: the replay partitions()
+                #                   call landed the note >= committed
+            else:
+                self._note_write((self.start_version, 0))
+                if self._note_ok:
+                    # writable root + no note = genuinely fresh start
+                    # (any restart would have re-landed the note via
+                    # the replay partitions call): bounded from zero
+                    self._pos = (self.start_version, 0)
+                else:
+                    # unwritable root: no persistence, so a blind call
+                    # cannot distinguish fresh from restarted — the
+                    # only never-backwards answer is one unbounded
+                    # catch-up batch
+                    self._pos = (cur, len(self._fl(cur)))
+                    return {"version": cur, "index": self._pos[1]}
+        v, i = self._pos
+        max_f = self.max_files if self.max_files is not None else 1 << 62
+        max_b = self.max_bytes if self.max_bytes is not None else 1 << 62
+        files = by = 0
+        while True:
+            fl = self._fl(v)
+            while i < len(fl):
+                if files and (files >= max_f or by >= max_b):
+                    break
+                by += fl[i].get("bytes", 0)
+                files += 1
+                i += 1
+            else:
+                if v >= cur:
+                    break
+                if files and (files >= max_f or by >= max_b):
+                    break
+                v, i = v + 1, 0
+                continue
+            break
+        self._pos = (v, i)
+        self._note_write((v, i))  # ahead-of-committed is always safe
+        return {"version": v, "index": i}
+
+    def commit(self, end: dict) -> None:
+        _trace(f"commit end={end}")
+        if not self.limited:
+            return
+        v = int(end["version"])
+        # a version-only offset (written by an unlimited run of the
+        # same checkpoint) means "consumed THROUGH v" — normalize to
+        # the fully-consumed index, never 0 (which would re-deliver v)
+        ep = (v, int(end["index"]) if "index" in end
+              else len(self._fl(v)))
+        if self._pos is None or ep > self._pos:
+            self._pos = ep
+        self._note_write(ep)
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from silvia_spark.operators.manifest_table import (_diff_entries,
+                                                           _load_doc,
+                                                           _resolve)
+
+        sv, ev = int(start["version"]), int(end["version"])
+        _trace(f"partitions start={start} end={end}")
+        if "index" in start or "index" in end:
+            # limited-mode offsets: walk per-version file lists from
+            # (sv, si) exclusive to (ev, ei) inclusive — a pure function
+            # of immutable manifests, identical under replay. An offset
+            # MISSING the index (written by an unlimited run of the
+            # same checkpoint) means "consumed THROUGH v": normalize to
+            # the fully-consumed index, never 0 (re-delivery).
+            si = (int(start["index"]) if "index" in start
+                  else len(self._fl(sv)))
+            ei = (int(end["index"]) if "index" in end
+                  else len(self._fl(ev)))
+            if self._pos is None or (ev, ei) > self._pos:
+                self._pos = (ev, ei)
+            # The load-bearing note write — BEFORE the empty-range
+            # return, because Spark's restart replay calls partitions
+            # with start == end == the committed offset (measured under
+            # processingTime AND availableNow): this write is what
+            # guarantees the note is >= committed when the blind
+            # latestOffset reads it.
+            self._note_write((ev, ei))
+            if (ev, ei) <= (sv, si):
+                return []
+            entries: list[dict] = []
+            if sv == ev:
+                entries = self._fl(sv)[si:ei]
+            else:
+                entries.extend(self._fl(sv)[si:])
+                for v in range(sv + 1, ev):
+                    entries.extend(self._fl(v))
+                entries.extend(self._fl(ev)[:ei])
+            return [_FileSlice(os.path.join(self.root, e["path"]),
+                               e["partition"]) for e in entries]
+        if ev <= sv:
+            return []
+        m_to = _load_doc(self.root, ev)
+        self._guard_schema(ev, m_to)  # representability guard — the
+        #                               full rationale sits on the method
         if sv == 0:
             entries = _resolve(self.root, m_to)
         else:
@@ -232,16 +475,31 @@ class ManifestTableDataSource(DataSource):
         return ManifestStreamReader(schema, self.options)
 
 
-def read_stream_table(spark, path: str, starting_version: int = 0):
+def read_stream_table(spark, path: str, starting_version: int = 0,
+                      max_files_per_trigger: int | None = None,
+                      max_bytes_per_trigger: int | None = None):
     """Streaming DataFrame over a manifest table: every committed
     version AFTER ``starting_version`` arrives as (at least) one
     micro-batch of its file-granular changes; a rewritten partition
     re-delivers wholesale (upsert-by-key downstream, like read_changes).
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
+    micro-batch (Delta's admission-control options): a stream started
+    at version 0 on a large table drains the snapshot across many
+    bounded batches instead of one table-sized one. At least one file
+    per batch is always admitted (an over-budget file cannot stall the
+    stream); byte budgeting uses the per-file sizes the manifest
+    records at adoption — files committed before sizes were recorded
+    count toward the file limit only.
     """
     # re-registering replaces the previous binding — idempotent by the
     # DataSource API's own contract, so no exception dance is needed
     spark.dataSource.register(ManifestTableDataSource)
-    return (spark.readStream.format("silvia_manifest")
-            .option("path", path)
-            .option("startingVersion", str(starting_version))
-            .load())
+    r = (spark.readStream.format("silvia_manifest")
+         .option("path", path)
+         .option("startingVersion", str(starting_version)))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    return r.load()

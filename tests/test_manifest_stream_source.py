@@ -175,3 +175,124 @@ def test_replayed_batch_survives_post_evolution_restart(spark, tmp_path):
     tbl2 = pa.Table.from_batches(
         [b for p in parts2 for b in reader.read(p)])
     assert tbl2.column("lang").to_pylist() == ["en"]
+
+
+def _mk_table(spark, root, n_files=6, rows_per=4):
+    df = spark.createDataFrame(
+        [(k, "p1", float(k)) for k in range(n_files * rows_per)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(df.repartitionByRange(n_files, "k"), root, "part")
+    n = len(mt.load_manifest(root)["files"])
+    assert n == n_files, f"fixture wrote {n} files, wanted {n_files}"
+
+
+def test_admission_control_walks_bounded_offsets(spark, tmp_path):
+    """maxFilesPerTrigger/maxBytesPerTrigger (r09 verdict item 1): a
+    version-0 start on a multi-file table must advance the offset at
+    most N files per trigger — the first batch of a 100 TB table must
+    not be the table. The offset walk is driven directly here (pure
+    reader-level, deterministic); engine-level delivery is pinned by
+    the tests below."""
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_files=6)
+    b = spark.createDataFrame([(100, "p1", 1.0), (101, "p1", 2.0)],
+                              "k BIGINT, part STRING, v DOUBLE")
+    mt.commit_append(spark, root, b.repartition(2), "part")  # v2: 2 files
+
+    reader = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxfilespertrigger": "2"})
+    offsets = [reader.initialOffset()]
+    assert offsets[0] == {"version": 0, "index": 0}
+    for _ in range(10):
+        nxt = reader.latestOffset()
+        if nxt == offsets[-1]:
+            break
+        offsets.append(nxt)
+        reader.commit(nxt)
+    # 8 files / 2 per trigger = 4 bounded batches, then stable
+    assert offsets[1:] == [{"version": 1, "index": 2},
+                           {"version": 1, "index": 4},
+                           {"version": 1, "index": 6},
+                           {"version": 2, "index": 2}]
+    # the planned batches tile the table exactly once
+    seen = []
+    for s, e in zip(offsets, offsets[1:]):
+        batch = [p.path for p in reader.partitions(s, e)]
+        assert 0 < len(batch) <= 2
+        seen.extend(batch)
+    assert len(seen) == len(set(seen)) == 8
+    # replay purity: re-planning an old range yields the identical batch
+    again = [p.path for p in reader.partitions(offsets[1], offsets[2])]
+    assert again == seen[2:4]
+
+    # byte budgeting admits at least one file, then stops at the budget
+    rb = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxbytespertrigger": "1"})
+    rb.initialOffset()
+    first = rb.latestOffset()
+    assert first == {"version": 1, "index": 1}, (
+        "an over-budget file must still admit exactly one file")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_admission_control_bounded_batches_end_to_end(spark, tmp_path):
+    """Engine-level: a limited stream drains a version-0 snapshot as
+    MULTIPLE bounded micro-batches (not one table-sized batch) and
+    delivers every row exactly once."""
+    root = str(tmp_path / "t")
+    _mk_table(spark, root, n_files=6, rows_per=4)
+
+    df = read_stream_table(spark, root, max_files_per_trigger=2)
+    q = (df.writeStream.format("memory").queryName("msrc_admission")
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.table("msrc_admission").collect())
+    assert got == list(range(24)), "rows lost or duplicated"
+    data_batches = [p for p in q.recentProgress
+                    if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, (
+        f"6 files at 2/trigger must take >=3 batches, got "
+        f"{len(data_batches)}")
+    assert all(p["numInputRows"] <= 8 for p in data_batches), (
+        "a batch exceeded the 2-file admission bound")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_admission_control_exactly_once_across_restarts(spark, tmp_path):
+    """Checkpointed restarts under admission control: every availableNow
+    run resumes from the committed offset AND stays bounded (the
+    restart-replay partitions call re-lands the sidecar note before the
+    blind latestOffset), and the union across runs is exactly-once."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _mk_table(spark, root, n_files=6, rows_per=4)
+
+    def one_run():
+        q = (read_stream_table(spark, root, max_files_per_trigger=2)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        files = [os.path.join(out, f) for f in os.listdir(out)
+                 if f.endswith(".parquet")]
+        return (sorted(r.k for r in spark.read.parquet(*files).collect())
+                if files else [])
+
+    # availableNow falls back to single-batch execution for Python
+    # sources, so each run = one admission-bounded batch of 2 files
+    sizes = []
+    for _ in range(3):
+        before = sizes[-1] if sizes else 0
+        sizes.append(len(one_run()))
+        assert sizes[-1] - before == 8, (
+            f"a restarted run exceeded (or undershot) the 2-file "
+            f"admission bound: deliveries {sizes}")
+    assert one_run() == list(range(24)), "lost or duplicated rows"
