@@ -528,15 +528,40 @@ def _read_schema(doc: dict):
     return StructType.fromJson(json.loads(sj))
 
 
+# Same-family widening ladders (Delta's type-widening tiers, the subset
+# Spark's parquet readers upcast natively — verified empirically on this
+# Spark: an int32 file reads cleanly under a bigint read schema, float
+# under double). Cross-family promotions (int→double) are refused: they
+# change value semantics (exactness), not just width.
+_INT_LADDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_LADDER = {"float": 0, "double": 1}
+
+
+def widens_to(from_t: str, to_t: str) -> bool:
+    """True when simpleString type ``from_t`` upcasts losslessly to
+    ``to_t`` within its numeric family (files written as ``from_t`` are
+    readable under a ``to_t`` read schema by Spark's parquet readers and
+    by the streaming source's Arrow cast)."""
+    for ladder in (_INT_LADDER, _FLOAT_LADDER):
+        if from_t in ladder and to_t in ladder:
+            return ladder[from_t] <= ladder[to_t]
+    return False
+
+
 def _evolve_schema(table_schema_json: str | None, batch_schema,
                    evolve: bool) -> str | None:
-    """Additive schema evolution (A16's mergeSchema discipline inside the
-    manifest layer): columns NEW in the batch are appended to the table
-    schema; columns MISSING from the batch are fine (its files NULL-fill
-    on read); a type change on a shared column is always an error. With
-    ``evolve=False`` new columns are refused by policy. Returns the
-    (possibly unchanged) schema json; None for legacy tables that never
-    recorded a schema."""
+    """Additive + widening schema evolution (A16's mergeSchema
+    discipline inside the manifest layer): columns NEW in the batch are
+    appended to the table schema; columns MISSING from the batch are
+    fine (its files NULL-fill on read); a shared column whose batch
+    type is WIDER in the same numeric family (int→bigint ladder,
+    float→double) widens the recorded schema — older narrow files
+    upcast on read — and a NARROWER batch type is accepted under the
+    table's wider schema without changing it. With ``evolve=False``
+    new columns and widenings are refused by policy; renames, cross-
+    family promotions, and narrowing of complex types always raise.
+    Returns the (possibly unchanged) schema json; None for legacy
+    tables that never recorded a schema."""
     if table_schema_json is None:
         return None
     from pyspark.sql.types import StructType
@@ -544,27 +569,39 @@ def _evolve_schema(table_schema_json: str | None, batch_schema,
     tbl = StructType.fromJson(json.loads(table_schema_json))
     by_name = {f.name: f for f in tbl.fields}
     new = []
+    widened: dict[str, object] = {}
     for f in batch_schema.fields:
         old = by_name.get(f.name)
         if old is None:
             new.append(f)
-        elif old.dataType.simpleString() != f.dataType.simpleString():
-            # simpleString strips nullability at every nesting level:
-            # array containsNull / struct-field nullable differences are
-            # merge-compatible (Delta ORs them; Spark's reader treats
-            # read-schema nullability as advisory) and must not be
-            # rejected as type changes — only genuine type drift is.
-            raise SchemaEvolutionError(
-                f"column {f.name!r}: table has {old.dataType.simpleString()}"
-                f", batch has {f.dataType.simpleString()} — type changes "
-                "never merge")
-    if not new:
+            continue
+        ts, bs = old.dataType.simpleString(), f.dataType.simpleString()
+        # simpleString strips nullability at every nesting level:
+        # array containsNull / struct-field nullable differences are
+        # merge-compatible (Delta ORs them; Spark's reader treats
+        # read-schema nullability as advisory) and must not be
+        # rejected as type changes — only genuine type drift is.
+        if ts == bs or widens_to(bs, ts):
+            continue  # identical, or narrower batch upcasts on read
+        if widens_to(ts, bs):
+            widened[f.name] = f.dataType
+            continue
+        raise SchemaEvolutionError(
+            f"column {f.name!r}: table has {ts}, batch has {bs} — "
+            "only same-family widenings (int ladder, float→double) "
+            "merge; other type changes never do")
+    if not new and not widened:
         return table_schema_json
     if not evolve:
+        what = [f.name for f in new] + [f"{c} (widened)" for c in widened]
         raise SchemaEvolutionError(
-            f"append adds columns {[f.name for f in new]} but "
-            "evolve=False pins the table schema")
-    return StructType(tbl.fields + new).json()
+            f"append changes columns {what} but evolve=False pins the "
+            "table schema")
+    from pyspark.sql.types import StructField
+
+    out = [StructField(f.name, widened.get(f.name, f.dataType),
+                       f.nullable, f.metadata) for f in tbl.fields]
+    return StructType(out + new).json()
 
 
 def create_table(df: DataFrame, path: str, part_col: str,
@@ -1707,6 +1744,198 @@ def scan_manifest_schema_evolution(spark: SparkSession,
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.count("src").alias("src_cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))
+
+
+# --- contract: stats-pruned file-granular MERGE (L18) -------------------------
+
+# A keyed merge whose change keys sit in the LOW tenth of the l_orderkey
+# range, against a table range-clustered on l_orderkey with a per-file
+# stats index: only files whose recorded key range overlaps the band
+# rewrite; the rest of each touched partition carries by reference. The
+# in-contract assertion pins that most files genuinely survived
+# path-identical; the hash proves the pruned rewrite loses nothing.
+# FLOOR (not bare CAST) for the threshold: DuckDB's double→BIGINT cast
+# rounds while Spark's truncates — floor agrees in both.
+_MERGE_PRUNED_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+t AS (
+  SELECT CAST(FLOOR(min(l_orderkey)
+              + (max(l_orderkey) - min(l_orderkey)) / 10.0) AS BIGINT)
+         AS thr
+  FROM li
+),
+chg AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         l_quantity + 50 AS l_quantity, l_extendedprice, 'U' AS op
+  FROM li, t WHERE l_orderkey <= thr AND l_orderkey % 5 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_returnflag, NULL, NULL, 'D'
+  FROM li, t WHERE l_orderkey <= thr AND l_orderkey % 5 = 2
+),
+kept AS (
+  SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.l_quantity,
+         b.l_extendedprice
+  FROM li b LEFT JOIN chg c
+    ON b.l_orderkey = c.l_orderkey AND b.l_linenumber = c.l_linenumber
+   AND b.l_returnflag = c.l_returnflag
+  WHERE c.l_orderkey IS NULL
+),
+merged AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM chg WHERE op <> 'D'
+)
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+       (sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM merged GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@contract("sink_merge_pruned", oracle=_MERGE_PRUNED_ORACLE)
+def sink_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned file-granular MERGE: lineitem is range-clustered on
+    l_orderkey (8 bands per partition) into a manifest table with a
+    per-file l_orderkey index; a change batch confined to the LOW tenth
+    of the key range (updates on key%5=0, deletes on key%5=2) commits
+    through commit_merge. The manifest index proves most files of every
+    touched partition cannot contain a change key, so they carry into
+    the new snapshot by reference — asserted path-identical in-contract
+    — and only the overlapping band rewrites. At 100 TB this is the
+    difference between a 1-row update rewriting one file and rewriting
+    the partition. The hash proves the pruned rewrite equals the full
+    relational merge."""
+    from silvia_spark.operators.scale_patterns import _fixture_table_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    thr = lo + (hi - lo) // 10
+
+    import shutil
+    import tempfile
+
+    # commits mutate the table: copy the create-once range-clustered
+    # fixture into a per-run dir (cheap at test scale) so reruns never
+    # see a half-merged parent
+    fixture = _fixture_table_dir("silvia_mpr_base", sf_dir, "lineitem",
+                                 spark)
+    ensure_table(fixture, lambda: create_table(
+        li.repartitionByRange(8, "l_orderkey"), fixture,
+        "l_returnflag", stats_cols=["l_orderkey"]))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mpruned_"), "tbl")
+    shutil.copytree(fixture, root)
+
+    v1_paths = {e["path"] for e in load_manifest(root)["files"]}
+    upd = (li.where((F.col("l_orderkey") <= thr)
+                    & (F.col("l_orderkey") % 5 == 0))
+           .withColumn("l_quantity", F.col("l_quantity") + 50)
+           .withColumn("op", F.lit("U")))
+    dele = (li.where((F.col("l_orderkey") <= thr)
+                     & (F.col("l_orderkey") % 5 == 2))
+            .withColumn("l_quantity",
+                        F.lit(None).cast(li.schema["l_quantity"].dataType))
+            .withColumn("l_extendedprice", F.lit(None).cast(
+                li.schema["l_extendedprice"].dataType))
+            .withColumn("op", F.lit("D")))
+    commit_merge(spark, root, upd.unionByName(dele),
+                 ["l_orderkey", "l_linenumber", "l_returnflag"],
+                 "l_returnflag")
+
+    v2_paths = {e["path"] for e in load_manifest(root)["files"]}
+    carried = v1_paths & v2_paths
+    assert len(carried) >= len(v1_paths) // 2 and v2_paths - v1_paths, (
+        f"stats-pruned merge carried {len(carried)}/{len(v1_paths)} "
+        "files — the per-file key index failed to prune the rewrite set")
+
+    from silvia_spark.functions.numeric import dsum
+    return (read_snapshot(spark, root)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"),
+                 dsum("l_extendedprice", "price_sum"))
+            .orderBy("l_returnflag"))
+
+
+# --- contract: type-widening schema evolution (L20) ---------------------------
+
+_WIDENED_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(event_id % 1000 AS INT) AS cnt_i
+  FROM events
+),
+appended AS (
+  SELECT event_id + 50000000 AS event_id, event_type,
+         value + 0.25 AS value, event_id + 3000000000 AS cnt_i
+  FROM base WHERE event_type = 'click' AND event_id % 11 = 0
+),
+v2 AS (
+  SELECT event_id, event_type, value, CAST(cnt_i AS BIGINT) AS cnt_i
+  FROM base
+  UNION ALL
+  SELECT * FROM appended
+)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(cnt_i) AS BIGINT) AS ci_sum,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0)
+         AS val_sum
+FROM v2 GROUP BY event_type ORDER BY event_type
+"""
+
+
+@contract("scan_manifest_widened", oracle=_WIDENED_ORACLE)
+def scan_manifest_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (int→bigint through the manifest
+    layer, L15's additive discipline extended): v1 records cnt_i as INT;
+    a v2 append carries cnt_i values past the int range as BIGINT, which
+    WIDENS the recorded schema — v1's int32 files upcast on read (Spark's
+    parquet reader does this natively; verified by the hash, which sums
+    cnt_i across both generations). In-body assertions pin that v1 time
+    travel keeps the ORIGINAL narrow schema and the v2 read schema is
+    bigint. Cross-family promotions still refuse (pytest-pinned)."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        (F.col("event_id") % 1000).cast("int").alias("cnt_i"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mwide_"), "tbl")
+    create_table(ev, root, "event_type")
+    batch = (ev.where((F.col("event_type") == "click")
+                      & (F.col("event_id") % 11 == 0))
+             .select((F.col("event_id") + 50000000).alias("event_id"),
+                     "event_type",
+                     (F.col("value") + 0.25).alias("value"),
+                     (F.col("event_id") + 3000000000).alias("cnt_i")))
+    commit_append(spark, root, batch, "event_type")
+
+    snap = read_snapshot(spark, root)
+    types = {f.name: f.dataType.simpleString()
+             for f in snap.schema.fields}
+    assert types["cnt_i"] == "bigint", (
+        f"widening append left cnt_i as {types['cnt_i']}")
+    t1 = {f.name: f.dataType.simpleString()
+          for f in read_snapshot(spark, root, version=1).schema.fields}
+    assert t1["cnt_i"] == "int", (
+        "time travel leaked the widened type into the v1 schema")
+
+    return (snap.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("cnt_i").cast("bigint").alias("ci_sum"),
                  F.sum("event_id").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))

@@ -1,0 +1,314 @@
+"""S3 adapter for the snapshot-manifest commit protocol — the real-
+store port of the interface ``ObjectStoreSimFS`` (manifest_fs.py)
+proves on local disk. Every primitive maps to the store's own
+server-side guarantee:
+
+- ``put_if_absent``  → PutObject ``If-None-Match: *`` (the version
+  CLAIM; S3 conditional writes, GA since 2024 — MinIO/GCS-XML speak the
+  same header).
+- ``put_atomic``     → plain PutObject (per-object atomicity is the
+  store's native guarantee; readers never see a torn object).
+- ``put_fenced``     → GET the pointer (etag) + verify the lease is
+  still ours + PutObject ``If-Match: <etag>`` (``If-None-Match: *`` for
+  the first flip). S3 cannot condition a PUT on ANOTHER object's etag,
+  so the fencing token here is the POINTER's own generation: a flip
+  that landed after our lease broke changed the etag, and our
+  conditional replace fails with 412 → ``LeaseLost`` instead of
+  regressing ``_current``. This preserves the monotonic-pointer
+  invariant under stalled holders — the exact gap the r09 advice named.
+- ``move_in``        → CopyObject + DeleteObject (no rename exists;
+  safe because destination names are commit-unique and invisible until
+  the manifest lands). The copy is born with a fresh LastModified, so
+  the adoption-grace refresh is inherent.
+- ``locked``         → a LEASE object taken with ``put_if_absent``,
+  heartbeat-renewed (conditional re-PUT on its own etag) at TTL/3,
+  broken by age. Lease break and release are NOT atomic on S3 (no
+  conditional delete) — the documented residual race; it can only
+  produce a spurious extra lease-holder, whose pointer write the
+  fencing above refuses. Everything else under the lock (vacuum's
+  deletes) is safe by the protocol's own invariants (see
+  manifest_fs.py's porting notes).
+
+Paths: the protocol passes POSIX-style joined paths; this adapter maps
+them to keys verbatim (leading slashes stripped, ``prefix`` prepended).
+Directories are virtual: ``makedirs``/``rmdir_if_empty`` are no-ops,
+``listdir`` is a delimiter listing, ``remove`` is idempotent (S3
+deletes don't 404; every protocol call site tolerates the missing
+raise).
+
+Spark itself cannot write through this adapter (staging would need the
+s3a Hadoop connector, absent in this environment), so the PROTOCOL
+battery — claims, flips, usurpation, vacuum, fencing — is what runs
+against it: in-process against moto when installed
+(tests/test_manifest_s3.py), or against a real endpoint via
+``SILVIA_S3_ENDPOINT`` / ``SILVIA_S3_BUCKET``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from contextlib import contextmanager
+
+from silvia_spark.operators.manifest_fs import LeaseLost
+
+
+def _client(endpoint: str | None = None):
+    import boto3
+
+    endpoint = endpoint or os.environ.get("SILVIA_S3_ENDPOINT") or None
+    kwargs = {"region_name": os.environ.get("SILVIA_S3_REGION",
+                                            "us-east-1")}
+    if endpoint:
+        kwargs["endpoint_url"] = endpoint
+    ak = os.environ.get("SILVIA_S3_ACCESS_KEY")
+    sk = os.environ.get("SILVIA_S3_SECRET_KEY")
+    if ak and sk:
+        kwargs["aws_access_key_id"] = ak
+        kwargs["aws_secret_access_key"] = sk
+    return boto3.client("s3", **kwargs)
+
+
+def _err_code(ex) -> str:
+    return getattr(ex, "response", {}).get("Error", {}).get("Code", "")
+
+
+class S3FS:
+    """manifest_fs interface over boto3. ``bucket`` defaults to
+    ``SILVIA_S3_BUCKET``; ``prefix`` namespaces all keys (so one bucket
+    hosts many tables/tests)."""
+
+    LEASE_TTL_SEC = 30.0
+
+    def __init__(self, bucket: str | None = None, prefix: str = "",
+                 client=None):
+        import threading
+
+        self.bucket = bucket or os.environ["SILVIA_S3_BUCKET"]
+        self.prefix = prefix.strip("/")
+        self.c = client or _client()
+        self._tls = threading.local()
+
+    def _key(self, path: str) -> str:
+        k = path.replace(os.sep, "/").lstrip("/")
+        return f"{self.prefix}/{k}" if self.prefix else k
+
+    # -- plain object ops ------------------------------------------------
+
+    def read_text(self, path: str) -> str:
+        from botocore.exceptions import ClientError
+
+        try:
+            r = self.c.get_object(Bucket=self.bucket,
+                                  Key=self._key(path))
+        except ClientError as ex:
+            if _err_code(ex) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from None
+            raise
+        return r["Body"].read().decode("utf-8")
+
+    def put_atomic(self, path: str, data: str) -> None:
+        self.c.put_object(Bucket=self.bucket, Key=self._key(path),
+                          Body=data.encode("utf-8"))
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.c.put_object(Bucket=self.bucket, Key=self._key(path),
+                              Body=data.encode("utf-8"), IfNoneMatch="*")
+            return True
+        except ClientError as ex:
+            if _err_code(ex) in ("PreconditionFailed",
+                                 "ConditionalRequestConflict", "412",
+                                 "409"):
+                return False
+            raise
+
+    def put_fenced(self, root: str, path: str, data: str) -> None:
+        from botocore.exceptions import ClientError
+
+        held = getattr(self._tls, "held", {}).get(root)
+        lease_key = self._key(os.path.join(root, ".flip_lease"))
+        key = self._key(path)
+        try:
+            lease = self.c.get_object(Bucket=self.bucket,
+                                      Key=lease_key)["Body"].read()
+        except ClientError:
+            lease = None
+        if held is None or lease is None or lease.decode() != held:
+            raise LeaseLost(
+                f"lease under {root} is no longer ours — refusing the "
+                "pointer write")
+        try:
+            etag = self.c.head_object(Bucket=self.bucket,
+                                      Key=key)["ETag"]
+            cond = {"IfMatch": etag}
+        except ClientError:
+            cond = {"IfNoneMatch": "*"}
+        try:
+            self.c.put_object(Bucket=self.bucket, Key=key,
+                              Body=data.encode("utf-8"), **cond)
+        except ClientError as ex:
+            if _err_code(ex) in ("PreconditionFailed",
+                                 "ConditionalRequestConflict", "412",
+                                 "409"):
+                raise LeaseLost(
+                    f"pointer {path} advanced under us (etag mismatch): "
+                    "a takeover flipped after our lease broke") from None
+            raise
+
+    def move_in(self, src: str, dst: str) -> None:
+        self.c.copy_object(
+            Bucket=self.bucket, Key=self._key(dst),
+            CopySource={"Bucket": self.bucket, "Key": self._key(src)})
+        self.c.delete_object(Bucket=self.bucket, Key=self._key(src))
+
+    def remove(self, path: str) -> None:
+        # S3 deletes are idempotent (no 404); every protocol call site
+        # tolerates the missing FileNotFoundError
+        self.c.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    # -- listing / stat ----------------------------------------------------
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = self._key(path).rstrip("/") + "/"
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix,
+                  "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.c.list_objects_v2(**kw)
+            for o in r.get("Contents", ()):
+                names.add(o["Key"][len(prefix):])
+            for p in r.get("CommonPrefixes", ()):
+                names.add(p["Prefix"][len(prefix):].rstrip("/"))
+            if not r.get("IsTruncated"):
+                break
+            token = r.get("NextContinuationToken")
+        names.discard("")
+        return sorted(names)
+
+    def mtime(self, path: str) -> float:
+        from botocore.exceptions import ClientError
+
+        try:
+            h = self.c.head_object(Bucket=self.bucket,
+                                   Key=self._key(path))
+        except ClientError as ex:
+            if _err_code(ex) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from None
+            raise
+        return h["LastModified"].timestamp()
+
+    def exists(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.c.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except ClientError as ex:
+            if _err_code(ex) not in ("NoSuchKey", "404"):
+                raise
+        return self.isdir(path)
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path).rstrip("/") + "/"
+        r = self.c.list_objects_v2(Bucket=self.bucket, Prefix=prefix,
+                                   MaxKeys=1)
+        return r.get("KeyCount", 0) > 0
+
+    # -- virtual directories ------------------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are virtual
+
+    def rmdir_if_empty(self, path: str) -> None:
+        pass  # nothing to reclaim
+
+    def rmtree(self, path: str) -> None:
+        prefix = self._key(path).rstrip("/") + "/"
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.c.list_objects_v2(**kw)
+            keys = [{"Key": o["Key"]} for o in r.get("Contents", ())]
+            if keys:
+                self.c.delete_objects(Bucket=self.bucket,
+                                      Delete={"Objects": keys})
+            if not r.get("IsTruncated"):
+                break
+            token = r.get("NextContinuationToken")
+
+    # -- lease mutex ---------------------------------------------------------
+
+    @contextmanager
+    def locked(self, root: str):
+        """Same lease discipline as the simulator (manifest_fs.py):
+        conditional-put acquisition, heartbeat renewal at TTL/3
+        (conditional re-PUT on the lease's own etag — a renewal that
+        races a break loses cleanly), age-based break. The break/release
+        deletes are unconditional (S3 has no conditional delete) — the
+        residual race admits a spurious second holder, whose pointer
+        write ``put_fenced`` then refuses; see the module docstring."""
+        import threading
+
+        from botocore.exceptions import ClientError
+
+        lease_path = os.path.join(root, ".flip_lease")
+        lease_key = self._key(lease_path)
+        token = uuid.uuid4().hex
+        while True:
+            if self.put_if_absent(lease_path, token):
+                break
+            try:
+                age = time.time() - self.mtime(lease_path)
+                if age > self.LEASE_TTL_SEC:
+                    self.c.delete_object(Bucket=self.bucket,
+                                         Key=lease_key)
+            except FileNotFoundError:
+                pass
+            time.sleep(0.05)
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(self.LEASE_TTL_SEC / 3):
+                try:
+                    h = self.c.head_object(Bucket=self.bucket,
+                                           Key=lease_key)
+                    body = self.c.get_object(
+                        Bucket=self.bucket,
+                        Key=lease_key)["Body"].read().decode()
+                    if body != token:
+                        return  # lost it; never touch again
+                    self.c.put_object(Bucket=self.bucket, Key=lease_key,
+                                      Body=token.encode(),
+                                      IfMatch=h["ETag"])
+                except ClientError:
+                    return
+
+        beat = threading.Thread(target=_beat, daemon=True)
+        beat.start()
+        if not hasattr(self._tls, "held"):
+            self._tls.held = {}
+        self._tls.held[root] = token
+        try:
+            yield
+        finally:
+            self._tls.held.pop(root, None)
+            stop.set()
+            beat.join(timeout=1.0)
+            try:
+                body = self.c.get_object(
+                    Bucket=self.bucket,
+                    Key=lease_key)["Body"].read().decode()
+                if body == token:
+                    self.c.delete_object(Bucket=self.bucket,
+                                         Key=lease_key)
+            except ClientError:
+                pass

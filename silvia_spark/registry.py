@@ -75,6 +75,11 @@ _PRIORITY: tuple[str, ...] = (
     #    L17 z-order clustering feeding a multi-column manifest index. --
     "scan_manifest_schema_evolution", "stream_manifest_source",
     "scan_manifest_zorder",
+    # -- tier 0c: NEW in r10 — L18 stats-pruned file-granular MERGE,
+    #    L19 admission-controlled streaming source (maxFilesPerTrigger),
+    #    L20 type-widening schema evolution (int→bigint upcast reads). --
+    "sink_merge_pruned", "stream_manifest_admission",
+    "scan_manifest_widened",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the sixteen r04-era keys (oldest evidence anywhere) ------

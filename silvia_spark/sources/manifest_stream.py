@@ -236,6 +236,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         return fl
 
     def _guard_schema(self, ev: int, m_to: dict) -> None:
+        from silvia_spark.operators.manifest_table import widens_to
+
         to_types = _type_map(m_to.get("schema"))
         # Evolution guard, REPRESENTABILITY form: raise only when the
         # batch's end-version schema carries a column the reader schema
@@ -249,8 +251,12 @@ class ManifestStreamReader(DataSourceStreamReader):
         # or the stream is permanently wedged — comparing against the
         # construction-time snapshot instead of per-batch
         # representability did exactly that (r09 advice finding).
+        # a version whose type is NARROWER than the reader's (the table
+        # widened after that version) is deliverable too: read() casts
+        # the Arrow column up to the reader type losslessly
         dropped = [c for c, t in to_types.items()
-                   if self.schema_types.get(c) != t]
+                   if self.schema_types.get(c) != t
+                   and not widens_to(t, self.schema_types.get(c, ""))]
         if self.schema_types and dropped:
             raise RuntimeError(
                 f"table schema at version {ev} is not representable "

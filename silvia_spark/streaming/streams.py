@@ -782,3 +782,73 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("event_id").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))
+
+
+# --- L19: admission-controlled manifest streaming source ----------------------
+
+# The stream starts at version 0 with maxFilesPerTrigger=2, so the
+# snapshot + both appends drain as MANY bounded micro-batches (asserted
+# in-contract via the query's progress telemetry) whose union is the
+# whole table — the oracle recomputes the full-table aggregate. Green
+# hash ⇒ admission control splits delivery without losing, duplicating,
+# or reordering anything the aggregate can see.
+def _l19_oracle() -> str:
+    from silvia_spark.functions.numeric import sql_dsum
+    return f"""
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       {sql_dsum("value", "val_sum")}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@contract("stream_manifest_admission", oracle=_l19_oracle())
+def stream_manifest_admission(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Admission-controlled manifest streaming (L16 + Delta's
+    maxFilesPerTrigger): a version-0 start on a multi-file,
+    multi-version table must NOT deliver the snapshot as one micro-batch
+    — at 100 TB the first batch would be the table. With
+    maxFilesPerTrigger=2 the stream drains the same content as multiple
+    bounded batches (>= 3 asserted from progress telemetry); the hash
+    proves the bounded drain is exactly-once and complete."""
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.io import load_table
+    from silvia_spark.operators.manifest_table import (commit_append,
+                                                       create_table)
+    from silvia_spark.sources.manifest_stream import read_stream_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_madm_"), "tbl")
+    create_table(ev.where(F.col("event_id") % 3 == 0).repartition(2),
+                 root, "event_type")
+    commit_append(spark, root,
+                  ev.where(F.col("event_id") % 3 == 1).repartition(2),
+                  "event_type")
+    commit_append(spark, root,
+                  ev.where(F.col("event_id") % 3 == 2).repartition(2),
+                  "event_type")
+
+    feed = read_stream_table(spark, root, max_files_per_trigger=2)
+    name = "m" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="silvia_ckpt_")
+    q = (feed.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(batches) >= 3, (
+        f"admission control delivered the table in {len(batches)} "
+        "micro-batch(es) — the version-0 start was not split")
+
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))

@@ -147,6 +147,18 @@ _NUMERIC = [
     # — pruning is a superset by construction; the sweep proves the
     # layout cannot reach the result.
     "scan_manifest_zorder",
+    # L18 (r10): the stats-pruned merge's REWRITE SET moves with the
+    # write layout (different range bands → different carried files),
+    # but the merged aggregate must not — pruning only spares files the
+    # anti-join provably cannot touch.
+    "sink_merge_pruned",
+    # L19 (r10): admission control changes HOW MANY micro-batches the
+    # drain takes (layout → file count → batch count), never what the
+    # union aggregates to.
+    "stream_manifest_admission",
+    # L20 (r10): the widened snapshot (upcast old files + wide batch)
+    # must read identically whatever layout wrote either generation.
+    "scan_manifest_widened",
 ]
 
 

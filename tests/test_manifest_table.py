@@ -981,3 +981,61 @@ def test_merge_rewrites_only_key_overlapping_files(spark, tmp_path):
     v3_paths = {e["path"] for e in mt.load_manifest(root)["files"]}
     assert v3_paths == v2_paths
     assert mt.read_snapshot(spark, root).count() == 200
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_schema_widening_append_and_upcast_read(spark, tmp_path):
+    """Type-widening evolution (r09 verdict item 6): an append whose
+    shared column is WIDER in the same numeric family (int→bigint,
+    float→double) widens the recorded schema; files written narrow
+    upcast on read. Narrower batches after the widening commit under
+    the wide schema unchanged; evolve=False refuses the widening;
+    cross-family promotion still raises."""
+    root = str(tmp_path / "t")
+    narrow = spark.createDataFrame([(1, "p1", 1.5), (2, "p1", 2.5)],
+                                   "k INT, part STRING, v FLOAT")
+    mt.create_table(narrow, root, "part")
+
+    wide = spark.createDataFrame([(3, "p1", 3.5)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    with pytest.raises(mt.SchemaEvolutionError, match="evolve=False"):
+        mt.commit_append(spark, root, wide, "part", evolve=False)
+    assert mt.commit_append(spark, root, wide, "part") == 2
+
+    snap = mt.read_snapshot(spark, root)
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["k"] == "bigint" and types["v"] == "double"
+    rows = sorted((r.k, round(r.v, 1)) for r in snap.collect())
+    assert rows == [(1, 1.5), (2, 2.5), (3, 3.5)]
+    # time travel keeps v1's ORIGINAL narrow schema
+    t1 = {f.name: f.dataType.simpleString()
+          for f in mt.read_snapshot(spark, root, version=1).schema.fields}
+    assert t1["k"] == "int" and t1["v"] == "float"
+
+    # a narrower batch AFTER the widening is accepted, schema unchanged
+    again = spark.createDataFrame([(4, "p1", 4.5)],
+                                  "k INT, part STRING, v FLOAT")
+    assert mt.commit_append(spark, root, again, "part") == 3
+    snap3 = mt.read_snapshot(spark, root)
+    assert {f.name: f.dataType.simpleString()
+            for f in snap3.schema.fields} == {
+        "k": "bigint", "v": "double", "part": "string"}
+    assert snap3.count() == 4
+
+    # cross-family promotion never merges
+    bad = spark.createDataFrame([(5, "p1", 9)],
+                                "k BIGINT, part STRING, v BIGINT")
+    with pytest.raises(mt.SchemaEvolutionError, match="type changes"):
+        mt.commit_append(spark, root, bad, "part")
+
+    # the streaming source delivers pre-widening files upcast, and a
+    # reader built on the widened schema accepts replayed old batches
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    import pyarrow as pa
+    tbl = pa.Table.from_batches(
+        [b for p in parts for b in reader.read(p)])
+    assert str(tbl.schema.field("k").type) == "int64"
+    assert sorted(tbl.column("k").to_pylist()) == [1, 2]
