@@ -51,112 +51,102 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r09 packing (evidence ledger after r08: r04=16, r05=48,
-    # r06=46, r07=48, r08=50; all 208 checked at least once, 0 failures).
-    # Window arithmetic: tier 0 (5 contracts whose implementation changed
-    # in r09) + new r09 contracts (sentinel) + the entire r04 tail (16,
-    # the r08 verdict's item 6) + the oldest r05 keys fill the remaining
-    # slots. Each NEW contract registered this round displaces one r05
-    # key (r05 keys beyond the cut roll to the r10 head — all hold green
-    # r05 evidence and pass local parity every round). After this round
-    # no contract's newest driver evidence is older than r05. ============
-    # -- tier 0: implementation changed in r09 after newest (r08)
-    #    evidence — the manifest layer was rewritten onto segmented
-    #    manifests (O(batch) appends, commit_id claim identity, recorded
-    #    read schemas) and vacuum's locking/grace semantics changed
-    #    (r08 ADVICE); merge_keyed consumes the rewritten local_path URI
-    #    normalizer (file:/ spellings). ------------------------------------
+    # ============ r10 packing (evidence ledger after r09: r05=22,
+    # r06=46, r07=48, r08=45, r09=50; all 211 pre-r10 contracts checked
+    # at least once, 0 failures ever). Window arithmetic: tier 0 = the 7
+    # manifest-layer contracts whose implementation changed in r10
+    # (commit_merge file-granular pruning + verify-under-lock, adoption
+    # bytes+mtime, _evolve_schema widening, manifest_stream admission
+    # rewrite), then the 3 NEW r10 contracts, then the entire 22-key r05
+    # tail (the oldest evidence anywhere — r09 verdict item 7), then the
+    # alphabetically-first r06 keys fill the window to 50. After this
+    # round no contract's newest driver evidence is older than r06.
+    # Groups below are alphabetical within their evidence round. ==========
+    # -- tier 0: implementation changed in r10 after newest evidence -----
     "sink_table_manifest_commit", "stream_manifest_sink",
-    "scan_manifest_changes", "scan_manifest_pruned", "sink_merge_keyed",
-    # -- tier 0b: NEW in r09 — L15, additive schema evolution through the
-    #    manifest layer (per-version read schemas; verdict item 2), and
-    #    L16, the manifest table as a streaming SOURCE (version offsets,
-    #    file-granular micro-batches; sources/manifest_stream.py). --------
-    #    L17 z-order clustering feeding a multi-column manifest index. --
+    "scan_manifest_changes", "scan_manifest_pruned",
     "scan_manifest_schema_evolution", "stream_manifest_source",
     "scan_manifest_zorder",
     # -- tier 0c: NEW in r10 — L18 stats-pruned file-granular MERGE,
-    #    L19 admission-controlled streaming source (maxFilesPerTrigger),
-    #    L20 type-widening schema evolution (int→bigint upcast reads). --
+    # L19 admission-controlled streaming source, L20 type widening ------
     "sink_merge_pruned", "stream_manifest_admission",
     "scan_manifest_widened",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: the sixteen r04-era keys (oldest evidence anywhere) ------
-    "sample_reservoir_group", "text_repetition_filter", "data_mix_sample",
-    "shard_assign_balanced", "doc_chunk_windows", "embed_quantize_int8",
-    "join_bloom_pruned", "agg_approx_percentile", "window_anomaly_zscore",
-    "q12_shipmode_priority", "set_except_all", "set_intersect_all",
-    "generator_outer_pos", "stream_running_moments", "udtf_lateral",
-    "udf_arrow_scalar",
-    # -- tier 2: r05-era evidence (48) — the window tail; the last ~21
-    #    roll past the cut, one fewer for each new r09 contract ----------
-    "join_inner_equi", "join_broadcast", "join_left_outer",
-    "join_full_outer", "join_left_semi", "join_left_anti", "join_cross",
-    "join_theta_range", "join_asof", "join_self", "join_5way_star",
-    "agg_pricing_summary", "q3_shipping_priority", "agg_count_distinct",
-    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_having", "agg_stats", "window_rank_topn", "window_row_dense_ntile",
-    "window_lag_lead", "text_contamination", "agg_histogram_width",
-    "agg_bitwise", "agg_corr_exact", "agg_bool_quantifiers",
-    "agg_filtered_counts", "agg_string_listagg", "scalar_try_arith",
-    "scalar_url_parse", "scalar_radix", "scalar_bit_ops",
-    "scalar_datetime_iso", "join_or_keys_union", "sink_sorted_zonemap",
-    "source_json_corrupt", "stream_moments_live", "events_funnel_conversion",
-    "events_attribution_touch", "dedup_near_keep_best", "embed_norm_stats",
-    "text_entropy_quality", "sample_weighted_priority",
-    "sim_ann_lsh_multiprobe", "window_trailing_interval", "source_xml",
-    # -- tier 3: r06-era evidence -----------------------------------------
-    "scalar_variant", "sim_ann_lsh_multiprobe2", "join_interval_overlap",
-    "dedup_url_canonical", "join_asof_nearest", "etl_ua_referer_enrich",
-    "etl_ip_geo_range", "etl_currency_convert", "scalar_collation",
-    "window_moving_frame", "window_range_frame", "window_first_last",
-    "stream_tumbling_1h", "stream_sliding", "stream_session_30m",
-    "stream_dedup_exact", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join", "dedup_docs_exact", "dedup_docs_minhash",
-    "dedup_docs_simhash", "sim_ann_lsh", "text_fuzzy_pairs",
-    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
-    "udtf_apply_in_pandas", "udtf_python", "udf_arrow_map",
-    "text_tokenize_stats", "text_term_freq", "text_lang_profile",
-    "text_fingerprint", "text_token_bpe", "multimodal_decode",
-    "text_quality_filter", "filter_null_semantics", "agg_collect_sorted",
-    "agg_percentiles", "agg_rollup_multires", "window_percent_rank",
-    "join_bucketed_colocated", "join_skew_salted", "scan_partition_pruned",
-    "source_python_datasource",
-    # -- tier 4: r07-era evidence -----------------------------------------
-    "sink_merge_scd2", "dedup_cluster_cc", "q17_small_quantity",
-    "events_retention_cohort", "agg_heavy_hitters", "curation_pipeline",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q16_supplier_part_counts", "q20_dominant_suppliers",
-    "stream_kafka_shim_live", "scan_schema_evolution",
-    "sink_compaction_small_files", "text_unigram_logprob",
-    "sink_python_datasource", "q6_forecast_revenue", "q18_large_orders",
-    "scalar_array", "scalar_map", "scalar_json", "scalar_cast",
-    "scalar_hash", "scan_parquet", "source_csv_tsv", "source_json_lines",
-    "sink_jdbc_postgres", "sink_parquet_partitioned", "proj_select_alias",
-    "filter_compound", "proj_distinct", "filter_like_regexp",
-    "subquery_scalar", "sort_multikey_nulls", "topk_limit", "limit_offset",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "scalar_string", "scalar_regexp", "scalar_date", "scalar_math",
-    "scalar_conditional", "pivot_unpivot", "join_null_safe",
-    "join_range_banded",
-    # -- tier 5: r08-fresh evidence — dead last ---------------------------
-    "stream_foreachbatch_upsert", "multimodal_frame_sample", "text_tfidf",
-    "q10_returned_items", "sample_stratified", "text_pack_sequences",
-    "source_rate_stream", "sink_partition_overwrite", "source_orc",
-    "window_ignore_nulls", "scan_dpp_join", "stream_transform_with_state",
-    "stream_funnel_live", "stream_tumbling_live", "stream_session_live",
-    "stream_dedup_live", "stream_static_join_live",
-    "stream_stream_join_live", "scan_schema_enforce", "agg_time_gapfill",
-    "sim_topk_cosine", "sim_join_threshold", "sim_centroids",
-    "multimodal_join", "sim_ann_ivf", "text_lang_detect",
-    "sim_ann_ivf_kmeans", "dedup_docs_embedding", "text_ngram_jaccard",
-    "etl_events_enriched", "stream_watermark_late", "q5_local_supplier",
-    "q4_order_priority", "q14_promo_revenue", "q19_disjunctive",
-    "q22_dormant_customers", "agg_mode_frequent", "text_unicode_normalize",
-    "text_pii_scrub", "q7_volume_shipping", "q8_market_share",
-    "q13_order_distribution", "q15_top_supplier", "q21_waiting_orders",
-    "window_gaps_islands",
+    # -- tier 1: the 22 r05-era keys (oldest evidence anywhere) -----------
+    "agg_bool_quantifiers", "agg_corr_exact", "agg_filtered_counts",
+    "agg_string_listagg", "dedup_near_keep_best", "embed_norm_stats",
+    "events_attribution_touch", "events_funnel_conversion",
+    "join_or_keys_union", "sample_weighted_priority", "scalar_bit_ops",
+    "scalar_datetime_iso", "scalar_radix", "scalar_try_arith",
+    "scalar_url_parse", "sim_ann_lsh_multiprobe", "sink_sorted_zonemap",
+    "source_json_corrupt", "source_xml", "stream_moments_live",
+    "text_entropy_quality", "window_trailing_interval",
+    # -- tier 2: r06-era evidence (46; the first ~18 make the window cut,
+    # the rest roll to the r11 head) --------------------------------------
+    "agg_collect_sorted", "agg_percentiles", "agg_rollup_multires",
+    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
+    "dedup_url_canonical", "etl_currency_convert", "etl_ip_geo_range",
+    "etl_ua_referer_enrich", "filter_null_semantics", "join_asof_nearest",
+    "join_bucketed_colocated", "join_interval_overlap", "join_skew_salted",
+    "multimodal_decode", "scalar_collation", "scalar_variant",
+    "scan_partition_pruned", "sim_ann_lsh", "sim_ann_lsh_multiprobe2",
+    "source_python_datasource", "stream_dedup_exact", "stream_session_30m",
+    "stream_sliding", "stream_stateful_funnel", "stream_static_join",
+    "stream_stream_join", "stream_tumbling_1h", "text_fingerprint",
+    "text_fuzzy_pairs", "text_lang_profile", "text_quality_filter",
+    "text_term_freq", "text_token_bpe", "text_tokenize_stats",
+    "udaf_pandas_grouped", "udf_arrow_map", "udf_pandas_scalar",
+    "udf_python_scalar", "udtf_apply_in_pandas", "udtf_python",
+    "window_first_last", "window_moving_frame", "window_percent_rank",
+    "window_range_frame",
+    # -- tier 3: r07-era evidence ------------------------------------------
+    "agg_heavy_hitters", "curation_pipeline", "dedup_cluster_cc",
+    "events_retention_cohort", "filter_compound", "filter_like_regexp",
+    "join_null_safe", "join_range_banded", "limit_offset", "pivot_unpivot",
+    "proj_distinct", "proj_select_alias", "q11_important_parts",
+    "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
+    "q20_dominant_suppliers", "q2_min_cost_supplier", "q6_forecast_revenue",
+    "q9_product_profit", "scalar_array", "scalar_cast", "scalar_conditional",
+    "scalar_date", "scalar_hash", "scalar_json", "scalar_map", "scalar_math",
+    "scalar_regexp", "scalar_string", "scan_parquet",
+    "scan_schema_evolution", "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct", "sink_compaction_small_files",
+    "sink_jdbc_postgres", "sink_merge_scd2", "sink_parquet_partitioned",
+    "sink_python_datasource", "sort_multikey_nulls", "source_csv_tsv",
+    "source_json_lines", "stream_kafka_shim_live", "subquery_scalar",
+    "text_unigram_logprob", "topk_limit",
+    # -- tier 4: r08-era evidence ------------------------------------------
+    "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
+    "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q19_disjunctive", "q21_waiting_orders",
+    "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q8_market_share", "sample_stratified",
+    "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
+    "sim_ann_ivf_kmeans", "sim_centroids", "sim_join_threshold",
+    "sim_topk_cosine", "sink_partition_overwrite", "source_orc",
+    "source_rate_stream", "stream_dedup_live", "stream_foreachbatch_upsert",
+    "stream_funnel_live", "stream_session_live", "stream_static_join_live",
+    "stream_stream_join_live", "stream_transform_with_state",
+    "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
+    "text_ngram_jaccard", "text_pack_sequences", "text_pii_scrub",
+    "text_tfidf", "text_unicode_normalize", "window_gaps_islands",
+    "window_ignore_nulls",
+    # -- tier 5: r09-fresh evidence — dead last ----------------------------
+    "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
+    "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_histogram_width", "agg_pricing_summary", "agg_rollup", "agg_stats",
+    "data_mix_sample", "doc_chunk_windows", "embed_quantize_int8",
+    "generator_outer_pos", "join_5way_star", "join_asof",
+    "join_bloom_pruned", "join_broadcast", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_left_anti", "join_left_outer", "join_left_semi",
+    "join_self", "join_theta_range", "q12_shipmode_priority",
+    "q3_shipping_priority", "sample_reservoir_group", "set_except_all",
+    "set_intersect_all", "shard_assign_balanced", "sink_merge_keyed",
+    "stream_running_moments", "text_contamination", "text_repetition_filter",
+    "udf_arrow_scalar", "udtf_lateral", "window_anomaly_zscore",
+    "window_lag_lead", "window_rank_topn", "window_row_dense_ntile",
 )
 
 

@@ -296,3 +296,40 @@ def test_admission_control_exactly_once_across_restarts(spark, tmp_path):
             f"a restarted run exceeded (or undershot) the 2-file "
             f"admission bound: deliveries {sizes}")
     assert one_run() == list(range(24)), "lost or duplicated rows"
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_stream_timestamp_and_date_partition_columns(spark, tmp_path):
+    """r09 verdict item 5: batch read_snapshot always handled
+    timestamp-partitioned tables; the streaming source used to raise in
+    _cast_partition. A timestamp- (and date-) partitioned table must
+    stream end-to-end with the partition values round-tripping exactly
+    (including the Hive ':'-escape in dir names, which adoption
+    unescapes into the manifest entries)."""
+    import datetime
+
+    ts1 = datetime.datetime(1996, 6, 30, 12, 30, 0)
+    ts2 = datetime.datetime(1996, 7, 1, 0, 0, 0)
+    root = str(tmp_path / "ts")
+    df = spark.createDataFrame([(1, ts1, 10.0), (2, ts2, 20.0)],
+                               "k BIGINT, hour TIMESTAMP, v DOUBLE")
+    mt.create_table(df, root, "hour")
+    q = (read_stream_table(spark, root)
+         .writeStream.format("memory").queryName("msrc_ts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = sorted((r.k, r.hour, r.v)
+                  for r in spark.table("msrc_ts").collect())
+    assert rows == [(1, ts1, 10.0), (2, ts2, 20.0)], rows
+
+    root2 = str(tmp_path / "dt")
+    d1 = datetime.date(1996, 6, 30)
+    df2 = spark.createDataFrame([(1, d1, 10.0)],
+                                "k BIGINT, day DATE, v DOUBLE")
+    mt.create_table(df2, root2, "day")
+    q2 = (read_stream_table(spark, root2)
+          .writeStream.format("memory").queryName("msrc_dt")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    row = spark.table("msrc_dt").collect()[0]
+    assert (row.k, row.day, row.v) == (1, d1, 10.0)

@@ -340,7 +340,8 @@ def main() -> None:
     from bench import _load_gate
 
     load_gate = _load_gate()
-    _log(f"load gate: {load_gate}")
+    load_start = round(os.getloadavg()[0], 2)
+    _log(f"load gate: {load_gate} start loadavg: {load_start}")
     _log("building corpus")
     build_corpus()
     from silvia_spark import registry
@@ -413,7 +414,12 @@ def main() -> None:
                  "per-query truth construction); quadratic-oracle rows "
                  "record Spark only — no honest same-scale DuckDB "
                  "number exists for the all-pairs form"),
+        # end-of-sweep loadavg is dominated by the sweep's own 32-core
+        # work (LSH saturates the box by design) — the idle-box claim
+        # rides on load_gate + loadavg_start, measured BEFORE anything
+        # ran; the end reading is kept for continuity only
         "loadavg": round(os.getloadavg()[0], 2),
+        "loadavg_start": load_start,
         "load_gate": load_gate,
     }
     out = os.path.join(REPO, "BENCH_sf1_heavy.json")
