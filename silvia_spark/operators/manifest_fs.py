@@ -35,10 +35,14 @@ SIGSTOP, VM migration) has its lease broken and another holder admitted,
 yet it resumes and executes the rest of its critical section. The one
 write whose loss of exclusion corrupts the table is the POINTER write
 (a regressed ``_current`` hides committed data), so that write is
-FENCED: ``put_fenced`` performs it conditionally on the lease still
-being the caller's own, in the store's server-side atomic step (S3
-``If-Match`` on the lease etag read at acquisition, GCS
-``ifGenerationMatch``) — a fencing token in the Chubby/ZooKeeper sense.
+FENCED. The simulator fences on the lease token (check + write are one
+atomic step under the server-stand-in guard); a real S3 cannot
+condition a PUT on ANOTHER object's etag, so there the fencing token is
+the POINTER's own generation: one GET yields value + etag, a write
+at/behind the read value refuses, and the PUT conditions on that same
+read's etag (``s3_fs.py``) — either way, a stalled holder's late write
+can never regress the pointer (the Chubby/ZooKeeper fencing-token
+discipline, adapted to what each store can express).
 Vacuum's DELETE sweep under a broken lease is benign by the protocol's
 own invariants: every path it deletes was either unreferenced by all
 retained manifests at triage (still true later — manifests are

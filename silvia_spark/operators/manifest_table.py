@@ -84,6 +84,24 @@ _APPEND_RETRIES = 50
 _CLAIM_GRACE_SEC = 60
 
 
+def _vacuum_epoch(root: str) -> int:
+    """Monotone counter bumped by every vacuum (under the flip lock).
+    Commits capture it BEFORE staging; the claim-time staged-file
+    verification can then be skipped when the epoch is unchanged —
+    vacuum is the only deleter of adopted files, and its bump happens
+    under the same lock the claim holds, so unchanged epoch PROVES no
+    sweep intersected the staging→claim window. This keeps the
+    structural no-dangling-snapshot guarantee at O(1) instead of one
+    existence probe per staged file held under the table-wide lock
+    (r10 review finding: thousands of per-file HEADs under the lease
+    on an object store)."""
+    try:
+        return int(FS.read_text(
+            os.path.join(root, _MANIFESTS, ".vacuum_epoch")).strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
 class CommitAborted(RuntimeError):
     """Raised at the flip when the claimed manifest no longer exists —
     the claim was vacuumed (or usurped and then vacuumed) between the
@@ -198,7 +216,8 @@ def load_manifest(root: str, version: int | None = None) -> dict:
 
 def _write_doc(root: str, version: int, doc: dict,
                occ: bool = False,
-               verify_paths: list[str] | None = None) -> None:
+               verify_paths: list[str] | None = None,
+               staged_epoch: int | None = None) -> None:
     """Write-once version claim, taken UNDER the flip lock with the
     committed-pointer check inside: the pointer cannot advance between
     the check and the put (flips and vacuum hold the same lock), so a
@@ -230,7 +249,9 @@ def _write_doc(root: str, version: int, doc: dict,
             raise FileExistsError(
                 f"version {version} is already committed "
                 f"(current={cur}) — stale parent; reload and rebase")
-        if verify_paths is not None:
+        if verify_paths is not None and (
+                staged_epoch is None
+                or _vacuum_epoch(root) != staged_epoch):
             # Adoption is lock-free, so a vacuum can in principle sweep
             # a freshly adopted file before this claim lands (the mtime
             # refresh at adoption makes that a milliseconds-vs-60s race,
@@ -239,7 +260,11 @@ def _write_doc(root: str, version: int, doc: dict,
             # sweep — makes publishing a snapshot that references
             # deleted files structurally impossible: after this check
             # the claim lands under the lock, and a young claim's files
-            # are grace-protected by vacuum's triage (r09 advice).
+            # are grace-protected by vacuum's triage (r09 advice). The
+            # check is skipped (O(1), via the vacuum epoch read) when
+            # provably no vacuum ran since before staging — the common
+            # case; per-staged-file probes under the table-wide lock
+            # only happen when a sweep actually raced the commit.
             missing = [p for p in verify_paths
                        if not FS.exists(os.path.join(root, p))]
             if missing:
@@ -921,6 +946,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             *[os.path.join(root, e["path"]) for e in cur_entries])
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
+    epoch0 = _vacuum_epoch(root)  # BEFORE staging: _write_doc skips
+    #                               the per-file verify when unchanged
     new_entries = _stage_write(merged, root, part_col,
                                stats_cols=stats_cols)
     segs = list(carried)
@@ -937,7 +964,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        stats_cols=stats_cols)
     newdoc["part_col"] = doc.get("part_col", part_col)
     _write_doc(root, version, newdoc,
-               verify_paths=[e["path"] for e in new_entries])
+               verify_paths=[e["path"] for e in new_entries],
+               staged_epoch=epoch0)
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
@@ -988,6 +1016,8 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     staged = None
     staged_seg = None
     commit_id = uuid.uuid4().hex
+    staged_epoch = _vacuum_epoch(root)  # BEFORE staging, refreshed on
+    #                                     every restage below
     if current_version(root) is None:
         FS.makedirs(root)
         staged = _stage_write(batch, root, part_col)
@@ -1075,6 +1105,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             else:
                 staged_seg = _write_segment(root, staged)
         if staged is None:
+            staged_epoch = _vacuum_epoch(root)
             staged = _stage_write(batch, root, part_col,
                                   stats_cols=stats_cols)
             staged_seg = _write_segment(root, staged) if staged else None
@@ -1104,7 +1135,8 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             newdoc["part_col"] = doc.get("part_col", part_col)
         try:
             _write_doc(root, version, newdoc, occ=True,
-                       verify_paths=[e["path"] for e in staged or []])
+                       verify_paths=[e["path"] for e in staged or []],
+                       staged_epoch=staged_epoch)
         except FileExistsError:
             # another writer claimed this version; give it its flip
             # window (otherwise every rebase re-reads the same committed
@@ -1136,12 +1168,16 @@ def read_changes(spark: SparkSession, path: str, since: int,
                  to: int | None = None) -> DataFrame:
     """Incremental read: the rows of every file present in snapshot
     ``to`` (default: current) but NOT in snapshot ``since`` — appended
-    batches and rewritten touched partitions, never the untouched bulk.
-    File-granular (like Delta/Iceberg incremental scans without a
-    row-level change feed): a rewritten partition re-delivers its full
-    post-merge content, and a dropped partition simply contributes
-    nothing — downstream consumers treat the feed as upsert-by-key.
-    Returns an empty frame (correct schema) when nothing changed."""
+    batches and the REWRITTEN FILES of touched partitions, never the
+    untouched bulk. File-granular (like Delta/Iceberg incremental scans
+    without a row-level change feed): consume as upsert-by-key, never
+    as partition-replace — on a table whose stats index covers a merge
+    key, the stats-pruned merge carries a touched partition's
+    disjoint-key files by reference, so the feed delivers only the
+    files that actually rewrote (a whole partition re-delivers only
+    when no stats prune its rewrite). A dropped partition contributes
+    nothing. Returns an empty frame (correct schema) when nothing
+    changed."""
     root = _norm(path)
     m_to = _load_doc(root, to)
     m_since = _load_doc(root, since)
@@ -1193,6 +1229,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
         max_records = -(-max_rows // target_files)  # ceil
     compacted = cur.repartition(F.col(part_col))
     stats_cols = _doc_stats_cols(root, m)
+    epoch0 = _vacuum_epoch(root)
     new_entries = _stage_write(compacted, root, part_col, max_records,
                                stats_cols=stats_cols)
     segs = list(carried)
@@ -1207,7 +1244,8 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                        stats_cols=stats_cols)
     newdoc["part_col"] = m.get("part_col", part_col)
     _write_doc(root, version, newdoc,
-               verify_paths=[e["path"] for e in new_entries])
+               verify_paths=[e["path"] for e in new_entries],
+               staged_epoch=epoch0)
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
         raise RuntimeError(
@@ -1268,6 +1306,12 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         cur = current_version(root)
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
+        # epoch bump FIRST (still under the lock, before any deletion):
+        # even a vacuum that crashes mid-sweep leaves the epoch moved,
+        # so every commit whose staging overlapped it re-verifies its
+        # staged files at claim time (_write_doc staged_epoch)
+        FS.put_atomic(os.path.join(root, _MANIFESTS, ".vacuum_epoch"),
+                      str(_vacuum_epoch(root) + 1))
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
         # Manifest triage (single listing — nothing with v <= cur can
         # appear later while we hold the flip lock):
@@ -1551,7 +1595,8 @@ def sink_table_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The change feed of the L11 merge: files new in v2 = the rewritten
 # click/error partitions' full post-merge content (file-granular
-# incremental — a rewritten partition re-delivers wholesale); signup was
+# incremental — this table tracks no key stats, so the rewritten
+# partitions re-deliver wholesale); signup was
 # dropped, so it contributes nothing. The oracle computes the merged
 # content restricted to the two rewritten partitions.
 _CHANGES_ORACLE = """

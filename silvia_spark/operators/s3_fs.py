@@ -127,25 +127,38 @@ class S3FS:
             raise
 
     def put_fenced(self, root: str, path: str, data: str) -> None:
+        """Monotonic pointer CAS. The lease check alone is NOT a fence
+        (a holder can stall between it and the write — exactly the gap
+        this method exists to close), so the real fence is the pointer
+        object itself: ONE GET yields both the current value and its
+        etag; the write is refused if the value is already at/ahead of
+        ours (a takeover flipped while we stalled — even BEFORE our
+        read), and the PUT is conditional on that same read's etag (a
+        takeover flipping AFTER our read changes the etag → 412). The
+        monotonicity check and the PUT condition share a single read,
+        so there is no window in which a stalled holder can regress
+        ``_current`` (r10 review finding — the first cut read the etag
+        fresh after the lease check, which re-opened the stall gap)."""
         from botocore.exceptions import ClientError
 
         held = getattr(self._tls, "held", {}).get(root)
-        lease_key = self._key(os.path.join(root, ".flip_lease"))
+        if held is None:
+            raise LeaseLost(
+                f"no lease held under {root} — refusing the pointer "
+                "write")
         key = self._key(path)
         try:
-            lease = self.c.get_object(Bucket=self.bucket,
-                                      Key=lease_key)["Body"].read()
-        except ClientError:
-            lease = None
-        if held is None or lease is None or lease.decode() != held:
-            raise LeaseLost(
-                f"lease under {root} is no longer ours — refusing the "
-                "pointer write")
-        try:
-            etag = self.c.head_object(Bucket=self.bucket,
-                                      Key=key)["ETag"]
-            cond = {"IfMatch": etag}
-        except ClientError:
+            cur = self.c.get_object(Bucket=self.bucket, Key=key)
+            cur_val = cur["Body"].read().decode("utf-8")
+            cond = {"IfMatch": cur["ETag"]}
+            if int(cur_val) >= int(data):
+                raise LeaseLost(
+                    f"pointer {path} is already at {cur_val} (writing "
+                    f"{data}): a takeover advanced it while we were "
+                    "stalled — refusing the regression")
+        except ClientError as ex:
+            if _err_code(ex) not in ("NoSuchKey", "404"):
+                raise
             cond = {"IfNoneMatch": "*"}
         try:
             self.c.put_object(Bucket=self.bucket, Key=key,
@@ -156,7 +169,7 @@ class S3FS:
                                  "409"):
                 raise LeaseLost(
                     f"pointer {path} advanced under us (etag mismatch): "
-                    "a takeover flipped after our lease broke") from None
+                    "a takeover flipped after our read") from None
             raise
 
     def move_in(self, src: str, dst: str) -> None:

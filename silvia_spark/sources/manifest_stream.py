@@ -104,6 +104,14 @@ def _type_map(schema_json: str | None) -> dict[str, str]:
     return {f.name: f.dataType.simpleString() for f in sch.fields}
 
 
+# "Fully consumed this version" offset-index sentinel: sorts after any
+# real file index, and crucially requires NO manifest read to produce —
+# normalizing an already-consumed version-only offset must never load
+# FL(v) (whose parent manifest may be vacuum-retired on a caught-up
+# table; the true file count is irrelevant to a consumed position).
+_CONSUMED = 1 << 62
+
+
 class _FileSlice(InputPartition):
     def __init__(self, path: str, part_value: str):
         self.path, self.part_value = path, part_value
@@ -167,23 +175,40 @@ class ManifestStreamReader(DataSourceStreamReader):
         # lose or duplicate rows); pass a distinct streamId option to
         # give each its own.
         self._pos: tuple[int, int] | None = None
+        # SNAP: the version whose FULL SNAPSHOT seeds limited-mode
+        # delivery (0 = pure diffs). A version-0 start must deliver the
+        # same CONTENT as unlimited mode — the snapshot as of stream
+        # start, split into bounded batches — NOT a per-version history
+        # replay: on a table with merge/compaction history, replaying
+        # FL(1)+diffs re-delivers superseded files and resurrects
+        # deleted rows (r10 review finding). snap is chosen once at the
+        # first walk (current version for a version-0 start, 0
+        # otherwise) and RIDES ON EVERY OFFSET so replayed batches
+        # re-derive the identical file lists.
+        self._snap: int | None = None
         self._fl_cache: dict[int, list] = {}
         self._note_ok = True
-        if self.limited:
-            import hashlib
+        # the note path exists regardless of self.limited: an UNLIMITED
+        # reader can receive index-bearing offsets from a checkpoint
+        # written by a limited run of the same query, and its
+        # partitions() then records the position too (r10 review
+        # finding — the conditional init raised AttributeError there)
+        import hashlib
 
-            key = hashlib.sha1("\x1f".join(
-                (str(self.start_version), str(self.max_files),
-                 str(self.max_bytes), options.get("streamid", ""))
-            ).encode()).hexdigest()[:16]
-            self._note = os.path.join(self.root, ".stream_admission",
-                                      f"pos-{key}.json")
+        key = hashlib.sha1("\x1f".join(
+            (str(self.start_version), str(self.max_files),
+             str(self.max_bytes), options.get("streamid", ""))
+        ).encode()).hexdigest()[:16]
+        self._note = os.path.join(self.root, ".stream_admission",
+                                  f"pos-{key}.json")
 
-    def _note_read(self) -> tuple[int, int] | None:
+    def _note_read(self) -> tuple[int, int, int] | None:
+        """(version, index, snap) or None."""
         try:
             with open(self._note, encoding="utf-8") as f:
                 d = json.load(f)
-            return (int(d["version"]), int(d["index"]))
+            return (int(d["version"]), int(d["index"]),
+                    int(d.get("snap", 0)))
         except (OSError, ValueError, KeyError):
             return None
 
@@ -195,12 +220,13 @@ class ManifestStreamReader(DataSourceStreamReader):
             return
         try:
             cur = self._note_read()
-            if cur is not None and cur >= pos:
+            if cur is not None and cur[:2] >= pos:
                 return
             os.makedirs(os.path.dirname(self._note), exist_ok=True)
             tmp = f"{self._note}.{os.getpid()}"
             with open(tmp, "w", encoding="utf-8") as f:
-                json.dump({"version": pos[0], "index": pos[1]}, f)
+                json.dump({"version": pos[0], "index": pos[1],
+                           "snap": self._snap or 0}, f)
             os.replace(tmp, self._note)
         except OSError:
             self._note_ok = False
@@ -208,23 +234,27 @@ class ManifestStreamReader(DataSourceStreamReader):
     # -- per-version file lists (the walk units of limited mode) -------
 
     def _fl(self, v: int) -> list[dict]:
-        """FL(v): the files version v ADDED — a pure function of the
-        table's immutable manifests, so replayed (start, end) ranges
-        re-plan the identical batch. FL(v) = [] for v <= startingVersion
-        (never delivered), the full snapshot for v == 1, else the
-        file-granular diff from v-1 (read_changes' set)."""
+        """FL(v): the files limited-mode delivery attributes to version
+        v — a pure function of the table's immutable manifests plus the
+        offset-carried ``snap``, so replayed (start, end) ranges re-plan
+        the identical batch. FL(v) = [] for v <= startingVersion (never
+        delivered) and for v < snap (subsumed by the seed snapshot); the
+        FULL snapshot for v == snap (or v == 1 with no snap — the
+        creation commit IS its own snapshot); else the file-granular
+        diff from v-1 (read_changes' set)."""
         from silvia_spark.operators.manifest_table import (_diff_entries,
                                                            _load_doc,
                                                            _resolve)
 
-        if v <= self.start_version:
+        snap = self._snap or 0
+        if v <= self.start_version or v < snap:
             return []
-        got = self._fl_cache.get(v)
+        got = self._fl_cache.get((snap, v))
         if got is not None:
             return got
         m_to = _load_doc(self.root, v)
         self._guard_schema(v, m_to)
-        if v == 1:
+        if v == snap or v == 1:
             fl = _resolve(self.root, m_to)
         else:
             fl = _diff_entries(self.root, _load_doc(self.root, v - 1),
@@ -232,7 +262,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         if len(self._fl_cache) > 16:
             self._fl_cache.clear()  # bound driver memory; recompute is
             #                         cheap (O(changed) per version)
-        self._fl_cache[v] = fl
+        self._fl_cache[(snap, v)] = fl
         return fl
 
     def _guard_schema(self, ev: int, m_to: dict) -> None:
@@ -266,11 +296,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "adopt the new schema — delivering rows under the old "
                 "one would silently drop or corrupt them")
 
+    def _adopt_snap(self, snap: int) -> None:
+        """Adopt a snap seed carried on an offset / the note (constant
+        per checkpoint lineage — chosen once at the first walk)."""
+        if self._snap is None or snap > self._snap:
+            self._snap = snap
+
     def initialOffset(self) -> dict:
         _trace(f"initialOffset pos={self._pos}")
         if self.limited:
             self._pos = (self.start_version, 0)
-            return {"version": self.start_version, "index": 0}
+            return {"version": self.start_version, "index": 0,
+                    "snap": 0}
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -284,13 +321,22 @@ class ManifestStreamReader(DataSourceStreamReader):
         if not self.limited:
             return {"version": max(cur, self.start_version)}
         if cur <= self.start_version:
-            return {"version": self.start_version, "index": 0}
+            return {"version": self.start_version, "index": 0,
+                    "snap": 0}
         if self._pos is None:
             note = self._note_read()
             if note is not None:
-                self._pos = note  # restart: the replay partitions()
-                #                   call landed the note >= committed
+                # restart: the replay partitions() call landed the
+                # note >= committed
+                self._pos = note[:2]
+                self._adopt_snap(note[2])
             else:
+                if self.start_version == 0:
+                    # a version-0 start seeds from the CURRENT snapshot
+                    # (same content as unlimited mode, split into
+                    # bounded batches) — never a per-version history
+                    # replay, which would re-deliver superseded files
+                    self._adopt_snap(cur)
                 self._note_write((self.start_version, 0))
                 if self._note_ok:
                     # writable root + no note = genuinely fresh start
@@ -301,14 +347,33 @@ class ManifestStreamReader(DataSourceStreamReader):
                     # unwritable root: no persistence, so a blind call
                     # cannot distinguish fresh from restarted — the
                     # only never-backwards answer is one unbounded
-                    # catch-up batch
-                    self._pos = (cur, len(self._fl(cur)))
-                    return {"version": cur, "index": self._pos[1]}
+                    # catch-up batch. _CONSUMED (not a real file count)
+                    # so no vacuum-retired manifest is ever needed just
+                    # to SAY "fully consumed" (r10 review finding).
+                    self._pos = (cur, _CONSUMED)
+                    return {"version": cur, "index": _CONSUMED,
+                            "snap": self._snap or 0}
+        if (self._snap is None and self.start_version == 0
+                and self._pos == (0, 0)):
+            # VIRGIN walk only (nothing consumed): seed from the current
+            # snapshot. A resumed position must never adopt a later
+            # snap — that would blank FL(v) for not-yet-delivered diff
+            # versions below it (skipping data) and re-deliver the full
+            # snapshot at it (duplicating data).
+            self._adopt_snap(cur)
         v, i = self._pos
         max_f = self.max_files if self.max_files is not None else 1 << 62
         max_b = self.max_bytes if self.max_bytes is not None else 1 << 62
         files = by = 0
         while True:
+            if i >= _CONSUMED:
+                # normalized "fully consumed" position: advance without
+                # materializing FL(v) (its parent manifest may be
+                # vacuum-retired — the count is never needed)
+                if v >= cur:
+                    break
+                v, i = v + 1, 0
+                continue
             fl = self._fl(v)
             while i < len(fl):
                 if files and (files >= max_f or by >= max_b):
@@ -326,18 +391,20 @@ class ManifestStreamReader(DataSourceStreamReader):
             break
         self._pos = (v, i)
         self._note_write((v, i))  # ahead-of-committed is always safe
-        return {"version": v, "index": i}
+        return {"version": v, "index": i, "snap": self._snap or 0}
 
     def commit(self, end: dict) -> None:
         _trace(f"commit end={end}")
-        if not self.limited:
-            return
         v = int(end["version"])
-        # a version-only offset (written by an unlimited run of the
+        if "snap" in end:
+            self._adopt_snap(int(end["snap"]))
+        # A version-only offset (written by an unlimited run of the
         # same checkpoint) means "consumed THROUGH v" — normalize to
-        # the fully-consumed index, never 0 (which would re-deliver v)
-        ep = (v, int(end["index"]) if "index" in end
-              else len(self._fl(v)))
+        # the _CONSUMED sentinel, never 0 (which would re-deliver v)
+        # and never len(FL(v)) (whose parent manifest may already be
+        # vacuum-retired; the true count is irrelevant to a consumed
+        # position — r10 review finding).
+        ep = (v, int(end["index"]) if "index" in end else _CONSUMED)
         if self._pos is None or ep > self._pos:
             self._pos = ep
         self._note_write(ep)
@@ -352,14 +419,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         if "index" in start or "index" in end:
             # limited-mode offsets: walk per-version file lists from
             # (sv, si) exclusive to (ev, ei) inclusive — a pure function
-            # of immutable manifests, identical under replay. An offset
-            # MISSING the index (written by an unlimited run of the
-            # same checkpoint) means "consumed THROUGH v": normalize to
-            # the fully-consumed index, never 0 (re-delivery).
+            # of immutable manifests + the offset-carried snap seed,
+            # identical under replay. An offset MISSING the index
+            # (written by an unlimited run of the same checkpoint)
+            # means "consumed THROUGH v": normalize to the _CONSUMED
+            # sentinel, never 0 (re-delivery) and never a computed file
+            # count (the consumed version's parent manifest may be
+            # vacuum-retired).
+            self._adopt_snap(int(end.get("snap",
+                                         start.get("snap", 0))))
             si = (int(start["index"]) if "index" in start
-                  else len(self._fl(sv)))
-            ei = (int(end["index"]) if "index" in end
-                  else len(self._fl(ev)))
+                  else _CONSUMED)
+            ei = (int(end["index"]) if "index" in end else _CONSUMED)
             if self._pos is None or (ev, ei) > self._pos:
                 self._pos = (ev, ei)
             # The load-bearing note write — BEFORE the empty-range
@@ -373,9 +444,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                 return []
             entries: list[dict] = []
             if sv == ev:
-                entries = self._fl(sv)[si:ei]
+                entries = (self._fl(sv)[si:ei] if si < _CONSUMED
+                           else [])
             else:
-                entries.extend(self._fl(sv)[si:])
+                if si < _CONSUMED:
+                    entries.extend(self._fl(sv)[si:])
                 for v in range(sv + 1, ev):
                     entries.extend(self._fl(v))
                 entries.extend(self._fl(ev)[:ei])
@@ -486,8 +559,10 @@ def read_stream_table(spark, path: str, starting_version: int = 0,
                       max_bytes_per_trigger: int | None = None):
     """Streaming DataFrame over a manifest table: every committed
     version AFTER ``starting_version`` arrives as (at least) one
-    micro-batch of its file-granular changes; a rewritten partition
-    re-delivers wholesale (upsert-by-key downstream, like read_changes).
+    micro-batch of its file-granular changes. Consume as upsert-by-key
+    (like read_changes), never as partition-replace: a merge's touched
+    partition re-delivers only its REWRITTEN files — the whole
+    partition only when no per-file key stats pruned the rewrite.
 
     ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
     micro-batch (Delta's admission-control options): a stream started

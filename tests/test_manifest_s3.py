@@ -87,29 +87,36 @@ def test_s3_claim_flip_and_time_travel(s3fs):
         "part=p1/f2.parquet"]
 
 
-def test_s3_fenced_pointer_refuses_broken_lease(s3fs):
+def test_s3_fenced_pointer_refuses_regression(s3fs):
+    """r09 advice + r10 review: a lease is not mutual exclusion against
+    a STALLED holder, and a lease-content check alone re-opens the gap
+    (the holder can stall right after it). The S3 fence is the pointer
+    object itself: one GET yields value + etag; a write at/behind the
+    read value refuses, and the PUT conditions on that same read's etag
+    — no window in which a stalled holder can regress _current."""
     root = _fab(s3fs)
-    with s3fs.locked(root):
-        # takeover: our lease aged out mid-stall, another holder
-        # re-issued it under its own token
-        s3fs.put_atomic(os.path.join(root, ".flip_lease"), "usurper")
-        with pytest.raises(LeaseLost):
-            s3fs.put_fenced(root, os.path.join(root, mt._CURRENT), "9")
-    assert mt.current_version(root) == 1, "fenced write must not land"
-    s3fs.remove(os.path.join(root, ".flip_lease"))
+    ptr = os.path.join(root, mt._CURRENT)
 
-    # etag fencing: the pointer advanced while we held a (broken-then-
-    # reissued) lease — the conditional replace must refuse
+    # a write with no lease held at all is refused
+    with pytest.raises(LeaseLost):
+        s3fs.put_fenced(root, ptr, "2")
+
     with s3fs.locked(root):
-        s3fs.put_atomic(os.path.join(root, mt._CURRENT), "7")
-        held = s3fs._tls.held[root]
-        # lease still ours, but capture the etag race by flipping again
-        # behind the fenced write's head_object: simulate by breaking
-        # the lease content only AFTER the head — covered above; here
-        # assert the healthy path works under a held lease
-        assert held
-        s3fs.put_fenced(root, os.path.join(root, mt._CURRENT), "8")
-    assert mt.current_version(root) == 8
+        # takeover while we were stalled: another holder advanced the
+        # pointer to 5 — the resumed write of 4 must refuse (regression)
+        s3fs.put_atomic(ptr, "5")
+        with pytest.raises(LeaseLost, match="already at"):
+            s3fs.put_fenced(root, ptr, "4")
+        # equal version refuses too (a re-flip of 5 is not ours to make)
+        with pytest.raises(LeaseLost, match="already at"):
+            s3fs.put_fenced(root, ptr, "5")
+        # a MONOTONE write above the observed value lands (Delta's
+        # pointer-CAS-wins semantics: v6 is complete and monotone, so
+        # flipping to it is correct even under a broken lease)
+        s3fs.put_atomic(os.path.join(root, ".flip_lease"), "usurper")
+        s3fs.put_fenced(root, ptr, "6")
+    assert mt.current_version(root) == 6
+    s3fs.remove(os.path.join(root, ".flip_lease"))
 
 
 def test_s3_vacuum_retires_and_grace_spares(s3fs, monkeypatch):

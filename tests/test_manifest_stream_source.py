@@ -64,9 +64,10 @@ def test_checkpointed_stream_resumes_at_version_offset(spark, tmp_path):
 
 @pytest.mark.full  # CI-mode only (suite-time budget)
 def test_stream_delivers_merge_rewrites_file_granular(spark, tmp_path):
-    """A MERGE's rewritten partition re-delivers wholesale (the same
-    upsert-by-key semantics as read_changes); untouched partitions stay
-    silent."""
+    """A MERGE's rewritten partition re-delivers wholesale HERE because
+    the fixture tracks no key stats (with a stats index only the
+    rewritten files re-deliver — consume as upsert-by-key either way);
+    untouched partitions stay silent."""
     root = str(tmp_path / "t")
     ckpt = str(tmp_path / "ckpt")
     base = spark.createDataFrame(
@@ -205,27 +206,32 @@ def test_admission_control_walks_bounded_offsets(spark, tmp_path):
     reader = ManifestStreamReader(
         _table_schema(root), {"path": root, "maxfilespertrigger": "2"})
     offsets = [reader.initialOffset()]
-    assert offsets[0] == {"version": 0, "index": 0}
+    assert offsets[0] == {"version": 0, "index": 0, "snap": 0}
     for _ in range(10):
         nxt = reader.latestOffset()
         if nxt == offsets[-1]:
             break
         offsets.append(nxt)
         reader.commit(nxt)
-    # 8 files / 2 per trigger = 4 bounded batches, then stable
-    assert offsets[1:] == [{"version": 1, "index": 2},
-                           {"version": 1, "index": 4},
-                           {"version": 1, "index": 6},
-                           {"version": 2, "index": 2}]
-    # the planned batches tile the table exactly once
+    # a version-0 start seeds from the CURRENT snapshot (v2 = all 8
+    # files — same content an unlimited start delivers), split 2 per
+    # trigger = 4 bounded batches, then stable; snap rides every offset
+    assert offsets[1:] == [{"version": 2, "index": 2, "snap": 2},
+                           {"version": 2, "index": 4, "snap": 2},
+                           {"version": 2, "index": 6, "snap": 2},
+                           {"version": 2, "index": 8, "snap": 2}]
+    # the planned batches tile the snapshot exactly once
     seen = []
     for s, e in zip(offsets, offsets[1:]):
         batch = [p.path for p in reader.partitions(s, e)]
         assert 0 < len(batch) <= 2
         seen.extend(batch)
     assert len(seen) == len(set(seen)) == 8
-    # replay purity: re-planning an old range yields the identical batch
-    again = [p.path for p in reader.partitions(offsets[1], offsets[2])]
+    # replay purity: re-planning an old range yields the identical
+    # batch, even on a FRESH reader (snap comes from the offset)
+    replayer = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxfilespertrigger": "2"})
+    again = [p.path for p in replayer.partitions(offsets[1], offsets[2])]
     assert again == seen[2:4]
 
     # byte budgeting admits at least one file, then stops at the budget
@@ -233,7 +239,7 @@ def test_admission_control_walks_bounded_offsets(spark, tmp_path):
         _table_schema(root), {"path": root, "maxbytespertrigger": "1"})
     rb.initialOffset()
     first = rb.latestOffset()
-    assert first == {"version": 1, "index": 1}, (
+    assert first == {"version": 2, "index": 1, "snap": 2}, (
         "an over-budget file must still admit exactly one file")
 
 
@@ -333,3 +339,107 @@ def test_stream_timestamp_and_date_partition_columns(spark, tmp_path):
     q2.awaitTermination(60)
     row = spark.table("msrc_dt").collect()[0]
     assert (row.k, row.day, row.v) == (1, d1, 10.0)
+
+
+def test_admission_fresh_start_delivers_snapshot_not_history(spark,
+                                                             tmp_path):
+    """r10 review finding: a limited version-0 start must deliver the
+    SNAPSHOT as of stream start (what unlimited mode delivers), not a
+    per-version history replay — on a table with merge history, the
+    replay would re-deliver superseded files and resurrect deleted
+    rows."""
+    import pyarrow as pa
+
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 10.0), (2, "p1", 20.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    # v2 deletes k=2 (rewrites p1's file)
+    chg = spark.createDataFrame([(2, "p1", None, "D")],
+                                "k BIGINT, part STRING, v DOUBLE, "
+                                "op STRING")
+    mt.commit_merge(spark, root, chg, ["k", "part"], "part")
+
+    reader = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxfilespertrigger": "1"})
+    offsets = [reader.initialOffset()]
+    for _ in range(10):
+        nxt = reader.latestOffset()
+        if nxt == offsets[-1]:
+            break
+        offsets.append(nxt)
+        reader.commit(nxt)
+    rows = []
+    for s, e in zip(offsets, offsets[1:]):
+        for p in reader.partitions(s, e):
+            rows.extend(pa.Table.from_batches(
+                list(reader.read(p))).column("k").to_pylist())
+    assert sorted(rows) == [1], (
+        f"limited fresh start delivered {sorted(rows)} — history "
+        "replay resurrected deleted/superseded rows")
+
+
+def test_consumed_offsets_need_no_retired_manifests(spark, tmp_path):
+    """r10 review finding: normalizing an already-consumed version-only
+    offset (unlimited checkpoint restarted with maxFilesPerTrigger)
+    must not load that version's file list — its parent manifest may be
+    vacuum-retired on a caught-up table."""
+    from silvia_spark.sources.manifest_stream import (_CONSUMED,
+                                                      ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 10.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    for k in (2, 3):
+        mt.commit_append(spark, root, spark.createDataFrame(
+            [(k, "p1", float(k))], "k BIGINT, part STRING, v DOUBLE"),
+            "part")
+    mt.vacuum(root, keep_versions=1)  # manifests v1, v2 retired
+    assert not os.path.exists(mt._manifest_path(root, 2))
+
+    reader = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxfilespertrigger": "1"})
+    reader.commit({"version": 3})          # unlimited-run offset
+    assert reader._pos == (3, _CONSUMED)   # no manifest read happened
+    # the replayed batch with version-only offsets plans empty, and the
+    # caught-up walk stays put — still without touching v1/v2
+    assert reader.partitions({"version": 3}, {"version": 3}) == []
+    assert reader.latestOffset() == {"version": 3, "index": _CONSUMED,
+                                     "snap": 0}
+    # new commits resume bounded diff delivery from there
+    mt.commit_append(spark, root, spark.createDataFrame(
+        [(4, "p1", 4.0)], "k BIGINT, part STRING, v DOUBLE"), "part")
+    nxt = reader.latestOffset()
+    assert nxt == {"version": 4, "index": 1, "snap": 0}
+    parts = reader.partitions({"version": 3, "index": _CONSUMED,
+                               "snap": 0}, nxt)
+    assert len(parts) == 1
+
+
+def test_unlimited_reader_accepts_indexed_offsets(spark, tmp_path):
+    """r10 review finding: removing maxFilesPerTrigger from a query
+    whose checkpoint holds index-bearing offsets must not wedge the
+    stream (the note path used to exist only on limited readers —
+    AttributeError on replay)."""
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 10.0), (2, "p1", 20.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base.repartition(2), root, "part")
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    # replayed WAL batch written by a limited run of the same query
+    parts = reader.partitions(
+        {"version": 1, "index": 1, "snap": 1},
+        {"version": 1, "index": 2, "snap": 1})
+    assert len(parts) == 1
+    # and the equal-offset replay (restart protocol) is a clean no-op
+    assert reader.partitions(
+        {"version": 1, "index": 2, "snap": 1},
+        {"version": 1, "index": 2, "snap": 1}) == []

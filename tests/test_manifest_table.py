@@ -1039,3 +1039,27 @@ def test_schema_widening_append_and_upcast_read(spark, tmp_path):
         [b for p in parts for b in reader.read(p)])
     assert str(tbl.schema.field("k").type) == "int64"
     assert sorted(tbl.column("k").to_pylist()) == [1, 2]
+
+
+def test_vacuum_epoch_gates_claim_verification(tmp_path):
+    """The O(1) fast path for _write_doc's staged-file verification:
+    vacuum bumps a monotone epoch under the flip lock; a commit whose
+    captured epoch is unchanged at claim time provably raced no sweep
+    and skips the per-file probes, while a stale epoch forces the full
+    check."""
+    root = _fab_table(tmp_path)
+    e0 = mt._vacuum_epoch(root)
+    mt.vacuum(root)
+    assert mt._vacuum_epoch(root) == e0 + 1
+    # matching epoch → per-file verification provably unnecessary,
+    # skipped (the ghost path is NOT probed)
+    mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
+                  verify_paths=["part=p1/ghost.parquet"],
+                  staged_epoch=e0 + 1)
+    assert os.path.exists(mt._manifest_path(root, 2))
+    mt._reclaim_claim(root, 2)
+    # stale epoch (a vacuum ran since capture) → full check runs
+    with pytest.raises(mt.CommitAborted, match="vanished before"):
+        mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
+                      verify_paths=["part=p1/ghost.parquet"],
+                      staged_epoch=e0)
