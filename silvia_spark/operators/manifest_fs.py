@@ -115,12 +115,16 @@ class LocalFS:
             f.write(data)
         os.rename(tmp, path)
 
-    def put_fenced(self, root: str, path: str, data: str) -> None:
+    def put_fenced(self, root: str, path: str, data: str,
+                   claim_path: str | None = None) -> None:
         """Pointer write fenced against lease loss. On POSIX this is
         just ``put_atomic``: flock cannot be 'broken by age' — a stalled
         holder KEEPS the lock (the OS releases it only on process
         death), so the stalled-writer-after-takeover scenario is
-        structurally impossible and no extra check is needed."""
+        structurally impossible and no extra check is needed
+        (``claim_path`` — the S3 adapter's post-write claim
+        verification hook — is unused for the same reason: no vacuum
+        can run while the flipper holds flock)."""
         self.put_atomic(path, data)
 
     def move_in(self, src: str, dst: str) -> None:
@@ -224,7 +228,8 @@ class ObjectStoreSimFS(LocalFS):
         os.remove(src)  # (the copy is born with a fresh mtime, so the
         #                 adoption-grace refresh is inherent here)
 
-    def put_fenced(self, root: str, path: str, data: str) -> None:
+    def put_fenced(self, root: str, path: str, data: str,
+                   claim_path: str | None = None) -> None:
         """Pointer write CONDITIONAL on the caller's lease still being
         its own — the fencing-token discipline a real store needs
         because a lease (unlike flock) can be broken by age while its

@@ -367,10 +367,14 @@ def _flip_current(root: str, version: int,
             ours = True
         # FENCED pointer write: on POSIX this is the plain atomic
         # rename (flock cannot be broken by age); on a lease-based
-        # store the write is conditional on the lease still being ours,
-        # so a stalled holder whose lease aged out raises LeaseLost
-        # instead of regressing the pointer after a takeover.
-        FS.put_fenced(root, os.path.join(root, _CURRENT), str(version))
+        # store the write is conditional on the lease still being ours
+        # AND on the pointer's own generation (value + etag CAS), and
+        # the S3 port additionally re-verifies the claim manifest
+        # exists AFTER the write (claim_path) — a stalled holder whose
+        # lease aged out raises LeaseLost instead of regressing the
+        # pointer or pointing it at a vacuum-reclaimed manifest.
+        FS.put_fenced(root, os.path.join(root, _CURRENT), str(version),
+                      claim_path=_manifest_path(root, version))
         return ours
 
 
@@ -1436,6 +1440,14 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 FS.remove(fp)
                 deleted.append(rel)
             FS.rmdir_if_empty(part_dir)
+        # epoch bump LAST too: a committer whose lock-free epoch capture
+        # landed AFTER the start-bump but whose staging overlapped this
+        # sweep would otherwise see an unchanged epoch and skip its
+        # claim-time verification (r10 review finding) — bracketing the
+        # sweep with two bumps makes any overlap visible from either
+        # side
+        FS.put_atomic(os.path.join(root, _MANIFESTS, ".vacuum_epoch"),
+                      str(_vacuum_epoch(root) + 1))
     return deleted
 
 

@@ -126,27 +126,48 @@ class S3FS:
                 return False
             raise
 
-    def put_fenced(self, root: str, path: str, data: str) -> None:
-        """Monotonic pointer CAS. The lease check alone is NOT a fence
-        (a holder can stall between it and the write — exactly the gap
-        this method exists to close), so the real fence is the pointer
-        object itself: ONE GET yields both the current value and its
-        etag; the write is refused if the value is already at/ahead of
-        ours (a takeover flipped while we stalled — even BEFORE our
-        read), and the PUT is conditional on that same read's etag (a
-        takeover flipping AFTER our read changes the etag → 412). The
-        monotonicity check and the PUT condition share a single read,
-        so there is no window in which a stalled holder can regress
-        ``_current`` (r10 review finding — the first cut read the etag
-        fresh after the lease check, which re-opened the stall gap)."""
+    def put_fenced(self, root: str, path: str, data: str,
+                   claim_path: str | None = None) -> None:
+        """Monotonic pointer CAS, triple-checked (r10 review findings —
+        each check closes a distinct stall window):
+
+        1. LEASE content check (fast-fail): a holder whose lease was
+           broken and re-issued refuses before touching the pointer.
+           Not sufficient alone — the holder can stall right after it.
+        2. Pointer VALUE + ETAG in ONE GET: the write refuses if the
+           value is already at/ahead of ours (a takeover advanced it
+           while we stalled — even before our read), and the PUT
+           conditions on that same read's etag (a takeover flipping
+           after our read → 412). No window to regress ``_current``.
+        3. POST-PUT claim verification (``claim_path``): the one hazard
+           neither 1 nor 2 can see is a vacuum that RECLAIMED our
+           still-invisible claim manifest during a stall between
+           ``_flip_current``'s manifest check and this write — the
+           pointer would land on a deleted manifest, bricking reads.
+           S3 cannot condition a PUT on another object's existence, so
+           verify AFTER: if the claim vanished, roll the pointer back
+           (conditional on OUR etag, so a legitimate later flip is
+           never undone) and raise. Residual: a crash between the PUT
+           and the rollback leaves the dangling pointer until repair —
+           which requires a stall > _CLAIM_GRACE_SEC inside a
+           microsecond-scale window AND a crash inside this method;
+           size the grace like Delta/Iceberg retention (hours) in
+           production to retire it entirely."""
         from botocore.exceptions import ClientError
 
         held = getattr(self._tls, "held", {}).get(root)
-        if held is None:
+        lease_key = self._key(os.path.join(root, ".flip_lease"))
+        try:
+            lease = self.c.get_object(
+                Bucket=self.bucket, Key=lease_key)["Body"].read().decode()
+        except ClientError:
+            lease = None
+        if held is None or lease != held:
             raise LeaseLost(
-                f"no lease held under {root} — refusing the pointer "
-                "write")
+                f"lease under {root} is no longer ours (held={held!r}) "
+                "— refusing the pointer write")
         key = self._key(path)
+        cur_val = None
         try:
             cur = self.c.get_object(Bucket=self.bucket, Key=key)
             cur_val = cur["Body"].read().decode("utf-8")
@@ -161,8 +182,8 @@ class S3FS:
                 raise
             cond = {"IfNoneMatch": "*"}
         try:
-            self.c.put_object(Bucket=self.bucket, Key=key,
-                              Body=data.encode("utf-8"), **cond)
+            put = self.c.put_object(Bucket=self.bucket, Key=key,
+                                    Body=data.encode("utf-8"), **cond)
         except ClientError as ex:
             if _err_code(ex) in ("PreconditionFailed",
                                  "ConditionalRequestConflict", "412",
@@ -171,6 +192,29 @@ class S3FS:
                     f"pointer {path} advanced under us (etag mismatch): "
                     "a takeover flipped after our read") from None
             raise
+        if claim_path is not None and not self.exists(claim_path):
+            # stall window 3: our claim was vacuum-reclaimed before the
+            # PUT — roll back conditionally on OUR write's etag and fail
+            try:
+                if cur_val is not None:
+                    self.c.put_object(Bucket=self.bucket, Key=key,
+                                      Body=cur_val.encode("utf-8"),
+                                      IfMatch=put["ETag"])
+                else:
+                    # first-flip rollback: only remove the pointer if it
+                    # is still OUR write (no conditional delete on S3 —
+                    # the head/delete gap is the narrowest available)
+                    h = self.c.head_object(Bucket=self.bucket, Key=key)
+                    if h["ETag"] == put["ETag"]:
+                        self.c.delete_object(Bucket=self.bucket,
+                                             Key=key)
+            except ClientError:
+                pass  # someone already advanced past us — their
+                #       pointer is valid; ours never becomes visible
+            raise LeaseLost(
+                f"claim manifest {claim_path} vanished before the "
+                "pointer write (vacuum-reclaimed during a stall) — "
+                "pointer restored, nothing became visible")
 
     def move_in(self, src: str, dst: str) -> None:
         self.c.copy_object(

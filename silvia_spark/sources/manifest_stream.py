@@ -186,7 +186,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         # otherwise) and RIDES ON EVERY OFFSET so replayed batches
         # re-derive the identical file lists.
         self._snap: int | None = None
-        self._fl_cache: dict[int, list] = {}
+        self._fl_cache: dict[tuple[int, int], list] = {}
         self._note_ok = True
         # the note path exists regardless of self.limited: an UNLIMITED
         # reader can receive index-bearing offsets from a checkpoint
@@ -325,6 +325,15 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "snap": 0}
         if self._pos is None:
             note = self._note_read()
+            if note is not None and (note[:2] == (0, 0) and note[2] == 0
+                                     and self.start_version == 0):
+                # VIRGIN note without a recorded snap (written by a
+                # pre-snap-format run, or by a crash before anything
+                # was consumed): nothing delivered yet, so re-seeding
+                # from the current snapshot is both safe and required —
+                # adopting its snap=0 default would lock the stream
+                # into per-version history replay (r10 review finding)
+                note = None
             if note is not None:
                 # restart: the replay partitions() call landed the
                 # note >= committed
@@ -395,6 +404,13 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         _trace(f"commit end={end}")
+        if not self.limited and "index" not in end:
+            # pure-unlimited lineage: nothing consults the note, so
+            # don't litter every table with per-batch note writes (r10
+            # review finding); index-bearing ends (a limited run's
+            # offsets replayed after the option was removed) still
+            # record the position for a future limited restart
+            return
         v = int(end["version"])
         if "snap" in end:
             self._adopt_snap(int(end["snap"]))

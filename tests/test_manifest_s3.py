@@ -110,13 +110,29 @@ def test_s3_fenced_pointer_refuses_regression(s3fs):
         # equal version refuses too (a re-flip of 5 is not ours to make)
         with pytest.raises(LeaseLost, match="already at"):
             s3fs.put_fenced(root, ptr, "5")
-        # a MONOTONE write above the observed value lands (Delta's
-        # pointer-CAS-wins semantics: v6 is complete and monotone, so
-        # flipping to it is correct even under a broken lease)
+        # a broken/re-issued lease refuses even a monotone write — the
+        # holder must re-acquire and re-validate (its claim may have
+        # been vacuum-reclaimed during the stall)
         s3fs.put_atomic(os.path.join(root, ".flip_lease"), "usurper")
-        s3fs.put_fenced(root, ptr, "6")
-    assert mt.current_version(root) == 6
+        with pytest.raises(LeaseLost, match="no longer ours"):
+            s3fs.put_fenced(root, ptr, "6")
+    assert mt.current_version(root) == 5
     s3fs.remove(os.path.join(root, ".flip_lease"))
+
+    # healthy path: held lease, monotone write lands; and the post-PUT
+    # claim verification rolls the pointer BACK when the claim manifest
+    # was vacuum-reclaimed during a stall (claim staged OUTSIDE the
+    # lock — the lease mutex is not reentrant)
+    claim = mt._manifest_path(root, 7)
+    mt._write_doc(root, 7, mt._make_doc(7, 6, [], commit_id="x"),
+                  occ=True)
+    with s3fs.locked(root):
+        s3fs.put_fenced(root, ptr, "6")
+        assert mt.current_version(root) == 6
+        s3fs.remove(claim)  # the vacuum-reclaim during our stall
+        with pytest.raises(LeaseLost, match="vanished"):
+            s3fs.put_fenced(root, ptr, "7", claim_path=claim)
+    assert mt.current_version(root) == 6, "rollback must restore"
 
 
 def test_s3_vacuum_retires_and_grace_spares(s3fs, monkeypatch):

@@ -1050,12 +1050,14 @@ def test_vacuum_epoch_gates_claim_verification(tmp_path):
     root = _fab_table(tmp_path)
     e0 = mt._vacuum_epoch(root)
     mt.vacuum(root)
-    assert mt._vacuum_epoch(root) == e0 + 1
+    # TWO bumps per sweep (start and end): a lock-free epoch capture
+    # landing between them still sees a change from either side
+    assert mt._vacuum_epoch(root) == e0 + 2
     # matching epoch → per-file verification provably unnecessary,
     # skipped (the ghost path is NOT probed)
     mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
                   verify_paths=["part=p1/ghost.parquet"],
-                  staged_epoch=e0 + 1)
+                  staged_epoch=e0 + 2)
     assert os.path.exists(mt._manifest_path(root, 2))
     mt._reclaim_claim(root, 2)
     # stale epoch (a vacuum ran since capture) → full check runs
