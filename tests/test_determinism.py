@@ -180,7 +180,16 @@ def _fingerprint(name, spark, partitions: int):
         spark.conf.set("spark.sql.shuffle.partitions", "4")
 
 
-@pytest.mark.parametrize("name", _NUMERIC)
+# Heaviest sweep entries ride CI mode only (suite-time budget): L19
+# re-runs a whole admission-bounded streaming drain per layout, and the
+# two heaviest ANN/dedup kernels cost ~13 s per layout pair; all three
+# still sweep every round in the driver's CI run (-m "").
+_SWEEP_FULL = {"stream_manifest_admission", "sim_ann_lsh",
+               "dedup_docs_embedding"}
+
+@pytest.mark.parametrize(
+    "name", [pytest.param(n, marks=pytest.mark.full)
+             if n in _SWEEP_FULL else n for n in _NUMERIC])
 def test_partitioning_invariance(name, spark):
     assert _fingerprint(name, spark, 4) == _fingerprint(name, spark, 17), \
         f"{name}: result depends on shuffle partitioning"

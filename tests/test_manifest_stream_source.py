@@ -187,6 +187,7 @@ def _mk_table(spark, root, n_files=6, rows_per=4):
     assert n == n_files, f"fixture wrote {n} files, wanted {n_files}"
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_admission_control_walks_bounded_offsets(spark, tmp_path):
     """maxFilesPerTrigger/maxBytesPerTrigger (r09 verdict item 1): a
     version-0 start on a multi-file table must advance the offset at
@@ -341,6 +342,7 @@ def test_stream_timestamp_and_date_partition_columns(spark, tmp_path):
     assert (row.k, row.day, row.v) == (1, d1, 10.0)
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_admission_fresh_start_delivers_snapshot_not_history(spark,
                                                              tmp_path):
     """r10 review finding: a limited version-0 start must deliver the
@@ -382,6 +384,7 @@ def test_admission_fresh_start_delivers_snapshot_not_history(spark,
         "replay resurrected deleted/superseded rows")
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_consumed_offsets_need_no_retired_manifests(spark, tmp_path):
     """r10 review finding: normalizing an already-consumed version-only
     offset (unlimited checkpoint restarted with maxFilesPerTrigger)
@@ -421,6 +424,7 @@ def test_consumed_offsets_need_no_retired_manifests(spark, tmp_path):
     assert len(parts) == 1
 
 
+@pytest.mark.full  # CI-mode only (suite-time budget)
 def test_unlimited_reader_accepts_indexed_offsets(spark, tmp_path):
     """r10 review finding: removing maxFilesPerTrigger from a query
     whose checkpoint holds index-bearing offsets must not wedge the

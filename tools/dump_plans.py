@@ -301,6 +301,11 @@ AUDITED = [
      "reader itself — no union, no per-file branching in the plan; one "
      "scan node over the snapshot's file list, partial→final "
      "aggregation above it."),
+    ("scan_manifest_widened", ["HashAggregate"],
+     "type-widened snapshot read: pre-widening int32 files upcast to "
+     "the bigint read schema inside the vectorized parquet reader — "
+     "no cast node, no union, no per-file branching; one scan over the "
+     "snapshot's file list with partial→final aggregation above it."),
 ]
 
 
