@@ -145,9 +145,12 @@ class S3FS:
            ``_flip_current``'s manifest check and this write — the
            pointer would land on a deleted manifest, bricking reads.
            S3 cannot condition a PUT on another object's existence, so
-           verify AFTER: if the claim vanished, roll the pointer back
-           (conditional on OUR etag, so a legitimate later flip is
-           never undone) and raise. Residual: a crash between the PUT
+           verify BEFORE (narrows the reader-visible window to one
+           round-trip) and authoritatively AFTER: if the claim
+           vanished, roll the pointer back (conditional on OUR etag, so
+           a legitimate later flip is never undone) and raise
+           CommitAborted — the retryable signal commit paths already
+           speak. Residual: a crash between the PUT
            and the rollback leaves the dangling pointer until repair —
            which requires a stall > _CLAIM_GRACE_SEC inside a
            microsecond-scale window AND a crash inside this method;
@@ -156,17 +159,31 @@ class S3FS:
         from botocore.exceptions import ClientError
 
         held = getattr(self._tls, "held", {}).get(root)
+        if held is None:
+            # programming-error fast-fail, zero I/O (r10 review pass 3)
+            raise LeaseLost(
+                f"no lease held under {root} — refusing the pointer "
+                "write")
         lease_key = self._key(os.path.join(root, ".flip_lease"))
         try:
             lease = self.c.get_object(
                 Bucket=self.bucket, Key=lease_key)["Body"].read().decode()
-        except ClientError:
+        except ClientError as ex:
+            if _err_code(ex) not in ("NoSuchKey", "404"):
+                raise  # transient store error, NOT a lost lease — a
+                #        503 must not abort a healthy commit
             lease = None
-        if held is None or lease != held:
+        if lease != held:
             raise LeaseLost(
                 f"lease under {root} is no longer ours (held={held!r}) "
                 "— refusing the pointer write")
         key = self._key(path)
+        if claim_path is not None and not self._exists_retry(claim_path):
+            # pre-PUT claim check: the post-PUT verification below is
+            # the authoritative one, but catching a reclaim HERE keeps
+            # the dangling pointer from ever being written — the
+            # reader-visible window otherwise spans three round-trips
+            self._raise_claim_vanished(root, claim_path)
         cur_val = None
         try:
             cur = self.c.get_object(Bucket=self.bucket, Key=key)
@@ -192,9 +209,10 @@ class S3FS:
                     f"pointer {path} advanced under us (etag mismatch): "
                     "a takeover flipped after our read") from None
             raise
-        if claim_path is not None and not self.exists(claim_path):
-            # stall window 3: our claim was vacuum-reclaimed before the
-            # PUT — roll back conditionally on OUR write's etag and fail
+        if claim_path is not None and not self._exists_retry(claim_path):
+            # stall window 3: our claim was vacuum-reclaimed between the
+            # pre-PUT check and the PUT — roll back conditionally on OUR
+            # write's etag and fail as a retryable abort
             try:
                 if cur_val is not None:
                     self.c.put_object(Bucket=self.bucket, Key=key,
@@ -208,13 +226,54 @@ class S3FS:
                     if h["ETag"] == put["ETag"]:
                         self.c.delete_object(Bucket=self.bucket,
                                              Key=key)
+            except ClientError as ex:
+                if _err_code(ex) not in ("PreconditionFailed",
+                                         "ConditionalRequestConflict",
+                                         "412", "409", "NoSuchKey",
+                                         "404"):
+                    # transient failure of the rollback itself: the
+                    # pointer is STILL dangling — escalate loudly, do
+                    # NOT claim a clean abort (r10 review pass 3)
+                    raise RuntimeError(
+                        f"pointer {path} references the reclaimed "
+                        f"claim {claim_path} and the rollback write "
+                        "failed — MANUAL REPAIR REQUIRED (restore the "
+                        "pointer to its previous version)") from ex
+                # 412/404: someone already advanced past us — their
+                # pointer is valid; ours never becomes visible
+            self._raise_claim_vanished(root, claim_path)
+
+    def _exists_retry(self, path: str, attempts: int = 3) -> bool:
+        """Existence probe that retries transient store errors: the
+        claim-verification HEAD runs AFTER a successful pointer write,
+        where a spurious failure would make a COMMITTED flip report as
+        failed (an application retry would then duplicate the batch).
+        Persistent non-404 errors propagate as the infrastructure
+        failures they are — state explicitly unknown, never mapped to a
+        clean abort (r10 review pass 3)."""
+        from botocore.exceptions import ClientError
+
+        for i in range(attempts):
+            try:
+                return self.exists(path)
             except ClientError:
-                pass  # someone already advanced past us — their
-                #       pointer is valid; ours never becomes visible
-            raise LeaseLost(
-                f"claim manifest {claim_path} vanished before the "
-                "pointer write (vacuum-reclaimed during a stall) — "
-                "pointer restored, nothing became visible")
+                if i == attempts - 1:
+                    raise
+                time.sleep(0.2 * (i + 1))
+        raise AssertionError("unreachable")
+
+    def _raise_claim_vanished(self, root: str, claim_path: str):
+        """Raise the RETRYABLE abort the rest of the protocol already
+        speaks: commit_append catches CommitAborted and restages, and
+        merge/compaction surface it as loudly as their pre-flip
+        manifest check does — LeaseLost here would turn a recoverable
+        state into a hard failure (r10 review pass 3)."""
+        from silvia_spark.operators.manifest_table import CommitAborted
+
+        raise CommitAborted(
+            f"claim manifest {claim_path} under {root} vanished before "
+            "its pointer flip (vacuum-reclaimed during a stall) — "
+            "nothing became visible; restage and retry")
 
     def move_in(self, src: str, dst: str) -> None:
         self.c.copy_object(

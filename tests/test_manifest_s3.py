@@ -130,7 +130,9 @@ def test_s3_fenced_pointer_refuses_regression(s3fs):
         s3fs.put_fenced(root, ptr, "6")
         assert mt.current_version(root) == 6
         s3fs.remove(claim)  # the vacuum-reclaim during our stall
-        with pytest.raises(LeaseLost, match="vanished"):
+        # CommitAborted (not LeaseLost): the retryable signal the
+        # commit paths already speak — appenders restage on it
+        with pytest.raises(mt.CommitAborted, match="vanished"):
             s3fs.put_fenced(root, ptr, "7", claim_path=claim)
     assert mt.current_version(root) == 6, "rollback must restore"
 
