@@ -369,10 +369,11 @@ def _flip_current(root: str, version: int,
         # rename (flock cannot be broken by age); on a lease-based
         # store the write is conditional on the lease still being ours
         # AND on the pointer's own generation (value + etag CAS), and
-        # the S3 port additionally re-verifies the claim manifest
-        # exists AFTER the write (claim_path) — a stalled holder whose
-        # lease aged out raises LeaseLost instead of regressing the
-        # pointer or pointing it at a vacuum-reclaimed manifest.
+        # the S3 port additionally verifies the claim manifest exists
+        # around the write (claim_path). A stalled holder raises
+        # LeaseLost for fencing violations (lease lost / pointer
+        # advanced) and the RETRYABLE CommitAborted when its claim was
+        # vacuum-reclaimed — appenders restage on the latter.
         FS.put_fenced(root, os.path.join(root, _CURRENT), str(version),
                       claim_path=_manifest_path(root, version))
         return ours

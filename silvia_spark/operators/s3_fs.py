@@ -178,12 +178,6 @@ class S3FS:
                 f"lease under {root} is no longer ours (held={held!r}) "
                 "— refusing the pointer write")
         key = self._key(path)
-        if claim_path is not None and not self._exists_retry(claim_path):
-            # pre-PUT claim check: the post-PUT verification below is
-            # the authoritative one, but catching a reclaim HERE keeps
-            # the dangling pointer from ever being written — the
-            # reader-visible window otherwise spans three round-trips
-            self._raise_claim_vanished(root, claim_path)
         cur_val = None
         try:
             cur = self.c.get_object(Bucket=self.bucket, Key=key)
@@ -198,6 +192,11 @@ class S3FS:
             if _err_code(ex) not in ("NoSuchKey", "404"):
                 raise
             cond = {"IfNoneMatch": "*"}
+        if claim_path is not None and not self._exists_retry(claim_path):
+            # pre-PUT claim check, placed immediately before the PUT so
+            # the residual reclaim window is exactly ONE round-trip; the
+            # post-PUT verification below stays authoritative
+            self._raise_claim_vanished(root, claim_path)
         try:
             put = self.c.put_object(Bucket=self.bucket, Key=key,
                                     Body=data.encode("utf-8"), **cond)
@@ -212,35 +211,50 @@ class S3FS:
         if claim_path is not None and not self._exists_retry(claim_path):
             # stall window 3: our claim was vacuum-reclaimed between the
             # pre-PUT check and the PUT — roll back conditionally on OUR
-            # write's etag and fail as a retryable abort
-            try:
-                if cur_val is not None:
-                    self.c.put_object(Bucket=self.bucket, Key=key,
-                                      Body=cur_val.encode("utf-8"),
-                                      IfMatch=put["ETag"])
-                else:
-                    # first-flip rollback: only remove the pointer if it
-                    # is still OUR write (no conditional delete on S3 —
-                    # the head/delete gap is the narrowest available)
-                    h = self.c.head_object(Bucket=self.bucket, Key=key)
-                    if h["ETag"] == put["ETag"]:
-                        self.c.delete_object(Bucket=self.bucket,
-                                             Key=key)
-            except ClientError as ex:
-                if _err_code(ex) not in ("PreconditionFailed",
-                                         "ConditionalRequestConflict",
-                                         "412", "409", "NoSuchKey",
-                                         "404"):
-                    # transient failure of the rollback itself: the
-                    # pointer is STILL dangling — escalate loudly, do
-                    # NOT claim a clean abort (r10 review pass 3)
-                    raise RuntimeError(
-                        f"pointer {path} references the reclaimed "
-                        f"claim {claim_path} and the rollback write "
-                        "failed — MANUAL REPAIR REQUIRED (restore the "
-                        "pointer to its previous version)") from ex
-                # 412/404: someone already advanced past us — their
-                # pointer is valid; ours never becomes visible
+            # write's etag and fail as a retryable abort. The rollback
+            # is RETRIED on transient errors (the write whose failure
+            # leaves a dangling pointer deserves at least the retry
+            # budget the probe gets); only 412 is definitive — it
+            # proves our object is no longer current, i.e. someone
+            # already advanced past us and THEIR pointer is valid. A
+            # 409 only proves a concurrent conditional write was in
+            # flight, nothing about the pointer's state — retried too
+            # (r10 review pass 4).
+            last_ex = None
+            for i in range(3):
+                try:
+                    if cur_val is not None:
+                        self.c.put_object(Bucket=self.bucket, Key=key,
+                                          Body=cur_val.encode("utf-8"),
+                                          IfMatch=put["ETag"])
+                    else:
+                        # first-flip rollback: only remove the pointer
+                        # if it is still OUR write (no conditional
+                        # delete on S3 — the head/delete gap is the
+                        # narrowest available)
+                        h = self.c.head_object(Bucket=self.bucket,
+                                               Key=key)
+                        if h["ETag"] == put["ETag"]:
+                            self.c.delete_object(Bucket=self.bucket,
+                                                 Key=key)
+                    last_ex = None
+                    break
+                except ClientError as ex:
+                    if _err_code(ex) in ("PreconditionFailed", "412",
+                                         "NoSuchKey", "404"):
+                        last_ex = None
+                        break  # definitive: no longer ours to restore
+                    last_ex = ex
+                    time.sleep(0.2 * (i + 1))
+            if last_ex is not None:
+                # persistent failure of the rollback itself: the
+                # pointer is STILL dangling — escalate loudly, do NOT
+                # claim a clean abort (r10 review pass 3)
+                raise RuntimeError(
+                    f"pointer {path} references the reclaimed claim "
+                    f"{claim_path} and the rollback write failed — "
+                    "MANUAL REPAIR REQUIRED (restore the pointer to "
+                    "its previous version)") from last_ex
             self._raise_claim_vanished(root, claim_path)
 
     def _exists_retry(self, path: str, attempts: int = 3) -> bool:

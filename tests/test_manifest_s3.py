@@ -119,10 +119,10 @@ def test_s3_fenced_pointer_refuses_regression(s3fs):
     assert mt.current_version(root) == 5
     s3fs.remove(os.path.join(root, ".flip_lease"))
 
-    # healthy path: held lease, monotone write lands; and the post-PUT
-    # claim verification rolls the pointer BACK when the claim manifest
-    # was vacuum-reclaimed during a stall (claim staged OUTSIDE the
-    # lock — the lease mutex is not reentrant)
+    # healthy path: held lease, monotone write lands; and the claim
+    # verification rolls the pointer BACK when the claim manifest was
+    # vacuum-reclaimed during a stall (claim staged OUTSIDE the lock —
+    # the lease mutex is not reentrant)
     claim = mt._manifest_path(root, 7)
     mt._write_doc(root, 7, mt._make_doc(7, 6, [], commit_id="x"),
                   occ=True)
@@ -131,9 +131,27 @@ def test_s3_fenced_pointer_refuses_regression(s3fs):
         assert mt.current_version(root) == 6
         s3fs.remove(claim)  # the vacuum-reclaim during our stall
         # CommitAborted (not LeaseLost): the retryable signal the
-        # commit paths already speak — appenders restage on it
+        # commit paths already speak — appenders restage on it.
+        # (a) reclaim caught by the PRE-PUT check: zero pointer I/O
         with pytest.raises(mt.CommitAborted, match="vanished"):
             s3fs.put_fenced(root, ptr, "7", claim_path=claim)
+        assert mt.current_version(root) == 6
+        # (b) reclaim landing INSIDE the GET→PUT window: force the
+        # pre-PUT probe to pass once so the POST-PUT verification and
+        # its conditional rollback are the code under test
+        real_probe = s3fs._exists_retry
+        calls = {"n": 0}
+
+        def probe_once(p, attempts=3):
+            calls["n"] += 1
+            return True if calls["n"] == 1 else real_probe(p, attempts)
+
+        s3fs._exists_retry = probe_once
+        try:
+            with pytest.raises(mt.CommitAborted, match="vanished"):
+                s3fs.put_fenced(root, ptr, "7", claim_path=claim)
+        finally:
+            s3fs._exists_retry = real_probe
     assert mt.current_version(root) == 6, "rollback must restore"
 
 
