@@ -51,7 +51,9 @@ simulator re-runs the crash/usurpation/vacuum tests flock-free
 
 from __future__ import annotations
 
+import decimal
 import json
+import math
 import os
 import time
 import uuid
@@ -61,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from silvia_spark.io import load_table, local_path as _norm
-from silvia_spark.operators.manifest_fs import LocalFS
+from silvia_spark.operators.manifest_fs import LeaseLost, LocalFS
 from silvia_spark.registry import contract
 
 # Filesystem adapter seam (manifest_fs.py): every protocol-relevant
@@ -174,16 +176,24 @@ def _write_segment(root: str, entries: list[dict],
     # query results (r09 review finding).
     rollup: dict[str, list] = {}
     covered: dict[str, int] = {}
+    mixed: set[str] = set()
     for e in entries:
         for c, (lo, hi) in e.get("stats", {}).items():
             covered[c] = covered.get(c, 0) + 1
             cur = rollup.get(c)
             if cur is None:
                 rollup[c] = [lo, hi]
+            elif isinstance(cur[0], str) != isinstance(lo, str):
+                # legacy str-encoded decimal stats coalesced with the
+                # numeric encoding cannot be ordered — drop the column
+                # from the rollup (segment pruning abstains; per-entry
+                # pruning still applies, itself abstaining on the
+                # legacy entries via _stat_gt)
+                mixed.add(c)
             else:
                 cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
     rollup = {c: v for c, v in rollup.items()
-              if covered[c] == len(entries)}
+              if covered[c] == len(entries) and c not in mixed}
     if rollup:
         desc["stats"] = rollup
     if reused:
@@ -374,8 +384,28 @@ def _flip_current(root: str, version: int,
         # LeaseLost for fencing violations (lease lost / pointer
         # advanced) and the RETRYABLE CommitAborted when its claim was
         # vacuum-reclaimed — appenders restage on the latter.
-        FS.put_fenced(root, os.path.join(root, _CURRENT), str(version),
-                      claim_path=_manifest_path(root, version))
+        try:
+            FS.put_fenced(root, os.path.join(root, _CURRENT),
+                          str(version),
+                          claim_path=_manifest_path(root, version))
+        except LeaseLost:
+            # The fencing refused our write. If the pointer has since
+            # advanced TO OR PAST our version, the commit may still be
+            # durable — a takeover that adopted our claim flipped it
+            # for us — so return False and let the caller's
+            # ``_claim_survived`` fallback decide (success if our
+            # commit_id sits at ``version`` in the committed chain,
+            # rebase/usurped otherwise). Propagating here made a
+            # stalled appender report hard failure for a batch that
+            # DID commit, and its application-level retry then
+            # duplicated it (r10 advice, MEDIUM). Only when the
+            # pointer is still BEHIND ``version`` is nothing visible
+            # and _claim_survived's commit_id match would lie —
+            # genuinely indeterminate, so re-raise.
+            cur2 = current_version(root)
+            if cur2 is not None and cur2 >= version:
+                return False
+            raise
         return ours
 
 
@@ -432,12 +462,41 @@ def _stage_writer(df: DataFrame, part_col: str,
     return w
 
 
-def _stat_val(v):
+def _stat_val(v, round_dir: int = 0):
     """JSON-portable, order-preserving stat encoding: numbers stay
-    numbers; everything else (dates, timestamps, strings) becomes its
-    ISO-ish str(), whose lexicographic order matches the value order for
-    those types."""
-    return v if isinstance(v, (int, float)) else str(v)
+    numbers; Decimals become floats (str() would break ordering —
+    '9.50' > '10.20' lexicographically, which made the merge pruner
+    treat an overlapping file as disjoint and silently skip its
+    updates: r10 advice, HIGH). Because a float cannot represent every
+    decimal exactly, the conversion is WIDENED in ``round_dir``:
+    −1 for lower bounds (file min / query lo), +1 for upper bounds
+    (file max / query hi) — the encoded range always encloses the
+    exact one, so pruning stays a superset. Everything else (dates,
+    timestamps, strings) becomes its ISO-ish str(), whose lexicographic
+    order matches the value order for those types."""
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if math.isinf(f):  # out-of-float-range decimal: no finite bound
+            return f
+        if round_dir < 0 and decimal.Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        elif round_dir > 0 and decimal.Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
+    return str(v)
+
+
+def _stat_gt(a, b) -> bool:
+    """``a > b`` when the encodings are comparable; False — meaning
+    "overlaps", the conservative keep — when they mix str and numeric
+    (a legacy str-encoded decimal stat vs today's numeric encoding).
+    Mixed encodings cannot be ordered, so pruning abstains rather than
+    raising or guessing."""
+    if isinstance(a, str) != isinstance(b, str):
+        return False
+    return a > b
 
 
 def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
@@ -459,10 +518,19 @@ def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
             if s is None or not s.has_min_max:
                 lo = hi = None
                 break  # a statless row group voids the whole file's entry
-            lo = s.min if lo is None else min(lo, s.min)
-            hi = s.max if hi is None else max(hi, s.max)
+            try:
+                gmin, gmax = s.min, s.max
+            except NotImplementedError:
+                # pyarrow cannot DECODE this type's footer stats (e.g.
+                # ArrowNotImplementedError on decimal physical types in
+                # this build) even though has_min_max is set — treat as
+                # statless: pruning conservatively keeps the file
+                lo = hi = None
+                break
+            lo = gmin if lo is None else min(lo, gmin)
+            hi = gmax if hi is None else max(hi, gmax)
         if lo is not None:
-            stats[col] = [_stat_val(lo), _stat_val(hi)]
+            stats[col] = [_stat_val(lo, -1), _stat_val(hi, +1)]
     return md.num_rows, stats
 
 
@@ -672,8 +740,12 @@ def prune_entries(entries: list[dict],
             if col not in stats:
                 continue
             fmin, fmax = stats[col]
-            if ((hi is not None and fmin > _stat_val(hi))
-                    or (lo is not None and fmax < _stat_val(lo))):
+            # query bounds widen OUTWARD (hi up, lo down) so a decimal
+            # bound's float encoding still encloses the exact range;
+            # _stat_gt abstains (keeps) on mixed str/numeric encodings
+            if ((hi is not None and _stat_gt(fmin, _stat_val(hi, +1)))
+                    or (lo is not None
+                        and _stat_gt(_stat_val(lo, -1), fmax))):
                 keep = False
                 break
         if keep:
@@ -734,8 +806,9 @@ def _seg_overlaps(desc: dict, prune: dict[str, tuple]) -> bool:
         if col not in stats:
             continue
         smin, smax = stats[col]
-        if ((hi is not None and smin > _stat_val(hi))
-                or (lo is not None and smax < _stat_val(lo))):
+        if ((hi is not None and _stat_gt(smin, _stat_val(hi, +1)))
+                or (lo is not None
+                    and _stat_gt(_stat_val(lo, -1), smax))):
             return False
     return True
 

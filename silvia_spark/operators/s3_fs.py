@@ -53,6 +53,11 @@ from contextlib import contextmanager
 
 from silvia_spark.operators.manifest_fs import LeaseLost
 
+# Single-request CopyObject limit (5 GiB, an S3 hard cap) and the part
+# size the multipart fallback copies in.
+_COPY_LIMIT = 5 * 1024**3
+_COPY_PART = 1 * 1024**3
+
 
 def _client(endpoint: str | None = None):
     import boto3
@@ -115,16 +120,35 @@ class S3FS:
     def put_if_absent(self, path: str, data: str) -> bool:
         from botocore.exceptions import ClientError
 
-        try:
-            self.c.put_object(Bucket=self.bucket, Key=self._key(path),
-                              Body=data.encode("utf-8"), IfNoneMatch="*")
-            return True
-        except ClientError as ex:
-            if _err_code(ex) in ("PreconditionFailed",
-                                 "ConditionalRequestConflict", "412",
-                                 "409"):
-                return False
-            raise
+        # 412 PreconditionFailed is the definitive "already exists".
+        # 409 ConditionalRequestConflict means a CONCURRENT conditional
+        # write was in flight — the object may or may not exist, so the
+        # PUT is RETRIED with backoff (mapping it to False made version
+        # claims falsely report FileExistsError and lease acquisition
+        # spin on a lease that was never created — r10 advice, LOW).
+        # After the budget, one existence probe decides; a still-
+        # indeterminate state propagates the conflict rather than
+        # guessing.
+        last_ex = None
+        for i in range(4):
+            try:
+                self.c.put_object(Bucket=self.bucket,
+                                  Key=self._key(path),
+                                  Body=data.encode("utf-8"),
+                                  IfNoneMatch="*")
+                return True
+            except ClientError as ex:
+                if _err_code(ex) in ("PreconditionFailed", "412"):
+                    return False
+                if _err_code(ex) in ("ConditionalRequestConflict",
+                                     "409"):
+                    last_ex = ex
+                    time.sleep(0.05 * (i + 1))
+                    continue
+                raise
+        if self.exists(path):
+            return False
+        raise last_ex
 
     def put_fenced(self, root: str, path: str, data: str,
                    claim_path: str | None = None) -> None:
@@ -290,10 +314,40 @@ class S3FS:
             "nothing became visible; restage and retry")
 
     def move_in(self, src: str, dst: str) -> None:
-        self.c.copy_object(
-            Bucket=self.bucket, Key=self._key(dst),
-            CopySource={"Bucket": self.bucket, "Key": self._key(src)})
-        self.c.delete_object(Bucket=self.bucket, Key=self._key(src))
+        """Adopt = CopyObject + DeleteObject. A single CopyObject is
+        capped at 5 GiB by S3; adopted staged files at the 100 TB scale
+        this module targets can exceed that, so larger objects fall
+        back to a multipart UploadPartCopy (r10 advice, LOW)."""
+        sk, dk = self._key(src), self._key(dst)
+        size = self.c.head_object(Bucket=self.bucket,
+                                  Key=sk)["ContentLength"]
+        if size <= _COPY_LIMIT:
+            self.c.copy_object(
+                Bucket=self.bucket, Key=dk,
+                CopySource={"Bucket": self.bucket, "Key": sk})
+        else:
+            mp = self.c.create_multipart_upload(Bucket=self.bucket,
+                                                Key=dk)
+            try:
+                parts = []
+                for n, off in enumerate(range(0, size, _COPY_PART), 1):
+                    end = min(off + _COPY_PART, size) - 1
+                    r = self.c.upload_part_copy(
+                        Bucket=self.bucket, Key=dk,
+                        UploadId=mp["UploadId"], PartNumber=n,
+                        CopySource={"Bucket": self.bucket, "Key": sk},
+                        CopySourceRange=f"bytes={off}-{end}")
+                    parts.append({"PartNumber": n,
+                                  "ETag": r["CopyPartResult"]["ETag"]})
+                self.c.complete_multipart_upload(
+                    Bucket=self.bucket, Key=dk, UploadId=mp["UploadId"],
+                    MultipartUpload={"Parts": parts})
+            except Exception:
+                self.c.abort_multipart_upload(Bucket=self.bucket,
+                                              Key=dk,
+                                              UploadId=mp["UploadId"])
+                raise
+        self.c.delete_object(Bucket=self.bucket, Key=sk)
 
     def remove(self, path: str) -> None:
         # S3 deletes are idempotent (no 404); every protocol call site

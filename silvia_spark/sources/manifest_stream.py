@@ -31,7 +31,13 @@ starts AND restarts both stay bounded. The note is a bounding hint
 only — exactly-once rides on the checkpointed offsets; a missing-or-
 stale note can only enlarge a batch, never lose or duplicate rows, and
 an UNWRITABLE table root degrades the blind restart batch to one
-unbounded (still exactly-once) catch-up.
+unbounded (still exactly-once) catch-up. The snapshot seed (``snap``)
+is likewise anchored to the checkpoint, not the note: a nonzero snap
+on a checkpointed START offset pins the lineage's seed, so a blind
+note-less latestOffset that re-seeds to the current version can
+pollute at most one END offset's snap field — planning always honors
+the pinned seed, never blanking undelivered diff versions or
+re-delivering the snapshot (r10 advice).
 
 Schema: fixed at stream start from the table's recorded read schema. A
 mid-stream schema EVOLUTION fails the stream with an explicit error
@@ -186,6 +192,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         # otherwise) and RIDES ON EVERY OFFSET so replayed batches
         # re-derive the identical file lists.
         self._snap: int | None = None
+        self._snap_pinned = False  # True once a checkpointed start
+        #                            offset's snap was adopted
         self._fl_cache: dict[tuple[int, int], list] = {}
         self._note_ok = True
         # the note path exists regardless of self.limited: an UNLIMITED
@@ -296,9 +304,21 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "adopt the new schema — delivering rows under the old "
                 "one would silently drop or corrupt them")
 
-    def _adopt_snap(self, snap: int) -> None:
-        """Adopt a snap seed carried on an offset / the note (constant
-        per checkpoint lineage — chosen once at the first walk)."""
+    def _adopt_snap(self, snap: int, authoritative: bool = False) -> None:
+        """Adopt a snap seed carried on an offset / the note. snap is
+        CONSTANT per checkpoint lineage (chosen once at the first walk),
+        so a nonzero snap on a CHECKPOINTED start offset is the lineage
+        truth: ``authoritative=True`` pins it, and later max-adopts
+        (including a blind latestOffset's re-seed to the current
+        version, which on a note-less restart would blank undelivered
+        diff versions and re-deliver the whole snapshot — r10 advice,
+        MEDIUM) can never override it."""
+        if authoritative and snap > 0:
+            self._snap = snap
+            self._snap_pinned = True
+            return
+        if getattr(self, "_snap_pinned", False):
+            return
         if self._snap is None or snap > self._snap:
             self._snap = snap
 
@@ -442,8 +462,17 @@ class ManifestStreamReader(DataSourceStreamReader):
             # sentinel, never 0 (re-delivery) and never a computed file
             # count (the consumed version's parent manifest may be
             # vacuum-retired).
-            self._adopt_snap(int(end.get("snap",
-                                         start.get("snap", 0))))
+            # snap adoption: the START offset is checkpointed history —
+            # its nonzero snap IS the lineage's seed and PINS _snap, so
+            # an end offset polluted by a blind note-less latestOffset
+            # (which re-seeds to the current version) can never blank
+            # this lineage's undelivered diff versions and re-deliver
+            # the snapshot (r10 advice, MEDIUM).
+            s_snap = int(start.get("snap", 0))
+            if s_snap > 0:
+                self._adopt_snap(s_snap, authoritative=True)
+            else:
+                self._adopt_snap(int(end.get("snap", 0)))
             si = (int(start["index"]) if "index" in start
                   else _CONSUMED)
             ei = (int(end["index"]) if "index" in end else _CONSUMED)

@@ -226,3 +226,78 @@ def test_s3_listing_and_segments_roundtrip(s3fs):
     assert [e["stats"]["k"] for e in kept] == [[2, 2], [3, 3]]
     assert json.loads(s3fs.read_text(mt._manifest_path(root, 1)))[
         "commit_id"] == "c"
+
+
+def test_s3_put_if_absent_retries_conditional_conflict(s3fs,
+                                                       monkeypatch):
+    """r10 advice (LOW): 409 ConditionalRequestConflict means a
+    concurrent conditional write was IN FLIGHT — the object may not
+    exist. Mapping it to 'exists' made version claims falsely report
+    FileExistsError (burning rebase retries) and lease acquisition spin
+    on a lease that was never created. The PUT retries instead; only
+    412 PreconditionFailed is the definitive 'already exists'."""
+    from botocore.exceptions import ClientError
+
+    real = s3fs.c.put_object
+    calls = {"n": 0}
+
+    def conflicted_twice(**kw):
+        if "IfNoneMatch" in kw and calls["n"] < 2:
+            calls["n"] += 1
+            raise ClientError(
+                {"Error": {"Code": "ConditionalRequestConflict"}},
+                "PutObject")
+        return real(**kw)
+
+    monkeypatch.setattr(s3fs.c, "put_object", conflicted_twice)
+    assert s3fs.put_if_absent("/race/claim.json", "v") is True
+    assert calls["n"] == 2
+    # a genuine duplicate still reports exists (412 path)
+    assert s3fs.put_if_absent("/race/claim.json", "v2") is False
+    assert s3fs.read_text("/race/claim.json") == "v"
+
+    # persistent conflicts: decided by an existence probe, never a
+    # silent False for an object that was never created
+    def always_conflicted(**kw):
+        if "IfNoneMatch" in kw:
+            raise ClientError(
+                {"Error": {"Code": "ConditionalRequestConflict"}},
+                "PutObject")
+        return real(**kw)
+
+    monkeypatch.setattr(s3fs.c, "put_object", always_conflicted)
+    with pytest.raises(ClientError):
+        s3fs.put_if_absent("/race/other.json", "v")
+    assert s3fs.put_if_absent("/race/claim.json", "v3") is False
+
+
+def test_s3_move_in_multipart_for_large_objects(monkeypatch):
+    """r10 advice (LOW): a single CopyObject caps at 5 GiB — larger
+    adopted files must multipart-copy (UploadPartCopy) or adoption
+    fails on exactly the large-file workloads the adapter targets.
+    Exercised by shrinking the threshold to the 5 MiB minimum part
+    size (which moto enforces like real S3), moto-only for the ~11 MiB
+    in-memory body."""
+    from moto import mock_aws
+
+    from silvia_spark.operators import s3_fs as s3mod
+
+    mib = 1024 * 1024
+    monkeypatch.setattr(s3mod, "_COPY_LIMIT", 5 * mib)
+    monkeypatch.setattr(s3mod, "_COPY_PART", 5 * mib)
+    with mock_aws():
+        c = boto3.client("s3", region_name="us-east-1")
+        c.create_bucket(Bucket="silvia-mpcopy-tests")
+        fs = s3mod.S3FS(bucket="silvia-mpcopy-tests", prefix="mp",
+                        client=c)
+        # 11 MiB → 2 full parts + a 1 MiB tail (legal: only the last
+        # part may be under the minimum)
+        body = "0123456789abcdef" * (11 * mib // 16)
+        fs.put_atomic("/big/src.bin", body)
+        fs.move_in("/big/src.bin", "/big/dst.bin")
+        assert fs.read_text("/big/dst.bin") == body
+        assert not fs.exists("/big/src.bin")
+        # under the limit: the single-request path still works
+        fs.put_atomic("/small/src.bin", "tiny")
+        fs.move_in("/small/src.bin", "/small/dst.bin")
+        assert fs.read_text("/small/dst.bin") == "tiny"

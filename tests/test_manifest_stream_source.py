@@ -447,3 +447,47 @@ def test_unlimited_reader_accepts_indexed_offsets(spark, tmp_path):
     assert reader.partitions(
         {"version": 1, "index": 2, "snap": 1},
         {"version": 1, "index": 2, "snap": 1}) == []
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_restart_snap_pollution_cannot_blank_diffs(spark, tmp_path):
+    """r10 advice (MEDIUM): on a note-less blind restart, latestOffset
+    re-seeds snap to the CURRENT version; if partitions adopted that
+    polluted END snap, FL(v) for undelivered diff versions would blank
+    (row loss) and the full snapshot would re-deliver at the new snap
+    (duplication). The checkpointed START offset's snap is the lineage
+    truth and PINS the seed now."""
+    import pyarrow as pa
+
+    from silvia_spark.sources.manifest_stream import (_CONSUMED,
+                                                      ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 1.0), (2, "p1", 2.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")  # v1: the lineage's snap seed
+    for k in (3, 4):                     # v2, v3: undelivered diffs
+        mt.commit_append(spark, root, spark.createDataFrame(
+            [(k, "p1", float(k))], "k BIGINT, part STRING, v DOUBLE"),
+            "part")
+
+    # lineage truth: seeded at snap=1, snapshot fully consumed;
+    # versions 2..3 not yet delivered
+    committed = {"version": 1, "index": _CONSUMED, "snap": 1}
+    # a restarted reader whose note was lost: the blind latestOffset
+    # re-seeds snap to the current version (3) before any replay call
+    reader = ManifestStreamReader(
+        _table_schema(root), {"path": root,
+                              "maxfilespertrigger": "100"})
+    polluted = reader.latestOffset()
+    assert polluted["snap"] == 3  # the blind re-seed did happen
+    rows = []
+    for p in reader.partitions(committed, polluted):
+        rows.extend(pa.Table.from_batches(
+            list(reader.read(p))).column("k").to_pylist())
+    # with the polluted snap adopted this delivered [1, 2, 3, 4] (full
+    # snapshot re-delivery + nothing for v2/v3 diffs); the pinned
+    # lineage snap delivers exactly the undelivered diffs
+    assert sorted(rows) == [3, 4], (
+        f"start-offset snap not honored: delivered {sorted(rows)}")

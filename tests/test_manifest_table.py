@@ -1065,3 +1065,119 @@ def test_vacuum_epoch_gates_claim_verification(tmp_path):
         mt._write_doc(root, 2, mt._make_doc(2, 1, [], commit_id="c"),
                       verify_paths=["part=p1/ghost.parquet"],
                       staged_epoch=e0)
+
+
+def test_prune_entries_decimal_bounds_are_numeric():
+    """r10 advice (HIGH): str()-encoded decimal stats order
+    lexicographically ('9.50' > '10.20'), so a file OVERLAPPING the
+    merge's change-key range was treated as disjoint — commit_merge
+    carried it by reference and its updates silently never applied.
+    Decimal stats and query bounds are float-encoded (outward-widened)
+    now, and mixed legacy encodings abstain from pruning entirely."""
+    import decimal
+
+    D = decimal.Decimal
+    e = {"path": "p", "partition": "p1",
+         "stats": {"k": [mt._stat_val(D("9.50"), -1),
+                         mt._stat_val(D("9.75"), +1)]}}
+    # the lexicographic trap: '9.50' > '10.20' pruned this overlap
+    assert mt.prune_entries([e], {"k": (D("1.00"), D("10.20"))}) == [e]
+    # genuinely disjoint decimal ranges still prune
+    assert mt.prune_entries([e], {"k": (D("10.20"), D("20.00"))}) == []
+    assert mt.prune_entries([e], {"k": (None, D("9.49"))}) == []
+    # legacy str-encoded decimal stats vs a numeric bound: ABSTAIN
+    # (keep), never order str against float
+    legacy = {"path": "q", "partition": "p1",
+              "stats": {"k": ["9.50", "9.75"]}}
+    assert mt.prune_entries([legacy],
+                            {"k": (D("10.20"), None)}) == [legacy]
+
+
+def test_segment_rollup_drops_mixed_encoding_columns(tmp_path):
+    """A segment coalescing legacy str-encoded decimal stats with the
+    numeric encoding cannot order them — the rollup drops that column
+    (segment pruning abstains) instead of raising or mis-ordering."""
+    root = _fab_table(tmp_path)
+    desc = mt._write_segment(root, [
+        {"path": "part=p1/a.parquet", "partition": "p1", "rows": 1,
+         "stats": {"k": ["9.50", "9.75"], "j": [1, 2]}},
+        {"path": "part=p1/b.parquet", "partition": "p1", "rows": 1,
+         "stats": {"k": [10.2, 20.0], "j": [3, 4]}},
+    ])
+    assert "k" not in desc.get("stats", {})
+    assert desc["stats"]["j"] == [1, 4]
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_decimal_merge_key_applies_updates(spark, tmp_path):
+    """End-to-end form of the r10 HIGH advice: a decimal merge key in
+    stats_cols, a file whose key min (9.50) lexicographically exceeds
+    the change range's upper bound (10.20) — its update MUST land.
+    This pyarrow build cannot decode decimal footer stats at all
+    (_file_stats records the column statless), so the pruner keeps
+    every decimal-key file conservatively — correct either way; the
+    prune_entries unit test pins the numeric encoding for stats that do
+    exist (e.g. written by another engine)."""
+    import decimal
+
+    D = decimal.Decimal
+    base = spark.createDataFrame(
+        [(D("9.50"), "p1", 1.0), (D("20.00"), "p1", 2.0)],
+        "k DECIMAL(10,2), part STRING, v DOUBLE").repartitionByRange(
+        2, "k")
+    root = str(tmp_path / "t")
+    mt.create_table(base, root, "part", stats_cols=["k"])
+    v1 = mt._resolve(root, mt._load_doc(root, 1))
+    assert len(v1) == 2  # one file per key — the setup the bug needs
+    # decimal footer stats are undecodable in this pyarrow: recorded
+    # statless, so pruning abstains (never the lexicographic trap)
+    assert all("k" not in e.get("stats", {}) for e in v1)
+
+    chg = spark.createDataFrame(
+        [(D("1.00"), "p1", 100.0, "I"), (D("10.20"), "p1", 101.0, "I"),
+         (D("9.50"), "p1", 9.99, "U")],
+        "k DECIMAL(10,2), part STRING, v DOUBLE, op STRING")
+    mt.commit_merge(spark, root, chg, ["k", "part"], "part")
+
+    got = {(r.k, r.v) for r in mt.read_snapshot(spark, root).collect()}
+    assert (D("9.50"), 9.99) in got, (
+        "the 9.50 file was wrongly carried by reference — its update "
+        "never applied (lexicographic decimal stats)")
+    assert got == {(D("1.00"), 100.0), (D("9.50"), 9.99),
+                   (D("10.20"), 101.0), (D("20.00"), 2.0)}
+
+
+def test_flip_leaselost_defers_to_claim_survived(tmp_path, monkeypatch):
+    """r10 advice (MEDIUM): LeaseLost from the fenced pointer write must
+    not short-circuit the caller's _claim_survived fallback when the
+    pointer has already advanced to our version — a takeover that
+    adopted and flipped our claim means the commit IS durable, and a
+    hard failure would make the application retry duplicate the batch.
+    Only a pointer still BEHIND re-raises (indeterminate)."""
+    root = _fab_table(tmp_path)
+    claim = [{"path": "part=p1/f1.parquet", "partition": "p1",
+              "rows": 1}]
+    mt._write_manifest(root, 2, claim, parent=1, occ=True)
+
+    def takeover_then_leaselost(r, path, data, claim_path=None):
+        mt.FS.put_atomic(path, data)  # the takeover flipped our claim
+        raise mt.LeaseLost("stalled holder fenced out")
+
+    monkeypatch.setattr(mt.FS, "put_fenced", takeover_then_leaselost)
+    # pointer advanced to our version: False, and the caller's fallback
+    # proves the commit
+    assert mt._flip_current(root, 2, entries=claim) is False
+    assert mt._claim_survived(root, 2, entries=claim)
+
+    # pointer still behind the claimed version: genuinely indeterminate
+    # (nothing became visible; _claim_survived's match would lie) —
+    # re-raise
+    mt._write_manifest(root, 3, claim, parent=2, occ=True)
+
+    def leaselost_only(r, path, data, claim_path=None):
+        raise mt.LeaseLost("fenced, nothing flipped")
+
+    monkeypatch.setattr(mt.FS, "put_fenced", leaselost_only)
+    with pytest.raises(mt.LeaseLost):
+        mt._flip_current(root, 3, entries=claim)
+    assert mt.current_version(root) == 2
