@@ -164,13 +164,17 @@ def _verify_candidates(e: DataFrame, cand: DataFrame) -> DataFrame:
     threshold/rounding contract cannot diverge between the base and
     multiprobe variants (their outputs are asserted set-equal in
     tests/test_properties.py)."""
-    from silvia_spark.functions.llm_ops import cosine
+    from silvia_spark.functions.llm_ops import cosine_once
 
     a = e.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
+    # cosine_once: the nondeterministic marker stops Catalyst's filter
+    # pushdown from duplicating the Arrow kernel into the predicate —
+    # ONE ArrowEvalPython in the plan, each candidate scored once
+    # (r10 verdict item 3; plans suite asserts the node count)
+    c = cosine_once(F.col("ea"), F.col("eb"))
     return (
         cand.join(a, "vec_a").join(b, "vec_b")
         .select("vec_a", "vec_b", c.alias("cos_raw"))

@@ -78,3 +78,16 @@ def test_plan_exhibits_required_operators(spark, name, required):
             "derived frame is referenced twice and Catalyst rebuilt the "
             "subtree; restructure as a window over the aggregate or "
             "persist the shared frame (or whitelist with justification)")
+
+    # The exact-cosine kernel must evaluate ONCE per plan: Catalyst's
+    # filter pushdown substitutes a deterministic UDF into the
+    # threshold predicate, scoring every surviving pair twice (r10
+    # verdict — two ArrowEvalPython[_cos_arrow] nodes in the LSH verify
+    # tail). cosine_once's nondeterministic marker blocks the rewrite;
+    # this guard keeps it blocked for every audited contract.
+    final = plan.split("== Initial Plan ==")[0]
+    cos_nodes = len(re.findall(r"ArrowEvalPython \[_cos_arrow", final))
+    assert cos_nodes <= 1, (
+        f"{name}: the Arrow cosine kernel appears {cos_nodes}× in the "
+        "final plan — a pushed-down threshold duplicated the UDF; "
+        "score through cosine_once (llm_ops) instead of cosine")
