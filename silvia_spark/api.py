@@ -80,6 +80,7 @@ from silvia_spark.sources.manifest_stream import read_stream_table
 from silvia_spark.operators.manifest_table import (
     commit_append,
     commit_compaction,
+    commit_delete,
     commit_merge,
     create_table,
     prune_entries,
@@ -136,7 +137,8 @@ __all__ = [
     "cluster_zorder", "zorder_key",
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
-    "commit_append", "read_changes", "prune_entries", "vacuum",
+    "commit_append", "commit_delete", "read_changes", "prune_entries",
+    "vacuum",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",

@@ -753,6 +753,72 @@ def prune_entries(entries: list[dict],
     return kept
 
 
+# deletion-vector sidecars (merge-on-read): <root>/_deletes/dv-*.parquet,
+# columns (path STRING, row_index BIGINT) — the tombstoned row positions
+# of the entry-relative file ``path``. An entry referencing one carries
+# {"dv": <name>, "dv_rows": <its tombstone count>}.
+_DELETES = "_deletes"
+# extracts "part=val/filename.parquet" from _metadata.file_path — exactly
+# the manifest entry's ``path`` (Hive-escaping keeps '/' out of values)
+_REL_RE = r"([^/]+/[^/]+)$"
+
+
+def _dv_frame(spark: SparkSession, root: str, entries: list[dict]):
+    """(path, row_index) rows of every delete vector the given entries
+    reference — the read-side tombstone set. None when no entry carries
+    one (the plan stays byte-identical to the pre-DV read)."""
+    names = sorted({e["dv"] for e in entries if e.get("dv")})
+    if not names:
+        return None
+    return (spark.read.schema("path STRING, row_index BIGINT")
+            .parquet(*[os.path.join(root, _DELETES, n) for n in names]))
+
+
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Tag a parquet scan with the entry-relative file path and the
+    in-file row position (Spark's ``_metadata`` hidden columns — scan
+    stays vectorized; the tag is metadata, not data)."""
+    return (df.withColumn("__rel", F.regexp_extract(
+                F.col("_metadata.file_path"), _REL_RE, 1))
+            .withColumn("__idx", F.col("_metadata.row_index")))
+
+
+def _anti_dv(scan: DataFrame, dv: DataFrame) -> DataFrame:
+    """Drop tombstoned rows: broadcast anti-join on (file, position).
+    The DV set is small by the write-side crossover rule (a file whose
+    tombstones exceed ``dv_max_frac`` of its rows is rewritten instead),
+    so this adds zero shuffle to the scan."""
+    return scan.join(
+        F.broadcast(dv),
+        (scan["__rel"] == dv["path"]) & (scan["__idx"] == dv["row_index"]),
+        "left_anti").drop("__rel", "__idx")
+
+
+def _read_entries(spark: SparkSession, root: str, m: dict,
+                  entries: list[dict]) -> DataFrame:
+    """Snapshot-semantics read of a specific entry list: files carrying
+    a delete vector anti-join their tombstones (merge-on-read); clean
+    files stream through the plain reader untouched. Every read path
+    that resolves entries — read_snapshot, read_changes, and the
+    REWRITE scans inside merge/compaction (a rewrite that read raw
+    would resurrect deleted rows into the new files) — goes through
+    here."""
+    clean = [e for e in entries if not e.get("dv")]
+    dvd = [e for e in entries if e.get("dv")]
+    parts = []
+    if clean:
+        parts.append(_reader(spark, root, m).parquet(
+            *[os.path.join(root, e["path"]) for e in clean]))
+    if dvd:
+        scan = _with_pos(_reader(spark, root, m).parquet(
+            *[os.path.join(root, e["path"]) for e in dvd]))
+        parts.append(_anti_dv(scan, _dv_frame(spark, root, dvd)))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def _reader(spark: SparkSession, root: str, doc: dict):
     """Snapshot reader: basePath recovers the partition column from the
     Hive-style dir names; when the manifest records a schema, the read
@@ -913,10 +979,9 @@ def read_snapshot(spark: SparkSession, path: str,
             # everything pruned: an empty frame with the snapshot
             # schema — never a full-snapshot listing just for a schema
             return _empty_like(spark, root, m)
-    files = [os.path.join(root, e["path"]) for e in entries]
-    if not files:
+    if not entries:
         raise ValueError(f"snapshot v{m['version']} is empty")
-    return _reader(spark, root, m).parquet(*files)
+    return _read_entries(spark, root, m, entries)
 
 
 def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
@@ -1020,8 +1085,10 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
 
     merged = changes.where(F.col("op") != "D").drop("op")
     if cur_entries:
-        cur = _reader(spark, root, doc).parquet(
-            *[os.path.join(root, e["path"]) for e in cur_entries])
+        # DV-applied rewrite scan: a raw read of a file carrying a
+        # delete vector would resurrect its tombstoned rows into the
+        # rewritten files
+        cur = _read_entries(spark, root, doc, cur_entries)
         kept = cur.join(changes.select(*keys), keys, "left_anti")
         merged = kept.unionByName(merged)
     epoch0 = _vacuum_epoch(root)  # BEFORE staging: _write_doc skips
@@ -1050,6 +1117,177 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             f"merge lost v{version} to a concurrent commit after its "
             f"claim — the table advanced without this merge; re-run it "
             f"against the new snapshot")
+    return version
+
+
+def _write_dv(spark: SparkSession, root: str, dv_union: DataFrame) -> str:
+    """Materialize one commit's delete-vector sidecar under
+    ``_deletes/`` and return its name. Written by Spark (never a driver
+    collect — the tombstone set is small per file but a wide delete can
+    touch many files) into a stage dir, then adopted as a single
+    commit-unique parquet like any staged data file."""
+    token = uuid.uuid4().hex[:12]
+    dv_name = f"dv-{token}.parquet"
+    stage = os.path.join(root, f".stage-{token}")
+    dv_union.repartition(1).write.mode("overwrite").parquet(stage)
+    FS.makedirs(os.path.join(root, _DELETES))
+    part = [f for f in sorted(FS.listdir(stage))
+            if f.endswith(".parquet")][0]
+    FS.move_in(os.path.join(stage, part),
+               os.path.join(root, _DELETES, dv_name))
+    FS.rmtree(stage)
+    return dv_name
+
+
+def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
+                  key_cols: list[str], part_col: str,
+                  dv_max_frac: float = 0.3) -> int:
+    """Row-level DELETE with merge-on-read deletion vectors — the write
+    path a scattered-key CDC/GDPR delete needs at 100 TB, where even
+    the stats-pruned rewrite (commit_merge) rewrites every file whose
+    key range covers a hit. Instead of rewriting, SPARSE hits append a
+    tombstone sidecar: the commit finds each matching row's (file,
+    row-position) via the scan's ``_metadata`` columns, writes ONE
+    delete-vector parquet, and the new manifest re-points the touched
+    entries at it — zero data files rewritten. Reads apply the vector
+    as a broadcast anti-join on (file, position) (``_read_entries``);
+    compaction reconciles tombstones into clean files.
+
+    The size crossover keeps reads honest: a file whose CUMULATIVE
+    tombstones (existing dv_rows + new hits) would exceed
+    ``dv_max_frac`` of its physical rows is rewritten through the
+    copy-on-write path instead (Delta's DV heuristic) — vectors stay
+    small, so the read-side anti-join stays a broadcast. A re-deleted
+    file's existing vector is UNIONED into the new sidecar (one dv ref
+    per entry, read never chains).
+
+    ``keys`` holds the delete keys (one row per key, extra columns
+    ignored); ``key_cols`` must include ``part_col`` — same invariant
+    and same semantics as commit_merge's anti-join (NULL keys match
+    nothing). Files whose stats index excludes the key range are
+    untouched (L18's pruning applies before any scan). Single-writer
+    like merge/compaction: a lost race raises, never silent."""
+    if part_col not in key_cols:
+        raise ValueError(
+            f"commit_delete key_cols {key_cols} must include part_col "
+            f"{part_col!r}: without it the tombstone scan can match "
+            "rows in partitions the commit never re-points")
+    root = _norm(path)
+    doc = _load_doc(root)
+    commit_id = uuid.uuid4().hex
+    stats_cols = _doc_stats_cols(root, doc)
+    aggs = [a for k in key_cols
+            for a in (F.min(k).alias(f"__lo_{k}"),
+                      F.max(k).alias(f"__hi_{k}"))]
+    rng_rows = (keys.groupBy(
+        F.col(part_col).cast("string").alias("__p"))
+        .agg(*aggs)).collect()
+    touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+               else r["__p"] for r in rng_rows}
+    rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+            else r["__p"]):
+           {k: (r[f"__lo_{k}"], r[f"__hi_{k}"]) for k in key_cols}
+           for r in rng_rows}
+    carried, resolved = _split_segments(root, doc, touched)
+    rehome = [e for e in resolved if e["partition"] not in touched]
+    cands: list[dict] = []
+    for e in resolved:
+        if e["partition"] not in touched:
+            continue
+        pr = {k: v for k, v in rng.get(e["partition"], {}).items()
+              if v[0] is not None}
+        if pr and not prune_entries([e], pr):
+            rehome.append(e)  # stats prove no key can live here
+        else:
+            cands.append(e)
+    version = doc["version"] + 1
+    if not cands:
+        return doc["version"]  # nothing can match: no-op, no commit
+    epoch0 = _vacuum_epoch(root)
+
+    scan = _with_pos(_reader(spark, root, doc).parquet(
+        *[os.path.join(root, e["path"]) for e in cands]))
+    old_dv = _dv_frame(spark, root, cands)
+    live = scan if old_dv is None else scan.join(
+        F.broadcast(old_dv),
+        (scan["__rel"] == old_dv["path"])
+        & (scan["__idx"] == old_dv["row_index"]), "left_anti")
+    hits = (live.join(keys.select(*key_cols).distinct(), key_cols,
+                      "left_semi")
+            .select(F.col("__rel").alias("path"),
+                    F.col("__idx").alias("row_index")).persist())
+    try:
+        counts = {r["path"]: r["cnt"] for r in
+                  hits.groupBy("path").agg(
+                      F.count(F.lit(1)).alias("cnt")).collect()}
+        sparse: list[dict] = []
+        dense: list[dict] = []
+        for e in cands:
+            n = counts.get(e["path"], 0)
+            if n == 0:
+                rehome.append(e)  # scanned, nothing matched: unchanged
+            elif (e.get("dv_rows", 0) + n
+                  >= dv_max_frac * max(e.get("rows", 0), 1)):
+                dense.append(e)
+            else:
+                sparse.append(e)
+
+        new_entries: list[dict] = []
+        sparse_updated: list[dict] = []
+        if sparse:
+            spaths = [e["path"] for e in sparse]
+            dv_union = hits.where(F.col("path").isin(spaths))
+            carry_dv = [e for e in sparse if e.get("dv")]
+            if carry_dv:
+                dv_union = dv_union.unionByName(
+                    _dv_frame(spark, root, carry_dv)
+                    .where(F.col("path").isin(
+                        [e["path"] for e in carry_dv])))
+            dv_name = _write_dv(spark, root, dv_union)
+            for e in sparse:
+                ne = dict(e)
+                ne["dv"] = dv_name
+                ne["dv_rows"] = e.get("dv_rows", 0) + counts[e["path"]]
+                sparse_updated.append(ne)
+        if dense:
+            # crossover: rewrite through the copy-on-write path —
+            # DV-applied scan minus the delete keys, staged + adopted
+            dscan = _with_pos(_reader(spark, root, doc).parquet(
+                *[os.path.join(root, e["path"]) for e in dense]))
+            ddv = _dv_frame(spark, root, dense)
+            dlive = dscan if ddv is None else dscan.join(
+                F.broadcast(ddv),
+                (dscan["__rel"] == ddv["path"])
+                & (dscan["__idx"] == ddv["row_index"]), "left_anti")
+            kept = (dlive.join(keys.select(*key_cols).distinct(),
+                               key_cols, "left_anti")
+                    .drop("__rel", "__idx"))
+            new_entries = _stage_write(kept, root, part_col,
+                                       stats_cols=stats_cols)
+    finally:
+        hits.unpersist()
+
+    segs = list(carried)
+    reused = rehome + sparse_updated
+    if reused:
+        segs.append(_write_segment(root, reused, reused=True))
+    if new_entries:
+        segs.append(_write_segment(root, new_entries))
+    segs = _coalesce_segments(root, segs)
+    newdoc = _make_doc(version, doc["version"], segs,
+                       txns=doc.get("txn"), commit_id=commit_id,
+                       schema=doc.get("schema"), stats_cols=stats_cols)
+    newdoc["part_col"] = doc.get("part_col", part_col)
+    verify = [e["path"] for e in new_entries]
+    verify += [os.path.join(_DELETES, e["dv"]) for e in sparse_updated]
+    _write_doc(root, version, newdoc, verify_paths=sorted(set(verify)),
+               staged_epoch=epoch0)
+    if not (_flip_current(root, version, commit_id=commit_id)
+            or _claim_survived(root, version, commit_id=commit_id)):
+        raise RuntimeError(
+            f"delete lost v{version} to a concurrent commit after its "
+            f"claim — the table advanced without it; re-run against "
+            f"the new snapshot")
     return version
 
 
@@ -1259,14 +1497,17 @@ def read_changes(spark: SparkSession, path: str, since: int,
     root = _norm(path)
     m_to = _load_doc(root, to)
     m_since = _load_doc(root, since)
-    new_files = [os.path.join(root, e["path"])
-                 for e in _diff_entries(root, m_since, m_to)]
-    if not new_files:
+    new_entries = _diff_entries(root, m_since, m_to)
+    if not new_entries:
         return _empty_like(spark, root, m_to)
     # read with the DESTINATION snapshot's schema: a feed crossing a
     # schema-evolution boundary NULL-fills the new columns for files
-    # written before they existed
-    return _reader(spark, root, m_to).parquet(*new_files)
+    # written before they existed. Delete vectors as of ``to`` apply
+    # (tombstoned rows of a delivered file never flow); a DV-ONLY
+    # change re-delivers nothing — file-granular diffs are keyed on
+    # paths, so merge-on-read deletes do not appear in this feed (same
+    # as Delta's incremental scan without CDF).
+    return _read_entries(spark, root, m_to, new_entries)
 
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
@@ -1285,14 +1526,18 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     by_part: dict[str, list[dict]] = {}
     for e in _resolve(root, m):
         by_part.setdefault(e["partition"], []).append(e)
-    todo = {p: es for p, es in by_part.items() if len(es) > target_files}
+    # a partition holding any delete vector is compacted even at the
+    # file-count target: compaction is where merge-on-read tombstones
+    # RECONCILE into clean files (the rewritten files carry no dv; the
+    # dv sidecars become unreferenced and vacuum retires them)
+    todo = {p: es for p, es in by_part.items()
+            if len(es) > target_files or any(e.get("dv") for e in es)}
     if not todo:
         return m["version"]
     carried, resolved = _split_segments(root, m, set(todo))
     rehome = [e for e in resolved if e["partition"] not in todo]
-    cur = _reader(spark, root, m).parquet(
-        *[os.path.join(root, e["path"]) for es in todo.values()
-          for e in es])
+    cur = _read_entries(spark, root, m,
+                        [e for es in todo.values() for e in es])
     # One task per partition value (hash repartition; parallelism = the
     # number of rewritten partitions, the natural compaction unit). For
     # target_files > 1 the split happens at the WRITER via
@@ -1425,6 +1670,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 #       are in no live set and age out as orphans
             FS.remove(mp)
         live: set[str] = set()
+        live_dv: set[str] = set()
         kept_segs: set[str] = set()
         for v in sorted(keep):
             try:
@@ -1440,7 +1686,9 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 keep.discard(v)  # mid-write claim on a non-atomic FS:
                 continue  # its segments/files are young — grace-spared
             kept_segs |= {s["path"] for s in doc.get("segments", ())}
-            live |= {e["path"] for e in _resolve(root, doc)}
+            kept_entries = _resolve(root, doc)
+            live |= {e["path"] for e in kept_entries}
+            live_dv |= {e["dv"] for e in kept_entries if e.get("dv")}
         # Known-dead files = those referenced ONLY by manifests retired
         # above. Segments shared with a kept manifest (carried forward
         # by reference) are NOT dead — the `live` check in the sweep
@@ -1514,6 +1762,25 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 FS.remove(fp)
                 deleted.append(rel)
             FS.rmdir_if_empty(part_dir)
+        # Delete-vector sidecars: same triage as data files — referenced
+        # by a kept manifest → live; otherwise the mtime grace spares an
+        # in-flight commit_delete's freshly written vector until its
+        # claim lands. (Vectors of retired snapshots simply stop being
+        # referenced and age out here; compaction-reconciled ones too.)
+        dv_dir = os.path.join(root, _DELETES)
+        if FS.isdir(dv_dir):
+            for fname in sorted(FS.listdir(dv_dir)):
+                if fname in live_dv or not fname.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dv_dir, fname)
+                try:
+                    if now - FS.mtime(fp) <= _CLAIM_GRACE_SEC:
+                        continue
+                    FS.remove(fp)
+                except FileNotFoundError:
+                    continue
+                deleted.append(f"{_DELETES}/{fname}")
+            FS.rmdir_if_empty(dv_dir)
         # epoch bump LAST too: a committer whose lock-free epoch capture
         # landed AFTER the start-bump but whose staging overlapped this
         # sweep would otherwise see an unchanged epoch and skip its
@@ -1989,6 +2256,85 @@ def sink_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(carried) >= len(v1_paths) // 2 and v2_paths - v1_paths, (
         f"stats-pruned merge carried {len(carried)}/{len(v1_paths)} "
         "files — the per-file key index failed to prune the rewrite set")
+
+    from silvia_spark.functions.numeric import dsum
+    return (read_snapshot(spark, root)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"),
+                 dsum("l_extendedprice", "price_sum"))
+            .orderBy("l_returnflag"))
+
+
+# --- contract: merge-on-read deletion vectors (L21) ---------------------------
+
+# A scattered-key DELETE (l_orderkey % 97 == 3 — a few hits in EVERY
+# file) against the range-clustered lineitem table: the copy-on-write
+# path would rewrite every file (every key range contains hits), but
+# commit_delete writes one tombstone sidecar instead — the in-contract
+# assertion pins that ZERO data files rewrote. The hash proves the
+# merge-on-read read (broadcast anti-join on file+row-position) equals
+# the plain relational delete.
+_DELETE_DV_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+kept AS (
+  SELECT * FROM li WHERE l_orderkey % 97 <> 3
+)
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+       (sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@contract("sink_delete_dv", oracle=_DELETE_DV_ORACLE)
+def sink_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: scattered keys
+    (l_orderkey % 97 == 3) hit every file of the range-clustered
+    lineitem table, so the stats-pruned rewrite (L18) would rewrite the
+    whole table; commit_delete instead records each hit's (file,
+    row-position) in ONE tombstone sidecar and re-points the entries —
+    zero data files rewritten (asserted in-contract). Reads apply the
+    vector as a broadcast anti-join; at 100 TB this is the difference
+    between a GDPR delete rewriting the table and writing a few MB.
+    The hash proves the DV read path equals the relational delete."""
+    from silvia_spark.operators.scale_patterns import _fixture_table_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+
+    import shutil
+    import tempfile
+
+    fixture = _fixture_table_dir("silvia_mpr_base", sf_dir, "lineitem",
+                                 spark)
+    ensure_table(fixture, lambda: create_table(
+        li.repartitionByRange(8, "l_orderkey"), fixture,
+        "l_returnflag", stats_cols=["l_orderkey"]))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_dv_"), "tbl")
+    shutil.copytree(fixture, root)
+
+    v1_paths = {e["path"] for e in load_manifest(root)["files"]}
+    keys = (li.where(F.col("l_orderkey") % 97 == 3)
+            .select("l_orderkey", "l_linenumber", "l_returnflag")
+            .distinct())
+    commit_delete(spark, root, keys,
+                  ["l_orderkey", "l_linenumber", "l_returnflag"],
+                  "l_returnflag")
+
+    v2 = load_manifest(root)["files"]
+    assert {e["path"] for e in v2} == v1_paths and not any(
+        e["path"] not in v1_paths for e in v2), (
+        "merge-on-read delete rewrote data files — the DV path "
+        "degraded to copy-on-write")
+    assert any(e.get("dv") for e in v2), (
+        "no entry carries a delete vector — the delete matched nothing?")
 
     from silvia_spark.functions.numeric import dsum
     return (read_snapshot(spark, root)

@@ -51,56 +51,41 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r10 packing (evidence ledger after r09: r05=22,
-    # r06=46, r07=48, r08=45, r09=50; all 211 pre-r10 contracts checked
-    # at least once, 0 failures ever). Window arithmetic: tier 0 = the 7
-    # manifest-layer contracts whose implementation changed in r10
-    # (commit_merge file-granular pruning + verify-under-lock, adoption
-    # bytes+mtime, _evolve_schema widening, manifest_stream admission
-    # rewrite), then the 3 NEW r10 contracts, then the entire 22-key r05
-    # tail (the oldest evidence anywhere — r09 verdict item 7), then the
-    # alphabetically-first r06 keys fill the window to 50. After this
-    # round no contract's newest driver evidence is older than r06.
-    # Groups below are alphabetical within their evidence round. ==========
-    # -- tier 0: implementation changed in r10 after newest evidence -----
+    # ============ r11 packing (evidence ledger after r10: r06=28,
+    # r07=48, r08=45, r09=43, r10=50; all 214 pre-r11 contracts checked
+    # at least once, 0 failures ever). Window arithmetic: tier 0 = the
+    # 10 manifest contracts whose read/commit paths changed in r11
+    # (merge-on-read deletion vectors thread through read_snapshot /
+    # read_changes / commit_merge / compaction / vacuum; decimal stats
+    # encoding; LeaseLost flip fallback; stream snap pinning) plus the
+    # 4 ANN contracts rescored through cosine_once, then the NEW r11
+    # contracts, then the entire 28-key r06 tail (r10 verdict item 8 —
+    # sim_ann_lsh and multiprobe2 sit in tier 0 already), then r07 keys
+    # fill the window to 50. After this round no contract's newest
+    # driver evidence is older than r07. Groups alphabetical within
+    # their evidence round. ==========
+    # -- tier 0: implementation changed in r11 after newest evidence -----
     "sink_table_manifest_commit", "stream_manifest_sink",
     "scan_manifest_changes", "scan_manifest_pruned",
     "scan_manifest_schema_evolution", "stream_manifest_source",
-    "scan_manifest_zorder",
-    # -- tier 0c: NEW in r10 — L18 stats-pruned file-granular MERGE,
-    # L19 admission-controlled streaming source, L20 type widening ------
-    "sink_merge_pruned", "stream_manifest_admission",
-    "scan_manifest_widened",
+    "scan_manifest_zorder", "sink_merge_pruned", "stream_manifest_admission",
+    "scan_manifest_widened", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
+    "sim_ann_lsh_multiprobe2", "sim_join_threshold",
+    # -- tier 0c: NEW in r11 — L21 merge-on-read deletion vectors --------
+    "sink_delete_dv",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: the 22 r05-era keys (oldest evidence anywhere) -----------
-    "agg_bool_quantifiers", "agg_corr_exact", "agg_filtered_counts",
-    "agg_string_listagg", "dedup_near_keep_best", "embed_norm_stats",
-    "events_attribution_touch", "events_funnel_conversion",
-    "join_or_keys_union", "sample_weighted_priority", "scalar_bit_ops",
-    "scalar_datetime_iso", "scalar_radix", "scalar_try_arith",
-    "scalar_url_parse", "sim_ann_lsh_multiprobe", "sink_sorted_zonemap",
-    "source_json_corrupt", "source_xml", "stream_moments_live",
-    "text_entropy_quality", "window_trailing_interval",
-    # -- tier 2: r06-era evidence (46; the first ~18 make the window cut,
-    # the rest roll to the r11 head) --------------------------------------
-    "agg_collect_sorted", "agg_percentiles", "agg_rollup_multires",
-    "dedup_docs_exact", "dedup_docs_minhash", "dedup_docs_simhash",
-    "dedup_url_canonical", "etl_currency_convert", "etl_ip_geo_range",
-    "etl_ua_referer_enrich", "filter_null_semantics", "join_asof_nearest",
-    "join_bucketed_colocated", "join_interval_overlap", "join_skew_salted",
-    "multimodal_decode", "scalar_collation", "scalar_variant",
-    "scan_partition_pruned", "sim_ann_lsh", "sim_ann_lsh_multiprobe2",
-    "source_python_datasource", "stream_dedup_exact", "stream_session_30m",
-    "stream_sliding", "stream_stateful_funnel", "stream_static_join",
-    "stream_stream_join", "stream_tumbling_1h", "text_fingerprint",
-    "text_fuzzy_pairs", "text_lang_profile", "text_quality_filter",
-    "text_term_freq", "text_token_bpe", "text_tokenize_stats",
-    "udaf_pandas_grouped", "udf_arrow_map", "udf_pandas_scalar",
-    "udf_python_scalar", "udtf_apply_in_pandas", "udtf_python",
-    "window_first_last", "window_moving_frame", "window_percent_rank",
-    "window_range_frame",
-    # -- tier 3: r07-era evidence ------------------------------------------
+    # -- tier 1: the 26 remaining r06-era keys (oldest evidence) ---------
+    "scan_partition_pruned", "source_python_datasource", "stream_dedup_exact",
+    "stream_session_30m", "stream_sliding", "stream_stateful_funnel",
+    "stream_static_join", "stream_stream_join", "stream_tumbling_1h",
+    "text_fingerprint", "text_fuzzy_pairs", "text_lang_profile",
+    "text_quality_filter", "text_term_freq", "text_token_bpe",
+    "text_tokenize_stats", "udaf_pandas_grouped", "udf_arrow_map",
+    "udf_pandas_scalar", "udf_python_scalar", "udtf_apply_in_pandas",
+    "udtf_python", "window_first_last", "window_moving_frame",
+    "window_percent_rank", "window_range_frame",
+    # -- tier 2: r07-era evidence (first ~9 make the window cut) ---------
     "agg_heavy_hitters", "curation_pipeline", "dedup_cluster_cc",
     "events_retention_cohort", "filter_compound", "filter_like_regexp",
     "join_null_safe", "join_range_banded", "limit_offset", "pivot_unpivot",
@@ -109,14 +94,14 @@ _PRIORITY: tuple[str, ...] = (
     "q20_dominant_suppliers", "q2_min_cost_supplier", "q6_forecast_revenue",
     "q9_product_profit", "scalar_array", "scalar_cast", "scalar_conditional",
     "scalar_date", "scalar_hash", "scalar_json", "scalar_map", "scalar_math",
-    "scalar_regexp", "scalar_string", "scan_parquet",
-    "scan_schema_evolution", "set_except", "set_intersect", "set_union_all",
-    "set_union_distinct", "sink_compaction_small_files",
-    "sink_jdbc_postgres", "sink_merge_scd2", "sink_parquet_partitioned",
-    "sink_python_datasource", "sort_multikey_nulls", "source_csv_tsv",
-    "source_json_lines", "stream_kafka_shim_live", "subquery_scalar",
-    "text_unigram_logprob", "topk_limit",
-    # -- tier 4: r08-era evidence ------------------------------------------
+    "scalar_regexp", "scalar_string", "scan_parquet", "scan_schema_evolution",
+    "set_except", "set_intersect", "set_union_all", "set_union_distinct",
+    "sink_compaction_small_files", "sink_jdbc_postgres", "sink_merge_scd2",
+    "sink_parquet_partitioned", "sink_python_datasource",
+    "sort_multikey_nulls", "source_csv_tsv", "source_json_lines",
+    "stream_kafka_shim_live", "subquery_scalar", "text_unigram_logprob",
+    "topk_limit",
+    # -- tier 3: r08-era evidence ----------------------------------------
     "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
     "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
@@ -124,29 +109,43 @@ _PRIORITY: tuple[str, ...] = (
     "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
     "q7_volume_shipping", "q8_market_share", "sample_stratified",
     "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
-    "sim_ann_ivf_kmeans", "sim_centroids", "sim_join_threshold",
-    "sim_topk_cosine", "sink_partition_overwrite", "source_orc",
-    "source_rate_stream", "stream_dedup_live", "stream_foreachbatch_upsert",
-    "stream_funnel_live", "stream_session_live", "stream_static_join_live",
-    "stream_stream_join_live", "stream_transform_with_state",
-    "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
-    "text_ngram_jaccard", "text_pack_sequences", "text_pii_scrub",
-    "text_tfidf", "text_unicode_normalize", "window_gaps_islands",
-    "window_ignore_nulls",
-    # -- tier 5: r09-fresh evidence — dead last ----------------------------
+    "sim_ann_ivf_kmeans", "sim_centroids", "sink_partition_overwrite",
+    "source_orc", "source_rate_stream", "stream_dedup_live",
+    "stream_foreachbatch_upsert", "stream_funnel_live", "stream_session_live",
+    "stream_static_join_live", "stream_stream_join_live",
+    "stream_transform_with_state", "stream_tumbling_live",
+    "stream_watermark_late", "text_lang_detect", "text_ngram_jaccard",
+    "text_pack_sequences", "text_pii_scrub", "text_tfidf",
+    "text_unicode_normalize", "window_gaps_islands", "window_ignore_nulls",
+    # -- tier 4: r09-era evidence ----------------------------------------
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
     "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
     "agg_histogram_width", "agg_pricing_summary", "agg_rollup", "agg_stats",
     "data_mix_sample", "doc_chunk_windows", "embed_quantize_int8",
-    "generator_outer_pos", "join_5way_star", "join_asof",
-    "join_bloom_pruned", "join_broadcast", "join_cross", "join_full_outer",
-    "join_inner_equi", "join_left_anti", "join_left_outer", "join_left_semi",
-    "join_self", "join_theta_range", "q12_shipmode_priority",
-    "q3_shipping_priority", "sample_reservoir_group", "set_except_all",
-    "set_intersect_all", "shard_assign_balanced", "sink_merge_keyed",
-    "stream_running_moments", "text_contamination", "text_repetition_filter",
-    "udf_arrow_scalar", "udtf_lateral", "window_anomaly_zscore",
-    "window_lag_lead", "window_rank_topn", "window_row_dense_ntile",
+    "generator_outer_pos", "join_5way_star", "join_asof", "join_bloom_pruned",
+    "join_broadcast", "join_cross", "join_full_outer", "join_inner_equi",
+    "join_left_anti", "join_left_outer", "join_left_semi", "join_self",
+    "join_theta_range", "q12_shipmode_priority", "q3_shipping_priority",
+    "sample_reservoir_group", "set_except_all", "set_intersect_all",
+    "shard_assign_balanced", "sink_merge_keyed", "stream_running_moments",
+    "text_contamination", "text_repetition_filter", "udf_arrow_scalar",
+    "udtf_lateral", "window_anomaly_zscore", "window_lag_lead",
+    "window_rank_topn", "window_row_dense_ntile",
+    # -- tier 5: r10-fresh evidence — dead last ---------------------------
+    "agg_bool_quantifiers", "agg_collect_sorted", "agg_corr_exact",
+    "agg_filtered_counts", "agg_percentiles", "agg_rollup_multires",
+    "agg_string_listagg", "dedup_docs_exact", "dedup_docs_minhash",
+    "dedup_docs_simhash", "dedup_near_keep_best", "dedup_url_canonical",
+    "embed_norm_stats", "etl_currency_convert", "etl_ip_geo_range",
+    "etl_ua_referer_enrich", "events_attribution_touch",
+    "events_funnel_conversion", "filter_null_semantics", "join_asof_nearest",
+    "join_bucketed_colocated", "join_interval_overlap", "join_or_keys_union",
+    "join_skew_salted", "multimodal_decode", "sample_weighted_priority",
+    "scalar_bit_ops", "scalar_collation", "scalar_datetime_iso",
+    "scalar_radix", "scalar_try_arith", "scalar_url_parse", "scalar_variant",
+    "sim_topk_cosine", "sink_sorted_zonemap", "source_json_corrupt",
+    "source_xml", "stream_moments_live", "text_entropy_quality",
+    "window_trailing_interval",
 )
 
 

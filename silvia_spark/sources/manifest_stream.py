@@ -119,8 +119,27 @@ _CONSUMED = 1 << 62
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, path: str, part_value: str):
+    def __init__(self, path: str, part_value: str,
+                 dv_path: str | None = None, rel: str | None = None):
         self.path, self.part_value = path, part_value
+        # merge-on-read: the entry's delete-vector sidecar (absolute
+        # path) + the entry-relative path its tombstones are keyed on —
+        # read() masks those row positions out, so a delivered file
+        # carries only its live rows as of the delivered version
+        self.dv_path, self.rel = dv_path, rel
+
+
+def _slice(root: str, e: dict) -> _FileSlice:
+    """Manifest entry → input partition, carrying the entry's
+    delete-vector reference when it has one (manifests are immutable,
+    so a replayed batch re-applies the identical tombstone set)."""
+    from silvia_spark.operators.manifest_table import _DELETES
+
+    return _FileSlice(
+        os.path.join(root, e["path"]), e["partition"],
+        (os.path.join(root, _DELETES, e["dv"]) if e.get("dv")
+         else None),
+        e["path"])
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -497,8 +516,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 for v in range(sv + 1, ev):
                     entries.extend(self._fl(v))
                 entries.extend(self._fl(ev)[:ei])
-            return [_FileSlice(os.path.join(self.root, e["path"]),
-                               e["partition"]) for e in entries]
+            return [_slice(self.root, e) for e in entries]
         if ev <= sv:
             return []
         m_to = _load_doc(self.root, ev)
@@ -509,8 +527,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         else:
             entries = _diff_entries(self.root,
                                     _load_doc(self.root, sv), m_to)
-        return [_FileSlice(os.path.join(self.root, e["path"]),
-                           e["partition"]) for e in entries]
+        return [_slice(self.root, e) for e in entries]
 
     def read(self, partition: _FileSlice):
         # Executor-side, columnar end-to-end: pyarrow reads the one
@@ -530,7 +547,33 @@ class ManifestStreamReader(DataSourceStreamReader):
         present = set(pf.schema_arrow.names)
         data_cols = [f.name for f in self.schema.fields
                      if f.name in present and f.name != self.part_col]
+        # merge-on-read: materialize this file's tombstoned positions
+        # from its delete-vector sidecar (small by the write-side
+        # crossover) and mask them out batch-by-batch below — a
+        # delivered file carries only the rows live at its version
+        dv_idx = None
+        if partition.dv_path is not None:
+            import numpy as np
+
+            dvt = pq.read_table(
+                partition.dv_path, columns=["path", "row_index"],
+                filters=[("path", "==", partition.rel)])
+            dv_idx = np.asarray(dvt.column("row_index").to_numpy(),
+                                dtype="int64")
+        off = 0
         for rb in pf.iter_batches(columns=data_cols):
+            if dv_idx is not None and len(dv_idx):
+                import numpy as np
+
+                idx = np.arange(off, off + rb.num_rows, dtype="int64")
+                off += rb.num_rows
+                mask = ~np.isin(idx, dv_idx)
+                if not mask.all():
+                    rb = rb.filter(pa.array(mask))
+                if rb.num_rows == 0:
+                    continue
+            else:
+                off += rb.num_rows
             n = rb.num_rows
             arrays, names = [], []
             for f in self.schema.fields:

@@ -159,6 +159,12 @@ _NUMERIC = [
     # L20 (r10): the widened snapshot (upcast old files + wide batch)
     # must read identically whatever layout wrote either generation.
     "scan_manifest_widened",
+    # L21 (r11): the delete-vector SIDECAR layout moves with the write
+    # layout (different range bands → different (file, row-position)
+    # tombstones), but the merge-on-read aggregate must not — the
+    # broadcast anti-join drops exactly the keyed rows whatever file
+    # they landed in.
+    "sink_delete_dv",
 ]
 
 
@@ -185,7 +191,7 @@ def _fingerprint(name, spark, partitions: int):
 # two heaviest ANN/dedup kernels cost ~13 s per layout pair; all three
 # still sweep every round in the driver's CI run (-m "").
 _SWEEP_FULL = {"stream_manifest_admission", "sim_ann_lsh",
-               "dedup_docs_embedding"}
+               "dedup_docs_embedding", "sink_delete_dv"}
 
 @pytest.mark.parametrize(
     "name", [pytest.param(n, marks=pytest.mark.full)

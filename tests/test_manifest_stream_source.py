@@ -491,3 +491,36 @@ def test_restart_snap_pollution_cannot_blank_diffs(spark, tmp_path):
     # lineage snap delivers exactly the undelivered diffs
     assert sorted(rows) == [3, 4], (
         f"start-offset snap not honored: delivered {sorted(rows)}")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_stream_applies_delete_vectors(spark, tmp_path):
+    """L21 × L16: a delivered file carries only its rows LIVE at the
+    delivered version — the per-file Arrow read masks the entry's
+    delete-vector positions out. A version-0 start after a DV delete
+    must deliver the post-delete snapshot, never resurrect tombstoned
+    rows; replay re-applies the identical (immutable) vector."""
+    import pyarrow as pa
+
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "p1", float(i)) for i in range(20)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part", stats_cols=["k"])
+    keys = spark.createDataFrame([(4, "p1"), (11, "p1")],
+                                 "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, keys, ["k", "part"], "part")
+    assert any(e.get("dv")
+               for e in mt.load_manifest(root)["files"])  # DV path taken
+
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    rows = []
+    for p in reader.partitions({"version": 0}, {"version": 2}):
+        rows.extend(pa.Table.from_batches(
+            list(reader.read(p))).column("k").to_pylist())
+    assert sorted(rows) == sorted(set(range(20)) - {4, 11}), (
+        f"stream delivered {sorted(rows)} — tombstoned rows resurrected "
+        "or live rows lost")

@@ -1181,3 +1181,144 @@ def test_flip_leaselost_defers_to_claim_survived(tmp_path, monkeypatch):
     with pytest.raises(mt.LeaseLost):
         mt._flip_current(root, 3, entries=claim)
     assert mt.current_version(root) == 2
+
+
+def test_one_row_delete_rewrites_zero_files(spark, tmp_path):
+    """L21's headline property (r10 verdict item 1): a 1-row delete to
+    a multi-partition, multi-file table rewrites ZERO data files — the
+    tombstone lands in a delete-vector sidecar, the manifest re-points
+    the one touched entry, and reads apply it as a broadcast anti-join.
+    Copy-on-write (L18) rewrites every file whose key range covers the
+    hit; merge-on-read writes a few bytes."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "p1" if i < 60 else "p2", float(i)) for i in range(100)],
+        "k BIGINT, part STRING, v DOUBLE").repartitionByRange(4, "k")
+    mt.create_table(base, root, "part", stats_cols=["k"])
+    v1 = mt.load_manifest(root)["files"]
+    assert len(v1) >= 4  # multi-file — the setup the property needs
+
+    keys = spark.createDataFrame([(42, "p1")], "k BIGINT, part STRING")
+    assert mt.commit_delete(spark, root, keys, ["k", "part"],
+                            "part") == 2
+    v2 = mt.load_manifest(root)["files"]
+    assert {e["path"] for e in v2} == {e["path"] for e in v1}, (
+        "a 1-row delete rewrote data files — the DV path degraded to "
+        "copy-on-write")
+    dvd = [e for e in v2 if e.get("dv")]
+    assert len(dvd) == 1 and dvd[0]["dv_rows"] == 1
+    got = sorted(r.k for r in mt.read_snapshot(spark, root).collect())
+    assert got == sorted(set(range(100)) - {42})
+    # time travel: v1 still reads the full table (merge-on-read never
+    # touches committed bytes)
+    assert mt.read_snapshot(spark, root, version=1).count() == 100
+    # the anti-join is BROADCAST: no shuffle added to the scan
+    plan = mt.read_snapshot(spark, root)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_delete_requires_part_col_in_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.create_table(_base(spark), root, "part")
+    keys = spark.createDataFrame([(1,)], "k BIGINT")
+    with pytest.raises(ValueError, match="must include part_col"):
+        mt.commit_delete(spark, root, keys, ["k"], "part")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_delete_dv_union_crossover_compaction_vacuum(spark, tmp_path):
+    """The DV lifecycle: (a) a second sparse delete on an already-DV'd
+    file UNIONS into one sidecar (reads never chain vectors); (b) a
+    delete pushing a file's cumulative tombstones past dv_max_frac
+    crosses over to the copy-on-write rewrite; (c) compaction
+    reconciles tombstones into clean files; (d) vacuum keeps sidecars
+    referenced by retained manifests and retires them once compaction
+    + retention drop the last reference."""
+    import time
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "p1", float(i)) for i in range(50)],
+        "k BIGINT, part STRING, v DOUBLE").repartitionByRange(2, "k")
+    mt.create_table(base, root, "part", stats_cols=["k"])
+
+    k1 = spark.createDataFrame([(3, "p1")], "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, k1, ["k", "part"], "part")
+    k2 = spark.createDataFrame([(7, "p1")], "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, k2, ["k", "part"], "part")
+    v3 = mt.load_manifest(root)["files"]
+    dvd = [e for e in v3 if e.get("dv")]
+    assert len(dvd) == 1 and dvd[0]["dv_rows"] == 2  # unioned, one ref
+    assert sorted(r.k for r in
+                  mt.read_snapshot(spark, root).collect()) == sorted(
+        set(range(50)) - {3, 7})
+
+    # (b) crossover: delete a third of the file's keys → rewrite
+    k3 = spark.createDataFrame([(i, "p1") for i in range(0, 25, 2)],
+                               "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, k3, ["k", "part"], "part")
+    v4 = mt.load_manifest(root)["files"]
+    gone = sorted(set(range(50)) - {3, 7} - set(range(0, 25, 2)))
+    assert sorted(r.k for r in
+                  mt.read_snapshot(spark, root).collect()) == gone
+    assert not any(e.get("dv") for e in v4
+                   if e.get("dv_rows", 0) > 0.3 * e["rows"]), (
+        "a file's cumulative tombstones exceed the crossover — it "
+        "should have rewritten")
+
+    # (c) compaction reconciles whatever vectors remain
+    mt.commit_compaction(spark, root, "part")
+    vC = mt.load_manifest(root)["files"]
+    assert not any(e.get("dv") for e in vC)
+    assert sorted(r.k for r in
+                  mt.read_snapshot(spark, root).collect()) == gone
+
+    # (d) vacuum with keep_versions=1: no retained manifest references
+    # any sidecar; age them past grace → retired
+    dv_dir = os.path.join(root, mt._DELETES)
+    old = time.time() - mt._CLAIM_GRACE_SEC - 10
+    for f in os.listdir(dv_dir):
+        os.utime(os.path.join(dv_dir, f), (old, old))
+    deleted = mt.vacuum(root, keep_versions=1)
+    assert any(p.startswith(mt._DELETES) for p in deleted)
+    assert not os.path.isdir(dv_dir) or not os.listdir(dv_dir)
+    assert sorted(r.k for r in
+                  mt.read_snapshot(spark, root).collect()) == gone
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_vacuum_spares_referenced_and_young_dvs(spark, tmp_path):
+    """A sidecar referenced by ANY retained manifest must survive
+    vacuum even when aged; an unreferenced YOUNG sidecar (an in-flight
+    commit_delete between its DV write and its claim) is grace-spared."""
+    import time
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "p1", float(i)) for i in range(20)],
+        "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part", stats_cols=["k"])
+    keys = spark.createDataFrame([(5, "p1")], "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, keys, ["k", "part"], "part")
+    dv_dir = os.path.join(root, mt._DELETES)
+    dv_files = os.listdir(dv_dir)
+    assert len(dv_files) == 1
+    # age the referenced sidecar: still spared (referenced by v2)
+    old = time.time() - mt._CLAIM_GRACE_SEC - 10
+    os.utime(os.path.join(dv_dir, dv_files[0]), (old, old))
+    mt.vacuum(root, keep_versions=2)
+    assert os.listdir(dv_dir) == dv_files
+    # an unreferenced young sidecar: grace-spared
+    orphan = os.path.join(dv_dir, "dv-orphan.parquet")
+    with open(orphan, "w") as f:
+        f.write("x")
+    mt.vacuum(root, keep_versions=2)
+    assert os.path.exists(orphan)
+    os.utime(orphan, (old, old))
+    deleted = mt.vacuum(root, keep_versions=2)
+    assert f"{mt._DELETES}/dv-orphan.parquet" in deleted
+    assert not os.path.exists(orphan)
+    assert sorted(r.k for r in
+                  mt.read_snapshot(spark, root).collect()) == sorted(
+        set(range(20)) - {5})

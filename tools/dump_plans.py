@@ -306,6 +306,12 @@ AUDITED = [
      "the bigint read schema inside the vectorized parquet reader — "
      "no cast node, no union, no per-file branching; one scan over the "
      "snapshot's file list with partial→final aggregation above it."),
+    ("sink_delete_dv", ["BroadcastHashJoin"],
+     "merge-on-read read path: the delete-vector anti-join is a "
+     "BROADCAST hash join on (file, row-position) — the tombstone side "
+     "is small by the write-side crossover rule, so the scan gains "
+     "zero shuffle; positions ride the _metadata hidden columns "
+     "(vectorized reader, no Python stage anywhere in the plan)."),
 ]
 
 
