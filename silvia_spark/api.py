@@ -83,10 +83,12 @@ from silvia_spark.operators.manifest_table import (
     commit_delete,
     commit_merge,
     create_table,
+    drop_column,
     prune_entries,
     read_changes,
     read_snapshot,
     register_snapshot_view,
+    rename_column,
     vacuum,
 )
 
@@ -138,7 +140,7 @@ __all__ = [
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
     "commit_append", "commit_delete", "read_changes", "prune_entries",
-    "vacuum",
+    "vacuum", "rename_column", "drop_column",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",

@@ -816,7 +816,95 @@ def _read_entries(spark: SparkSession, root: str, m: dict,
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    return df
+    return _to_logical(df, m)
+
+
+# --- column mapping (rename/drop evolution, Delta's name-mapping mode) -------
+# A doc may carry ``col_map``: {"ids": {logical: id}, "phys": {id:
+# physical}, "retired": [physical...], "next": id}. PHYSICAL names are
+# what parquet files contain and NEVER change once assigned; a RENAME is
+# a metadata-only commit that re-labels the logical name of an id, a
+# DROP retires the id (old files keep the column; the read schema just
+# stops asking for it). A column re-added after a drop gets a FRESH id
+# and a fresh physical name (``name__<id>``), so the dropped
+# generation's stale values can never resurrect under the new column.
+# Tables without ``col_map`` behave exactly as before — the mapping is
+# initialized lazily by the first rename/drop.
+
+
+def _phys_name(cm: dict | None, logical: str) -> str:
+    if cm is None:
+        return logical
+    i = cm["ids"].get(logical)
+    return cm["phys"][str(i)] if i is not None else logical
+
+
+def _init_col_map(schema_json: str) -> dict:
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(json.loads(schema_json))
+    ids = {f.name: i + 1 for i, f in enumerate(sch.fields)}
+    return {"ids": ids,
+            "phys": {str(i): n for n, i in ids.items()},
+            "retired": [], "next": len(ids) + 1}
+
+
+def _register_new_cols(cm: dict, schema_json: str) -> dict:
+    """Assign ids + physical names to columns the evolved LOGICAL
+    schema carries that the mapping does not know yet. A name that ever
+    served as a physical name (live or retired) gets a disambiguated
+    physical (``name__<id>``) — never a reused one."""
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(json.loads(schema_json))
+    cm = {"ids": dict(cm["ids"]), "phys": dict(cm["phys"]),
+          "retired": list(cm["retired"]), "next": cm["next"]}
+    used = set(cm["phys"].values()) | set(cm["retired"])
+    for f in sch.fields:
+        if f.name in cm["ids"]:
+            continue
+        i = cm["next"]
+        cm["next"] = i + 1
+        phys = f.name if f.name not in used else f"{f.name}__{i}"
+        used.add(phys)
+        cm["ids"][f.name] = i
+        cm["phys"][str(i)] = phys
+    return cm
+
+
+def _to_physical(df: DataFrame, doc: dict) -> DataFrame:
+    """Rename a LOGICAL-named frame to the table's physical column
+    names for staging (identity without a mapping). Columns the mapping
+    does not know pass through (commit_append registers them before its
+    claim)."""
+    cm = doc.get("col_map")
+    if cm is None:
+        return df
+    sel = [F.col(c).alias(_phys_name(cm, c)) for c in df.columns]
+    return df.select(*sel)
+
+
+def _to_logical(df: DataFrame, doc: dict,
+                keep: tuple[str, ...] = ()) -> DataFrame:
+    """Alias a PHYSICAL-named scan back to the snapshot's logical
+    names; ``keep`` columns (the _metadata position tags) pass through
+    untouched."""
+    cm = doc.get("col_map")
+    if cm is None:
+        return df
+    rev = {_phys_name(cm, logical): logical for logical in cm["ids"]}
+    sel = [F.col(c).alias(rev.get(c, c)) for c in df.columns
+           if c in rev or c in keep]
+    return df.select(*sel)
+
+
+def _prune_physical(doc: dict, prune: dict | None) -> dict | None:
+    """Map a logical-keyed prune spec onto the physical names the stats
+    index records."""
+    cm = doc.get("col_map")
+    if not prune or cm is None:
+        return prune
+    return {_phys_name(cm, c): v for c, v in prune.items()}
 
 
 def _reader(spark: SparkSession, root: str, doc: dict):
@@ -825,9 +913,18 @@ def _reader(spark: SparkSession, root: str, doc: dict):
     uses it EXPLICITLY — files written before a column existed NULL-fill
     it (the parquet reader matches by name), and time travel reads each
     version with the schema it committed under. Spark surfaces partition
-    columns last, matching the inference path's column order."""
+    columns last, matching the inference path's column order. Under a
+    column mapping the read schema carries PHYSICAL names (what the
+    files contain); ``_to_logical`` re-labels the frame."""
     r = spark.read
     sch = _read_schema(doc)
+    cm = doc.get("col_map")
+    if sch is not None and cm is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        sch = StructType([StructField(_phys_name(cm, f.name),
+                                      f.dataType, f.nullable, f.metadata)
+                          for f in sch.fields])
     if sch is not None:
         r = r.schema(sch)
     return r.option("basePath", root)
@@ -966,6 +1063,8 @@ def read_snapshot(spark: SparkSession, path: str,
     list it runs over."""
     root = _norm(path)
     m = _load_doc(root, version)
+    prune = _prune_physical(m, prune)  # the stats index keys on
+    #                                    physical names under a mapping
     if prune and "segments" in m:
         nonempty = any(s["count"] for s in m["segments"])
         entries = [e for s in m["segments"] if _seg_overlaps(s, prune)
@@ -1075,9 +1174,11 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         for e in cur_entries:
             by_part.setdefault(e["partition"], []).append(e)
         cur_entries = []
+        cm = doc.get("col_map")
         for p, es in by_part.items():
-            pr = {k: v for k, v in rng.get(p, {}).items()
-                  if v[0] is not None}
+            pr = {_phys_name(cm, k): v
+                  for k, v in rng.get(p, {}).items()
+                  if v[0] is not None}  # stats key on physical names
             need = prune_entries(es, pr) if pr else es
             need_paths = {e["path"] for e in need}
             cur_entries.extend(need)
@@ -1093,7 +1194,7 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         merged = kept.unionByName(merged)
     epoch0 = _vacuum_epoch(root)  # BEFORE staging: _write_doc skips
     #                               the per-file verify when unchanged
-    new_entries = _stage_write(merged, root, part_col,
+    new_entries = _stage_write(_to_physical(merged, doc), root, part_col,
                                stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
@@ -1107,6 +1208,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
                        stats_cols=stats_cols)
+    if doc.get("col_map") is not None:
+        newdoc["col_map"] = doc["col_map"]
     newdoc["part_col"] = doc.get("part_col", part_col)
     _write_doc(root, version, newdoc,
                verify_paths=[e["path"] for e in new_entries],
@@ -1191,11 +1294,13 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
     carried, resolved = _split_segments(root, doc, touched)
     rehome = [e for e in resolved if e["partition"] not in touched]
     cands: list[dict] = []
+    cm = doc.get("col_map")
     for e in resolved:
         if e["partition"] not in touched:
             continue
-        pr = {k: v for k, v in rng.get(e["partition"], {}).items()
-              if v[0] is not None}
+        pr = {_phys_name(cm, k): v
+              for k, v in rng.get(e["partition"], {}).items()
+              if v[0] is not None}  # stats key on physical names
         if pr and not prune_entries([e], pr):
             rehome.append(e)  # stats prove no key can live here
         else:
@@ -1205,8 +1310,10 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         return doc["version"]  # nothing can match: no-op, no commit
     epoch0 = _vacuum_epoch(root)
 
-    scan = _with_pos(_reader(spark, root, doc).parquet(
-        *[os.path.join(root, e["path"]) for e in cands]))
+    scan = _to_logical(
+        _with_pos(_reader(spark, root, doc).parquet(
+            *[os.path.join(root, e["path"]) for e in cands])),
+        doc, keep=("__rel", "__idx"))
     old_dv = _dv_frame(spark, root, cands)
     live = scan if old_dv is None else scan.join(
         F.broadcast(old_dv),
@@ -1252,8 +1359,10 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         if dense:
             # crossover: rewrite through the copy-on-write path —
             # DV-applied scan minus the delete keys, staged + adopted
-            dscan = _with_pos(_reader(spark, root, doc).parquet(
-                *[os.path.join(root, e["path"]) for e in dense]))
+            dscan = _to_logical(
+                _with_pos(_reader(spark, root, doc).parquet(
+                    *[os.path.join(root, e["path"]) for e in dense])),
+                doc, keep=("__rel", "__idx"))
             ddv = _dv_frame(spark, root, dense)
             dlive = dscan if ddv is None else dscan.join(
                 F.broadcast(ddv),
@@ -1262,8 +1371,8 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             kept = (dlive.join(keys.select(*key_cols).distinct(),
                                key_cols, "left_anti")
                     .drop("__rel", "__idx"))
-            new_entries = _stage_write(kept, root, part_col,
-                                       stats_cols=stats_cols)
+            new_entries = _stage_write(_to_physical(kept, doc), root,
+                                       part_col, stats_cols=stats_cols)
     finally:
         hits.unpersist()
 
@@ -1277,6 +1386,8 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"), stats_cols=stats_cols)
+    if doc.get("col_map") is not None:
+        newdoc["col_map"] = doc["col_map"]
     newdoc["part_col"] = doc.get("part_col", part_col)
     verify = [e["path"] for e in new_entries]
     verify += [os.path.join(_DELETES, e["dv"]) for e in sparse_updated]
@@ -1289,6 +1400,116 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             f"claim — the table advanced without it; re-run against "
             f"the new snapshot")
     return version
+
+
+def _commit_metadata(root: str, mutate) -> int:
+    """Metadata-only commit (rename/drop evolution): the new manifest
+    carries the parent's SEGMENTS by reference — zero data movement,
+    O(segment count) metadata — with ``mutate(newdoc)`` applied to the
+    schema/col_map fields (it validates against the doc it actually
+    commits, so a racing writer cannot stale the check). Single-writer
+    semantics like merge/compaction: a lost race raises."""
+    doc = _load_doc(root)
+    commit_id = uuid.uuid4().hex
+    if "files" in doc:
+        segs = ([_write_segment(root, doc["files"], reused=True)]
+                if doc["files"] else [])
+    else:
+        segs = list(doc.get("segments", ()))
+    version = doc["version"] + 1
+    newdoc = _make_doc(version, doc["version"], segs,
+                       txns=doc.get("txn"), commit_id=commit_id,
+                       schema=doc.get("schema"),
+                       stats_cols=doc.get("stats_cols"))
+    if doc.get("part_col"):
+        newdoc["part_col"] = doc["part_col"]
+    if doc.get("col_map") is not None:
+        newdoc["col_map"] = doc["col_map"]
+    mutate(newdoc)
+    _write_doc(root, version, newdoc)
+    if not (_flip_current(root, version, commit_id=commit_id)
+            or _claim_survived(root, version, commit_id=commit_id)):
+        raise RuntimeError(
+            f"metadata commit lost v{version} to a concurrent commit "
+            "after its claim — re-apply against the new snapshot")
+    return version
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column — metadata-only (Delta's column-mapping mode):
+    the stable column id keeps its PHYSICAL name, so no file rewrites;
+    old files serve the renamed column through the id. Time travel
+    reads each version under its own names (the mapping rides the
+    manifest). The partition column cannot rename (its physical name IS
+    the directory layout); renaming onto an existing column refuses."""
+    root = _norm(path)
+
+    def mutate(nd: dict) -> None:
+        from pyspark.sql.types import StructField, StructType
+
+        sj = nd.get("schema")
+        if not sj:
+            raise ValueError(
+                "rename_column needs a recorded schema (pre-r09 "
+                "v1-format table): commit once to migrate")
+        if nd.get("part_col") in (old, new):
+            raise ValueError(
+                f"cannot rename the partition column {old!r}: its "
+                "physical name is the directory layout")
+        sch = StructType.fromJson(json.loads(sj))
+        names = [f.name for f in sch.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {sorted(names)}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cm = nd.get("col_map") or _init_col_map(sj)
+        cm = {"ids": dict(cm["ids"]), "phys": dict(cm["phys"]),
+              "retired": list(cm["retired"]), "next": cm["next"]}
+        cm["ids"][new] = cm["ids"].pop(old)
+        nd["col_map"] = cm
+        nd["schema"] = StructType(
+            [StructField(new if f.name == old else f.name, f.dataType,
+                         f.nullable, f.metadata)
+             for f in sch.fields]).json()
+
+    return _commit_metadata(root, mutate)
+
+
+def drop_column(path: str, name: str) -> int:
+    """Drop a column — metadata-only: the id is RETIRED (its physical
+    name recorded so a later re-add of the same logical name gets a
+    fresh physical and never resurrects the dropped generation's
+    values); files keep the column bytes, the read schema stops asking
+    for them, and time travel still serves old versions complete. The
+    partition column cannot drop."""
+    root = _norm(path)
+
+    def mutate(nd: dict) -> None:
+        from pyspark.sql.types import StructType
+
+        sj = nd.get("schema")
+        if not sj:
+            raise ValueError(
+                "drop_column needs a recorded schema (pre-r09 "
+                "v1-format table): commit once to migrate")
+        if nd.get("part_col") == name:
+            raise ValueError(
+                f"cannot drop the partition column {name!r}")
+        sch = StructType.fromJson(json.loads(sj))
+        if name not in [f.name for f in sch.fields]:
+            raise ValueError(
+                f"no column {name!r} in "
+                f"{sorted(f.name for f in sch.fields)}")
+        cm = nd.get("col_map") or _init_col_map(sj)
+        cm = {"ids": dict(cm["ids"]), "phys": dict(cm["phys"]),
+              "retired": list(cm["retired"]), "next": cm["next"]}
+        i = cm["ids"].pop(name)
+        cm["retired"].append(cm["phys"].pop(str(i)))
+        nd["col_map"] = cm
+        nd["schema"] = StructType(
+            [f for f in sch.fields if f.name != name]).json()
+
+    return _commit_metadata(root, mutate)
 
 
 def commit_append(spark: SparkSession, path: str, batch: DataFrame,
@@ -1331,6 +1552,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     root = _norm(path)
     staged = None
     staged_seg = None
+    created_phys = None
     commit_id = uuid.uuid4().hex
     staged_epoch = _vacuum_epoch(root)  # BEFORE staging, refreshed on
     #                                     every restage below
@@ -1338,6 +1560,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         FS.makedirs(root)
         staged = _stage_write(batch, root, part_col)
         staged_seg = _write_segment(root, staged) if staged else None
+        created_phys = {c: c for c in batch.columns}  # no mapping at v1
         txns0 = {txn[0]: txn[1]} if txn else {}
         for i in range(_APPEND_RETRIES):
             if current_version(root) is not None:
@@ -1375,6 +1598,10 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 f"table create under {root} unresolved after "
                 f"{_APPEND_RETRIES} attempts")
     stats_backfilled = False
+    # logical→physical map the staged files were written under: the
+    # v1-race path stages identity-named (no mapping exists at create);
+    # a mid-rebase mapping drift forces a restage below
+    staged_phys = created_phys
     for _ in range(_APPEND_RETRIES):
         try:
             doc = _load_doc(root)
@@ -1420,11 +1647,28 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 #       and rewriting the segment each retry would churn
             else:
                 staged_seg = _write_segment(root, staged)
+        schema_json = _evolve_schema(doc.get("schema"), batch.schema,
+                                     evolve)
+        cm_new = None
+        if doc.get("col_map") is not None:
+            # columns NEW in this batch get ids + physical names BEFORE
+            # staging, so the staged files carry the mapped names
+            cm_new = _register_new_cols(doc["col_map"], schema_json)
+        phys_now = {c: _phys_name(cm_new, c) for c in batch.columns}
+        if staged is not None and phys_now != staged_phys:
+            # the mapping drifted between our staging and this rebase
+            # (a drop + re-add committed concurrently): files staged
+            # under the stale physical names would bind this batch's
+            # values to a RETIRED column — restage under the fresh map
+            staged = staged_seg = None
         if staged is None:
             staged_epoch = _vacuum_epoch(root)
-            staged = _stage_write(batch, root, part_col,
-                                  stats_cols=stats_cols)
+            staged = _stage_write(
+                _to_physical(batch, {"col_map": cm_new})
+                if cm_new is not None else batch,
+                root, part_col, stats_cols=stats_cols)
             staged_seg = _write_segment(root, staged) if staged else None
+            staged_phys = phys_now
         elif staged_seg is not None and not FS.exists(
                 _segment_file(root, staged_seg["path"])):
             # data files survive but the segment was GC'd as an orphan:
@@ -1441,12 +1685,12 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             parent_segs = list(doc.get("segments", ()))
         segments = parent_segs + ([staged_seg] if staged_seg else [])
         segments = _coalesce_segments(root, segments)
-        schema_json = _evolve_schema(doc.get("schema"), batch.schema,
-                                     evolve)
         version = doc["version"] + 1
         newdoc = _make_doc(version, doc["version"], segments, txns=txns,
                            commit_id=commit_id, schema=schema_json,
                            stats_cols=stats_cols)
+        if cm_new is not None:
+            newdoc["col_map"] = cm_new
         if doc.get("part_col") or part_col:
             newdoc["part_col"] = doc.get("part_col", part_col)
         try:
@@ -1550,7 +1794,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
         max_rows = (cur.groupBy(part_col).count()
                     .agg(F.max("count")).collect()[0][0])
         max_records = -(-max_rows // target_files)  # ceil
-    compacted = cur.repartition(F.col(part_col))
+    compacted = _to_physical(cur.repartition(F.col(part_col)), m)
     stats_cols = _doc_stats_cols(root, m)
     epoch0 = _vacuum_epoch(root)
     new_entries = _stage_write(compacted, root, part_col, max_records,
@@ -1565,6 +1809,8 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     newdoc = _make_doc(version, m["version"], segs, txns=m.get("txn"),
                        commit_id=commit_id, schema=m.get("schema"),
                        stats_cols=stats_cols)
+    if m.get("col_map") is not None:
+        newdoc["col_map"] = m["col_map"]
     newdoc["part_col"] = m.get("part_col", part_col)
     _write_doc(root, version, newdoc,
                verify_paths=[e["path"] for e in new_entries],
@@ -2264,6 +2510,81 @@ def sink_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"),
                  dsum("l_extendedprice", "price_sum"))
             .orderBy("l_returnflag"))
+
+
+# --- contract: column-mapping rename/drop evolution (L22) ---------------------
+
+# The rename happens BETWEEN two data generations, so the hash proves
+# old files (written under the physical name 'value') serve the renamed
+# logical column 'amount' with their original values, and the dropped
+# column vanishes without touching any file.
+_RENAMED_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value AS amount FROM events
+),
+appended AS (
+  SELECT event_id + 50000000 AS event_id, event_type,
+         value + 1.5 AS amount
+  FROM events WHERE event_type = 'click' AND event_id % 11 = 0
+),
+unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM appended
+)
+SELECT event_type, count(*) AS cnt,
+       sum(event_id) AS id_sum,
+       (sum(CAST(round(amount * 1000000) AS BIGINT)) / 1000000.0)
+         AS amt_sum
+FROM unioned GROUP BY event_type ORDER BY event_type
+"""
+
+
+@contract("scan_manifest_renamed", oracle=_RENAMED_ORACLE)
+def scan_manifest_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping rename/drop evolution (Delta's name-mapping mode):
+    stable column IDs keep their PHYSICAL parquet names, so a RENAME is
+    one metadata-only commit (zero files touched — asserted
+    path-identical in-contract) and old files serve the renamed column
+    through the id; a DROP retires the id (a later re-add can never
+    resurrect the dropped generation's values — pytest-pinned).
+    Sequence here: v1 data under (value, tag) → v2 renames value→amount
+    → v3 drops tag → v4 appends under the NEW logical names. The hash
+    sums amount across both generations; in-body assertions pin v1 time
+    travel under the ORIGINAL names and the metadata-only commits."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.concat(F.lit("t"), F.col("event_id") % 7).alias("tag"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mren_"), "tbl")
+    create_table(ev, root, "event_type")
+    v1_paths = {e["path"] for e in load_manifest(root)["files"]}
+
+    rename_column(root, "value", "amount")   # v2: metadata only
+    drop_column(root, "tag")                 # v3: metadata only
+    assert {e["path"] for e in load_manifest(root)["files"]} == v1_paths, (
+        "rename/drop touched data files — they must be metadata-only")
+
+    batch = (ev.where((F.col("event_type") == "click")
+                      & (F.col("event_id") % 11 == 0))
+             .select((F.col("event_id") + 50000000).alias("event_id"),
+                     "event_type",
+                     (F.col("value") + 1.5).alias("amount")))
+    commit_append(spark, root, batch, "event_type")  # v4, logical names
+
+    snap = read_snapshot(spark, root)
+    assert "amount" in snap.columns and "tag" not in snap.columns \
+        and "value" not in snap.columns, snap.columns
+    t1 = read_snapshot(spark, root, version=1).columns
+    assert "value" in t1 and "tag" in t1 and "amount" not in t1, (
+        f"time travel leaked the rename into v1's names: {t1}")
+
+    return (snap.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").alias("id_sum"),
+                 dsum("amount", "amt_sum"))
+            .orderBy("event_type"))
 
 
 # --- contract: merge-on-read deletion vectors (L21) ---------------------------

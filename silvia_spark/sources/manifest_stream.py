@@ -157,6 +157,21 @@ class ManifestStreamReader(DataSourceStreamReader):
         # the stream can represent), never against a moving snapshot
         self.schema_types = {f.name: f.dataType.simpleString()
                              for f in schema.fields}
+        # column mapping (rename/drop evolution): files carry PHYSICAL
+        # names that never change, so the guard and the per-file column
+        # alignment both work in PHYSICAL space — a rename between the
+        # reader's construction and a replayed batch is invisible there
+        # (same ids, same physical names), and a drop only RETIRES ids
+        # (a replayed pre-drop batch delivers without the dropped
+        # column, which is exactly the reader's schema)
+        from silvia_spark.operators.manifest_table import _phys_name
+
+        cm = doc.get("col_map")
+        self.phys_of = {f.name: _phys_name(cm, f.name)
+                        for f in schema.fields}
+        self.retired = set((cm or {}).get("retired", ()))
+        self.schema_types_phys = {self.phys_of[n]: t
+                                  for n, t in self.schema_types.items()}
         self.start_version = int(options.get("startingversion", "0"))
         # --- admission control (Delta's maxFilesPerTrigger /
         # maxBytesPerTrigger): without it a stream started at version 0
@@ -293,35 +308,41 @@ class ManifestStreamReader(DataSourceStreamReader):
         return fl
 
     def _guard_schema(self, ev: int, m_to: dict) -> None:
-        from silvia_spark.operators.manifest_table import widens_to
+        from silvia_spark.operators.manifest_table import (_phys_name,
+                                                           widens_to)
 
-        to_types = _type_map(m_to.get("schema"))
-        # Evolution guard, REPRESENTABILITY form: raise only when the
-        # batch's end-version schema carries a column the reader schema
-        # lacks (delivering would NULL-drop it — data loss) or a type
-        # that drifted. An end-version schema that is a SUBSET of the
-        # reader's is fine — read() NULL-fills by name. The subset
-        # direction is what checkpoint recovery replays: Spark re-plans
-        # the last WAL batch with its ORIGINAL end offset, and if the
-        # table evolved after that end version, a restarted reader
-        # (constructed with the NEW schema) must accept the old batch
-        # or the stream is permanently wedged — comparing against the
-        # construction-time snapshot instead of per-batch
-        # representability did exactly that (r09 advice finding).
-        # a version whose type is NARROWER than the reader's (the table
-        # widened after that version) is deliverable too: read() casts
-        # the Arrow column up to the reader type losslessly
-        dropped = [c for c, t in to_types.items()
-                   if self.schema_types.get(c) != t
-                   and not widens_to(t, self.schema_types.get(c, ""))]
-        if self.schema_types and dropped:
-            raise RuntimeError(
-                f"table schema at version {ev} is not representable "
-                f"under the stream's schema (columns {sorted(dropped)} "
-                f"are missing or type-changed in "
-                f"{sorted(self.schema_types)}): restart the stream to "
-                "adopt the new schema — delivering rows under the old "
-                "one would silently drop or corrupt them")
+        # PHYSICAL-space comparison: the batch's end-version columns
+        # are mapped through THAT version's col_map to the physical
+        # names its files actually contain, compared against the
+        # reader's physical map — a pure RENAME between the versions is
+        # then invisible (same physical name), so replayed pre-rename
+        # batches deliver instead of wedging the restarted stream;
+        # columns the reader's table has since DROPPED (retired ids)
+        # deliver by omission (the consumer chose the post-drop schema)
+        cm_to = m_to.get("col_map")
+        to_types = {_phys_name(cm_to, n): t
+                    for n, t in _type_map(m_to.get("schema")).items()}
+        if self.schema_types:
+            dropped = [c for c, t in to_types.items()
+                       if c not in self.retired
+                       and self.schema_types_phys.get(c) != t
+                       and not widens_to(
+                           t, self.schema_types_phys.get(c, ""))]
+            if dropped:
+                raise RuntimeError(
+                    f"table schema at version {ev} is not representable "
+                    f"under the stream's schema (physical columns "
+                    f"{sorted(dropped)} are missing or type-changed): "
+                    "restart the stream to adopt the new schema — "
+                    "delivering rows under the old one would silently "
+                    "drop or corrupt them")
+        # (REPRESENTABILITY form, r09 advice: an end-version schema
+        # that is a physical SUBSET of the reader's is fine — read()
+        # NULL-fills by name; a NARROWER same-family type is fine —
+        # read() casts the Arrow column up losslessly. Checkpoint
+        # recovery replays the last WAL batch with its ORIGINAL end
+        # offset, so a reader constructed with the NEW schema must
+        # accept old batches or the stream is permanently wedged.)
 
     def _adopt_snap(self, snap: int, authoritative: bool = False) -> None:
         """Adopt a snap seed carried on an offset / the note. snap is
@@ -545,8 +566,11 @@ class ManifestStreamReader(DataSourceStreamReader):
         # whole (r09 verdict blemish) — peak memory is one batch.
         pf = pq.ParquetFile(partition.path)
         present = set(pf.schema_arrow.names)
-        data_cols = [f.name for f in self.schema.fields
-                     if f.name in present and f.name != self.part_col]
+        # column mapping: files contain PHYSICAL names; fetch by the
+        # reader field's physical name and emit under the logical one
+        data_cols = [self.phys_of[f.name] for f in self.schema.fields
+                     if self.phys_of[f.name] in present
+                     and f.name != self.part_col]
         # merge-on-read: materialize this file's tombstoned positions
         # from its delete-vector sidecar (small by the write-side
         # crossover) and mask them out batch-by-batch below — a
@@ -582,8 +606,8 @@ class ManifestStreamReader(DataSourceStreamReader):
                     pv = _cast_partition(partition.part_value, f)
                     col = (pa.nulls(n, type=at) if pv is None
                            else pa.array([pv] * n, type=at))
-                elif f.name in rb.schema.names:
-                    col = rb.column(f.name)
+                elif self.phys_of[f.name] in rb.schema.names:
+                    col = rb.column(self.phys_of[f.name])
                     if col.type != at:
                         col = col.cast(at)
                 else:

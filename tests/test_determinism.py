@@ -165,6 +165,10 @@ _NUMERIC = [
     # broadcast anti-join drops exactly the keyed rows whatever file
     # they landed in.
     "sink_delete_dv",
+    # L22 (r11): rename/drop are metadata-only, but the append AFTER
+    # the rename stages under physical names whose file layout moves
+    # with parallelism — the mapped read must aggregate identically.
+    "scan_manifest_renamed",
 ]
 
 
@@ -191,7 +195,8 @@ def _fingerprint(name, spark, partitions: int):
 # two heaviest ANN/dedup kernels cost ~13 s per layout pair; all three
 # still sweep every round in the driver's CI run (-m "").
 _SWEEP_FULL = {"stream_manifest_admission", "sim_ann_lsh",
-               "dedup_docs_embedding", "sink_delete_dv"}
+               "dedup_docs_embedding", "sink_delete_dv",
+               "scan_manifest_renamed"}
 
 @pytest.mark.parametrize(
     "name", [pytest.param(n, marks=pytest.mark.full)

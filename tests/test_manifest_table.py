@@ -1322,3 +1322,109 @@ def test_vacuum_spares_referenced_and_young_dvs(spark, tmp_path):
     assert sorted(r.k for r in
                   mt.read_snapshot(spark, root).collect()) == sorted(
         set(range(20)) - {5})
+
+
+def test_rename_drop_are_metadata_only(spark, tmp_path):
+    """L22 lifecycle: rename and drop commit WITHOUT touching any data
+    file; old files serve the renamed column through the stable id; v1
+    time-travels under its original names; the partition column refuses
+    both operations; renaming onto an existing column refuses."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0, "a"), (2, "p2", 20.0, "b")],
+        "k BIGINT, part STRING, v DOUBLE, tag STRING")
+    mt.create_table(base, root, "part")
+    v1_paths = {e["path"] for e in mt.load_manifest(root)["files"]}
+
+    assert mt.rename_column(root, "v", "amount") == 2
+    assert mt.drop_column(root, "tag") == 3
+    assert {e["path"]
+            for e in mt.load_manifest(root)["files"]} == v1_paths
+
+    snap = mt.read_snapshot(spark, root)
+    assert snap.columns == ["k", "amount", "part"]
+    assert {(r.k, r.amount) for r in snap.collect()} == {(1, 10.0),
+                                                         (2, 20.0)}
+    assert mt.read_snapshot(spark, root, version=1).columns == [
+        "k", "v", "tag", "part"]
+
+    with pytest.raises(ValueError, match="partition column"):
+        mt.rename_column(root, "part", "pp")
+    with pytest.raises(ValueError, match="partition column"):
+        mt.drop_column(root, "part")
+    with pytest.raises(ValueError, match="already exists"):
+        mt.rename_column(root, "k", "amount")
+    with pytest.raises(ValueError, match="no column"):
+        mt.rename_column(root, "ghost", "x")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_readd_after_drop_never_resurrects(spark, tmp_path):
+    """The id-retirement property: a column re-added after a drop gets
+    a FRESH id and physical name, so the dropped generation's values
+    read as NULL — never the stale bytes still sitting in old files."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "p1", "OLD1"), (2, "p1", "OLD2")],
+        "k BIGINT, part STRING, tag STRING")
+    mt.create_table(base, root, "part")
+    mt.drop_column(root, "tag")
+    b2 = spark.createDataFrame([(3, "p1", "NEW")],
+                               "k BIGINT, part STRING, tag STRING")
+    mt.commit_append(spark, root, b2, "part")
+    got = {(r.k, r.tag) for r in mt.read_snapshot(spark, root).collect()}
+    assert got == {(1, None), (2, None), (3, "NEW")}, (
+        f"dropped-generation values resurrected: {got}")
+    # physical disambiguation recorded in the mapping
+    cm = mt._load_doc(root)["col_map"]
+    assert "tag" in cm["retired"]
+    assert mt._phys_name(cm, "tag") != "tag"
+    # merge + delete + compaction still work through the mapping
+    chg = spark.createDataFrame([(1, "p1", "X", "U")],
+                                "k BIGINT, part STRING, tag STRING, "
+                                "op STRING")
+    mt.commit_merge(spark, root, chg, ["k", "part"], "part")
+    keys = spark.createDataFrame([(2, "p1")], "k BIGINT, part STRING")
+    mt.commit_delete(spark, root, keys, ["k", "part"], "part")
+    mt.commit_compaction(spark, root, "part")
+    got = {(r.k, r.tag) for r in mt.read_snapshot(spark, root).collect()}
+    assert got == {(1, "X"), (3, "NEW")}
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_stream_survives_rename_via_restart(spark, tmp_path):
+    """L22 × L16: the streaming guard works in PHYSICAL space — a
+    reader constructed AFTER a rename delivers pre-rename batches
+    (same physical names) under the new logical column instead of
+    wedging; a version whose column the reader's table later DROPPED
+    delivers by omission."""
+    import pyarrow as pa
+
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "p1", 1.0)],
+                                 "k BIGINT, part STRING, v DOUBLE")
+    mt.create_table(base, root, "part")
+    mt.rename_column(root, "v", "amount")            # v2
+    mt.commit_append(spark, root, spark.createDataFrame(
+        [(2, "p1", 2.0)], "k BIGINT, part STRING, amount DOUBLE"),
+        "part")                                      # v3
+    reader = ManifestStreamReader(_table_schema(root), {"path": root})
+    # replayed pre-rename batch (v0→v1) must deliver, not wedge
+    rows = []
+    for p in reader.partitions({"version": 0}, {"version": 1}):
+        t = pa.Table.from_batches(list(reader.read(p)))
+        rows.extend(zip(t.column("k").to_pylist(),
+                        t.column("amount").to_pylist()))
+    assert rows == [(1, 1.0)]
+    # guard accepts every historical version
+    for v in (1, 2, 3):
+        reader._guard_schema(v, mt._load_doc(root, v))
+    # a genuinely NEW column the reader predates still raises
+    mt.commit_append(spark, root, spark.createDataFrame(
+        [(3, "p1", 3.0, 7)],
+        "k BIGINT, part STRING, amount DOUBLE, extra BIGINT"), "part")
+    with pytest.raises(RuntimeError, match="not representable"):
+        reader._guard_schema(4, mt._load_doc(root, 4))

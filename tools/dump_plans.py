@@ -306,6 +306,12 @@ AUDITED = [
      "the bigint read schema inside the vectorized parquet reader — "
      "no cast node, no union, no per-file branching; one scan over the "
      "snapshot's file list with partial→final aggregation above it."),
+    ("scan_manifest_renamed", ["HashAggregate"],
+     "column-mapped snapshot read: files are scanned under their "
+     "PHYSICAL names and one Project aliases them to the logical "
+     "schema — no UDF, no shuffle, no per-file branching; renames and "
+     "drops never appear as plan nodes at all (metadata-only "
+     "commits)."),
     ("sink_delete_dv", ["BroadcastHashJoin"],
      "merge-on-read read path: the delete-vector anti-join is a "
      "BROADCAST hash join on (file, row-position) — the tombstone side "
