@@ -109,6 +109,8 @@ from silvia_spark.functions.llm_ops import (
 )
 from silvia_spark.functions.llm_extras import (
     bucket_keys,
+    choose_ann_variant,
+    estimate_ann_candidates_per_vec,
     bucket_keys_multiprobe,
     bucket_keys_multiprobe2,
     cap_buckets,
@@ -147,6 +149,7 @@ __all__ = [
     # similarity / ANN
     "cosine", "cosine_expr", "dot64", "norm64", "label_centroids",
     "bucket_keys", "bucket_keys_multiprobe", "bucket_keys_multiprobe2",
+    "choose_ann_variant", "estimate_ann_candidates_per_vec",
     "cap_buckets",
     # training-data kernels
     "shingle_tokens", "chunk_windows", "quantize_int8", "reservoir_sample",

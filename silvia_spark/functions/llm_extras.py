@@ -118,6 +118,89 @@ def _quantized_dots(spark: SparkSession, e: DataFrame, seed: int,
     )
 
 
+# --- ANN variant chooser (r10 verdict item 4) ---------------------------------
+# The multiprobe trade pays only while the pipeline is INDEX-bound
+# (ANN_CROSSOVER.json + BENCH_sf1_heavy.json, both regimes measured):
+# at sf0.1 the GEMM is 85% of base wall time and mp2 wins 2.1×; at sf1
+# the corpus is candidate-dense (the same-bucket join + distinct is
+# ~95% of wall) and the probe fan-out GROWS the join input — base wins
+# by ~25%. The boundary constants below are the geometric midpoints of
+# the two measured regimes; the distinct/raw candidate ratio is the
+# SAME at both scales (1.94M/8.0M = 194M/800M = 0.243 — a property of
+# the hash-family geometry, not the corpus), which is what lets the
+# occupancy sampler below estimate distinct candidates near-exactly
+# (971 measured vs 972 estimated at sf0.1; 9715 vs 9720 at sf1).
+
+_ANN_CONFIGS = {
+    "base": {"tables": 64, "probes_per_table": 1},
+    "mp1": {"tables": 24, "probes_per_table": 2},
+    "mp2": {"tables": 16, "probes_per_table": 4},
+}
+_ANN_DISTINCT_RATIO = 0.243
+_CAND_PER_VEC_CROSSOVER = 3000.0   # geometric mid of 971 / 9715
+_INDEX_SHARE_CROSSOVER = 0.5       # geometric mid of 0.85 / 0.049 ≈ 0.2;
+#                                    0.5 keeps a safety margin toward
+#                                    base (the variant that never loses
+#                                    more than the capped index share)
+
+
+def choose_ann_variant(est_candidates_per_vec: float | None = None,
+                       index_share: float | None = None
+                       ) -> tuple[str, dict]:
+    """The measured decision rule as code: (variant name, {tables,
+    probes_per_table}). INDEX-bound regimes (few candidates per vector
+    / GEMM-dominated wall time) take the multiprobe config — fewer
+    tables, same recall floor, measured 2.1× at sf0.1; candidate-bound
+    regimes take the base tables — the probe fan-out multiplies the
+    join input exactly where the join already dominates (sf1: base
+    208 s vs mp2 264 s). Pass ``est_candidates_per_vec`` from
+    ``estimate_ann_candidates_per_vec`` (preferred — it prices the
+    join input the probes multiply) or a known ``index_share`` (GEMM
+    fraction of wall time from a prior run's stage split)."""
+    if est_candidates_per_vec is None and index_share is None:
+        raise ValueError(
+            "pass est_candidates_per_vec (estimate_ann_candidates_per_"
+            "vec) or index_share — the rule needs one measured signal")
+    if est_candidates_per_vec is not None:
+        index_bound = est_candidates_per_vec <= _CAND_PER_VEC_CROSSOVER
+    else:
+        index_bound = index_share >= _INDEX_SHARE_CROSSOVER
+    name = "mp2" if index_bound else "base"
+    return name, dict(_ANN_CONFIGS[name])
+
+
+def estimate_ann_candidates_per_vec(spark: SparkSession, e: DataFrame,
+                                    sample_tables: int = 2) -> float:
+    """Estimate the LSH join's distinct candidates per vector by
+    SAMPLING bucket occupancy: hash only the first ``sample_tables``
+    tables (a ``sample_tables``/64 slice of the base GEMM), sum each
+    bucket's pair mass c·(c−1)/2, scale to the full table count, and
+    apply the measured distinct/raw ratio (see module constant). Uses
+    ACTUAL occupancy, so skewed corpora (hot buckets) price correctly
+    where the uniform n²·2^-B closed form would not."""
+    n = e.count()
+    if n < 2:
+        return 0.0
+    dots = _quantized_dots(spark, e, _ANN_SEED,
+                           sample_tables * _ANN_BITS)
+    bit_val = F.when(
+        F.col("dot_q") >= 0,
+        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)
+    occ = (dots.select("vec_id",
+                       F.expr(f"proj_id div {_ANN_BITS}")
+                       .alias("table_id"),
+                       bit_val.alias("bv"))
+           .groupBy("vec_id", "table_id")
+           .agg(F.sum("bv").alias("bucket_key"))
+           .groupBy("table_id", "bucket_key")
+           .agg(F.count(F.lit(1)).alias("c")))
+    mass = occ.agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                   .alias("m")).collect()[0]["m"] or 0.0
+    per_table = mass / sample_tables
+    tables = _N_PROJ // _ANN_BITS
+    return per_table * tables * _ANN_DISTINCT_RATIO / n
+
+
 def bucket_keys(spark: SparkSession, e: DataFrame) -> DataFrame:
     """vec_id → (table_id, bucket_key) rows, one per hash table (see
     ``_quantized_dots`` for the determinism argument)."""

@@ -110,3 +110,46 @@ def test_predicted_recall_closed_form_spotcheck():
     one3 = predicted_recall([0.4], 1, 3)
     expect = p ** 4 + 2 * p ** 3 * (1 - p) + (p * (1 - p)) ** 2
     assert abs(one3 - expect) < 1e-12
+
+
+def test_choose_ann_variant_locks_measured_regimes():
+    """r10 verdict item 4: the prose decision rule (SCALE.md §ANN) as
+    code, locked against BOTH measured regimes. sf0.1 (ANN_CROSSOVER:
+    971 distinct candidates/vector, index 85% of base wall) is
+    index-bound → mp2 (measured 2.1× win); sf1 (BENCH_sf1_heavy: 9715
+    candidates/vector, index 5%) is candidate-bound → base (mp2
+    measured ~25% SLOWER there)."""
+    from silvia_spark.functions.llm_extras import choose_ann_variant
+
+    name, cfg = choose_ann_variant(est_candidates_per_vec=971)
+    assert (name, cfg) == ("mp2", {"tables": 16, "probes_per_table": 4})
+    name, cfg = choose_ann_variant(est_candidates_per_vec=9715)
+    assert (name, cfg) == ("base", {"tables": 64,
+                                    "probes_per_table": 1})
+    # the index-share form of the same rule
+    assert choose_ann_variant(index_share=0.85)[0] == "mp2"
+    assert choose_ann_variant(index_share=0.049)[0] == "base"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="measured signal"):
+        choose_ann_variant()
+
+
+def test_estimate_candidates_tracks_measured_scale(spark):
+    """The occupancy sampler reproduces the measured scale law: the
+    estimate is within 2× of the closed-form n²·2^-B·T·ratio/n on the
+    near-uniform test corpus, and small corpora land index-bound (the
+    regime the sf0.1 measurement pins)."""
+    from silvia_spark.functions.llm_extras import (
+        _ANN_BITS, _ANN_DISTINCT_RATIO, _N_PROJ, choose_ann_variant,
+        estimate_ann_candidates_per_vec)
+    from silvia_spark.io import load_table
+    from tests.conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    n = e.count()
+    est = estimate_ann_candidates_per_vec(spark, e)
+    tables = _N_PROJ // _ANN_BITS
+    uniform = (n * n / (2 ** _ANN_BITS) / 2) * tables \
+        * _ANN_DISTINCT_RATIO / n
+    assert 0 < est < 2 * uniform + 1, (est, uniform)
+    assert choose_ann_variant(est_candidates_per_vec=est)[0] == "mp2"
