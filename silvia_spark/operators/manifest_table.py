@@ -1823,7 +1823,40 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     return version
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+# A streaming reader lease older than this is a DEAD stream and stops
+# pinning retention (overridable: SILVIA_READER_LEASE_TTL_SEC). Sized
+# like Delta's checkpoint-retention guidance: generously above any live
+# trigger interval, far below the multi-day lag a genuinely abandoned
+# checkpoint accumulates.
+_READER_LEASE_TTL_SEC = 86_400.0
+
+
+def _min_reader_version(root: str, now: float) -> int | None:
+    """Smallest committed version any LIVE streaming reader holds —
+    from the ``lease-*.json`` sidecars the manifest streaming source
+    refreshes every batch (mtime = liveness)."""
+    lease_dir = os.path.join(root, ".stream_admission")
+    ttl = float(os.environ.get("SILVIA_READER_LEASE_TTL_SEC",
+                               _READER_LEASE_TTL_SEC))
+    low: int | None = None
+    if not FS.isdir(lease_dir):
+        return None
+    for fname in sorted(FS.listdir(lease_dir)):
+        if not fname.startswith("lease-"):
+            continue
+        fp = os.path.join(lease_dir, fname)
+        try:
+            if now - FS.mtime(fp) > ttl:
+                continue  # dead stream: stops pinning retention
+            v = int(json.loads(FS.read_text(fp))["version"])
+        except (FileNotFoundError, ValueError, KeyError, OSError):
+            continue
+        low = v if low is None else min(low, v)
+    return low
+
+
+def vacuum(path: str, keep_versions: int = 1,
+           respect_readers: bool = True) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_versions`` snapshots are retained, and their manifests kept).
     Orphans from crashed commits are removed too, EXCEPT anything that
@@ -1844,7 +1877,13 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     file list — if vacuum later retires snapshot k, re-executing that
     plan fails with missing input files. Size ``keep_versions`` (and
     vacuum cadence) to exceed the longest downstream job that re-reads a
-    pinned version; see SCALE.md."""
+    pinned version; see SCALE.md. STREAMING readers are protected
+    structurally (``respect_readers``, default on): the manifest
+    streaming source refreshes a retention lease every batch, and
+    expiration widens the keep window to cover any live lease instead
+    of stranding a paused checkpointed stream; a lease older than the
+    reader TTL is a dead stream and stops pinning (r10 verdict
+    item 6)."""
     if keep_versions < 1:
         # keep_versions=0 would empty `keep`, flag every file dead, and
         # delete the current snapshot out from under its own pointer
@@ -1881,7 +1920,21 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         # staged files at claim time (_write_doc staged_epoch)
         FS.put_atomic(os.path.join(root, _MANIFESTS, ".vacuum_epoch"),
                       str(_vacuum_epoch(root) + 1))
-        keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        now0 = time.time()
+        keep_from = max(1, cur - keep_versions + 1)
+        if respect_readers:
+            # Retention vs streaming offsets (r10 verdict item 6): a
+            # LIVE checkpointed reader paused at committed version k
+            # needs manifests >= k to resume its version-diff batches;
+            # expiring past a live lease widens retention instead of
+            # stranding the reader (Delta's retention-duration check at
+            # expiration time). Dead streams (lease older than the
+            # reader TTL) stop pinning; respect_readers=False forces
+            # the plain keep_versions window.
+            mrv = _min_reader_version(root, now0)
+            if mrv is not None and mrv < keep_from:
+                keep_from = max(1, mrv)
+        keep = set(range(keep_from, cur + 1))
         # Manifest triage (single listing — nothing with v <= cur can
         # appear later while we hold the flip lock):
         # - v in keep: retained snapshot, contributes to `live`.
@@ -2027,6 +2080,25 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                     continue
                 deleted.append(f"{_DELETES}/{fname}")
             FS.rmdir_if_empty(dv_dir)
+        # Dead streaming-reader leases: past the reader TTL they no
+        # longer pin retention (above), so sweep the sidecar too — a
+        # long-lived table must not accumulate one file per abandoned
+        # checkpoint. Position notes (pos-*) stay: they only bound a
+        # restart batch and removing them degrades a legitimately
+        # long-paused stream's first batch to unbounded.
+        lease_dir = os.path.join(root, ".stream_admission")
+        ttl = float(os.environ.get("SILVIA_READER_LEASE_TTL_SEC",
+                                   _READER_LEASE_TTL_SEC))
+        if FS.isdir(lease_dir):
+            for fname in sorted(FS.listdir(lease_dir)):
+                if not fname.startswith("lease-"):
+                    continue
+                fp = os.path.join(lease_dir, fname)
+                try:
+                    if now - FS.mtime(fp) > ttl:
+                        FS.remove(fp)
+                except (FileNotFoundError, OSError):
+                    continue
         # epoch bump LAST too: a committer whose lock-free epoch capture
         # landed AFTER the start-bump but whose staging overlapped this
         # sweep would otherwise see an unchanged epoch and skip its

@@ -462,8 +462,42 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._note_write((v, i))  # ahead-of-committed is always safe
         return {"version": v, "index": i, "snap": self._snap or 0}
 
+    def _lease_write(self, version: int) -> None:
+        """Reader RETENTION lease (r10 verdict item 6): the COMMITTED
+        version, refreshed every batch, consulted by ``vacuum`` so
+        snapshot expiration never retires the manifests a paused-but-
+        live checkpointed stream needs to resume (the mtime is the
+        liveness signal; a lease older than the reader TTL is a dead
+        stream and stops pinning retention). Monotonic-max and
+        best-effort like the position note — an unwritable root simply
+        leaves retention to ``keep_versions`` sizing (SCALE.md §r09's
+        documented contract)."""
+        if not self._note_ok:
+            return
+        path = os.path.join(os.path.dirname(self._note),
+                            "lease-" + os.path.basename(self._note)
+                            .removeprefix("pos-"))
+        try:
+            try:
+                with open(path, encoding="utf-8") as f:
+                    if int(json.load(f).get("version", -1)) >= version:
+                        os.utime(path, None)  # refresh liveness
+                        return
+            except (OSError, ValueError):
+                pass
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, path)
+        except OSError:
+            self._note_ok = False
+
     def commit(self, end: dict) -> None:
         _trace(f"commit end={end}")
+        # retention lease rides EVERY commit (unlimited lineages too —
+        # they are exactly the readers a vacuum can strand)
+        self._lease_write(int(end["version"]))
         if not self.limited and "index" not in end:
             # pure-unlimited lineage: nothing consults the note, so
             # don't litter every table with per-batch note writes (r10
@@ -492,6 +526,12 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         sv, ev = int(start["version"]), int(end["version"])
         _trace(f"partitions start={start} end={end}")
+        # retention lease at the START version — the batch's start IS
+        # the committed floor the reader resumes from (commit() is not
+        # called at all under availableNow: measured via _trace), and
+        # the restart-replay partitions(committed, committed) call
+        # refreshes it before any new planning
+        self._lease_write(sv)
         if "index" in start or "index" in end:
             # limited-mode offsets: walk per-version file lists from
             # (sv, si) exclusive to (ev, ei) inclusive — a pure function

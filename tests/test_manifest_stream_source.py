@@ -524,3 +524,55 @@ def test_stream_applies_delete_vectors(spark, tmp_path):
     assert sorted(rows) == sorted(set(range(20)) - {4, 11}), (
         f"stream delivered {sorted(rows)} — tombstoned rows resurrected "
         "or live rows lost")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_vacuum_respects_paused_stream_lease(spark, tmp_path):
+    """r10 verdict item 6: a checkpointed stream paused at version k
+    must resume correctly after vacuum — the reader's retention lease
+    (written at every batch commit) pins the manifests it needs, so an
+    aggressive keep_versions=1 expiration WIDENS retention instead of
+    stranding the reader. With respect_readers=False (or a dead lease)
+    the plain window applies and the manifests retire."""
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mt.create_table(spark.createDataFrame(
+        [(1, "p1", 1.0)], "k BIGINT, part STRING, v DOUBLE"),
+        root, "part")                                      # v1
+    mt.commit_append(spark, root, spark.createDataFrame(
+        [(2, "p1", 2.0)], "k BIGINT, part STRING, v DOUBLE"),
+        "part")                                            # v2
+    # run 1: consume v1..v2, checkpoint, stop (pause)
+    run1 = _run_available_now(spark, root, out, ckpt)
+    assert sorted(r.k for r in run1.collect()) == [1, 2]
+    lease_dir = os.path.join(root, ".stream_admission")
+    leases = [f for f in os.listdir(lease_dir)
+              if f.startswith("lease-")]
+    assert leases, "commit() wrote no retention lease"
+
+    # table advances while the stream sleeps
+    for k in (3, 4, 5):
+        mt.commit_append(spark, root, spark.createDataFrame(
+            [(k, "p1", float(k))], "k BIGINT, part STRING, v DOUBLE"),
+            "part")                                        # v3..v5
+    # aggressive expiration: the live lease at v2 pins manifests >= 2
+    mt.vacuum(root, keep_versions=1)
+    assert os.path.exists(mt._manifest_path(root, 2)), (
+        "vacuum retired the paused reader's committed version")
+    # resume: exactly the missed commits arrive, no gap, no re-delivery
+    run2 = _run_available_now(spark, root, out, ckpt)
+    assert sorted(r.k for r in run2.collect()) == [3, 4, 5]
+
+    # a DEAD lease (older than the reader TTL) stops pinning
+    import time as _t
+
+    for f in os.listdir(lease_dir):
+        if f.startswith("lease-"):
+            old = _t.time() - mt._READER_LEASE_TTL_SEC - 10
+            os.utime(os.path.join(lease_dir, f), (old, old))
+    mt.vacuum(root, keep_versions=1)
+    assert not os.path.exists(mt._manifest_path(root, 2))
+    assert not any(f.startswith("lease-")
+                   for f in os.listdir(lease_dir)), (
+        "dead lease sidecar not swept")
