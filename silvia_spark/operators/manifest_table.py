@@ -1725,7 +1725,8 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
 
 
 def read_changes(spark: SparkSession, path: str, since: int,
-                 to: int | None = None) -> DataFrame:
+                 to: int | None = None,
+                 row_level: bool = False) -> DataFrame:
     """Incremental read: the rows of every file present in snapshot
     ``to`` (default: current) but NOT in snapshot ``since`` — appended
     batches and the REWRITTEN FILES of touched partitions, never the
@@ -1737,21 +1738,81 @@ def read_changes(spark: SparkSession, path: str, since: int,
     files that actually rewrote (a whole partition re-delivers only
     when no stats prune its rewrite). A dropped partition contributes
     nothing. Returns an empty frame (correct schema) when nothing
-    changed."""
+    changed.
+
+    ``row_level=True`` (r10 verdict item 7 — the CDF tier on top of
+    the DV machinery) returns EXACTLY the changed rows with a
+    ``_change_type`` column ('insert' / 'delete'; an update is its
+    delete+insert pair): rewritten files' unchanged re-homed rows
+    cancel out (exceptAll between the added-file and removed-file row
+    sets — still O(changed files), never a table diff), and
+    merge-on-read deletes surface as 'delete' rows resolved from the
+    GROWN delete vectors of carried files (positions in ``to``'s
+    vector minus ``since``'s). A pure compaction yields an empty feed.
+    Both sides read under ``to``'s schema/mapping (physical names are
+    stable), so the feed crosses rename/widen boundaries. Cost: one
+    all-column shuffle over the changed files' rows — unsuitable only
+    for map-typed columns (not comparable in EXCEPT)."""
     root = _norm(path)
     m_to = _load_doc(root, to)
     m_since = _load_doc(root, since)
-    new_entries = _diff_entries(root, m_since, m_to)
-    if not new_entries:
-        return _empty_like(spark, root, m_to)
-    # read with the DESTINATION snapshot's schema: a feed crossing a
-    # schema-evolution boundary NULL-fills the new columns for files
-    # written before they existed. Delete vectors as of ``to`` apply
-    # (tombstoned rows of a delivered file never flow); a DV-ONLY
-    # change re-delivers nothing — file-granular diffs are keyed on
-    # paths, so merge-on-read deletes do not appear in this feed (same
-    # as Delta's incremental scan without CDF).
-    return _read_entries(spark, root, m_to, new_entries)
+    if not row_level:
+        new_entries = _diff_entries(root, m_since, m_to)
+        if not new_entries:
+            return _empty_like(spark, root, m_to)
+        # read with the DESTINATION snapshot's schema: a feed crossing
+        # a schema-evolution boundary NULL-fills the new columns for
+        # files written before they existed. Delete vectors as of
+        # ``to`` apply (tombstoned rows of a delivered file never
+        # flow); a DV-ONLY change re-delivers nothing — file-granular
+        # diffs are keyed on paths, so merge-on-read deletes do not
+        # appear in this feed (same as Delta's incremental scan
+        # without CDF); row_level=True is the feed that carries them.
+        return _read_entries(spark, root, m_to, new_entries)
+
+    by_since = {e["path"]: e for e in _resolve(root, m_since)}
+    by_to = {e["path"]: e for e in _resolve(root, m_to)}
+    added = [e for p, e in by_to.items() if p not in by_since]
+    removed = [e for p, e in by_since.items() if p not in by_to]
+    # carried files whose delete vector GREW: the new tombstones are
+    # row-level deletes (vectors only grow until a rewrite replaces
+    # the file, so to-minus-since is exactly the delta)
+    dv_grown = [(by_since[p], e) for p, e in by_to.items()
+                if p in by_since and e.get("dv") != by_since[p].get("dv")
+                and e.get("dv")]
+    ctype = F.lit("insert")
+    ins = (_read_entries(spark, root, m_to, added) if added
+           else _empty_like(spark, root, m_to))
+    # removed files read under TO's schema/mapping but with THEIR OWN
+    # (since-side) delete vectors: rows already dead at `since` were
+    # never visible, so they are not deletes of this window
+    dele = (_read_entries(spark, root, m_to, removed) if removed
+            else _empty_like(spark, root, m_to))
+    # re-homed unchanged rows appear on both sides — cancel them
+    inserts = ins.exceptAll(dele).withColumn("_change_type", ctype)
+    deletes = dele.exceptAll(ins).withColumn("_change_type",
+                                             F.lit("delete"))
+    out = inserts.unionByName(deletes)
+    if dv_grown:
+        old_dv = _dv_frame(spark, root, [o for o, _ in dv_grown])
+        new_dv = _dv_frame(spark, root, [n for _, n in dv_grown])
+        grown_paths = [n["path"] for _, n in dv_grown]
+        fresh = new_dv.where(F.col("path").isin(grown_paths))
+        if old_dv is not None:
+            fresh = fresh.exceptAll(
+                old_dv.where(F.col("path").isin(grown_paths)))
+        scan = _to_logical(
+            _with_pos(_reader(spark, root, m_to).parquet(
+                *[os.path.join(root, p) for p in grown_paths])),
+            m_to, keep=("__rel", "__idx"))
+        hit = scan.join(
+            F.broadcast(fresh),
+            (scan["__rel"] == fresh["path"])
+            & (scan["__idx"] == fresh["row_index"]), "left_semi")
+        out = out.unionByName(
+            hit.drop("__rel", "__idx")
+            .withColumn("_change_type", F.lit("delete")))
+    return out
 
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
@@ -2582,6 +2643,104 @@ def sink_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"),
                  dsum("l_extendedprice", "price_sum"))
             .orderBy("l_returnflag"))
+
+
+# --- contract: row-level change feed (L23) -------------------------------------
+
+# The window covers a DV delete (v2) AND a band-confined merge update
+# (v3): the feed must deliver exactly the tombstoned rows + the
+# update's delete/insert pairs — none of the re-homed unchanged rows
+# the rewritten files carry. FLOOR for the threshold (L18's portability
+# note).
+_CDF_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+t AS (
+  SELECT CAST(FLOOR(min(l_orderkey)
+              + (max(l_orderkey) - min(l_orderkey)) / 10.0) AS BIGINT)
+         AS thr
+  FROM li
+),
+dv_del AS (
+  SELECT * FROM li WHERE l_orderkey % 97 = 3
+),
+upd_src AS (
+  SELECT li.* FROM li, t
+  WHERE l_orderkey <= thr AND l_orderkey % 5 = 0
+    AND l_orderkey % 97 <> 3
+),
+feed AS (
+  SELECT l_orderkey, l_returnflag, l_quantity,
+         'delete' AS _change_type FROM dv_del
+  UNION ALL
+  SELECT l_orderkey, l_returnflag, l_quantity, 'delete' FROM upd_src
+  UNION ALL
+  SELECT l_orderkey, l_returnflag, l_quantity + 50, 'insert'
+  FROM upd_src
+)
+SELECT _change_type, l_returnflag, count(*) AS cnt,
+       sum(l_orderkey) AS key_sum,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+FROM feed GROUP BY _change_type, l_returnflag
+ORDER BY _change_type, l_returnflag
+"""
+
+
+@contract("scan_changes_row_level", oracle=_CDF_ORACLE)
+def scan_changes_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (Delta CDF's read shape, built on the DV
+    machinery): ``read_changes(row_level=True)`` over a window holding
+    a merge-on-read DELETE and a stats-pruned merge UPDATE delivers
+    exactly the changed rows tagged insert/delete — tombstoned rows
+    resolve from the grown delete vectors, the update's old/new images
+    are its delete+insert pair, and the rewritten files' re-homed
+    unchanged rows CANCEL (exceptAll over changed files only — never a
+    table diff). The hash proves the feed equals the relational diff
+    of the two snapshots."""
+    from silvia_spark.operators.scale_patterns import _fixture_table_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    thr = lo + (hi - lo) // 10
+
+    import shutil
+    import tempfile
+
+    fixture = _fixture_table_dir("silvia_mpr_base", sf_dir, "lineitem",
+                                 spark)
+    ensure_table(fixture, lambda: create_table(
+        li.repartitionByRange(8, "l_orderkey"), fixture,
+        "l_returnflag", stats_cols=["l_orderkey"]))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_cdf_"), "tbl")
+    shutil.copytree(fixture, root)
+
+    dv_keys = (li.where(F.col("l_orderkey") % 97 == 3)
+               .select("l_orderkey", "l_linenumber", "l_returnflag")
+               .distinct())
+    commit_delete(spark, root, dv_keys,
+                  ["l_orderkey", "l_linenumber", "l_returnflag"],
+                  "l_returnflag")                              # v2: DV
+    upd = (li.where((F.col("l_orderkey") <= thr)
+                    & (F.col("l_orderkey") % 5 == 0)
+                    & (F.col("l_orderkey") % 97 != 3))
+           .withColumn("l_quantity", F.col("l_quantity") + 50)
+           .withColumn("op", F.lit("U")))
+    commit_merge(spark, root, upd,
+                 ["l_orderkey", "l_linenumber", "l_returnflag"],
+                 "l_returnflag")                               # v3
+    commit_compaction(spark, root, "l_returnflag")             # v4: noise
+
+    feed = read_changes(spark, root, since=1, to=4, row_level=True)
+    return (feed.groupBy("_change_type", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_orderkey").alias("key_sum"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"))
+            .orderBy("_change_type", "l_returnflag"))
 
 
 # --- contract: column-mapping rename/drop evolution (L22) ---------------------

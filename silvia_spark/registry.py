@@ -72,8 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     "scan_manifest_widened", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
     "sim_ann_lsh_multiprobe2", "sim_join_threshold",
     # -- tier 0c: NEW in r11 — L21 merge-on-read deletion vectors,
-    # L22 column-mapping rename/drop evolution ---------------------------
-    "sink_delete_dv", "scan_manifest_renamed",
+    # L22 column-mapping rename/drop evolution, L23 row-level change
+    # feed ----------------------------------------------------------------
+    "sink_delete_dv", "scan_manifest_renamed", "scan_changes_row_level",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the 26 remaining r06-era keys (oldest evidence) ---------

@@ -169,6 +169,10 @@ _NUMERIC = [
     # the rename stages under physical names whose file layout moves
     # with parallelism — the mapped read must aggregate identically.
     "scan_manifest_renamed",
+    # L23 (r11): the row-level feed's exceptAll cancellation runs over
+    # file sets whose LAYOUT moves with write parallelism — the tagged
+    # delta must not.
+    "scan_changes_row_level",
 ]
 
 
@@ -196,7 +200,7 @@ def _fingerprint(name, spark, partitions: int):
 # still sweep every round in the driver's CI run (-m "").
 _SWEEP_FULL = {"stream_manifest_admission", "sim_ann_lsh",
                "dedup_docs_embedding", "sink_delete_dv",
-               "scan_manifest_renamed"}
+               "scan_manifest_renamed", "scan_changes_row_level"}
 
 @pytest.mark.parametrize(
     "name", [pytest.param(n, marks=pytest.mark.full)
