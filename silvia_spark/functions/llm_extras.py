@@ -181,8 +181,23 @@ def estimate_ann_candidates_per_vec(spark: SparkSession, e: DataFrame,
     n = e.count()
     if n < 2:
         return 0.0
-    dots = _quantized_dots(spark, e, _ANN_SEED,
-                           sample_tables * _ANN_BITS)
+    # sample the REAL index's hyperplanes: the sign family is keyed on
+    # id = pos·nproj + proj_id, so generating a small family
+    # (nproj = sample slice) would hash DIFFERENT hyperplanes than the
+    # 64-table index actually uses — a skew-aligned corpus would then
+    # be priced against buckets that never exist (r11 review finding).
+    # Filtering the FULL family to the first projections keeps the
+    # GEMM cost at the sampled slice while matching bucket_keys bit
+    # for bit.
+    nsample = sample_tables * _ANN_BITS
+    hyper = _sign_table(spark, _ANN_SEED, _N_PROJ).where(
+        F.col("proj_id") < nsample)
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    dots = (ev.join(F.broadcast(hyper), "pos")
+            .groupBy("vec_id", "proj_id")
+            .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
+                               * F.lit(1e9)).cast("bigint"))
+                 .alias("dot_q")))
     bit_val = F.when(
         F.col("dot_q") >= 0,
         F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)

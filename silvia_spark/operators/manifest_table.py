@@ -1338,6 +1338,11 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
                 dense.append(e)
             else:
                 sparse.append(e)
+        if not sparse and not dense:
+            # the scan found no matching row anywhere: a commit here
+            # would be pure metadata churn (an identical snapshot under
+            # a burned version number, polluting read_changes windows)
+            return doc["version"]
 
         new_entries: list[dict] = []
         sparse_updated: list[dict] = []
@@ -1358,19 +1363,12 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
                 sparse_updated.append(ne)
         if dense:
             # crossover: rewrite through the copy-on-write path —
-            # DV-applied scan minus the delete keys, staged + adopted
-            dscan = _to_logical(
-                _with_pos(_reader(spark, root, doc).parquet(
-                    *[os.path.join(root, e["path"]) for e in dense])),
-                doc, keep=("__rel", "__idx"))
-            ddv = _dv_frame(spark, root, dense)
-            dlive = dscan if ddv is None else dscan.join(
-                F.broadcast(ddv),
-                (dscan["__rel"] == ddv["path"])
-                & (dscan["__idx"] == ddv["row_index"]), "left_anti")
-            kept = (dlive.join(keys.select(*key_cols).distinct(),
-                               key_cols, "left_anti")
-                    .drop("__rel", "__idx"))
+            # the shared DV-applied read minus the delete keys, staged
+            # + adopted (one tombstone-application implementation:
+            # _read_entries — a hand-rolled copy here would drift)
+            kept = _read_entries(spark, root, doc, dense).join(
+                keys.select(*key_cols).distinct(), key_cols,
+                "left_anti")
             new_entries = _stage_write(_to_physical(kept, doc), root,
                                        part_col, stats_cols=stats_cols)
     finally:
@@ -1770,11 +1768,30 @@ def read_changes(spark: SparkSession, path: str, since: int,
         # without CDF); row_level=True is the feed that carries them.
         return _read_entries(spark, root, m_to, new_entries)
 
-    by_since = {e["path"]: e for e in _resolve(root, m_since)}
-    by_to = {e["path"]: e for e in _resolve(root, m_to)}
+    # O(changed SEGMENTS), not O(table): entries in segments CARRIED
+    # between the two docs are untouched by construction (same path,
+    # same dv) and cancel without being read — only segments new in
+    # `to` or dropped from `since` resolve (r11 review finding: the
+    # full _resolve pair read every segment of both snapshots for a
+    # one-file change). v1-format docs (inline files) fall back to
+    # their own inline lists.
+    if "segments" in m_since and "segments" in m_to:
+        to_names = {s["path"] for s in m_to["segments"]}
+        since_names = {s["path"] for s in m_since["segments"]}
+        fresh = [e for s in m_to["segments"]
+                 if s["path"] not in since_names
+                 for e in _read_segment(root, s["path"])]
+        dropped = [e for s in m_since["segments"]
+                   if s["path"] not in to_names
+                   for e in _read_segment(root, s["path"])]
+    else:
+        fresh = _resolve(root, m_to)
+        dropped = _resolve(root, m_since)
+    by_to = {e["path"]: e for e in fresh}
+    by_since = {e["path"]: e for e in dropped}
     added = [e for p, e in by_to.items() if p not in by_since]
     removed = [e for p, e in by_since.items() if p not in by_to]
-    # carried files whose delete vector GREW: the new tombstones are
+    # re-homed files whose delete vector GREW: the new tombstones are
     # row-level deletes (vectors only grow until a rewrite replaces
     # the file, so to-minus-since is exactly the delta)
     dv_grown = [(by_since[p], e) for p, e in by_to.items()
@@ -1993,8 +2010,13 @@ def vacuum(path: str, keep_versions: int = 1,
             # reader TTL) stop pinning; respect_readers=False forces
             # the plain keep_versions window.
             mrv = _min_reader_version(root, now0)
-            if mrv is not None and mrv < keep_from:
-                keep_from = max(1, mrv)
+            if mrv is not None and mrv - 1 < keep_from:
+                # keep from mrv - 1, not mrv: a limited-mode stream
+                # resuming at a mid-version offset (v, i) recomputes
+                # FL(v) as the diff from v-1, so the PARENT manifest
+                # must survive too (r11 review finding — keeping only
+                # >= mrv wedged exactly the stream the lease protects)
+                keep_from = max(1, mrv - 1)
         keep = set(range(keep_from, cur + 1))
         # Manifest triage (single listing — nothing with v <= cur can
         # appear later while we hold the flip lock):

@@ -373,6 +373,8 @@ class ManifestStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from silvia_spark.operators.manifest_table import current_version
 
+        self._lease_touch()  # liveness every trigger, even when the
+        #                      table is quiet and no batch plans
         cur = current_version(self.root)
         _trace(f"latestOffset pos={self._pos} cur={cur}")
         if cur is None:
@@ -462,21 +464,50 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._note_write((v, i))  # ahead-of-committed is always safe
         return {"version": v, "index": i, "snap": self._snap or 0}
 
+    def _lease_path(self) -> str:
+        """Per-READER-INSTANCE lease file: the key carries the reader's
+        own uuid, NOT the shared options hash — two checkpoints with
+        identical options must each pin their own version (a shared
+        monotonic-max lease let the leading stream unpin the lagging
+        one: r11 review finding). A restarted reader is a new instance;
+        its replay partitions() call writes a fresh lease before any
+        planning, and the dead instance's file ages out on the TTL."""
+        if not hasattr(self, "_lease_id"):
+            import uuid as _uuid
+
+            self._lease_id = _uuid.uuid4().hex[:12]
+        base = os.path.basename(self._note).removeprefix("pos-")
+        base = base.removesuffix(".json")
+        return os.path.join(os.path.dirname(self._note),
+                            f"lease-{base}-{self._lease_id}.json")
+
+    def _lease_touch(self) -> None:
+        """Refresh lease LIVENESS without moving its version — called
+        from every latestOffset so a live stream on a QUIET table
+        (no commits for longer than the reader TTL) keeps pinning
+        retention (r11 review finding: plan/commit-only refresh let a
+        weekend lull age a live reader out)."""
+        if not self._note_ok:
+            return
+        try:
+            os.utime(self._lease_path(), None)
+        except OSError:
+            pass
+
     def _lease_write(self, version: int) -> None:
         """Reader RETENTION lease (r10 verdict item 6): the COMMITTED
         version, refreshed every batch, consulted by ``vacuum`` so
         snapshot expiration never retires the manifests a paused-but-
         live checkpointed stream needs to resume (the mtime is the
         liveness signal; a lease older than the reader TTL is a dead
-        stream and stops pinning retention). Monotonic-max and
+        stream and stops pinning retention). Monotonic-max PER READER
+        INSTANCE (versions only advance within one lineage run) and
         best-effort like the position note — an unwritable root simply
         leaves retention to ``keep_versions`` sizing (SCALE.md §r09's
         documented contract)."""
         if not self._note_ok:
             return
-        path = os.path.join(os.path.dirname(self._note),
-                            "lease-" + os.path.basename(self._note)
-                            .removeprefix("pos-"))
+        path = self._lease_path()
         try:
             try:
                 with open(path, encoding="utf-8") as f:

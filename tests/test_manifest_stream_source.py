@@ -576,3 +576,59 @@ def test_vacuum_respects_paused_stream_lease(spark, tmp_path):
     assert not any(f.startswith("lease-")
                    for f in os.listdir(lease_dir)), (
         "dead lease sidecar not swept")
+
+
+@pytest.mark.full  # CI-mode only (suite-time budget)
+def test_lease_semantics_r11_review(spark, tmp_path):
+    """Three r11 review findings on the retention lease, pinned:
+    (1) OFF-BY-ONE — a limited-mode stream resuming at a mid-version
+    offset recomputes FL(v) as the diff from v-1, so vacuum must keep
+    the PARENT manifest of the least lease version too; (2) PER-READER
+    IDENTITY — two checkpoints with identical options must pin
+    retention independently (a shared monotonic-max lease let the
+    leading stream unpin the lagging one); (3) QUIET-TABLE liveness —
+    latestOffset refreshes the lease mtime even when no batch plans."""
+    import time as _t
+
+    from silvia_spark.sources.manifest_stream import (ManifestStreamReader,
+                                                      _table_schema)
+
+    root = str(tmp_path / "t")
+    mt.create_table(spark.createDataFrame(
+        [(1, "p1", 1.0)], "k BIGINT, part STRING, v DOUBLE"),
+        root, "part")
+    for k in (2, 3, 4, 5):
+        mt.commit_append(spark, root, spark.createDataFrame(
+            [(k, "p1", float(k))], "k BIGINT, part STRING, v DOUBLE"),
+            "part")                                      # v2..v5
+
+    # (2) two independent readers, identical options: each pins its own
+    ra = ManifestStreamReader(_table_schema(root), {"path": root})
+    rb = ManifestStreamReader(_table_schema(root), {"path": root})
+    ra.partitions({"version": 4}, {"version": 5})   # A committed at v4
+    rb.partitions({"version": 3}, {"version": 3})   # B paused at v3
+    lease_dir = os.path.join(root, ".stream_admission")
+    assert len([f for f in os.listdir(lease_dir)
+                if f.startswith("lease-")]) == 2, (
+        "identical-option readers shared one lease file")
+    mt.vacuum(root, keep_versions=1)
+    # (1) + (2): B's lease (v3) pins v2 as well — FL(3) needs v2
+    assert os.path.exists(mt._manifest_path(root, 2)), (
+        "parent manifest of the least lease version retired (off-by-"
+        "one) or the lagging reader's pin was overridden")
+    # B can still plan its next limited batch (needs FL diffs from v3)
+    rb2 = ManifestStreamReader(
+        _table_schema(root), {"path": root, "maxfilespertrigger": "1"})
+    parts = rb2.partitions({"version": 3, "index": 1 << 62, "snap": 0},
+                           {"version": 5, "index": 1 << 62, "snap": 0})
+    assert len(parts) == 2  # v4 + v5 diffs, resolvable post-vacuum
+
+    # (3) liveness from latestOffset alone: age every lease near-dead,
+    # call latestOffset on a QUIET table, and the touched lease must be
+    # young again
+    my_lease = ra._lease_path()
+    old = _t.time() - mt._READER_LEASE_TTL_SEC + 5
+    os.utime(my_lease, (old, old))
+    ra.latestOffset()
+    assert _t.time() - os.path.getmtime(my_lease) < 60, (
+        "latestOffset did not refresh lease liveness on a quiet table")

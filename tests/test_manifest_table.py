@@ -1428,3 +1428,24 @@ def test_stream_survives_rename_via_restart(spark, tmp_path):
         "k BIGINT, part STRING, amount DOUBLE, extra BIGINT"), "part")
     with pytest.raises(RuntimeError, match="not representable"):
         reader._guard_schema(4, mt._load_doc(root, 4))
+
+
+def test_delete_zero_hits_is_a_noop(spark, tmp_path):
+    """r11 review finding: delete keys that pass the stats prune but
+    match NO row must not commit a content-identical snapshot under a
+    burned version number."""
+    root = str(tmp_path / "t")
+    mt.create_table(spark.createDataFrame(
+        [(2, "p1", 1.0), (8, "p1", 2.0)],
+        "k BIGINT, part STRING, v DOUBLE"), root, "part",
+        stats_cols=["k"])
+    # k=5 is inside the [2, 8] stats range (prune keeps the file) but
+    # matches nothing
+    keys = spark.createDataFrame([(5, "p1")], "k BIGINT, part STRING")
+    assert mt.commit_delete(spark, root, keys, ["k", "part"],
+                            "part") == 1
+    assert mt.current_version(root) == 1
+    # and a fully-pruned key range no-ops without even scanning
+    keys2 = spark.createDataFrame([(100, "p1")], "k BIGINT, part STRING")
+    assert mt.commit_delete(spark, root, keys2, ["k", "part"],
+                            "part") == 1
