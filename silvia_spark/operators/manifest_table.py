@@ -2704,7 +2704,7 @@ feed AS (
   FROM upd_src
 )
 SELECT _change_type, l_returnflag, count(*) AS cnt,
-       sum(l_orderkey) AS key_sum,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
        CAST(sum(l_quantity) AS BIGINT) AS qty_sum
 FROM feed GROUP BY _change_type, l_returnflag
 ORDER BY _change_type, l_returnflag
@@ -2784,7 +2784,7 @@ unioned AS (
   SELECT * FROM base UNION ALL SELECT * FROM appended
 )
 SELECT event_type, count(*) AS cnt,
-       sum(event_id) AS id_sum,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
        (sum(CAST(round(amount * 1000000) AS BIGINT)) / 1000000.0)
          AS amt_sum
 FROM unioned GROUP BY event_type ORDER BY event_type
