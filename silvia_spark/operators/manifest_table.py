@@ -55,6 +55,7 @@ import decimal
 import json
 import math
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote
@@ -615,6 +616,68 @@ class SchemaEvolutionError(TypeError):
     """Raised when an append's schema cannot compose with the table's:
     a shared column changed type, or new columns arrived while the
     caller pinned ``evolve=False``."""
+
+
+class ConstraintViolation(ValueError):
+    """Raised BEFORE staging when a commit's written rows violate a
+    table CHECK constraint — the commit writes nothing (no staged
+    files, no claim, version unchanged), so a failed write can never
+    leave a half-enforced snapshot."""
+
+
+# Table-level metadata every commit carries forward manifest-to-manifest
+# (Delta's table-properties discipline): partition spec, column mapping,
+# CHECK constraints, change-feed enablement. One helper so a new field
+# cannot be forgotten by one of the five commit paths.
+_TABLE_META = ("part_col", "col_map", "constraints", "cdf_enabled",
+               "part_specs")
+
+
+def _carry_table_meta(newdoc: dict, doc: dict) -> None:
+    for k in _TABLE_META:
+        if doc.get(k) is not None:
+            newdoc[k] = doc[k]
+
+
+def _enforce_constraints(df: DataFrame, doc: dict, what: str) -> None:
+    """Validate the rows a commit is about to write against the table's
+    CHECK constraints — SQL semantics (a row passes when the predicate
+    is TRUE or UNKNOWN/NULL; only FALSE violates, same as Delta). ONE
+    Spark job however many constraints: every predicate is evaluated as
+    a flag column on the same pass and the first violating row is
+    collected with its flags, so the error names the constraint(s) and
+    shows the row. Runs BEFORE staging: a violation costs the scan of
+    the batch, never an orphaned file."""
+    cons = doc.get("constraints") or {}
+    if not cons:
+        return
+    sch = _read_schema(doc)
+    if sch is not None:
+        # a narrow batch NULL-fills table columns it doesn't carry on
+        # READ — evaluate constraints the same way (NULL passes), so a
+        # predicate referencing an evolved column doesn't fail analysis
+        have = set(df.columns)
+        missing = {f.name: F.lit(None).cast(f.dataType)
+                   for f in sch.fields if f.name not in have}
+        if missing:
+            df = df.withColumns(missing)
+    flags = {name: F.coalesce(F.expr(expr), F.lit(True))
+             for name, expr in cons.items()}
+    import functools
+    import operator
+
+    ok_all = functools.reduce(operator.and_, flags.values())
+    bad = (df.withColumns({f"__ok_{n}": fl for n, fl in flags.items()})
+           .where(~ok_all).limit(1).collect())
+    if bad:
+        row = bad[0].asDict()
+        failed = sorted(n for n in cons if not row.pop(f"__ok_{n}"))
+        for n in cons:
+            row.pop(f"__ok_{n}", None)
+        raise ConstraintViolation(
+            f"{what} violates CHECK constraint(s) "
+            f"{', '.join(f'{n!r} ({cons[n]})' for n in failed)}; "
+            f"first violating row: {row} — nothing was committed")
 
 
 def _read_schema(doc: dict):
@@ -1185,6 +1248,10 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             rehome.extend(e for e in es if e["path"] not in need_paths)
 
     merged = changes.where(F.col("op") != "D").drop("op")
+    # CHECK constraints: only the change payload needs validation (the
+    # kept rows passed when they were written); BEFORE staging so a
+    # violation leaves nothing on disk
+    _enforce_constraints(merged, doc, "merge change batch")
     if cur_entries:
         # DV-applied rewrite scan: a raw read of a file carrying a
         # delete vector would resurrect its tombstoned rows into the
@@ -1208,9 +1275,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
                        stats_cols=stats_cols)
-    if doc.get("col_map") is not None:
-        newdoc["col_map"] = doc["col_map"]
-    newdoc["part_col"] = doc.get("part_col", part_col)
+    _carry_table_meta(newdoc, doc)
+    newdoc.setdefault("part_col", part_col)
     _write_doc(root, version, newdoc,
                verify_paths=[e["path"] for e in new_entries],
                staged_epoch=epoch0)
@@ -1384,9 +1450,8 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"), stats_cols=stats_cols)
-    if doc.get("col_map") is not None:
-        newdoc["col_map"] = doc["col_map"]
-    newdoc["part_col"] = doc.get("part_col", part_col)
+    _carry_table_meta(newdoc, doc)
+    newdoc.setdefault("part_col", part_col)
     verify = [e["path"] for e in new_entries]
     verify += [os.path.join(_DELETES, e["dv"]) for e in sparse_updated]
     _write_doc(root, version, newdoc, verify_paths=sorted(set(verify)),
@@ -1419,10 +1484,7 @@ def _commit_metadata(root: str, mutate) -> int:
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
                        stats_cols=doc.get("stats_cols"))
-    if doc.get("part_col"):
-        newdoc["part_col"] = doc["part_col"]
-    if doc.get("col_map") is not None:
-        newdoc["col_map"] = doc["col_map"]
+    _carry_table_meta(newdoc, doc)
     mutate(newdoc)
     _write_doc(root, version, newdoc)
     if not (_flip_current(root, version, commit_id=commit_id)
@@ -1460,6 +1522,13 @@ def rename_column(path: str, old: str, new: str) -> int:
             raise ValueError(f"no column {old!r} in {sorted(names)}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        for cn, ce in (nd.get("constraints") or {}).items():
+            if _constraint_refs(ce, old):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cn!r} ({ce}): drop the constraint first (Delta's "
+                    "rename rule — a silently dangling predicate would "
+                    "fail every later commit)")
         cm = nd.get("col_map") or _init_col_map(sj)
         cm = {"ids": dict(cm["ids"]), "phys": dict(cm["phys"]),
               "retired": list(cm["retired"]), "next": cm["next"]}
@@ -1498,6 +1567,11 @@ def drop_column(path: str, name: str) -> int:
             raise ValueError(
                 f"no column {name!r} in "
                 f"{sorted(f.name for f in sch.fields)}")
+        for cn, ce in (nd.get("constraints") or {}).items():
+            if _constraint_refs(ce, name):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cn!r} ({ce}): drop the constraint first")
         cm = nd.get("col_map") or _init_col_map(sj)
         cm = {"ids": dict(cm["ids"]), "phys": dict(cm["phys"]),
               "retired": list(cm["retired"]), "next": cm["next"]}
@@ -1506,6 +1580,69 @@ def drop_column(path: str, name: str) -> int:
         nd["col_map"] = cm
         nd["schema"] = StructType(
             [f for f in sch.fields if f.name != name]).json()
+
+    return _commit_metadata(root, mutate)
+
+
+def _constraint_refs(expr: str, col: str) -> bool:
+    """Whether a CHECK expression references a column name (word-
+    boundary match — conservative: a quoted string literal containing
+    the name also counts, which can only over-refuse, never corrupt)."""
+    return re.search(rf"\b{re.escape(col)}\b", expr) is not None
+
+
+def add_check_constraint(spark: SparkSession, path: str, name: str,
+                         expr: str) -> int:
+    """Add a table-level CHECK constraint (Delta's ``ADD CONSTRAINT``):
+    ``expr`` is any SQL boolean expression over the table's logical
+    columns; from this commit on, every append/merge validates its
+    written rows BEFORE staging and refuses with ConstraintViolation.
+    SQL semantics: a row violates only when the predicate is FALSE —
+    NULL/UNKNOWN passes (put ``col IS NOT NULL`` in the expression for
+    NOT-NULL enforcement). The EXISTING data is validated first (one
+    pruned-scan job over the current snapshot); a table already in
+    violation refuses the constraint, so a recorded constraint is an
+    invariant of every retained snapshot from its commit forward, never
+    an aspiration. Metadata-only commit: zero data movement."""
+    root = _norm(path)
+    doc = _load_doc(root)
+    if not name or not name.isidentifier():
+        raise ValueError(f"constraint name {name!r} must be an "
+                         "identifier")
+    if name in (doc.get("constraints") or {}):
+        raise ValueError(f"constraint {name!r} already exists: "
+                         f"{doc['constraints'][name]}")
+    probe = {**doc, "constraints": {name: expr}}
+    # validates expr compiles AND existing data passes, in one job
+    _enforce_constraints(read_snapshot(spark, root), probe,
+                         f"existing data (v{doc['version']})")
+
+    def mutate(nd: dict) -> None:
+        cons = dict(nd.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]}")
+        cons[name] = expr
+        nd["constraints"] = cons
+
+    return _commit_metadata(root, mutate)
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """Drop a CHECK constraint — metadata-only commit. Time travel
+    still enforces nothing retroactively (constraints gate WRITES);
+    historical snapshots keep the constraint recorded in their docs."""
+    root = _norm(path)
+
+    def mutate(nd: dict) -> None:
+        cons = dict(nd.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} "
+                             f"(have {sorted(cons)})")
+        del cons[name]
+        nd["constraints"] = cons or None
+        if nd["constraints"] is None:
+            del nd["constraints"]
 
     return _commit_metadata(root, mutate)
 
@@ -1596,6 +1733,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
                 f"table create under {root} unresolved after "
                 f"{_APPEND_RETRIES} attempts")
     stats_backfilled = False
+    validated_cons: dict | None = None
     # logical→physical map the staged files were written under: the
     # v1-race path stages identity-named (no mapping exists at create);
     # a mid-rebase mapping drift forces a restage below
@@ -1614,6 +1752,13 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             if app in txns and txns[app] >= batch_id:
                 return doc["version"]  # replayed batch: already committed
             txns[app] = batch_id
+        cons = doc.get("constraints")
+        if cons and cons != validated_cons:
+            # once per distinct constraint set, BEFORE staging (a
+            # violation must leave no orphans); a rebase re-validates
+            # only if a concurrent metadata commit changed the set
+            _enforce_constraints(batch, doc, "append batch")
+            validated_cons = cons
         if staged is not None and not all(
                 FS.exists(os.path.join(root, e["path"]))
                 for e in staged):
@@ -1687,10 +1832,11 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         newdoc = _make_doc(version, doc["version"], segments, txns=txns,
                            commit_id=commit_id, schema=schema_json,
                            stats_cols=stats_cols)
+        _carry_table_meta(newdoc, doc)
         if cm_new is not None:
-            newdoc["col_map"] = cm_new
-        if doc.get("part_col") or part_col:
-            newdoc["part_col"] = doc.get("part_col", part_col)
+            newdoc["col_map"] = cm_new  # batch-registered ids override
+        if "part_col" not in newdoc and part_col:
+            newdoc["part_col"] = part_col
         try:
             _write_doc(root, version, newdoc, occ=True,
                        verify_paths=[e["path"] for e in staged or []],
@@ -1887,9 +2033,8 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     newdoc = _make_doc(version, m["version"], segs, txns=m.get("txn"),
                        commit_id=commit_id, schema=m.get("schema"),
                        stats_cols=stats_cols)
-    if m.get("col_map") is not None:
-        newdoc["col_map"] = m["col_map"]
-    newdoc["part_col"] = m.get("part_col", part_col)
+    _carry_table_meta(newdoc, m)
+    newdoc.setdefault("part_col", part_col)
     _write_doc(root, version, newdoc,
                verify_paths=[e["path"] for e in new_entries],
                staged_epoch=epoch0)
@@ -2990,3 +3135,83 @@ def scan_manifest_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("event_id").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))
+
+
+# --- contract: commit-time CHECK constraints (L24) ----------------------------
+
+_CONSTRAINED_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+appended AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         'O' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 7 = 0
+),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_append_constrained", oracle=_CONSTRAINED_ORACLE)
+def sink_append_constrained(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraints (Delta's ``ADD CONSTRAINT``
+    enforcement): the table records SQL predicates as metadata-only
+    commits and every later append/merge validates its written rows
+    BEFORE staging — a violating commit raises ConstraintViolation,
+    writes nothing, and leaves the version unchanged (all asserted
+    in-contract). Validation is ONE Spark job per commit regardless of
+    constraint count (every predicate evaluated as a flag column on the
+    same scan), and adding a constraint validates EXISTING data first,
+    so a recorded constraint is an invariant of every snapshot from its
+    commit forward. At 100 TB this is the write-side data-quality gate:
+    the scan cost rides the commit's own batch, never the table. The
+    hash proves the constrained table equals base + the one VALID
+    append."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mcons_"), "tbl")
+    create_table(od, root, "o_orderpriority")
+    add_check_constraint(spark, root, "price_positive",
+                         "o_totalprice > 0")
+    add_check_constraint(
+        spark, root, "status_domain",
+        "o_orderstatus IN ('O', 'F', 'P')")
+
+    valid = (od.where(F.col("o_orderkey") % 7 == 0)
+             .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                     F.lit("O").alias("o_orderstatus"),
+                     (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                     "o_orderpriority"))
+    v_ok = commit_append(spark, root, valid, "o_orderpriority")
+
+    bad = valid.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    try:
+        commit_append(spark, root, bad, "o_orderpriority")
+        raise AssertionError(
+            "violating append committed — constraint not enforced")
+    except ConstraintViolation as e:
+        assert "price_positive" in str(e)
+    assert current_version(root) == v_ok, (
+        "refused append advanced the version — the violation left a "
+        "committed trace")
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))
