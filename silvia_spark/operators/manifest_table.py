@@ -766,13 +766,16 @@ def _evolve_schema(table_schema_json: str | None, batch_schema,
 
 
 def create_table(df: DataFrame, path: str, part_col: str,
-                 stats_cols: list[str] | None = None) -> int:
+                 stats_cols: list[str] | None = None,
+                 cdf: bool = False) -> int:
     """Materialize ``df`` as snapshot v1 of a new manifest table.
     ``stats_cols`` establishes the per-file min/max index (footer-read at
     adopt time) that ``read_snapshot(..., prune=...)`` consults; later
     commits keep collecting the same columns automatically. The manifest
     records the table schema (evolved additively by later appends) and
-    the partition column."""
+    the partition column. ``cdf=True`` enables the row-level change feed
+    from v1 (the creation commit's rows are the feed's initial inserts);
+    an existing table enables it later via ``enable_cdf``."""
     root = _norm(path)
     FS.makedirs(root)
     if current_version(root) is not None:
@@ -783,6 +786,9 @@ def create_table(df: DataFrame, path: str, part_col: str,
     doc = _make_doc(1, None, segs, commit_id=commit_id,
                     schema=df.schema.json(), stats_cols=stats_cols)
     doc["part_col"] = part_col
+    if cdf:
+        doc["cdf_enabled"] = True
+        doc["cdf"] = {"mode": "append"}
     _write_doc(root, 1, doc)
     _flip_current(root, 1, commit_id=commit_id)
     return 1
@@ -1252,6 +1258,7 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     # kept rows passed when they were written); BEFORE staging so a
     # violation leaves nothing on disk
     _enforce_constraints(merged, doc, "merge change batch")
+    cur = None
     if cur_entries:
         # DV-applied rewrite scan: a raw read of a file carrying a
         # delete vector would resurrect its tombstoned rows into the
@@ -1261,6 +1268,27 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         merged = kept.unionByName(merged)
     epoch0 = _vacuum_epoch(root)  # BEFORE staging: _write_doc skips
     #                               the per-file verify when unchanged
+    cdf_files: list[str] = []
+    if doc.get("cdf_enabled"):
+        # Row-level change records, written AT COMMIT TIME (Delta's
+        # _change_data discipline): old = the rewritten files' live
+        # rows, new = the merge output — exceptAll both ways, so
+        # re-homed unchanged rows cancel and an upsert surfaces as its
+        # delete+insert pair. Cost is one extra shuffle over the
+        # CHANGED files' rows (the same data the merge itself stages),
+        # never the table — this is what makes the downstream feed
+        # O(changed rows) to read instead of a per-consumer table diff.
+        cols = merged.columns
+        old_rows = (cur.select(*cols) if cur is not None
+                    else _empty_like(spark, root, doc).select(*cols))
+        new_rows = merged.select(*cols)
+        cdf_df = (new_rows.exceptAll(old_rows)
+                  .withColumn("_change_type", F.lit("insert"))
+                  .unionByName(
+                      old_rows.exceptAll(new_rows)
+                      .withColumn("_change_type", F.lit("delete"))))
+        cdf_files = _write_change_files(
+            spark, root, _to_physical(cdf_df, doc))
     new_entries = _stage_write(_to_physical(merged, doc), root, part_col,
                                stats_cols=stats_cols)
     segs = list(carried)
@@ -1277,8 +1305,10 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        stats_cols=stats_cols)
     _carry_table_meta(newdoc, doc)
     newdoc.setdefault("part_col", part_col)
+    if doc.get("cdf_enabled"):
+        newdoc["cdf"] = {"mode": "files", "files": cdf_files}
     _write_doc(root, version, newdoc,
-               verify_paths=[e["path"] for e in new_entries],
+               verify_paths=[e["path"] for e in new_entries] + cdf_files,
                staged_epoch=epoch0)
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
@@ -1306,6 +1336,57 @@ def _write_dv(spark: SparkSession, root: str, dv_union: DataFrame) -> str:
                os.path.join(root, _DELETES, dv_name))
     FS.rmtree(stage)
     return dv_name
+
+
+# change-data-feed sidecars: <root>/_changes/cdf-*.parquet, the
+# ROW-LEVEL change records a merge/delete commit writes at commit time
+# (Delta's _change_data discipline): full rows under PHYSICAL column
+# names plus a ``_change_type`` string ('insert' / 'delete'; an update
+# is its delete+insert pair). Appends record no sidecar — their added
+# files ARE the insert set; compaction/metadata commits record
+# ``{"mode": "none"}`` (no logical row changed). The manifest doc's
+# per-version ``cdf`` key indexes the records, so the feed reader never
+# lists the directory.
+_CHANGES = "_changes"
+
+
+def _write_change_files(spark: SparkSession, root: str,
+                        cdf_df: DataFrame) -> list[str]:
+    """Materialize one commit's row-level change records under
+    ``_changes/`` (written by Spark — a wide merge's change set can be
+    large) and return their relative paths. Cost rides the commit's own
+    changed rows, never the table."""
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(root, f".stage-cdf-{token}")
+    cdf_df.write.mode("overwrite").parquet(stage)
+    FS.makedirs(os.path.join(root, _CHANGES))
+    out: list[str] = []
+    for f in sorted(FS.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"cdf-{token}-{len(out):04d}.parquet"
+        FS.move_in(os.path.join(stage, f),
+                   os.path.join(root, _CHANGES, name))
+        out.append(f"{_CHANGES}/{name}")
+    FS.rmtree(stage)
+    return out
+
+
+def enable_cdf(path: str) -> int:
+    """Turn on the row-level change feed (Delta's
+    ``delta.enableChangeDataFeed``): from this metadata-only commit on,
+    every merge/delete records its changed rows at commit time and
+    ``read_change_feed`` / the streaming ``changeFeed`` source deliver
+    them per version. Versions committed BEFORE enablement carry no
+    record — a feed window reaching behind the enablement refuses
+    (exactly Delta's behavior), use read_changes' file-granular diff
+    there."""
+    root = _norm(path)
+
+    def mutate(nd: dict) -> None:
+        nd["cdf_enabled"] = True
+
+    return _commit_metadata(root, mutate)
 
 
 def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
@@ -1385,10 +1466,10 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         F.broadcast(old_dv),
         (scan["__rel"] == old_dv["path"])
         & (scan["__idx"] == old_dv["row_index"]), "left_anti")
-    hits = (live.join(keys.select(*key_cols).distinct(), key_cols,
-                      "left_semi")
-            .select(F.col("__rel").alias("path"),
-                    F.col("__idx").alias("row_index")).persist())
+    matched = live.join(keys.select(*key_cols).distinct(), key_cols,
+                        "left_semi").persist()
+    hits = matched.select(F.col("__rel").alias("path"),
+                          F.col("__idx").alias("row_index"))
     try:
         counts = {r["path"]: r["cnt"] for r in
                   hits.groupBy("path").agg(
@@ -1409,6 +1490,16 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             # would be pure metadata churn (an identical snapshot under
             # a burned version number, polluting read_changes windows)
             return doc["version"]
+
+        cdf_files: list[str] = []
+        if doc.get("cdf_enabled"):
+            # the matched rows ARE the row-level deletes — recorded at
+            # commit time from the scan the delete already ran, so the
+            # feed costs O(deleted rows) to write and to read
+            cdf_files = _write_change_files(
+                spark, root,
+                _to_physical(matched.drop("__rel", "__idx"), doc)
+                .withColumn("_change_type", F.lit("delete")))
 
         new_entries: list[dict] = []
         sparse_updated: list[dict] = []
@@ -1438,7 +1529,7 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             new_entries = _stage_write(_to_physical(kept, doc), root,
                                        part_col, stats_cols=stats_cols)
     finally:
-        hits.unpersist()
+        matched.unpersist()
 
     segs = list(carried)
     reused = rehome + sparse_updated
@@ -1452,7 +1543,9 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
                        schema=doc.get("schema"), stats_cols=stats_cols)
     _carry_table_meta(newdoc, doc)
     newdoc.setdefault("part_col", part_col)
-    verify = [e["path"] for e in new_entries]
+    if doc.get("cdf_enabled"):
+        newdoc["cdf"] = {"mode": "files", "files": cdf_files}
+    verify = [e["path"] for e in new_entries] + cdf_files
     verify += [os.path.join(_DELETES, e["dv"]) for e in sparse_updated]
     _write_doc(root, version, newdoc, verify_paths=sorted(set(verify)),
                staged_epoch=epoch0)
@@ -1486,6 +1579,8 @@ def _commit_metadata(root: str, mutate) -> int:
                        stats_cols=doc.get("stats_cols"))
     _carry_table_meta(newdoc, doc)
     mutate(newdoc)
+    if newdoc.get("cdf_enabled"):
+        newdoc["cdf"] = {"mode": "none"}  # metadata: no row changed
     _write_doc(root, version, newdoc)
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
@@ -1837,6 +1932,10 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             newdoc["col_map"] = cm_new  # batch-registered ids override
         if "part_col" not in newdoc and part_col:
             newdoc["part_col"] = part_col
+        if doc.get("cdf_enabled"):
+            # an append's added files ARE its insert set — the feed
+            # derives them from the version diff, no sidecar needed
+            newdoc["cdf"] = {"mode": "append"}
         try:
             _write_doc(root, version, newdoc, occ=True,
                        verify_paths=[e["path"] for e in staged or []],
@@ -1978,6 +2077,98 @@ def read_changes(spark: SparkSession, path: str, since: int,
     return out
 
 
+def _cdf_fields(m: dict) -> list:
+    """The feed's data fields in read order (partition column last,
+    matching read_snapshot)."""
+    sch = _read_schema(m)
+    pc = m.get("part_col")
+    return ([f for f in sch.fields if f.name != pc]
+            + [f for f in sch.fields if f.name == pc])
+
+
+def _cdf_align(df: DataFrame, fields: list) -> DataFrame:
+    """Project a per-version change frame onto the feed's end-version
+    schema: columns a version's record predates NULL-fill, narrower
+    same-family types upcast — the same discipline every other read
+    path applies across evolution boundaries."""
+    have = set(df.columns)
+    return df.select(
+        *[(F.col(f.name).cast(f.dataType) if f.name in have
+           else F.lit(None).cast(f.dataType)).alias(f.name)
+          for f in fields],
+        "_change_type")
+
+
+def read_change_feed(spark: SparkSession, path: str, since: int,
+                     to: int | None = None) -> DataFrame:
+    """Row-level change feed between two versions (Delta CDF's
+    ``table_changes``): one row per change in every version of
+    ``(since, to]``, tagged ``_change_type`` ('insert' / 'delete'; an
+    update is its delete+insert pair) and ``_commit_version``. Unlike
+    ``read_changes(row_level=True)`` — a NET diff computed on demand —
+    this replays the PER-VERSION history from the change records
+    commits wrote (``cdf`` manifest key): appends resolve from the
+    version diff (their added files are the insert set, read with
+    their as-of-commit delete vectors), merge/delete commits read
+    their ``_changes/`` sidecars, compaction/metadata versions
+    contribute nothing. Cost: O(changed rows in the window) — no
+    joins, no table scan, which is the property that makes CDC
+    consumable at 100 TB. Every version in the window must carry a
+    record (committed after ``enable_cdf``/``create_table(cdf=True)``);
+    a window reaching behind enablement refuses, exactly like Delta.
+    All versions deliver under ``to``'s schema and column mapping
+    (physical names are stable across renames; pre-evolution records
+    NULL-fill / upcast)."""
+    root = _norm(path)
+    m_to = _load_doc(root, to)
+    to_v = m_to["version"]
+    if since > to_v:
+        raise ValueError(f"since={since} is ahead of to={to_v}")
+    fields = _cdf_fields(m_to)
+    outs: list[DataFrame] = []
+    prev: dict | None = None
+    for v in range(since + 1, to_v + 1):
+        d = m_to if v == to_v else _load_doc(root, v)
+        cdf = d.get("cdf")
+        if cdf is None:
+            raise ValueError(
+                f"version {v} carries no change record (committed "
+                "before enable_cdf?): the row-level feed starts at "
+                "enablement — use read_changes for file-granular "
+                "diffs of older windows")
+        if cdf["mode"] == "append":
+            base = prev if (prev is not None
+                            and prev["version"] == v - 1) else (
+                _load_doc(root, v - 1) if v > 1 else None)
+            entries = (_diff_entries(root, base, d) if base is not None
+                       else _resolve(root, d))
+            if entries:
+                outs.append(_cdf_align(
+                    _read_entries(spark, root, m_to, entries)
+                    .withColumn("_change_type", F.lit("insert")),
+                    fields).withColumn("_commit_version",
+                                       F.lit(v).cast("bigint")))
+        elif cdf["mode"] == "files" and cdf["files"]:
+            raw = spark.read.parquet(
+                *[os.path.join(root, p) for p in cdf["files"]])
+            outs.append(_cdf_align(
+                _to_logical(raw, m_to, keep=("_change_type",)),
+                fields).withColumn("_commit_version",
+                                   F.lit(v).cast("bigint")))
+        prev = d
+    if not outs:
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        return spark.createDataFrame([], StructType(
+            list(fields) + [StructField("_change_type", StringType()),
+                            StructField("_commit_version", LongType())]))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
                       target_files: int = 1) -> int:
     """Rewrite each partition of the current snapshot that holds more
@@ -2035,6 +2226,9 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                        stats_cols=stats_cols)
     _carry_table_meta(newdoc, m)
     newdoc.setdefault("part_col", part_col)
+    if m.get("cdf_enabled"):
+        newdoc["cdf"] = {"mode": "none"}  # compaction re-homes bytes,
+        #                                   no logical row changes
     _write_doc(root, version, newdoc,
                verify_paths=[e["path"] for e in new_entries],
                staged_epoch=epoch0)
@@ -2198,6 +2392,7 @@ def vacuum(path: str, keep_versions: int = 1,
             FS.remove(mp)
         live: set[str] = set()
         live_dv: set[str] = set()
+        live_cdf: set[str] = set()
         kept_segs: set[str] = set()
         for v in sorted(keep):
             try:
@@ -2216,6 +2411,7 @@ def vacuum(path: str, keep_versions: int = 1,
             kept_entries = _resolve(root, doc)
             live |= {e["path"] for e in kept_entries}
             live_dv |= {e["dv"] for e in kept_entries if e.get("dv")}
+            live_cdf |= set(doc.get("cdf", {}).get("files", ()))
         # Known-dead files = those referenced ONLY by manifests retired
         # above. Segments shared with a kept manifest (carried forward
         # by reference) are NOT dead — the `live` check in the sweep
@@ -2308,6 +2504,26 @@ def vacuum(path: str, keep_versions: int = 1,
                     continue
                 deleted.append(f"{_DELETES}/{fname}")
             FS.rmdir_if_empty(dv_dir)
+        # Change-feed sidecars: referenced by a kept manifest's cdf
+        # record → live; otherwise the grace spares an in-flight
+        # merge/delete's freshly written records until its claim lands.
+        # A retired version's records age out with its manifest — the
+        # feed's retention window IS the manifest retention window.
+        cdf_dir = os.path.join(root, _CHANGES)
+        if FS.isdir(cdf_dir):
+            for fname in sorted(FS.listdir(cdf_dir)):
+                if (f"{_CHANGES}/{fname}" in live_cdf
+                        or not fname.endswith(".parquet")):
+                    continue
+                fp = os.path.join(cdf_dir, fname)
+                try:
+                    if now - FS.mtime(fp) <= _CLAIM_GRACE_SEC:
+                        continue
+                    FS.remove(fp)
+                except FileNotFoundError:
+                    continue
+                deleted.append(f"{_CHANGES}/{fname}")
+            FS.rmdir_if_empty(cdf_dir)
         # Dead streaming-reader leases: past the reader TTL they no
         # longer pin retention (above), so sweep the sidecar too — a
         # long-lived table must not accumulate one file per abandoned

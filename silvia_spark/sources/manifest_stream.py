@@ -127,6 +127,14 @@ class _FileSlice(InputPartition):
         # read() masks those row positions out, so a delivered file
         # carries only its live rows as of the delivered version
         self.dv_path, self.rel = dv_path, rel
+        # changeFeed mode: ver = the commit version this slice's rows
+        # are attributed to; ctype = the constant change type of a
+        # data-file slice ('insert' for appended files); is_cdf marks a
+        # _changes/ record file, whose rows carry their OWN
+        # _change_type and partition column as data
+        self.ver: int | None = None
+        self.ctype: str | None = None
+        self.is_cdf = False
 
 
 def _slice(root: str, e: dict) -> _FileSlice:
@@ -192,6 +200,25 @@ class ManifestStreamReader(DataSourceStreamReader):
             raise ValueError("maxBytesPerTrigger must be >= 1")
         self.limited = (self.max_files is not None
                         or self.max_bytes is not None)
+        # changeFeed mode (Delta's readChangeFeed): micro-batches carry
+        # ROW-LEVEL changes per version — appended files deliver as
+        # 'insert' slices, merge/delete versions deliver their
+        # commit-time _changes/ records, compaction/metadata versions
+        # deliver nothing. Offsets stay table versions (a version's
+        # change set is immutable, so replays are exact).
+        self.cdf = str(options.get("changefeed",
+                                   "false")).lower() in ("true", "1")
+        if self.cdf:
+            # the extra columns are reader-synthesized, not part of the
+            # evolution guard's representability comparison
+            for extra in ("_change_type", "_commit_version"):
+                self.schema_types.pop(extra, None)
+                self.schema_types_phys.pop(extra, None)
+        if self.cdf and self.limited:
+            raise ValueError(
+                "changeFeed does not compose with maxFilesPerTrigger/"
+                "maxBytesPerTrigger yet: a version's change set is the "
+                "atomic delivery unit")
         # Last planned/committed position (version, files-consumed-in-
         # version). None = unknown: the Python streaming API's
         # latestOffset receives no start offset, and Spark calls it
@@ -563,6 +590,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         # the restart-replay partitions(committed, committed) call
         # refreshes it before any new planning
         self._lease_write(sv)
+        if self.cdf:
+            return self._cdf_partitions(sv, ev)
         if "index" in start or "index" in end:
             # limited-mode offsets: walk per-version file lists from
             # (sv, si) exclusive to (ev, ei) inclusive — a pure function
@@ -621,6 +650,56 @@ class ManifestStreamReader(DataSourceStreamReader):
                                     _load_doc(self.root, sv), m_to)
         return [_slice(self.root, e) for e in entries]
 
+    def _cdf_partitions(self, sv: int, ev: int) -> list[InputPartition]:
+        """changeFeed planning: one pass over the window's manifests,
+        each version contributing its own change slices. A pure
+        function of the immutable manifests (append diffs + recorded
+        change files), so replayed ranges re-plan identically —
+        exactly-once rides on the checkpointed version offsets like
+        the plain stream."""
+        from silvia_spark.operators.manifest_table import (_diff_entries,
+                                                           _load_doc,
+                                                           _resolve)
+
+        if ev <= sv:
+            return []
+        out: list[InputPartition] = []
+        prev: dict | None = None
+        for v in range(sv + 1, ev + 1):
+            try:
+                d = _load_doc(self.root, v)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"changeFeed stream needs manifest v{v}, which is "
+                    "gone (vacuumed?): widen keep_versions over the "
+                    "longest consumer lag, or restart the stream at a "
+                    "retained startingVersion") from e
+            self._guard_schema(v, d)
+            cdf = d.get("cdf")
+            if cdf is None:
+                raise RuntimeError(
+                    f"version {v} carries no change record (committed "
+                    "before enable_cdf?): start the changeFeed stream "
+                    "at or after the enablement version")
+            if cdf["mode"] == "append":
+                base = prev if (prev is not None
+                                and prev["version"] == v - 1) else (
+                    _load_doc(self.root, v - 1) if v > 1 else None)
+                entries = (_diff_entries(self.root, base, d)
+                           if base is not None else
+                           _resolve(self.root, d))
+                for e in entries:
+                    s = _slice(self.root, e)
+                    s.ctype, s.ver = "insert", v
+                    out.append(s)
+            elif cdf["mode"] == "files":
+                for p in cdf["files"]:
+                    s = _FileSlice(os.path.join(self.root, p), None)
+                    s.is_cdf, s.ver = True, v
+                    out.append(s)
+            prev = d
+        return out
+
     def read(self, partition: _FileSlice):
         # Executor-side, columnar end-to-end: pyarrow reads the one
         # parquet file and the batch is handed to Spark as Arrow
@@ -641,7 +720,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         # reader field's physical name and emit under the logical one
         data_cols = [self.phys_of[f.name] for f in self.schema.fields
                      if self.phys_of[f.name] in present
-                     and f.name != self.part_col]
+                     and (f.name != self.part_col or partition.is_cdf)]
+        #             a _changes/ record file carries the partition
+        #             column (and _change_type) as DATA — read them
         # merge-on-read: materialize this file's tombstoned positions
         # from its delete-vector sidecar (small by the write-side
         # crossover) and mask them out batch-by-batch below — a
@@ -673,7 +754,13 @@ class ManifestStreamReader(DataSourceStreamReader):
             arrays, names = [], []
             for f in self.schema.fields:
                 at = to_arrow_type(f.dataType)
-                if f.name == self.part_col:
+                if f.name == "_commit_version" and partition.ver is not None:
+                    col = pa.array([partition.ver] * n, type=at)
+                elif (f.name == "_change_type" and self.cdf
+                      and not partition.is_cdf):
+                    col = pa.array([partition.ctype or "insert"] * n,
+                                   type=at)
+                elif f.name == self.part_col and not partition.is_cdf:
                     pv = _cast_partition(partition.part_value, f)
                     col = (pa.nulls(n, type=at) if pv is None
                            else pa.array([pv] * n, type=at))
@@ -731,10 +818,39 @@ class ManifestTableDataSource(DataSource):
         return "silvia_manifest"
 
     def schema(self) -> StructType:
-        return _table_schema(local_path(self.options["path"]))
+        sch = _table_schema(local_path(self.options["path"]))
+        if str(self.options.get("changefeed",
+                                "false")).lower() in ("true", "1"):
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            sch = StructType(
+                list(sch.fields)
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_version", LongType(), False)])
+        return sch
 
     def streamReader(self, schema: StructType) -> ManifestStreamReader:
         return ManifestStreamReader(schema, self.options)
+
+
+def read_stream_changes(spark, path: str, starting_version: int = 0):
+    """Streaming ROW-LEVEL change feed over a manifest table (Delta's
+    ``readChangeFeed``): each committed version after
+    ``starting_version`` arrives as its exact change rows, tagged
+    ``_change_type`` ('insert'/'delete'; an update is its delete+insert
+    pair) and ``_commit_version``. Every version in the stream's range
+    must carry a change record (``create_table(cdf=True)`` /
+    ``enable_cdf``); appends deliver their added files as insert
+    slices, merge/delete versions their commit-time ``_changes/``
+    records — cost is O(changed rows) per batch, the property that
+    makes CDC consumable downstream at 100 TB. Exactly-once across
+    checkpointed restarts: offsets are versions and a version's change
+    set is a pure function of immutable manifests."""
+    spark.dataSource.register(ManifestTableDataSource)
+    return (spark.readStream.format("silvia_manifest")
+            .option("path", path)
+            .option("startingVersion", str(starting_version))
+            .option("changeFeed", "true").load())
 
 
 def read_stream_table(spark, path: str, starting_version: int = 0,

@@ -852,3 +852,99 @@ def stream_manifest_admission(spark: SparkSession,
                  F.sum("event_id").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))
+
+
+# --- L25: streaming row-level change feed (CDC source) ------------------------
+
+def _l25_oracle() -> str:
+    from silvia_spark.functions.numeric import sql_dsum
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+  FROM orders
+),
+a AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         o_totalprice + 1.0 AS o_totalprice,
+         o_orderpriority, o_orderstatus
+  FROM base WHERE o_orderkey % 7 = 0
+),
+s2 AS (SELECT * FROM base UNION ALL SELECT * FROM a),
+d3 AS (SELECT * FROM s2 WHERE o_orderkey % 101 = 7),
+s3 AS (SELECT * FROM s2 WHERE o_orderkey % 101 <> 7),
+u AS (SELECT * FROM s3 WHERE o_orderkey % 103 = 11),
+feed AS (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type, * FROM base
+  UNION ALL SELECT 2, 'insert', * FROM a
+  UNION ALL SELECT 3, 'delete', * FROM d3
+  UNION ALL SELECT 4, 'delete', * FROM u
+  UNION ALL SELECT 4, 'insert', o_orderkey, o_totalprice + 1000.0,
+                     o_orderpriority, o_orderstatus FROM u
+)
+SELECT _commit_version, _change_type, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_dsum("o_totalprice", "price_sum")}
+FROM feed GROUP BY _commit_version, _change_type
+ORDER BY _commit_version, _change_type
+"""
+
+
+@contract("stream_changes_cdf", oracle=_l25_oracle())
+def stream_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROW-LEVEL change feed (Delta's ``readChangeFeed`` on
+    the manifest layer — L23's batch shape as a CDC SOURCE): the table
+    is created with CDF on, then appended (v2), DV-deleted (v3), and
+    merge-updated (v4); the stream delivers each version's EXACT change
+    rows tagged (_change_type, _commit_version) — inserts from the
+    version diff, deletes/updates from the commit-time ``_changes/``
+    records, an update as its delete+insert pair. The hash proves the
+    per-version history equals the relational replay, including the
+    old-value images of deleted and pre-update rows. Write cost is
+    O(changed rows) at each commit, read cost O(changed rows) per
+    batch — no per-consumer table diff, which is what makes CDC
+    consumable at 100 TB. tests/test_manifest_cdf.py additionally pins
+    checkpointed exactly-once resumption and the vacuum interaction."""
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.io import load_table
+    from silvia_spark.operators.manifest_table import (commit_append,
+                                                       commit_delete,
+                                                       commit_merge,
+                                                       create_table,
+                                                       read_snapshot)
+    from silvia_spark.sources.manifest_stream import read_stream_changes
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mcdf_"), "tbl")
+    create_table(od, root, "o_orderstatus", cdf=True)
+    commit_append(
+        spark, root,
+        od.where(F.col("o_orderkey") % 7 == 0)
+        .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                "o_orderpriority", "o_orderstatus"),
+        "o_orderstatus")
+    commit_delete(
+        spark, root,
+        read_snapshot(spark, root)
+        .where(F.col("o_orderkey") % 101 == 7)
+        .select("o_orderkey", "o_orderstatus").distinct(),
+        ["o_orderkey", "o_orderstatus"], "o_orderstatus")
+    commit_merge(
+        spark, root,
+        read_snapshot(spark, root)
+        .where(F.col("o_orderkey") % 103 == 11)
+        .select("o_orderkey",
+                (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                "o_orderpriority", "o_orderstatus",
+                F.lit("U").alias("op")),
+        ["o_orderkey", "o_orderstatus"], "o_orderstatus")
+
+    feed = read_stream_changes(spark, root)
+    out = _run_to_memory(feed, spark)
+    return (out.groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("_commit_version", "_change_type"))
