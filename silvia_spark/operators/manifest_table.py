@@ -863,6 +863,14 @@ def _anti_dv(scan: DataFrame, dv: DataFrame) -> DataFrame:
         "left_anti").drop("__rel", "__idx")
 
 
+def _entry_spec(e: dict) -> str:
+    """The (physical) partition column an entry's file was written
+    under — self-describing from the Hive-style path
+    (``col=value/file.parquet``), so partition-spec evolution needs no
+    per-entry bookkeeping."""
+    return e["path"].split("=", 1)[0]
+
+
 def _read_entries(spark: SparkSession, root: str, m: dict,
                   entries: list[dict]) -> DataFrame:
     """Snapshot-semantics read of a specific entry list: files carrying
@@ -871,17 +879,24 @@ def _read_entries(spark: SparkSession, root: str, m: dict,
     that resolves entries — read_snapshot, read_changes, and the
     REWRITE scans inside merge/compaction (a rewrite that read raw
     would resurrect deleted rows into the new files) — goes through
-    here."""
-    clean = [e for e in entries if not e.get("dv")]
-    dvd = [e for e in entries if e.get("dv")]
+    here. Entries are additionally grouped by PARTITION SPEC (the dir
+    column their path encodes): after set_partition_column, old-spec
+    files recover their old column from the directory name while the
+    new column reads as file data, and vice versa — each group is one
+    plain parquet scan, the union is by name."""
     parts = []
-    if clean:
-        parts.append(_reader(spark, root, m).parquet(
-            *[os.path.join(root, e["path"]) for e in clean]))
-    if dvd:
-        scan = _with_pos(_reader(spark, root, m).parquet(
-            *[os.path.join(root, e["path"]) for e in dvd]))
-        parts.append(_anti_dv(scan, _dv_frame(spark, root, dvd)))
+    for pred in (lambda e: not e.get("dv"), lambda e: e.get("dv")):
+        by_spec: dict[str, list[dict]] = {}
+        for e in entries:
+            if pred(e):
+                by_spec.setdefault(_entry_spec(e), []).append(e)
+        for es in by_spec.values():
+            scan = _reader(spark, root, m).parquet(
+                *[os.path.join(root, e["path"]) for e in es])
+            if es[0].get("dv"):
+                scan = _anti_dv(_with_pos(scan),
+                                _dv_frame(spark, root, es))
+            parts.append(scan)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -1045,20 +1060,26 @@ def _seg_overlaps(desc: dict, prune: dict[str, tuple]) -> bool:
     return True
 
 
-def _split_segments(root: str, doc: dict,
-                    touched: set[str]) -> tuple[list[dict], list[dict]]:
+def _split_segments(root: str, doc: dict, touched: set[str],
+                    cur_pcol: str | None = None
+                    ) -> tuple[list[dict], list[dict]]:
     """(carried segment descriptors, resolved entries of the rest).
     A segment is carried by reference iff its partition set is disjoint
     from ``touched`` — the rewrite-only-what-changed primitive shared by
     merge and compaction. v1 docs (inline ``files``) have nothing to
     carry: everything resolves, and the commit's rewrite migrates the
-    table to the segmented format."""
+    table to the segmented format. With ``cur_pcol`` set (compaction),
+    segments stamped with an OLDER partition spec always resolve —
+    their partition values live in a different domain than ``touched``,
+    and compaction is the op that migrates them."""
     if "files" in doc:
         return [], doc["files"]
     carried: list[dict] = []
     resolved: list[dict] = []
     for s in doc.get("segments", ()):
-        if touched & set(s["partitions"]):
+        old_spec = (cur_pcol is not None
+                    and s.get("pcol", cur_pcol) != cur_pcol)
+        if old_spec or touched & set(s["partitions"]):
             resolved.extend(_read_segment(root, s["path"]))
         else:
             carried.append(s)
@@ -1190,6 +1211,12 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             "duplicates in the committed snapshot")
     root = _norm(path)
     doc = _load_doc(root)
+    if _mixed_specs(doc):
+        raise ValueError(
+            "table holds files under multiple partition specs (a "
+            "set_partition_column not yet migrated): partition-value "
+            "pruning would compare values from two domains — run "
+            "commit_compaction to migrate, then merge")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     # Key columns the per-file min/max index covers: used below to
@@ -1424,6 +1451,11 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             "rows in partitions the commit never re-points")
     root = _norm(path)
     doc = _load_doc(root)
+    if _mixed_specs(doc):
+        raise ValueError(
+            "table holds files under multiple partition specs (a "
+            "set_partition_column not yet migrated): run "
+            "commit_compaction to migrate, then delete")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     aggs = [a for k in key_cols
@@ -1679,6 +1711,73 @@ def drop_column(path: str, name: str) -> int:
     return _commit_metadata(root, mutate)
 
 
+def set_partition_column(path: str, new_col: str) -> int:
+    """Evolve the partition spec (Iceberg's partition evolution,
+    reduced to its load-bearing core): a METADATA-ONLY commit — zero
+    files rewritten — after which new data partitions (and
+    partition-prunes) by ``new_col`` while existing files keep their
+    old layout and stay fully readable (the old column recovers from
+    their directory names; the new column was always in their file
+    data). Reads are correct immediately; per-file stats pruning works
+    across both generations. ``commit_compaction`` is the MIGRATION
+    tool: it rewrites every old-spec file under the current spec (and
+    merge/delete REFUSE while mixed specs exist — their
+    partition-value pruning would compare values from two different
+    domains; compact first). The refusal is loud and the migration
+    explicit, never a silent full-table rewrite hidden inside an
+    unrelated merge."""
+    root = _norm(path)
+
+    def mutate(nd: dict) -> None:
+        from pyspark.sql.types import StructType
+
+        sj = nd.get("schema")
+        if not sj:
+            raise ValueError(
+                "set_partition_column needs a recorded schema "
+                "(pre-r09 v1-format table): commit once to migrate")
+        old = nd.get("part_col")
+        if new_col == old:
+            raise ValueError(f"{new_col!r} is already the partition "
+                             "column")
+        sch = StructType.fromJson(json.loads(sj))
+        field = {f.name: f for f in sch.fields}.get(new_col)
+        if field is None:
+            raise ValueError(
+                f"no column {new_col!r} in "
+                f"{sorted(f.name for f in sch.fields)}")
+        t = field.dataType.simpleString()
+        if any(t.startswith(k) for k in ("array", "map", "struct")):
+            raise ValueError(f"cannot partition by {t} column "
+                             f"{new_col!r}")
+        if _phys_name(nd.get("col_map"), new_col) != new_col:
+            raise ValueError(
+                f"{new_col!r} was added under column mapping (physical "
+                f"name {_phys_name(nd['col_map'], new_col)!r}): "
+                "directory layouts key on the physical name, which "
+                "must match the logical one — add the column under its "
+                "final name before partitioning by it")
+        # stamp every existing segment with the spec it was written
+        # under, so carry-by-reference decisions never need to read an
+        # entry list to learn its domain
+        for s in nd.get("segments", ()):
+            s.setdefault("pcol", old)
+        nd["part_col"] = new_col
+
+    return _commit_metadata(root, mutate)
+
+
+def _mixed_specs(doc: dict) -> bool:
+    """Whether the snapshot holds files under more than one partition
+    spec — O(segments) via the evolution-time stamps (inline v1-format
+    docs check entry paths directly)."""
+    cur = doc.get("part_col")
+    if "segments" in doc:
+        return any(s.get("pcol", cur) != cur
+                   for s in doc["segments"])
+    return any(_entry_spec(e) != cur for e in doc.get("files", ()))
+
+
 def _constraint_refs(expr: str, col: str) -> bool:
     """Whether a CHECK expression references a column name (word-
     boundary match — conservative: a quoted string literal containing
@@ -1841,6 +1940,12 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             # flipped the pointer — microseconds away; wait it out
             time.sleep(0.01)
             continue
+        if doc.get("part_col") and part_col != doc["part_col"]:
+            raise ValueError(
+                f"append partitioned by {part_col!r} but the table's "
+                f"current spec is {doc['part_col']!r}: pass the "
+                "current partition column (set_partition_column is "
+                "how the spec evolves)")
         txns = dict(doc.get("txn", {}))
         if txn is not None:
             app, batch_id = txn
@@ -2181,22 +2286,37 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     file counts); untouched segments still carry by reference."""
     root = _norm(path)
     m = _load_doc(root)
+    cur_pcol = m.get("part_col", part_col)
+    if part_col != cur_pcol:
+        raise ValueError(
+            f"compaction under {part_col!r} but the table's current "
+            f"spec is {cur_pcol!r}: pass the current partition column")
     commit_id = uuid.uuid4().hex
     by_part: dict[str, list[dict]] = {}
+    migrate: list[dict] = []
     for e in _resolve(root, m):
-        by_part.setdefault(e["partition"], []).append(e)
+        if _entry_spec(e) != cur_pcol:
+            # partition-spec MIGRATION: every file still laid out under
+            # an older spec rewrites under the current one — compaction
+            # is the explicit migration op set_partition_column names
+            migrate.append(e)
+        else:
+            by_part.setdefault(e["partition"], []).append(e)
     # a partition holding any delete vector is compacted even at the
     # file-count target: compaction is where merge-on-read tombstones
     # RECONCILE into clean files (the rewritten files carry no dv; the
     # dv sidecars become unreferenced and vacuum retires them)
     todo = {p: es for p, es in by_part.items()
             if len(es) > target_files or any(e.get("dv") for e in es)}
-    if not todo:
+    if not todo and not migrate:
         return m["version"]
-    carried, resolved = _split_segments(root, m, set(todo))
-    rehome = [e for e in resolved if e["partition"] not in todo]
+    carried, resolved = _split_segments(root, m, set(todo),
+                                        cur_pcol=cur_pcol)
+    rehome = [e for e in resolved
+              if _entry_spec(e) == cur_pcol and e["partition"] not in todo]
     cur = _read_entries(spark, root, m,
-                        [e for es in todo.values() for e in es])
+                        [e for es in todo.values() for e in es]
+                        + migrate)
     # One task per partition value (hash repartition; parallelism = the
     # number of rewritten partitions, the natural compaction unit). For
     # target_files > 1 the split happens at the WRITER via
@@ -3431,3 +3551,78 @@ def sink_append_constrained(spark: SparkSession,
                  F.sum("o_orderkey").cast("bigint").alias("key_sum"),
                  dsum("o_totalprice", "price_sum"))
             .orderBy("o_orderstatus"))
+
+
+# --- contract: partition-spec evolution (L26) ---------------------------------
+
+_EVOLVED_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders
+),
+appended AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         o_totalprice + 2.0 AS o_totalprice,
+         o_orderstatus, o_orderpriority
+  FROM base WHERE o_orderkey % 5 = 0
+),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT o_orderpriority, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM v GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@contract("scan_partition_evolved", oracle=_EVOLVED_ORACLE)
+def scan_partition_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg's partition evolution, L26):
+    the orders table is created partitioned by o_orderstatus, evolved
+    to o_orderpriority via a METADATA-ONLY commit (asserted
+    path-identical in-contract — at 100 TB this is the difference
+    between a catalog update and rewriting the table), then appended
+    under the NEW spec. The hash proves the mixed-generation read:
+    old files recover o_orderstatus from their directory names while
+    o_orderpriority reads as file data, new files the reverse — each
+    generation is one plain parquet scan, grouped by the spec its
+    paths encode. Merge/delete refuse while specs are mixed (loud,
+    never a cross-domain prune) and commit_compaction is the explicit
+    migration — pinned in tests/test_partition_evolution.py along
+    with streaming reads across specs."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mpev_"), "tbl")
+    create_table(od, root, "o_orderstatus", stats_cols=["o_orderkey"])
+    before = {e["path"] for e in load_manifest(root)["files"]}
+    set_partition_column(root, "o_orderpriority")
+    after = {e["path"] for e in load_manifest(root)["files"]}
+    assert before == after, (
+        "set_partition_column moved data — evolution must be "
+        "metadata-only")
+
+    commit_append(
+        spark, root,
+        od.where(F.col("o_orderkey") % 5 == 0)
+        .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
+                "o_orderstatus", "o_orderpriority"),
+        "o_orderpriority")
+    fresh = [e["path"] for e in load_manifest(root)["files"]
+             if e["path"] not in before]
+    assert fresh and all(p.startswith("o_orderpriority=")
+                         for p in fresh), (
+        f"post-evolution append did not land under the new spec: "
+        f"{fresh[:3]}")
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderpriority"))

@@ -135,6 +135,10 @@ class _FileSlice(InputPartition):
         self.ver: int | None = None
         self.ctype: str | None = None
         self.is_cdf = False
+        # partition-spec evolution: the (physical) column this file's
+        # DIRECTORY encodes — part_value fills THAT column; any other
+        # spec's column reads as plain file data
+        self.pcol: str | None = None
 
 
 def _slice(root: str, e: dict) -> _FileSlice:
@@ -143,11 +147,13 @@ def _slice(root: str, e: dict) -> _FileSlice:
     so a replayed batch re-applies the identical tombstone set)."""
     from silvia_spark.operators.manifest_table import _DELETES
 
-    return _FileSlice(
+    s = _FileSlice(
         os.path.join(root, e["path"]), e["partition"],
         (os.path.join(root, _DELETES, e["dv"]) if e.get("dv")
          else None),
         e["path"])
+    s.pcol = e["path"].split("=", 1)[0]
+    return s
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -718,11 +724,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         present = set(pf.schema_arrow.names)
         # column mapping: files contain PHYSICAL names; fetch by the
         # reader field's physical name and emit under the logical one
+        # the column this file's DIRECTORY encodes (None for _changes/
+        # records, which carry everything as data): under partition-
+        # spec evolution an old-spec file's dir column differs from the
+        # table's current one — part_value fills the DIR column, and
+        # the current partition column reads as plain file data
+        dircol = None if partition.is_cdf else (
+            partition.pcol
+            or (self.phys_of.get(self.part_col) if self.part_col
+                else None))
         data_cols = [self.phys_of[f.name] for f in self.schema.fields
                      if self.phys_of[f.name] in present
-                     and (f.name != self.part_col or partition.is_cdf)]
-        #             a _changes/ record file carries the partition
-        #             column (and _change_type) as DATA — read them
+                     and self.phys_of[f.name] != dircol]
         # merge-on-read: materialize this file's tombstoned positions
         # from its delete-vector sidecar (small by the write-side
         # crossover) and mask them out batch-by-batch below — a
@@ -760,7 +773,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                       and not partition.is_cdf):
                     col = pa.array([partition.ctype or "insert"] * n,
                                    type=at)
-                elif f.name == self.part_col and not partition.is_cdf:
+                elif dircol is not None and self.phys_of[f.name] == dircol:
                     pv = _cast_partition(partition.part_value, f)
                     col = (pa.nulls(n, type=at) if pv is None
                            else pa.array([pv] * n, type=at))
