@@ -76,19 +76,25 @@ from silvia_spark.operators.scale_patterns import (
 from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
-from silvia_spark.sources.manifest_stream import read_stream_table
+from silvia_spark.sources.manifest_stream import (read_stream_changes,
+                                                  read_stream_table)
 from silvia_spark.operators.manifest_table import (
+    add_check_constraint,
     commit_append,
     commit_compaction,
     commit_delete,
     commit_merge,
     create_table,
+    drop_check_constraint,
     drop_column,
+    enable_cdf,
     prune_entries,
+    read_change_feed,
     read_changes,
     read_snapshot,
     register_snapshot_view,
     rename_column,
+    set_partition_column,
     vacuum,
 )
 
@@ -142,7 +148,9 @@ __all__ = [
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
     "commit_append", "commit_delete", "read_changes", "prune_entries",
-    "vacuum", "rename_column", "drop_column",
+    "vacuum", "rename_column", "drop_column", "set_partition_column",
+    "add_check_constraint", "drop_check_constraint",
+    "enable_cdf", "read_change_feed", "read_stream_changes",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
