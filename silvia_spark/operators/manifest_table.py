@@ -300,9 +300,19 @@ def _make_doc(version: int, parent: int | None,
               txns: dict[str, int] | None = None,
               commit_id: str | None = None,
               schema: str | None = None,
-              stats_cols: list[str] | None = None) -> dict:
+              stats_cols: list[str] | None = None,
+              op: str | None = None) -> dict:
     doc: dict = {"version": version, "parent": parent,
-                 "segments": segments}
+                 "segments": segments,
+                 # commit wall time + operation kind: what
+                 # table_history lists and timestamp time travel
+                 # resolves against (Delta's DESCRIBE HISTORY /
+                 # TIMESTAMP AS OF surface). A rebased claim refreshes
+                 # its ts — the recorded time is when the commit WON,
+                 # which is the time a reader's as-of query means.
+                 "ts": round(time.time(), 6)}
+    if op:
+        doc["op"] = op
     if commit_id:
         # the committer's identity for the post-flip _claim_survived
         # check — O(1), no entry-list resolution at the flip
@@ -784,7 +794,8 @@ def create_table(df: DataFrame, path: str, part_col: str,
     commit_id = uuid.uuid4().hex
     segs = [_write_segment(root, entries)] if entries else []
     doc = _make_doc(1, None, segs, commit_id=commit_id,
-                    schema=df.schema.json(), stats_cols=stats_cols)
+                    schema=df.schema.json(), stats_cols=stats_cols,
+                    op="create")
     doc["part_col"] = part_col
     if cdf:
         doc["cdf_enabled"] = True
@@ -1137,6 +1148,129 @@ def _diff_entries(root: str, m_since: dict, m_to: dict) -> list[dict]:
                     if e["path"] not in old]
 
 
+def _doc_ts(root: str, doc: dict) -> float:
+    """Commit wall time: recorded in the doc (r11+); older manifests
+    fall back to the manifest file's mtime (preserved by copy2-style
+    fixture copies; good enough for history listings of pre-ts
+    tables)."""
+    ts = doc.get("ts")
+    if ts is not None:
+        return float(ts)
+    return FS.mtime(_manifest_path(root, doc["version"]))
+
+
+def table_history(path: str, limit: int | None = None) -> list[dict]:
+    """The table's commit log, newest first (Delta's DESCRIBE
+    HISTORY): one row per RETAINED snapshot with version, commit
+    timestamp, operation kind, and parent. O(retained versions)
+    manifest-doc reads — entry lists are never resolved. Versions
+    retired by vacuum no longer appear (their manifests are gone);
+    the current snapshot is always present."""
+    root = _norm(path)
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    out: list[dict] = []
+    v = cur
+    while v >= 1 and (limit is None or len(out) < limit):
+        try:
+            doc = _load_doc(root, v)
+        except (FileNotFoundError, ValueError):
+            break  # vacuum-retired: history ends at the retention edge
+        out.append({"version": v, "ts": _doc_ts(root, doc),
+                    "op": doc.get("op", "unknown"),
+                    "parent": doc.get("parent")})
+        if doc.get("parent") is None:
+            break
+        v = doc["parent"]
+    return out
+
+
+def version_at(path: str, ts: float) -> int:
+    """The snapshot version a reader at wall time ``ts`` would have
+    seen — the NEWEST retained version whose commit time is <= ts
+    (Delta's TIMESTAMP AS OF resolution). Raises when ts predates the
+    oldest retained commit (time travel cannot cross the vacuum
+    horizon) or the first commit."""
+    hist = table_history(path)  # newest first
+    for h in hist:
+        if h["ts"] <= ts:
+            return h["version"]
+    raise ValueError(
+        f"no retained snapshot at or before ts={ts}: the oldest "
+        f"retained commit is v{hist[-1]['version']} at "
+        f"{hist[-1]['ts']} (vacuumed past it, or ts predates the "
+        "table)")
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to an earlier retained snapshot as a NEW
+    commit (Delta's RESTORE TABLE ... VERSION AS OF): the new manifest
+    carries the target version's segments BY REFERENCE — zero data
+    movement, O(segments) metadata — and restores the target's schema,
+    column mapping, partition spec, and constraints. History is
+    preserved (the undone versions remain time-travelable until
+    vacuumed); the streaming txn ledger is KEPT from the current
+    snapshot so replayed exactly-once batches stay no-ops after a
+    restore. On a CDF-enabled table the restore records its row-level
+    diff (current → target, O(changed files)) so the change feed and
+    CDC streams see the restore as the delete+insert set it is.
+    Single-writer semantics like merge: a lost race raises."""
+    root = _norm(path)
+    doc = _load_doc(root)
+    tgt = _load_doc(root, version)
+    if tgt["version"] == doc["version"]:
+        return doc["version"]  # restoring to HEAD: no-op
+    commit_id = uuid.uuid4().hex
+    if "files" in tgt:
+        segs = ([_write_segment(root, tgt["files"], reused=True)]
+                if tgt["files"] else [])
+    else:
+        segs = list(tgt.get("segments", ()))
+    newv = doc["version"] + 1
+    nd = _make_doc(newv, doc["version"], segs, txns=doc.get("txn"),
+                   commit_id=commit_id, schema=tgt.get("schema"),
+                   stats_cols=tgt.get("stats_cols"), op="restore")
+    _carry_table_meta(nd, tgt)  # the target's spec/mapping/constraints
+    if doc.get("cdf_enabled"):
+        nd["cdf_enabled"] = True  # enablement never rolls back
+        cur_e = {e["path"]: e for e in _resolve(root, doc)}
+        tgt_e = {e["path"]: e for e in _resolve(root, tgt)}
+        old_side = [e for p, e in cur_e.items() if p not in tgt_e]
+        new_side = [e for p, e in tgt_e.items() if p not in cur_e]
+        # same path, different delete vector: tombstones shrink back —
+        # both sides read with their OWN vectors and the diff cancels
+        # the shared live rows
+        for p in set(cur_e) & set(tgt_e):
+            if cur_e[p].get("dv") != tgt_e[p].get("dv"):
+                old_side.append(cur_e[p])
+                new_side.append(tgt_e[p])
+        cdf_files: list[str] = []
+        if old_side or new_side:
+            cols = [f.name for f in _cdf_fields(tgt)]
+            old_rows = (_read_entries(spark, root, tgt, old_side)
+                        .select(*cols) if old_side
+                        else _empty_like(spark, root, tgt).select(*cols))
+            new_rows = (_read_entries(spark, root, tgt, new_side)
+                        .select(*cols) if new_side
+                        else _empty_like(spark, root, tgt).select(*cols))
+            cdf_df = (new_rows.exceptAll(old_rows)
+                      .withColumn("_change_type", F.lit("insert"))
+                      .unionByName(
+                          old_rows.exceptAll(new_rows)
+                          .withColumn("_change_type", F.lit("delete"))))
+            cdf_files = _write_change_files(
+                spark, root, _to_physical(cdf_df, tgt))
+        nd["cdf"] = {"mode": "files", "files": cdf_files}
+    _write_doc(root, newv, nd)
+    if not (_flip_current(root, newv, commit_id=commit_id)
+            or _claim_survived(root, newv, commit_id=commit_id)):
+        raise RuntimeError(
+            f"restore lost v{newv} to a concurrent commit after its "
+            "claim — the table advanced without it; re-run")
+    return newv
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None,
                   prune: dict[str, tuple] | None = None) -> DataFrame:
@@ -1329,7 +1463,7 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
-                       stats_cols=stats_cols)
+                       stats_cols=stats_cols, op="merge")
     _carry_table_meta(newdoc, doc)
     newdoc.setdefault("part_col", part_col)
     if doc.get("cdf_enabled"):
@@ -1412,6 +1546,7 @@ def enable_cdf(path: str) -> int:
 
     def mutate(nd: dict) -> None:
         nd["cdf_enabled"] = True
+        nd["op"] = "enable_cdf"
 
     return _commit_metadata(root, mutate)
 
@@ -1572,7 +1707,8 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
     segs = _coalesce_segments(root, segs)
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
-                       schema=doc.get("schema"), stats_cols=stats_cols)
+                       schema=doc.get("schema"), stats_cols=stats_cols,
+                       op="delete")
     _carry_table_meta(newdoc, doc)
     newdoc.setdefault("part_col", part_col)
     if doc.get("cdf_enabled"):
@@ -1608,7 +1744,8 @@ def _commit_metadata(root: str, mutate) -> int:
     newdoc = _make_doc(version, doc["version"], segs,
                        txns=doc.get("txn"), commit_id=commit_id,
                        schema=doc.get("schema"),
-                       stats_cols=doc.get("stats_cols"))
+                       stats_cols=doc.get("stats_cols"),
+                       op="metadata")
     _carry_table_meta(newdoc, doc)
     mutate(newdoc)
     if newdoc.get("cdf_enabled"):
@@ -1661,6 +1798,7 @@ def rename_column(path: str, old: str, new: str) -> int:
               "retired": list(cm["retired"]), "next": cm["next"]}
         cm["ids"][new] = cm["ids"].pop(old)
         nd["col_map"] = cm
+        nd["op"] = "rename_column"
         nd["schema"] = StructType(
             [StructField(new if f.name == old else f.name, f.dataType,
                          f.nullable, f.metadata)
@@ -1705,6 +1843,7 @@ def drop_column(path: str, name: str) -> int:
         i = cm["ids"].pop(name)
         cm["retired"].append(cm["phys"].pop(str(i)))
         nd["col_map"] = cm
+        nd["op"] = "drop_column"
         nd["schema"] = StructType(
             [f for f in sch.fields if f.name != name]).json()
 
@@ -1763,6 +1902,7 @@ def set_partition_column(path: str, new_col: str) -> int:
         for s in nd.get("segments", ()):
             s.setdefault("pcol", old)
         nd["part_col"] = new_col
+        nd["op"] = "set_partition_spec"
 
     return _commit_metadata(root, mutate)
 
@@ -1818,6 +1958,7 @@ def add_check_constraint(spark: SparkSession, path: str, name: str,
                 f"constraint {name!r} already exists: {cons[name]}")
         cons[name] = expr
         nd["constraints"] = cons
+        nd["op"] = "add_constraint"
 
     return _commit_metadata(root, mutate)
 
@@ -1837,6 +1978,7 @@ def drop_check_constraint(path: str, name: str) -> int:
         nd["constraints"] = cons or None
         if nd["constraints"] is None:
             del nd["constraints"]
+        nd["op"] = "drop_constraint"
 
     return _commit_metadata(root, mutate)
 
@@ -1897,7 +2039,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             doc1 = _make_doc(1, None,
                              [staged_seg] if staged_seg else [],
                              txns=txns0, commit_id=commit_id,
-                             schema=batch.schema.json())
+                             schema=batch.schema.json(), op="create")
             doc1["part_col"] = part_col
             try:
                 _write_doc(root, 1, doc1, occ=True)
@@ -2031,7 +2173,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
         version = doc["version"] + 1
         newdoc = _make_doc(version, doc["version"], segments, txns=txns,
                            commit_id=commit_id, schema=schema_json,
-                           stats_cols=stats_cols)
+                           stats_cols=stats_cols, op="append")
         _carry_table_meta(newdoc, doc)
         if cm_new is not None:
             newdoc["col_map"] = cm_new  # batch-registered ids override
@@ -2343,7 +2485,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     version = m["version"] + 1
     newdoc = _make_doc(version, m["version"], segs, txns=m.get("txn"),
                        commit_id=commit_id, schema=m.get("schema"),
-                       stats_cols=stats_cols)
+                       stats_cols=stats_cols, op="compaction")
     _carry_table_meta(newdoc, m)
     newdoc.setdefault("part_col", part_col)
     if m.get("cdf_enabled"):
@@ -3626,3 +3768,133 @@ def scan_partition_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("o_orderkey").cast("bigint").alias("key_sum"),
                  dsum("o_totalprice", "price_sum"))
             .orderBy("o_orderpriority"))
+
+
+# --- contract: commit history + timestamp time travel (L27) -------------------
+
+_TT_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+appended AS (
+  SELECT l_orderkey + 20000000 AS l_orderkey, l_linenumber,
+         l_returnflag, l_quantity + 1 AS l_quantity, l_extendedprice
+  FROM base WHERE l_orderkey % 13 = 0
+),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+FROM v2 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@contract("scan_time_travel_ts", oracle=_TT_ORACLE)
+def scan_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit history + TIMESTAMP AS OF (Delta's DESCRIBE HISTORY /
+    timestamp time travel): every commit records its wall time and
+    operation kind in the manifest doc; ``table_history`` lists the
+    retained log newest-first (O(versions) doc reads, never an entry
+    resolution) and ``version_at(ts)`` resolves a wall time to the
+    newest version committed at or before it. Here the table takes a
+    create → append → merge history; the read resolves the APPEND
+    commit's own recorded timestamp — the hash proves it reconstructs
+    exactly the v2 state, with the merge invisible. In-body asserts pin
+    the op log and that version_at(now) is the head."""
+    import tempfile
+    import time as _t
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mtt_"), "tbl")
+    create_table(li, root, "l_returnflag")
+    commit_append(
+        spark, root,
+        li.where(F.col("l_orderkey") % 13 == 0)
+        .select((F.col("l_orderkey") + 20000000).alias("l_orderkey"),
+                "l_linenumber", "l_returnflag",
+                (F.col("l_quantity") + 1).alias("l_quantity"),
+                "l_extendedprice"),
+        "l_returnflag")
+    commit_merge(
+        spark, root,
+        li.where(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                (F.col("l_quantity") + 500).alias("l_quantity"),
+                "l_extendedprice", F.lit("U").alias("op")),
+        ["l_orderkey", "l_linenumber", "l_returnflag"], "l_returnflag")
+
+    hist = table_history(root)
+    assert [h["op"] for h in hist] == ["merge", "append", "create"], (
+        f"history ops drifted: {[h['op'] for h in hist]}")
+    assert version_at(root, _t.time()) == 3
+    ts2 = next(h["ts"] for h in hist if h["version"] == 2)
+    v = version_at(root, ts2)
+    assert v == 2, f"version_at(ts of v2) resolved {v}"
+
+    return (read_snapshot(spark, root, version=v)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"))
+            .orderBy("l_returnflag"))
+
+
+# --- contract: RESTORE to an earlier version (L28) ----------------------------
+
+_RESTORE_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_restore_version", oracle=_RESTORE_ORACLE)
+def sink_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF (Delta's): after a DV delete
+    and an append, the table restores to v1 as a NEW commit that
+    carries v1's segments BY REFERENCE — zero data movement (asserted:
+    the restored file set is byte-identical to v1's), history
+    preserved (the undone versions stay time-travelable), and on this
+    CDF-enabled table the restore records its row-level diff so
+    downstream CDC consumers see the rollback as the delete+insert set
+    it is (pinned in tests/test_manifest_cdf.py). The hash proves the
+    restored read equals the original orders table exactly."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mres_"), "tbl")
+    create_table(od, root, "o_orderstatus", cdf=True)
+    v1_files = {e["path"] for e in load_manifest(root)["files"]}
+    commit_delete(
+        spark, root,
+        od.where(F.col("o_orderkey") % 11 == 3)
+        .select("o_orderkey", "o_orderstatus").distinct(),
+        ["o_orderkey", "o_orderstatus"], "o_orderstatus")
+    commit_append(
+        spark, root,
+        od.limit(50).select(
+            (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+            "o_totalprice", "o_orderstatus"),
+        "o_orderstatus")
+    v4 = restore_table(spark, root, 1)
+    assert v4 == 4 and current_version(root) == 4
+    restored = {e["path"] for e in load_manifest(root)["files"]}
+    assert restored == v1_files, (
+        "restore moved data — it must re-point, never rewrite")
+    assert [h["op"] for h in table_history(root)][0] == "restore"
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))

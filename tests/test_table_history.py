@@ -1,0 +1,120 @@
+"""Commit history, timestamp time travel, and RESTORE (L27/L28):
+op/ts recording, version_at resolution, retention truncation, restore
+metadata semantics (txn ledger kept, target's spec/mapping/constraints
+restored), and the restore × CDF diff."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from silvia_spark.operators.manifest_table import (
+    ConstraintViolation, add_check_constraint, commit_append,
+    commit_delete, create_table, current_version, load_manifest,
+    read_change_feed, read_snapshot, rename_column, restore_table,
+    table_history, vacuum, version_at)
+
+
+def _mk(spark, tmp_path, **kw):
+    root = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i))
+         for i in range(1, 11)])
+    create_table(df.select("k", "v", "part"), root, "part", **kw)
+    return root
+
+
+def test_history_records_ops_and_monotonic_ts(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    commit_append(spark, root,
+                  spark.createDataFrame([Row(k=20, v=1.0, part="a")]),
+                  "part")
+    add_check_constraint(spark, root, "v_pos", "v > 0")
+    commit_delete(spark, root,
+                  spark.createDataFrame([Row(k=4, part="b")]),
+                  ["k", "part"], "part")
+    hist = table_history(root)
+    assert [h["op"] for h in hist] == [
+        "delete", "add_constraint", "append", "create"]
+    ts = [h["ts"] for h in hist]
+    assert ts == sorted(ts, reverse=True) or len(set(ts)) < len(ts)
+    assert table_history(root, limit=2) == hist[:2]
+
+
+def test_version_at_resolution_and_edges(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    commit_append(spark, root,
+                  spark.createDataFrame([Row(k=20, v=1.0, part="a")]),
+                  "part")
+    hist = {h["version"]: h["ts"] for h in table_history(root)}
+    assert version_at(root, hist[1]) == 1
+    assert version_at(root, (hist[1] + hist[2]) / 2) in (1, 2)
+    assert version_at(root, time.time() + 10) == 2
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        version_at(root, hist[1] - 100)
+
+
+def test_history_truncates_at_vacuum_horizon(spark, tmp_path,
+                                             monkeypatch):
+    monkeypatch.setenv("SILVIA_READER_LEASE_TTL_SEC", "0.01")
+    root = _mk(spark, tmp_path)
+    for k in (20, 21, 22):
+        commit_append(spark, root,
+                      spark.createDataFrame([Row(k=k, v=1.0,
+                                                 part="a")]), "part")
+    vacuum(root, keep_versions=2)
+    hist = table_history(root)
+    assert [h["version"] for h in hist] == [4, 3]
+    with pytest.raises(ValueError, match="no retained"):
+        version_at(root, 0.0)
+
+
+def test_restore_keeps_txn_ledger_for_exactly_once(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    batch = spark.createDataFrame([Row(k=50, v=5.0, part="a")])
+    commit_append(spark, root, batch, "part", txn=("app", 7))
+    restore_table(spark, root, 1)
+    # the replayed exactly-once batch must STAY a no-op after restore
+    v = commit_append(spark, root, batch, "part", txn=("app", 7))
+    assert v == current_version(root)
+    assert read_snapshot(spark, root).where("k = 50").count() == 0
+
+
+def test_restore_reverts_rename_and_later_constraint(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    v1 = current_version(root)
+    rename_column(root, "k", "key")
+    add_check_constraint(spark, root, "v_pos", "v > 0")
+    restore_table(spark, root, v1)
+    snap = read_snapshot(spark, root)
+    assert "k" in snap.columns and "key" not in snap.columns
+    assert "constraints" not in load_manifest(root)
+    # the un-constrained restored table accepts what v_pos refused
+    commit_append(spark, root,
+                  spark.createDataFrame([Row(k=60, v=-1.0, part="a")]),
+                  "part")
+    assert read_snapshot(spark, root).where("k = 60").count() == 1
+
+
+def test_restore_noop_to_head_and_cdf_diff(spark, tmp_path):
+    root = _mk(spark, tmp_path, cdf=True)
+    assert restore_table(spark, root, 1) == 1  # no-op, no commit
+    commit_delete(spark, root,
+                  spark.createDataFrame([Row(k=3, part="a")]),
+                  ["k", "part"], "part")
+    commit_append(spark, root,
+                  spark.createDataFrame([Row(k=20, v=20.0, part="a")]),
+                  "part")
+    v_before = current_version(root)
+    restore_table(spark, root, 1)
+    feed = read_change_feed(spark, root, v_before)
+    got = sorted((r["_change_type"], r["k"]) for r in feed.collect())
+    assert got == [("delete", 20), ("insert", 3)]
+    # restored files survive the next vacuum (they are re-referenced)
+    vacuum(root, keep_versions=1)
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, root).collect()) == list(
+        range(1, 11))
