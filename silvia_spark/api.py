@@ -94,8 +94,11 @@ from silvia_spark.operators.manifest_table import (
     read_snapshot,
     register_snapshot_view,
     rename_column,
+    restore_table,
     set_partition_column,
+    table_history,
     vacuum,
+    version_at,
 )
 
 # Dedup / clustering -----------------------------------------------------------
@@ -151,6 +154,7 @@ __all__ = [
     "vacuum", "rename_column", "drop_column", "set_partition_column",
     "add_check_constraint", "drop_check_constraint",
     "enable_cdf", "read_change_feed", "read_stream_changes",
+    "table_history", "version_at", "restore_table",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",

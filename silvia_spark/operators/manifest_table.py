@@ -636,11 +636,12 @@ class ConstraintViolation(ValueError):
 
 
 # Table-level metadata every commit carries forward manifest-to-manifest
-# (Delta's table-properties discipline): partition spec, column mapping,
-# CHECK constraints, change-feed enablement. One helper so a new field
-# cannot be forgotten by one of the five commit paths.
+# (Delta's table-properties discipline): partition spec (+ hidden
+# transform), column mapping, CHECK constraints, change-feed
+# enablement. One helper so a new field cannot be forgotten by one of
+# the commit paths.
 _TABLE_META = ("part_col", "col_map", "constraints", "cdf_enabled",
-               "part_specs")
+               "part_transform")
 
 
 def _carry_table_meta(newdoc: dict, doc: dict) -> None:
@@ -777,7 +778,9 @@ def _evolve_schema(table_schema_json: str | None, batch_schema,
 
 def create_table(df: DataFrame, path: str, part_col: str,
                  stats_cols: list[str] | None = None,
-                 cdf: bool = False) -> int:
+                 cdf: bool = False,
+                 transform: str | None = None,
+                 transform_n: int | None = None) -> int:
     """Materialize ``df`` as snapshot v1 of a new manifest table.
     ``stats_cols`` establishes the per-file min/max index (footer-read at
     adopt time) that ``read_snapshot(..., prune=...)`` consults; later
@@ -785,18 +788,35 @@ def create_table(df: DataFrame, path: str, part_col: str,
     records the table schema (evolved additively by later appends) and
     the partition column. ``cdf=True`` enables the row-level change feed
     from v1 (the creation commit's rows are the feed's initial inserts);
-    an existing table enables it later via ``enable_cdf``."""
+    an existing table enables it later via ``enable_cdf``.
+
+    ``transform`` turns on HIDDEN partitioning (Iceberg's transforms):
+    the table partitions by ``days(part_col)`` / ``bucket(n, part_col)``
+    / ``truncate(n, part_col)`` — the derived value lives only in the
+    directory layout, never in the schema or any read, and source-column
+    prunes map through the transform to directory skipping. Commits keep
+    naming the SOURCE column as their part_col."""
     root = _norm(path)
     FS.makedirs(root)
     if current_version(root) is not None:
         raise FileExistsError(f"{root} is already a manifest table")
-    entries = _stage_write(df, root, part_col, stats_cols=stats_cols)
+    pt = None
+    staged_df, part_used = df, part_col
+    if transform:
+        pt = _make_transform(transform, part_col, transform_n,
+                             df.columns)
+        staged_df = df.withColumn(pt["col"], _transform_expr(pt))
+        part_used = pt["col"]
+    entries = _stage_write(staged_df, root, part_used,
+                           stats_cols=stats_cols)
     commit_id = uuid.uuid4().hex
     segs = [_write_segment(root, entries)] if entries else []
     doc = _make_doc(1, None, segs, commit_id=commit_id,
                     schema=df.schema.json(), stats_cols=stats_cols,
                     op="create")
-    doc["part_col"] = part_col
+    doc["part_col"] = part_used
+    if pt:
+        doc["part_transform"] = pt
     if cdf:
         doc["cdf_enabled"] = True
         doc["cdf"] = {"mode": "append"}
@@ -901,9 +921,21 @@ def _read_entries(spark: SparkSession, root: str, m: dict,
         for e in entries:
             if pred(e):
                 by_spec.setdefault(_entry_spec(e), []).append(e)
-        for es in by_spec.values():
+        sch = _read_schema(m)
+        cm = m.get("col_map")
+        phys_names = ({_phys_name(cm, f.name) for f in sch.fields}
+                      if sch is not None else None)
+        for spec, es in by_spec.items():
             scan = _reader(spark, root, m).parquet(
                 *[os.path.join(root, e["path"]) for e in es])
+            if (phys_names is not None and spec not in phys_names
+                    and spec in scan.columns):
+                # hidden partitioning: a dir column that is not a table
+                # column (a days/bucket/truncate derivation — current
+                # OR from a since-evolved spec) never surfaces; dropped
+                # per spec group, since a mixed-spec read recovers it
+                # in some groups only
+                scan = scan.drop(spec)
             if es[0].get("dv"):
                 scan = _anti_dv(_with_pos(scan),
                                 _dv_frame(spark, root, es))
@@ -1287,21 +1319,31 @@ def read_snapshot(spark: SparkSession, path: str,
     list it runs over."""
     root = _norm(path)
     m = _load_doc(root, version)
+    # hidden-transform partition pruning: a prune on the SOURCE column
+    # maps through the transform to directory skipping (monotone
+    # transforms map ranges, bucket maps equality) — evaluated on the
+    # manifest's partition values, before stats, before any listing
+    pvals = _transform_prune(m.get("part_transform"), prune)
     prune = _prune_physical(m, prune)  # the stats index keys on
     #                                    physical names under a mapping
-    if prune and "segments" in m:
+    if (prune or pvals) and "segments" in m:
         nonempty = any(s["count"] for s in m["segments"])
-        entries = [e for s in m["segments"] if _seg_overlaps(s, prune)
+        entries = [e for s in m["segments"]
+                   if _seg_overlaps(s, prune or {})
+                   and (pvals is None
+                        or any(pvals(p) for p in s["partitions"]))
                    for e in _read_segment(root, s["path"])]
     else:
         entries = _resolve(root, m)
         nonempty = bool(entries)
+    if pvals:
+        entries = [e for e in entries if pvals(e["partition"])]
     if prune:
         entries = prune_entries(entries, prune)
-        if not entries and nonempty:
-            # everything pruned: an empty frame with the snapshot
-            # schema — never a full-snapshot listing just for a schema
-            return _empty_like(spark, root, m)
+    if (prune or pvals) and not entries and nonempty:
+        # everything pruned: an empty frame with the snapshot
+        # schema — never a full-snapshot listing just for a schema
+        return _empty_like(spark, root, m)
     if not entries:
         raise ValueError(f"snapshot v{m['version']} is empty")
     return _read_entries(spark, root, m, entries)
@@ -1351,6 +1393,8 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
             "set_partition_column not yet migrated): partition-value "
             "pruning would compare values from two domains — run "
             "commit_compaction to migrate, then merge")
+    part_used = _part_arg(doc, part_col, "merge")
+    pt = doc.get("part_transform")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     # Key columns the per-file min/max index covers: used below to
@@ -1369,11 +1413,12 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     aggs = [a for k in key_cols
             for a in (F.min(k).alias(f"__lo_{k}"),
                       F.max(k).alias(f"__hi_{k}"))]
-    rng_rows = (changes.groupBy(
-        F.col(part_col).cast("string").alias("__p"))
-        .agg(*aggs) if aggs else
-        changes.select(F.col(part_col).cast("string").alias("__p"))
-        .distinct()).collect()
+    pexpr = (_transform_expr(pt) if pt
+             else F.col(part_col)).cast("string")
+    rng_rows = (changes.groupBy(pexpr.alias("__p"))
+                .agg(*aggs) if aggs else
+                changes.select(pexpr.alias("__p"))
+                .distinct()).collect()
     touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
                else r["__p"] for r in rng_rows}
     rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
@@ -1450,8 +1495,9 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                       .withColumn("_change_type", F.lit("delete"))))
         cdf_files = _write_change_files(
             spark, root, _to_physical(cdf_df, doc))
-    new_entries = _stage_write(_to_physical(merged, doc), root, part_col,
-                               stats_cols=stats_cols)
+    new_entries = _stage_write(
+        _derive_for_stage(_to_physical(merged, doc), doc), root,
+        part_used, stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
         segs.append(_write_segment(root, rehome, reused=True))
@@ -1465,7 +1511,7 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
                        schema=doc.get("schema"),
                        stats_cols=stats_cols, op="merge")
     _carry_table_meta(newdoc, doc)
-    newdoc.setdefault("part_col", part_col)
+    newdoc.setdefault("part_col", part_used)
     if doc.get("cdf_enabled"):
         newdoc["cdf"] = {"mode": "files", "files": cdf_files}
     _write_doc(root, version, newdoc,
@@ -1591,14 +1637,17 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             "table holds files under multiple partition specs (a "
             "set_partition_column not yet migrated): run "
             "commit_compaction to migrate, then delete")
+    part_used = _part_arg(doc, part_col, "delete")
+    pt = doc.get("part_transform")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     aggs = [a for k in key_cols
             for a in (F.min(k).alias(f"__lo_{k}"),
                       F.max(k).alias(f"__hi_{k}"))]
-    rng_rows = (keys.groupBy(
-        F.col(part_col).cast("string").alias("__p"))
-        .agg(*aggs)).collect()
+    pexpr = (_transform_expr(pt) if pt
+             else F.col(part_col)).cast("string")
+    rng_rows = (keys.groupBy(pexpr.alias("__p"))
+                .agg(*aggs)).collect()
     touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
                else r["__p"] for r in rng_rows}
     rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
@@ -1628,6 +1677,9 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         _with_pos(_reader(spark, root, doc).parquet(
             *[os.path.join(root, e["path"]) for e in cands])),
         doc, keep=("__rel", "__idx"))
+    if pt and pt["col"] in scan.columns:
+        scan = scan.drop(pt["col"])  # the hidden dir column never
+        #                              flows into tombstone/CDF records
     old_dv = _dv_frame(spark, root, cands)
     live = scan if old_dv is None else scan.join(
         F.broadcast(old_dv),
@@ -1693,8 +1745,9 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             kept = _read_entries(spark, root, doc, dense).join(
                 keys.select(*key_cols).distinct(), key_cols,
                 "left_anti")
-            new_entries = _stage_write(_to_physical(kept, doc), root,
-                                       part_col, stats_cols=stats_cols)
+            new_entries = _stage_write(
+                _derive_for_stage(_to_physical(kept, doc), doc), root,
+                part_used, stats_cols=stats_cols)
     finally:
         matched.unpersist()
 
@@ -1710,7 +1763,7 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
                        schema=doc.get("schema"), stats_cols=stats_cols,
                        op="delete")
     _carry_table_meta(newdoc, doc)
-    newdoc.setdefault("part_col", part_col)
+    newdoc.setdefault("part_col", part_used)
     if doc.get("cdf_enabled"):
         newdoc["cdf"] = {"mode": "files", "files": cdf_files}
     verify = [e["path"] for e in new_entries] + cdf_files
@@ -1850,21 +1903,158 @@ def drop_column(path: str, name: str) -> int:
     return _commit_metadata(root, mutate)
 
 
-def set_partition_column(path: str, new_col: str) -> int:
+# --- hidden partitioning (Iceberg's partition transforms) ---------------------
+# A table may partition by a TRANSFORM of a source column instead of the
+# column itself: days(ts) buckets a fact table by calendar day, bucket(N,
+# key) spreads a hot key space, truncate(W, s) groups by prefix. The
+# derived value exists ONLY in the directory layout (the manifest's
+# ``part_transform`` records {kind, source, col, n}): it never appears
+# in the table schema or any read — writers derive it at staging,
+# readers drop the recovered dir column, and ``read_snapshot``'s prune
+# on the SOURCE column maps through the transform to partition-value
+# file skipping (monotone transforms map ranges; bucket maps equality).
+# This is THE 100 TB time-series layout: queries predicate on the raw
+# timestamp and still skip to the right day directories.
+
+_MONOTONE_TRANSFORMS = ("days", "truncate")
+
+
+def _transform_expr(pt: dict, src: str | None = None):
+    """The derive expression, matching ``_transform_value`` exactly
+    (pytest-pinned): a partition value computed by Spark at staging
+    must equal the one Python computes for pruning bounds."""
+    c = F.col(src or pt["source"])
+    if pt["kind"] == "days":
+        return F.date_format(c, "yyyy-MM-dd")
+    if pt["kind"] == "bucket":
+        return F.pmod(F.crc32(c.cast("string")),
+                      F.lit(pt["n"])).cast("int").cast("string")
+    if pt["kind"] == "truncate":
+        return F.substring(c.cast("string"), 1, pt["n"])
+    raise ValueError(f"unknown partition transform {pt['kind']!r}")
+
+
+def _transform_value(pt: dict, v) -> str | None:
+    """Python-side twin of ``_transform_expr`` for pruning bounds;
+    None = cannot represent the bound (pruning abstains)."""
+    import datetime
+    import zlib
+
+    if v is None:
+        return None
+    if pt["kind"] == "days":
+        if isinstance(v, str):
+            return v[:10]
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.strftime("%Y-%m-%d")
+        return None
+    if pt["kind"] == "bucket":
+        if not isinstance(v, (int, str)):
+            return None  # float renderings drift between engines
+        return str(zlib.crc32(str(v).encode("utf-8")) % pt["n"])
+    if pt["kind"] == "truncate":
+        return str(v)[: pt["n"]]
+    return None
+
+
+def _transform_prune(pt: dict | None, prune: dict | None):
+    """Partition-value predicate for a prune spec touching the
+    transform's SOURCE column, or None. Monotone transforms (days,
+    truncate) map a source range to a derived range; bucket maps only
+    equality (lo == hi). The NULL partition never matches — a range
+    predicate excludes NULL rows anyway, and the caller's residual
+    filter stays in charge of row-level truth."""
+    if not pt or not prune or pt["source"] not in prune:
+        return None
+    lo, hi = prune[pt["source"]]
+    if pt["kind"] == "bucket":
+        if lo is None or lo != hi:
+            return None
+        b = _transform_value(pt, lo)
+        return (lambda p: p == b) if b is not None else None
+    dlo = _transform_value(pt, lo) if lo is not None else None
+    dhi = _transform_value(pt, hi) if hi is not None else None
+    if dlo is None and dhi is None:
+        return None
+
+    def pred(p: str) -> bool:
+        if p == "__HIVE_DEFAULT_PARTITION__":
+            return False
+        return ((dlo is None or p >= dlo)
+                and (dhi is None or p <= dhi))
+
+    return pred
+
+
+def _make_transform(kind: str, source: str, n: int | None,
+                    schema_names: list[str]) -> dict:
+    if kind not in ("days", "bucket", "truncate"):
+        raise ValueError(f"unknown partition transform {kind!r} "
+                         "(have: days, bucket, truncate)")
+    if kind in ("bucket", "truncate") and (n is None or n < 1):
+        raise ValueError(f"{kind} transform needs n >= 1")
+    if source not in schema_names:
+        raise ValueError(f"no column {source!r} in "
+                         f"{sorted(schema_names)}")
+    col = f"p_{kind}{n if kind != 'days' else ''}_{source}"
+    if col in schema_names:
+        raise ValueError(f"derived partition column {col!r} collides "
+                         "with a table column")
+    pt = {"kind": kind, "source": source, "col": col}
+    if n is not None:
+        pt["n"] = int(n)
+    return pt
+
+
+def _derive_for_stage(df: DataFrame, doc: dict,
+                      cm: dict | None = None) -> DataFrame:
+    """Append the hidden derived partition column before staging (the
+    frame may already carry PHYSICAL names — derive from the source's
+    physical name)."""
+    pt = doc.get("part_transform")
+    if not pt:
+        return df
+    return df.withColumn(
+        pt["col"],
+        _transform_expr(pt, _phys_name(cm if cm is not None
+                                       else doc.get("col_map"),
+                                       pt["source"])))
+
+
+def _part_arg(doc: dict, part_col: str, what: str) -> str:
+    """Resolve + validate a commit's part_col argument against the
+    table's spec: under a transform the caller names the SOURCE column
+    and the commit stages under the derived one."""
+    pt = doc.get("part_transform")
+    expected = pt["source"] if pt else doc.get("part_col")
+    if expected and part_col != expected:
+        raise ValueError(
+            f"{what} partitioned by {part_col!r} but the table's "
+            f"current spec is {expected!r}"
+            + (f" (hidden {pt['kind']} transform)" if pt else
+               ": pass the current partition column "
+               "(set_partition_column is how the spec evolves)"))
+    return pt["col"] if pt else part_col
+
+
+def set_partition_column(path: str, new_col: str,
+                         transform: str | None = None,
+                         transform_n: int | None = None) -> int:
     """Evolve the partition spec (Iceberg's partition evolution,
     reduced to its load-bearing core): a METADATA-ONLY commit — zero
     files rewritten — after which new data partitions (and
-    partition-prunes) by ``new_col`` while existing files keep their
-    old layout and stay fully readable (the old column recovers from
-    their directory names; the new column was always in their file
-    data). Reads are correct immediately; per-file stats pruning works
-    across both generations. ``commit_compaction`` is the MIGRATION
-    tool: it rewrites every old-spec file under the current spec (and
-    merge/delete REFUSE while mixed specs exist — their
-    partition-value pruning would compare values from two different
-    domains; compact first). The refusal is loud and the migration
-    explicit, never a silent full-table rewrite hidden inside an
-    unrelated merge."""
+    partition-prunes) by ``new_col`` (or, with ``transform``, by the
+    hidden ``days/bucket/truncate`` derivation of it) while existing
+    files keep their old layout and stay fully readable (the old
+    column recovers from their directory names; the new column was
+    always in their file data). Reads are correct immediately;
+    per-file stats pruning works across both generations.
+    ``commit_compaction`` is the MIGRATION tool: it rewrites every
+    old-spec file under the current spec (and merge/delete REFUSE
+    while mixed specs exist — their partition-value pruning would
+    compare values from two different domains; compact first). The
+    refusal is loud and the migration explicit, never a silent
+    full-table rewrite hidden inside an unrelated merge."""
     root = _norm(path)
 
     def mutate(nd: dict) -> None:
@@ -1876,32 +2066,50 @@ def set_partition_column(path: str, new_col: str) -> int:
                 "set_partition_column needs a recorded schema "
                 "(pre-r09 v1-format table): commit once to migrate")
         old = nd.get("part_col")
-        if new_col == old:
-            raise ValueError(f"{new_col!r} is already the partition "
-                             "column")
         sch = StructType.fromJson(json.loads(sj))
-        field = {f.name: f for f in sch.fields}.get(new_col)
-        if field is None:
-            raise ValueError(
-                f"no column {new_col!r} in "
-                f"{sorted(f.name for f in sch.fields)}")
-        t = field.dataType.simpleString()
-        if any(t.startswith(k) for k in ("array", "map", "struct")):
-            raise ValueError(f"cannot partition by {t} column "
-                             f"{new_col!r}")
-        if _phys_name(nd.get("col_map"), new_col) != new_col:
-            raise ValueError(
-                f"{new_col!r} was added under column mapping (physical "
-                f"name {_phys_name(nd['col_map'], new_col)!r}): "
-                "directory layouts key on the physical name, which "
-                "must match the logical one — add the column under its "
-                "final name before partitioning by it")
+        names = [f.name for f in sch.fields]
+        if transform:
+            pt = _make_transform(transform, new_col, transform_n,
+                                 names)
+            if nd.get("part_transform") == pt:
+                raise ValueError(
+                    f"{transform}({new_col}) is already the "
+                    "partition spec")
+            target = pt["col"]
+        else:
+            pt = None
+            if new_col == old and not nd.get("part_transform"):
+                raise ValueError(f"{new_col!r} is already the "
+                                 "partition column")
+            field = {f.name: f for f in sch.fields}.get(new_col)
+            if field is None:
+                raise ValueError(
+                    f"no column {new_col!r} in {sorted(names)}")
+            t = field.dataType.simpleString()
+            if any(t.startswith(k)
+                   for k in ("array", "map", "struct")):
+                raise ValueError(f"cannot partition by {t} column "
+                                 f"{new_col!r}")
+            if _phys_name(nd.get("col_map"), new_col) != new_col:
+                raise ValueError(
+                    f"{new_col!r} was added under column mapping "
+                    f"(physical name "
+                    f"{_phys_name(nd['col_map'], new_col)!r}): "
+                    "directory layouts key on the physical name, "
+                    "which must match the logical one — add the "
+                    "column under its final name before partitioning "
+                    "by it")
+            target = new_col
         # stamp every existing segment with the spec it was written
         # under, so carry-by-reference decisions never need to read an
         # entry list to learn its domain
         for s in nd.get("segments", ()):
             s.setdefault("pcol", old)
-        nd["part_col"] = new_col
+        nd["part_col"] = target
+        if pt:
+            nd["part_transform"] = pt
+        else:
+            nd.pop("part_transform", None)
         nd["op"] = "set_partition_spec"
 
     return _commit_metadata(root, mutate)
@@ -2082,12 +2290,7 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             # flipped the pointer — microseconds away; wait it out
             time.sleep(0.01)
             continue
-        if doc.get("part_col") and part_col != doc["part_col"]:
-            raise ValueError(
-                f"append partitioned by {part_col!r} but the table's "
-                f"current spec is {doc['part_col']!r}: pass the "
-                "current partition column (set_partition_column is "
-                "how the spec evolves)")
+        part_used = _part_arg(doc, part_col, "append")
         txns = dict(doc.get("txn", {}))
         if txn is not None:
             app, batch_id = txn
@@ -2146,12 +2349,18 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
             # under the stale physical names would bind this batch's
             # values to a RETIRED column — restage under the fresh map
             staged = staged_seg = None
+        if staged and _entry_spec(staged[0]) != part_used:
+            # spec drifted (a racing creator won with a transform, or a
+            # concurrent set_partition_column): files staged under the
+            # stale directory layout would corrupt partition pruning
+            staged = staged_seg = None
         if staged is None:
             staged_epoch = _vacuum_epoch(root)
+            phys_df = (_to_physical(batch, {"col_map": cm_new})
+                       if cm_new is not None else batch)
             staged = _stage_write(
-                _to_physical(batch, {"col_map": cm_new})
-                if cm_new is not None else batch,
-                root, part_col, stats_cols=stats_cols)
+                _derive_for_stage(phys_df, doc, cm=cm_new),
+                root, part_used, stats_cols=stats_cols)
             staged_seg = _write_segment(root, staged) if staged else None
             staged_phys = phys_now
         elif staged_seg is not None and not FS.exists(
@@ -2314,6 +2523,9 @@ def read_changes(spark: SparkSession, path: str, since: int,
             _with_pos(_reader(spark, root, m_to).parquet(
                 *[os.path.join(root, p) for p in grown_paths])),
             m_to, keep=("__rel", "__idx"))
+        ptf = m_to.get("part_transform")
+        if ptf and ptf["col"] in scan.columns:
+            scan = scan.drop(ptf["col"])  # hidden dir column
         hit = scan.join(
             F.broadcast(fresh),
             (scan["__rel"] == fresh["path"])
@@ -2428,11 +2640,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     file counts); untouched segments still carry by reference."""
     root = _norm(path)
     m = _load_doc(root)
-    cur_pcol = m.get("part_col", part_col)
-    if part_col != cur_pcol:
-        raise ValueError(
-            f"compaction under {part_col!r} but the table's current "
-            f"spec is {cur_pcol!r}: pass the current partition column")
+    cur_pcol = _part_arg(m, part_col, "compaction")
     commit_id = uuid.uuid4().hex
     by_part: dict[str, list[dict]] = {}
     migrate: list[dict] = []
@@ -2466,15 +2674,16 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     # salt-column shuffle splitting is not reliable here because AQE
     # legitimately coalesces the small (part, salt) shuffle groups back
     # into one task, collapsing the files again.
+    pre = _derive_for_stage(_to_physical(cur, m), m)
     max_records = None
     if target_files > 1:
-        max_rows = (cur.groupBy(part_col).count()
+        max_rows = (pre.groupBy(cur_pcol).count()
                     .agg(F.max("count")).collect()[0][0])
         max_records = -(-max_rows // target_files)  # ceil
-    compacted = _to_physical(cur.repartition(F.col(part_col)), m)
+    compacted = pre.repartition(F.col(cur_pcol))
     stats_cols = _doc_stats_cols(root, m)
     epoch0 = _vacuum_epoch(root)
-    new_entries = _stage_write(compacted, root, part_col, max_records,
+    new_entries = _stage_write(compacted, root, cur_pcol, max_records,
                                stats_cols=stats_cols)
     segs = list(carried)
     if rehome:
@@ -2487,7 +2696,7 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                        commit_id=commit_id, schema=m.get("schema"),
                        stats_cols=stats_cols, op="compaction")
     _carry_table_meta(newdoc, m)
-    newdoc.setdefault("part_col", part_col)
+    newdoc.setdefault("part_col", cur_pcol)
     if m.get("cdf_enabled"):
         newdoc["cdf"] = {"mode": "none"}  # compaction re-homes bytes,
         #                                   no logical row changes
@@ -3898,3 +4107,62 @@ def sink_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("o_orderkey").cast("bigint").alias("key_sum"),
                  dsum("o_totalprice", "price_sum"))
             .orderBy("o_orderstatus"))
+
+
+# --- contract: hidden partitioning / partition transforms (L29) ---------------
+
+_HIDDEN_ORACLE = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       (sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0)
+         AS val_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@contract("scan_partition_hidden_days", oracle=_HIDDEN_ORACLE)
+def scan_partition_hidden_days(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg's partition transforms, L29): the
+    events table is created partitioned by days(ts) — the calendar-day
+    value exists ONLY in the directory layout, never in the schema or
+    any read (asserted: the snapshot's columns are exactly the source
+    columns) — and a prune on the RAW timestamp maps through the
+    transform to directory skipping (asserted: the pruned scan opens
+    only the window's day-files, a fraction of the table). This is THE
+    100 TB time-series layout: writers never materialize a day column,
+    queries predicate on ts and still skip 29/30 of the files. bucket/
+    truncate transforms, the python/Spark derivation parity, and
+    merge/delete/compaction/CDF over transform tables are pinned in
+    tests/test_partition_transform.py."""
+    import datetime
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mhid_"), "tbl")
+    create_table(ev, root, "ts", transform="days")
+
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    snap = read_snapshot(spark, root, prune={"ts": (lo, hi)})
+    assert snap.columns == ["event_id", "ts", "event_type", "value"], (
+        f"hidden partition column leaked into the read: {snap.columns}")
+    total = len(load_manifest(root)["files"])
+    opened = snap.select(F.input_file_name()).distinct().count()
+    assert opened < total / 2, (
+        f"transform pruning opened {opened}/{total} files — the ts "
+        "window should skip most of the month")
+
+    return (snap.where((F.col("ts") >= F.lit(lo))
+                       & (F.col("ts") < F.lit(hi)))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("event_id").cast("bigint").alias("id_sum"),
+                 dsum("value", "val_sum"))
+            .orderBy("event_type"))

@@ -1,0 +1,152 @@
+"""Hidden partitioning / partition transforms (L29): the python/Spark
+derivation parity that pruning correctness rides on, directory
+skipping per transform kind, hidden-column discipline on every read
+path, source-named commits, and evolution to/from transforms."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from silvia_spark.operators.manifest_table import (
+    _make_transform, _transform_expr, _transform_value, commit_append,
+    commit_compaction, commit_delete, commit_merge, create_table,
+    load_manifest, read_change_feed, read_snapshot,
+    set_partition_column)
+
+TS = [Row(k=i, ts=datetime.datetime(2024, 1, 1 + i % 5, 3, 0, 0),
+          s=f"w{i % 7:02d}x", v=float(i)) for i in range(1, 21)]
+
+
+def _mk(spark, tmp_path, **kw):
+    root = os.path.join(str(tmp_path), "tbl")
+    create_table(spark.createDataFrame(TS), root, kw.pop("src", "ts"),
+                 **kw)
+    return root
+
+
+def test_spark_python_derivation_parity(spark):
+    """The prune bounds are computed in PYTHON from the same transform
+    the STAGING derives in Spark — any drift silently mis-prunes, so
+    pin value-level equality for every kind."""
+    rows = spark.createDataFrame(TS)
+    for kind, n, col, vals in [
+        ("days", None, "ts", [r.ts for r in TS]),
+        ("bucket", 16, "k", [r.k for r in TS]),
+        ("bucket", 4, "s", [r.s for r in TS]),
+        ("truncate", 2, "s", [r.s for r in TS]),
+    ]:
+        pt = _make_transform(kind, col, n, [f for f in rows.columns])
+        got = [r["d"] for r in rows.select(
+            _transform_expr(pt).alias("d")).collect()]
+        exp = [_transform_value(pt, v) for v in vals]
+        assert got == exp, (kind, got[:3], exp[:3])
+
+
+def test_bucket_transform_prunes_equality_only(spark, tmp_path):
+    root = _mk(spark, tmp_path, src="k", transform="bucket",
+               transform_n=4)
+    m = load_manifest(root)
+    assert sorted({e["partition"] for e in m["files"]}) <= [
+        "0", "1", "2", "3"]
+    # equality prune opens only the key's bucket
+    got = read_snapshot(spark, root, prune={"k": (7, 7)})
+    opened = got.select(F.input_file_name()).distinct().count()
+    assert opened < len(m["files"])
+    assert [r["v"] for r in got.where("k = 7").collect()] == [7.0]
+    # range prune abstains (bucket is not monotone): full scan, still
+    # correct
+    rng = read_snapshot(spark, root, prune={"k": (1, 20)})
+    assert rng.count() == 20
+
+
+def test_truncate_transform_prefix_range(spark, tmp_path):
+    root = _mk(spark, tmp_path, src="s", transform="truncate",
+               transform_n=2)
+    m = load_manifest(root)
+    assert {e["partition"] for e in m["files"]} == {"w0"}
+    got = read_snapshot(spark, root, prune={"s": ("w00", "w03")})
+    assert got.count() == 20  # one shared prefix: nothing to skip, all kept
+
+
+def test_hidden_column_never_surfaces_anywhere(spark, tmp_path):
+    root = _mk(spark, tmp_path, transform="days", cdf=True)
+    assert read_snapshot(spark, root).columns == ["k", "ts", "s", "v"]
+    commit_delete(spark, root,
+                  spark.createDataFrame([Row(k=3, ts=TS[2].ts)]),
+                  ["k", "ts"], "ts")
+    feed = read_change_feed(spark, root, 0)
+    assert feed.columns == ["k", "ts", "s", "v", "_change_type",
+                            "_commit_version"]
+    assert feed.where("_change_type = 'delete'").collect()[0]["k"] == 3
+    # time travel hides it too
+    assert read_snapshot(spark, root,
+                         version=1).columns == ["k", "ts", "s", "v"]
+
+
+def test_commits_name_the_source_column(spark, tmp_path):
+    root = _mk(spark, tmp_path, transform="days")
+    with pytest.raises(ValueError, match="hidden days transform"):
+        commit_append(spark, root,
+                      spark.createDataFrame(
+                          [Row(k=50, ts=TS[0].ts, s="aa", v=1.0)]),
+                      "p_days_ts")
+    commit_append(spark, root,
+                  spark.createDataFrame(
+                      [Row(k=50, ts=TS[0].ts, s="aa", v=1.0)]), "ts")
+    m = load_manifest(root)
+    assert all(e["path"].startswith("p_days_ts=") for e in m["files"])
+    commit_merge(spark, root,
+                 spark.createDataFrame(
+                     [Row(k=50, ts=TS[0].ts, s="aa", v=2.0, op="U")]),
+                 ["k", "ts"], "ts")
+    assert read_snapshot(spark, root).where(
+        "k = 50").collect()[0]["v"] == 2.0
+    commit_compaction(spark, root, "ts")
+    assert read_snapshot(spark, root).count() == 21
+
+
+def test_evolve_to_and_from_transform(spark, tmp_path):
+    root = _mk(spark, tmp_path, src="s")  # plain spec on s
+    set_partition_column(root, "ts", transform="days")
+    commit_append(spark, root,
+                  spark.createDataFrame(
+                      [Row(k=60, ts=TS[1].ts, s="zz", v=6.0)]), "ts")
+    fresh = [e["path"] for e in load_manifest(root)["files"]
+             if e["path"].startswith("p_days_ts=")]
+    assert fresh
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, root).collect()) == sorted(
+        [r.k for r in TS] + [60])
+    commit_compaction(spark, root, "ts")  # migrate everything
+    assert all(e["path"].startswith("p_days_ts=")
+               for e in load_manifest(root)["files"])
+    # and back to a plain column
+    set_partition_column(root, "s")
+    commit_compaction(spark, root, "s")
+    assert all(e["path"].startswith("s=")
+               for e in load_manifest(root)["files"])
+    assert read_snapshot(spark, root).count() == 21
+
+
+def test_null_source_goes_to_default_partition_and_range_skips_it(
+        spark, tmp_path):
+    rows = TS + [Row(k=99, ts=None, s="nn", v=9.0)]
+    root = os.path.join(str(tmp_path), "tbl")
+    create_table(spark.createDataFrame(rows), root, "ts",
+                 transform="days")
+    m = load_manifest(root)
+    assert any(e["partition"] == "__HIVE_DEFAULT_PARTITION__"
+               for e in m["files"])
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 9)
+    got = read_snapshot(spark, root, prune={"ts": (lo, hi)})
+    # a range predicate excludes NULL rows anyway; the prune may skip
+    # the NULL partition, and the residual filter stays correct
+    assert got.where(F.col("ts").isNotNull()).count() == 20
