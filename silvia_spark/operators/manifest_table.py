@@ -2629,7 +2629,9 @@ def read_change_feed(spark: SparkSession, path: str, since: int,
 
 
 def commit_compaction(spark: SparkSession, path: str, part_col: str,
-                      target_files: int = 1) -> int:
+                      target_files: int = 1,
+                      order_by: list[str] | None = None,
+                      zorder: bool = False) -> int:
     """Rewrite each partition of the current snapshot that holds more
     than ``target_files`` files into at most ``target_files`` files
     through the same stage→manifest→flip path.
@@ -2637,7 +2639,17 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     partitions' old files stay on disk for time travel until vacuumed.
     Metadata cost is O(table files) — compaction is the maintenance op
     that may legitimately resolve every segment (it needs per-partition
-    file counts); untouched segments still carry by reference."""
+    file counts); untouched segments still carry by reference.
+
+    ``order_by`` turns compaction into Delta's OPTIMIZE ... ZORDER BY:
+    EVERY partition rewrites with its rows sorted on the given columns
+    (``zorder=True`` interleaves them into one Morton key instead of a
+    lexicographic sort — each file gets a narrow min/max envelope on
+    ALL the columns, not just the leading one), so the per-file stats
+    index tightens and later prunes open a fraction of the files. With
+    ``target_files > 1`` the writer splits each SORTED partition, so
+    every output file covers a contiguous key range — exactly the
+    layout the manifest's min/max index wants at 100 TB."""
     root = _norm(path)
     m = _load_doc(root)
     cur_pcol = _part_arg(m, part_col, "compaction")
@@ -2656,8 +2668,10 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     # file-count target: compaction is where merge-on-read tombstones
     # RECONCILE into clean files (the rewritten files carry no dv; the
     # dv sidecars become unreferenced and vacuum retires them)
-    todo = {p: es for p, es in by_part.items()
-            if len(es) > target_files or any(e.get("dv") for e in es)}
+    todo = (dict(by_part) if order_by else
+            {p: es for p, es in by_part.items()
+             if len(es) > target_files
+             or any(e.get("dv") for e in es)})
     if not todo and not migrate:
         return m["version"]
     carried, resolved = _split_segments(root, m, set(todo),
@@ -2681,6 +2695,20 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
                     .agg(F.max("count")).collect()[0][0])
         max_records = -(-max_rows // target_files)  # ceil
     compacted = pre.repartition(F.col(cur_pcol))
+    if order_by:
+        ocols = [_phys_name(m.get("col_map"), c) for c in order_by]
+        if zorder and len(ocols) > 1:
+            from silvia_spark.operators.scale_patterns import zorder_key
+
+            row = pre.agg(*[f(F.col(c).cast("double"))
+                            for c in ocols
+                            for f in (F.min, F.max)]).collect()[0]
+            bounds = [(row[2 * i], row[2 * i + 1])
+                      for i in range(len(ocols))]
+            compacted = compacted.sortWithinPartitions(
+                zorder_key([F.col(c) for c in ocols], bounds))
+        else:
+            compacted = compacted.sortWithinPartitions(*ocols)
     stats_cols = _doc_stats_cols(root, m)
     epoch0 = _vacuum_epoch(root)
     new_entries = _stage_write(compacted, root, cur_pcol, max_records,
@@ -4166,3 +4194,59 @@ def scan_partition_hidden_days(spark: SparkSession,
                  F.sum("event_id").cast("bigint").alias("id_sum"),
                  dsum("value", "val_sum"))
             .orderBy("event_type"))
+
+
+# --- contract: clustered compaction / OPTIMIZE ZORDER (L30) -------------------
+
+_CLUSTERED_ORACLE = """
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+FROM lineitem
+WHERE l_orderkey BETWEEN 1 AND 3000
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@contract("sink_compact_clustered", oracle=_CLUSTERED_ORACLE)
+def sink_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction (Delta's OPTIMIZE ... ZORDER BY, L30): the
+    table is created deliberately UNCLUSTERED (every file spans the
+    full l_orderkey range, so the stats index prunes nothing), then
+    ``commit_compaction(order_by=[l_orderkey])`` rewrites each
+    partition sorted with the writer splitting the sorted stream —
+    every output file covers a contiguous key range. Asserted
+    in-contract: the same narrow-key pruned read opens STRICTLY fewer
+    files after clustering. At 100 TB this is the maintenance op that
+    turns an append-ordered fact table into one where a point lookup
+    touches one file per partition instead of all of them. The hash
+    proves clustering is pure layout — the table's content is
+    byte-identical to the source."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_mclu_"), "tbl")
+    create_table(li.repartition(8), root, "l_returnflag",
+                 stats_cols=["l_orderkey"])
+
+    def opened(prune):
+        return (read_snapshot(spark, root, prune=prune)
+                .select(F.input_file_name()).distinct().count())
+
+    rng = {"l_orderkey": (1, 3000)}
+    before = opened(rng)
+    commit_compaction(spark, root, "l_returnflag", target_files=4,
+                      order_by=["l_orderkey"])
+    after = opened(rng)
+    assert after < before, (
+        f"clustering did not tighten the stats index: pruned read "
+        f"opened {before} files before, {after} after")
+
+    return (read_snapshot(spark, root, prune=rng)
+            .where(F.col("l_orderkey").between(1, 3000))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum("l_quantity").cast("bigint").alias("qty_sum"))
+            .orderBy("l_returnflag"))

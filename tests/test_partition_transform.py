@@ -150,3 +150,33 @@ def test_null_source_goes_to_default_partition_and_range_skips_it(
     # a range predicate excludes NULL rows anyway; the prune may skip
     # the NULL partition, and the residual filter stays correct
     assert got.where(F.col("ts").isNotNull()).count() == 20
+
+
+def test_clustered_compaction_zorder_two_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a 2-column Morton clustering, narrow
+    prunes on EITHER column open fewer files than the unclustered
+    layout (a plain sort would only serve its leading column)."""
+    from silvia_spark.operators.manifest_table import (
+        commit_compaction as cc, create_table as ct,
+        read_snapshot as rs)
+
+    rows = [Row(k=i, j=(i * 37) % 100, part="a", v=float(i))
+            for i in range(1, 201)]
+    root = os.path.join(str(tmp_path), "tblz")
+    ct(spark.createDataFrame(rows).repartition(8), root, "part",
+       stats_cols=["k", "j"])
+
+    def opened(prune):
+        return (rs(spark, root, prune=prune)
+                .select(F.input_file_name()).distinct().count())
+
+    b_k, b_j = opened({"k": (1, 20)}), opened({"j": (0, 10)})
+    cc(spark, root, "part", target_files=4, order_by=["k", "j"],
+       zorder=True)
+    a_k, a_j = opened({"k": (1, 20)}), opened({"j": (0, 10)})
+    assert a_k < b_k and a_j < b_j, (b_k, a_k, b_j, a_j)
+    assert rs(spark, root).count() == 200
+    # content identical through the clustering rewrite
+    got = sorted((r["k"], r["j"], r["v"]) for r in
+                 rs(spark, root).collect())
+    assert got == sorted((r.k, r.j, r.v) for r in rows)
