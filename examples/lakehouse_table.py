@@ -100,11 +100,64 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     # 8. GC everything no retained snapshot references
     deleted = api.vacuum(root, keep_versions=1)
 
+    # 9. commit-time data quality: a CHECK constraint validates every
+    #    later commit's written rows BEFORE staging — the bad batch
+    #    refuses loudly and leaves no trace
+    api.add_check_constraint(spark, root, "eid_present",
+                             "event_id IS NOT NULL")
+    bad = batch.limit(3).withColumn("event_id",
+                                    F.lit(None).cast("bigint"))
+    try:
+        api.commit_append(spark, root, bad, "event_type")
+        raise AssertionError("constraint did not enforce")
+    except Exception as e:  # ConstraintViolation
+        refused = "eid_present" in str(e)
+
+    # 10. row-level CDC: enable the change feed, DV-delete scattered
+    #     keys (zero data files rewritten — tombstone sidecars applied
+    #     as a broadcast anti-join at read), and replay the per-version
+    #     row changes a downstream CDC consumer would stream
+    api.enable_cdf(root)
+    v_cdf = api.table_history(root, limit=1)[0]["version"]
+    keys = (api.read_snapshot(spark, root)
+            .where(F.col("event_id") % 101 == 7)
+            .select("event_id", "event_type").distinct())
+    api.commit_delete(spark, root, keys, ["event_id", "event_type"],
+                      "event_type")
+    cdc = api.read_change_feed(spark, root, since=v_cdf)
+    deleted_rows = cdc.where("_change_type = 'delete'").count()
+
+    # 11. history + RESTORE: the commit log is O(metadata), and a
+    #     restore re-points at an earlier snapshot without moving data
+    ops = [h["op"] for h in api.table_history(root)]
+    api.restore_table(spark, root, v_cdf)
+    restored_rows = api.read_snapshot(spark, root).count()
+
+    # 12. hidden partitioning: a second table partitioned by days(ts) —
+    #     the day value lives only in the directory layout; a prune on
+    #     the RAW timestamp skips to the right day directories
+    ev_ts = api.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    troot = os.path.join(tempfile.mkdtemp(prefix="lakehouse_"), "by_day")
+    api.create_table(ev_ts, troot, "ts", transform="days")
+    import datetime
+    week = api.read_snapshot(
+        spark, troot,
+        prune={"ts": (datetime.datetime(2024, 1, 8),
+                      datetime.datetime(2024, 1, 15))})
+    week_files = week.select(F.input_file_name()).distinct().count()
+    total_files = (api.read_snapshot(spark, troot)
+                   .select(F.input_file_name()).distinct().count())
+
     out = {"v_after_append": v, "v_after_merge": v_merge,
            "feed_rows": feed_rows, "v1_rows": v1_rows,
            "current_rows": cur_rows, "appended_back": appended_back,
            "sql_drift_rows": len(sql_drift),
-           "vacuumed_files": len(deleted)}
+           "vacuumed_files": len(deleted),
+           "constraint_refused": refused,
+           "cdc_deleted_rows": deleted_rows,
+           "history_ops": ops, "restored_rows": restored_rows,
+           "week_files": week_files, "day_files_total": total_files}
     print(out)
     return out
 

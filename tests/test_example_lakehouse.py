@@ -34,3 +34,15 @@ def test_example_lifecycle_invariants(spark):
     # nothing from untouched partitions
     assert out["feed_rows"] > 0
     assert out["vacuumed_files"] > 0           # pre-merge versions GC'd
+
+
+def test_example_r11_surface(spark):
+    out = main(SF_SMALL)
+    assert out["constraint_refused"] is True
+    assert out["cdc_deleted_rows"] > 0
+    # the step-8 vacuum truncated history at the retention edge, so
+    # the log reaches back to the retained compaction, not to create
+    assert out["history_ops"][0] == "delete"
+    assert "restore" not in out["history_ops"]  # taken BEFORE restore
+    assert out["restored_rows"] == out["current_rows"]  # rollback exact
+    assert 0 < out["week_files"] < out["day_files_total"]
