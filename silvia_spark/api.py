@@ -80,6 +80,7 @@ from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table)
 from silvia_spark.operators.manifest_table import (
     add_check_constraint,
+    clone_table,
     commit_append,
     commit_compaction,
     commit_delete,
@@ -154,7 +155,7 @@ __all__ = [
     "vacuum", "rename_column", "drop_column", "set_partition_column",
     "add_check_constraint", "drop_check_constraint",
     "enable_cdf", "read_change_feed", "read_stream_changes",
-    "table_history", "version_at", "restore_table",
+    "table_history", "version_at", "restore_table", "clone_table",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",

@@ -863,15 +863,29 @@ _DELETES = "_deletes"
 _REL_RE = r"([^/]+/[^/]+)$"
 
 
+def _entry_path(root: str, e: dict) -> str:
+    """Absolute path of an entry's data file. A SHALLOW-CLONED entry
+    carries ``base`` (the source table's root) — its bytes live there
+    until a rewrite localizes them; everything else resolves under the
+    table's own root."""
+    return os.path.join(e.get("base", root), e["path"])
+
+
+def _dv_abs(root: str, e: dict) -> str:
+    """Absolute path of an entry's delete-vector sidecar (``dv_base``
+    marks a vector still owned by a clone's source table)."""
+    return os.path.join(e.get("dv_base", root), _DELETES, e["dv"])
+
+
 def _dv_frame(spark: SparkSession, root: str, entries: list[dict]):
     """(path, row_index) rows of every delete vector the given entries
     reference — the read-side tombstone set. None when no entry carries
     one (the plan stays byte-identical to the pre-DV read)."""
-    names = sorted({e["dv"] for e in entries if e.get("dv")})
-    if not names:
+    paths = sorted({_dv_abs(root, e) for e in entries if e.get("dv")})
+    if not paths:
         return None
     return (spark.read.schema("path STRING, row_index BIGINT")
-            .parquet(*[os.path.join(root, _DELETES, n) for n in names]))
+            .parquet(*paths))
 
 
 def _with_pos(df: DataFrame) -> DataFrame:
@@ -917,17 +931,23 @@ def _read_entries(spark: SparkSession, root: str, m: dict,
     plain parquet scan, the union is by name."""
     parts = []
     for pred in (lambda e: not e.get("dv"), lambda e: e.get("dv")):
-        by_spec: dict[str, list[dict]] = {}
+        by_spec: dict[tuple, list[dict]] = {}
         for e in entries:
             if pred(e):
-                by_spec.setdefault(_entry_spec(e), []).append(e)
+                # grouped by (dir-spec, owning root): each group is one
+                # plain scan whose basePath recovers its own dir column
+                # — a shallow clone's foreign files scan under their
+                # SOURCE root
+                by_spec.setdefault(
+                    (_entry_spec(e), e.get("base", root)),
+                    []).append(e)
         sch = _read_schema(m)
         cm = m.get("col_map")
         phys_names = ({_phys_name(cm, f.name) for f in sch.fields}
                       if sch is not None else None)
-        for spec, es in by_spec.items():
-            scan = _reader(spark, root, m).parquet(
-                *[os.path.join(root, e["path"]) for e in es])
+        for (spec, base), es in by_spec.items():
+            scan = _reader(spark, base, m).parquet(
+                *[_entry_path(root, e) for e in es])
             if (phys_names is not None and spec not in phys_names
                     and spec in scan.columns):
                 # hidden partitioning: a dir column that is not a table
@@ -1303,6 +1323,55 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     return newv
 
 
+def clone_table(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's CLONE ... SHALLOW): materialize ``dst``
+    as a new manifest table whose v1 REFERENCES the source snapshot's
+    data files and delete vectors in place — zero data copied, O(entries)
+    metadata. The clone is immediately a fully independent table:
+    commits to either side never affect the other (new files land under
+    their own root; a clone-side delete folds the source's vector into
+    an owned one), time travel and the change feed restart at the
+    clone's v1, and ``commit_compaction`` LOCALIZES the clone (every
+    partition still referencing source files rewrites into owned ones).
+
+    The one cross-table dependency is the source's retention: a source
+    ``vacuum`` that retires the cloned snapshot's files breaks the
+    clone's unlocalized reads — the same documented hazard as Delta's
+    shallow clones. Localize (compact) before loosening the source's
+    retention. Cloning a mid-migration source (mixed partition specs)
+    refuses — migrate first."""
+    sroot, droot = _norm(src), _norm(dst)
+    m = _load_doc(sroot, version)
+    if _mixed_specs(m):
+        raise ValueError(
+            "cannot shallow-clone a table holding multiple partition "
+            "specs: run commit_compaction on the source first")
+    FS.makedirs(droot)
+    if current_version(droot) is not None:
+        raise FileExistsError(f"{droot} is already a manifest table")
+    entries = []
+    for e in _resolve(sroot, m):
+        ne = dict(e)
+        # a clone OF a clone keeps pointing at the ultimate owner
+        ne["base"] = e.get("base", sroot)
+        if e.get("dv"):
+            ne["dv_base"] = e.get("dv_base", sroot)
+        entries.append(ne)
+    commit_id = uuid.uuid4().hex
+    segs = [_write_segment(droot, entries, reused=True)] if entries \
+        else []
+    doc = _make_doc(1, None, segs, commit_id=commit_id,
+                    schema=m.get("schema"),
+                    stats_cols=m.get("stats_cols"), op="clone")
+    _carry_table_meta(doc, m)
+    if doc.get("cdf_enabled"):
+        doc["cdf"] = {"mode": "append"}  # the clone's v1 inserts ARE
+        #                                  its snapshot, like create
+    _write_doc(droot, 1, doc)
+    _flip_current(droot, 1, commit_id=commit_id)
+    return 1
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None,
                   prune: dict[str, tuple] | None = None) -> DataFrame:
@@ -1673,13 +1742,21 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         return doc["version"]  # nothing can match: no-op, no commit
     epoch0 = _vacuum_epoch(root)
 
-    scan = _to_logical(
-        _with_pos(_reader(spark, root, doc).parquet(
-            *[os.path.join(root, e["path"]) for e in cands])),
-        doc, keep=("__rel", "__idx"))
-    if pt and pt["col"] in scan.columns:
-        scan = scan.drop(pt["col"])  # the hidden dir column never
-        #                              flows into tombstone/CDF records
+    by_base: dict[str, list[dict]] = {}
+    for e in cands:
+        by_base.setdefault(e.get("base", root), []).append(e)
+    scans = []
+    for base, es in by_base.items():
+        s = _with_pos(_reader(spark, base, doc).parquet(
+            *[_entry_path(root, e) for e in es]))
+        if pt and pt["col"] in s.columns:
+            s = s.drop(pt["col"])  # the hidden dir column never flows
+            #                        into tombstone/CDF records
+        scans.append(s)
+    scan = scans[0]
+    for s in scans[1:]:
+        scan = scan.unionByName(s)
+    scan = _to_logical(scan, doc, keep=("__rel", "__idx"))
     old_dv = _dv_frame(spark, root, cands)
     live = scan if old_dv is None else scan.join(
         F.broadcast(old_dv),
@@ -1735,6 +1812,8 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             for e in sparse:
                 ne = dict(e)
                 ne["dv"] = dv_name
+                ne.pop("dv_base", None)  # the unioned vector is OURS
+                #   now (a cloned entry's source vector was folded in)
                 ne["dv_rows"] = e.get("dv_rows", 0) + counts[e["path"]]
                 sparse_updated.append(ne)
         if dense:
@@ -2519,13 +2598,21 @@ def read_changes(spark: SparkSession, path: str, since: int,
         if old_dv is not None:
             fresh = fresh.exceptAll(
                 old_dv.where(F.col("path").isin(grown_paths)))
-        scan = _to_logical(
-            _with_pos(_reader(spark, root, m_to).parquet(
-                *[os.path.join(root, p) for p in grown_paths])),
-            m_to, keep=("__rel", "__idx"))
+        gb: dict[str, list[dict]] = {}
+        for _, n in dv_grown:
+            gb.setdefault(n.get("base", root), []).append(n)
         ptf = m_to.get("part_transform")
-        if ptf and ptf["col"] in scan.columns:
-            scan = scan.drop(ptf["col"])  # hidden dir column
+        gscans = []
+        for base, es in gb.items():
+            s = _with_pos(_reader(spark, base, m_to).parquet(
+                *[_entry_path(root, e) for e in es]))
+            if ptf and ptf["col"] in s.columns:
+                s = s.drop(ptf["col"])  # hidden dir column
+            gscans.append(s)
+        scan = gscans[0]
+        for s in gscans[1:]:
+            scan = scan.unionByName(s)
+        scan = _to_logical(scan, m_to, keep=("__rel", "__idx"))
         hit = scan.join(
             F.broadcast(fresh),
             (scan["__rel"] == fresh["path"])
@@ -2671,7 +2758,11 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
     todo = (dict(by_part) if order_by else
             {p: es for p, es in by_part.items()
              if len(es) > target_files
-             or any(e.get("dv") for e in es)})
+             or any(e.get("dv") for e in es)
+             # compaction LOCALIZES a shallow clone: partitions still
+             # referencing the source table's files rewrite into owned
+             # ones, severing the cross-table dependency
+             or any("base" in e for e in es)})
     if not todo and not migrate:
         return m["version"]
     carried, resolved = _split_segments(root, m, set(todo),
@@ -4250,3 +4341,85 @@ def sink_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"))
             .orderBy("l_returnflag"))
+
+
+# --- contract: shallow clone (L31) --------------------------------------------
+
+_CLONE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+appended AS (
+  SELECT o_orderkey + 40000000 AS o_orderkey, o_totalprice,
+         o_orderstatus
+  FROM base WHERE o_orderkey % 19 = 0
+),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+kept AS (SELECT * FROM v WHERE o_orderkey % 13 <> 5)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) / 1000000.0)
+         AS price_sum
+FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("scan_table_clone", oracle=_CLONE_ORACLE)
+def scan_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (Delta's CLONE ... SHALLOW, L31): the clone's v1
+    references the source's data files in place — asserted in-contract:
+    the clone root holds ZERO data files after creation, which at
+    100 TB is the difference between an instant dev/test/experiment
+    copy and a table-sized one. The clone then DIVERGES independently:
+    an append and a scattered DV delete land on the clone while the
+    SOURCE is asserted byte-identical to its pre-clone state (same
+    version, same file set, same rowcount). The hash proves the
+    diverged clone reads exactly base + appended − deleted, with the
+    source's files still serving the un-rewritten bulk through the
+    cross-root references. Localization via compaction is pinned in
+    tests/test_table_clone.py."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    base_dir = tempfile.mkdtemp(prefix="silvia_mcln_")
+    src = os.path.join(base_dir, "src")
+    dst = os.path.join(base_dir, "dst")
+    create_table(od, src, "o_orderstatus", stats_cols=["o_orderkey"])
+    src_files = {e["path"] for e in load_manifest(src)["files"]}
+
+    clone_table(src, dst)
+    local = [f for p in FS.listdir(dst) if "=" in p
+             for f in FS.listdir(os.path.join(dst, p))
+             if f.endswith(".parquet")] if any(
+        "=" in p for p in FS.listdir(dst)) else []
+    assert not local, (
+        f"shallow clone copied data files: {local[:3]}")
+    assert read_snapshot(spark, dst).count() == od.count()
+
+    commit_append(
+        spark, dst,
+        od.where(F.col("o_orderkey") % 19 == 0)
+        .select((F.col("o_orderkey") + 40000000).alias("o_orderkey"),
+                "o_totalprice", "o_orderstatus"),
+        "o_orderstatus")
+    commit_delete(
+        spark, dst,
+        read_snapshot(spark, dst)
+        .where(F.col("o_orderkey") % 13 == 5)
+        .select("o_orderkey", "o_orderstatus").distinct(),
+        ["o_orderkey", "o_orderstatus"], "o_orderstatus")
+
+    assert current_version(src) == 1, "clone writes leaked to source"
+    assert {e["path"] for e in load_manifest(src)["files"]} == src_files
+    assert read_snapshot(spark, src).count() == od.count(), (
+        "the clone's delete reached the source")
+
+    return (read_snapshot(spark, dst)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))

@@ -145,12 +145,11 @@ def _slice(root: str, e: dict) -> _FileSlice:
     """Manifest entry → input partition, carrying the entry's
     delete-vector reference when it has one (manifests are immutable,
     so a replayed batch re-applies the identical tombstone set)."""
-    from silvia_spark.operators.manifest_table import _DELETES
+    from silvia_spark.operators.manifest_table import _dv_abs, _entry_path
 
     s = _FileSlice(
-        os.path.join(root, e["path"]), e["partition"],
-        (os.path.join(root, _DELETES, e["dv"]) if e.get("dv")
-         else None),
+        _entry_path(root, e), e["partition"],
+        (_dv_abs(root, e) if e.get("dv") else None),
         e["path"])
     s.pcol = e["path"].split("=", 1)[0]
     return s
