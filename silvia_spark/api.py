@@ -78,6 +78,7 @@ from silvia_spark.operators.joins import nearest_asof
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table)
+from silvia_spark.streaming.streams import net_changes, replicate_table
 from silvia_spark.operators.manifest_table import (
     add_check_constraint,
     clone_table,
@@ -156,6 +157,7 @@ __all__ = [
     "add_check_constraint", "drop_check_constraint",
     "enable_cdf", "read_change_feed", "read_stream_changes",
     "table_history", "version_at", "restore_table", "clone_table",
+    "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",

@@ -78,11 +78,13 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 0d: NEW in r11 (second wave) — L24 CHECK constraints, L25
     # CDC streaming change feed, L26 partition-spec evolution, L27
     # history + timestamp travel, L28 RESTORE, L29 hidden partition
-    # transforms, L30 clustered compaction, L31 shallow clone --------------
+    # transforms, L30 clustered compaction, L31 shallow clone, L32 CDC
+    # replication ----------------------------------------------------------
     "sink_append_constrained", "stream_changes_cdf",
     "scan_partition_evolved", "scan_time_travel_ts",
     "sink_restore_version", "scan_partition_hidden_days",
     "sink_compact_clustered", "scan_table_clone",
+    "stream_replicate_table",
     # -- new contracts registered mid-round slot in here, inside the window --
     _NEW_CONTRACTS_HERE,
     # -- tier 1: the 26 remaining r06-era keys (oldest evidence) ---------
