@@ -161,3 +161,50 @@ def test_os_fenced_pointer_write_refuses_broken_lease(tmp_path):
         fs.put_fenced(root, ptr, "2")
     assert fs.read_text(ptr) == "2"
 
+
+
+# --- r11 surface on object-store semantics ---------------------------------
+# The new table ops (CDF records, constraints, spec evolution, restore,
+# shallow clone, hidden transforms) re-run with FS swapped: green proves
+# their sidecar writes and metadata commits also rest on conditional-put
+# + copy/delete primitives, never on rename/flock.
+
+
+@pytest.mark.full
+def test_os_cdf_feed_and_silent_compaction(spark, tmp_path):
+    import tests.test_manifest_cdf as cdf
+    cdf.test_batch_feed_replays_versions_with_old_images(spark, tmp_path)
+    cdf.test_compaction_and_metadata_versions_are_silent(
+        spark, tmp_path / "b")
+
+
+@pytest.mark.full
+def test_os_constraints_enforced(spark, tmp_path):
+    import tests.test_manifest_constraints as cons
+    cons.test_violating_append_refused_atomically(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_spec_evolution_and_migration(spark, tmp_path):
+    import tests.test_partition_evolution as pe
+    pe.test_merge_delete_refuse_until_migrated(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_hidden_transform_commits(spark, tmp_path):
+    import tests.test_partition_transform as pt
+    pt.test_commits_name_the_source_column(spark, tmp_path)
+
+
+@pytest.mark.full
+def test_os_restore_and_history(spark, tmp_path):
+    import tests.test_table_history as th
+    th.test_restore_keeps_txn_ledger_for_exactly_once(spark, tmp_path)
+    th.test_restore_reverts_rename_and_later_constraint(
+        spark, tmp_path / "b")
+
+
+@pytest.mark.full
+def test_os_shallow_clone_diverges(spark, tmp_path):
+    import tests.test_table_clone as tc
+    tc.test_clone_is_zero_copy_and_divergence_is_two_way(spark, tmp_path)
