@@ -262,24 +262,20 @@ def _verify_candidates(e: DataFrame, cand: DataFrame) -> DataFrame:
     threshold/rounding contract cannot diverge between the base and
     multiprobe variants (their outputs are asserted set-equal in
     tests/test_properties.py)."""
-    from silvia_spark.functions.llm_ops import cosine_once
+    from silvia_spark.functions.llm_ops import score_pairs_threshold
 
     a = e.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("eb"))
-    # cosine_once: the nondeterministic marker stops Catalyst's filter
-    # pushdown from duplicating the Arrow kernel into the predicate —
-    # ONE ArrowEvalPython in the plan, each candidate scored once
-    # (r10 verdict item 3; plans suite asserts the node count)
-    c = cosine_once(F.col("ea"), F.col("eb"))
-    return (
-        cand.join(a, "vec_a").join(b, "vec_b")
-        .select("vec_a", "vec_b", c.alias("cos_raw"))
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    # score_pairs_threshold: the 0.4 threshold lives INSIDE the
+    # mapInPandas kernel — one Arrow crossing per candidate,
+    # structurally (no Filter-over-UDF for Catalyst to duplicate, the
+    # r10 blemish; no asNondeterministic barrier, whose executor-heap
+    # blowup the sf1 candidate-dense regime measured in r11). Rows
+    # below threshold never materialize downstream.
+    return score_pairs_threshold(
+        cand.join(a, "vec_a").join(b, "vec_b"))
 
 
 @contract("sim_ann_lsh", oracle=_ANN_ORACLE)

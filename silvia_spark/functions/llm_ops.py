@@ -115,11 +115,64 @@ def cosine_once(a, b):
     duplicating rewrite; the kernel itself is pure, so values are
     unchanged — verified by the family's exact all-pairs oracles.
     Plain ``.where(cosine(...) >= τ)`` filters need no marker (single
-    evaluation already)."""
+    evaluation already).
+
+    SCALE CAVEAT (measured, r11): the nondeterministic marker also
+    pins the expression's evaluation barrier in ways that blew the
+    executor heap on the candidate-dense sf1 multiprobe regime (195 M
+    pairs; the r10 double-eval plan survived the same input). The
+    verify tails therefore moved to ``score_pairs_threshold`` — a
+    mapInPandas pass that thresholds INSIDE the kernel: one Arrow
+    crossing, streaming batches, no Catalyst predicate to duplicate
+    and no marker side effects. Kept for the top-k shapes where no
+    threshold filter follows the projection."""
     global _COS_ARROW_ND
     if _COS_ARROW_ND is None:
         _COS_ARROW_ND = _make_cos_arrow().asNondeterministic()
     return _COS_ARROW_ND(a, b)
+
+
+def score_pairs_threshold(joined, tau: float = 0.4):
+    """Exact-cosine verify tail shared by the LSH family and the
+    quadratic baseline: score (vec_a, ea, vec_b, eb) pairs and keep
+    cosine ≥ ``tau`` — ONE streaming mapInPandas pass with the
+    threshold applied inside the kernel. Properties the previous
+    project-then-filter shapes lacked:
+
+    - exactly one Python crossing per row, structurally: there is no
+      Filter expression referencing a UDF column, so Catalyst has
+      nothing to substitute/duplicate (the r10 double-ArrowEvalPython
+      blemish) and no ``asNondeterministic`` marker is needed (whose
+      barrier blew the executor heap at 195 M candidates — measured,
+      r11);
+    - memory bounded by one Arrow batch per task however many
+      candidates flow through — dropped rows never materialize
+      downstream;
+    - rounding stays a JVM-side ``F.round`` AFTER the kernel, so the
+      emitted values are bit-identical to the previous shape (the
+      family's exact all-pairs oracles stay green)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = {f.name: f for f in joined.schema.fields}
+    schema = StructType([fields["vec_a"], fields["vec_b"],
+                         StructField("cos_raw", DoubleType())])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _np_cos(pdf["ea"], pdf["eb"])
+            m = v >= tau
+            if not m.any():
+                continue
+            out = pdf.loc[m, ["vec_a", "vec_b"]].copy()
+            out["cos_raw"] = v[m]
+            yield out
+
+    return (joined.mapInPandas(score, schema)
+            .select("vec_a", "vec_b",
+                    F.round("cos_raw", 6).alias("cos_sim"))
+            .orderBy("vec_a", "vec_b"))
 
 
 _SQL_COS = """
@@ -331,18 +384,11 @@ def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    # cosine_once: one ArrowEvalPython — the plain kernel would be
-    # substituted into the pushed-down threshold predicate and score
-    # every surviving pair twice (see cosine_once)
-    c = cosine_once(F.col("ea"), F.col("eb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", c.alias("cos_raw"))
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    # score_pairs_threshold: the threshold lives INSIDE the mapInPandas
+    # kernel — one Arrow crossing per pair, nothing for Catalyst's
+    # filter pushdown to duplicate (see its docstring)
+    return score_pairs_threshold(
+        a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")))
 
 
 # --- J5: per-label centroids + intra-label coherence -------------------------

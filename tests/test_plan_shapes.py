@@ -83,11 +83,15 @@ def test_plan_exhibits_required_operators(spark, name, required):
     # filter pushdown substitutes a deterministic UDF into the
     # threshold predicate, scoring every surviving pair twice (r10
     # verdict — two ArrowEvalPython[_cos_arrow] nodes in the LSH verify
-    # tail). cosine_once's nondeterministic marker blocks the rewrite;
-    # this guard keeps it blocked for every audited contract.
+    # tail). The verify tails now threshold INSIDE a mapInPandas kernel
+    # (score_pairs_threshold — no Filter-over-UDF exists to duplicate,
+    # and no asNondeterministic barrier, whose executor-heap blowup the
+    # sf1 candidate-dense regime measured in r11); remaining
+    # ArrowEvalPython[_cos_arrow] sites are top-k/aggregate shapes with
+    # no following threshold filter, single-eval by construction.
     final = plan.split("== Initial Plan ==")[0]
     cos_nodes = len(re.findall(r"ArrowEvalPython \[_cos_arrow", final))
     assert cos_nodes <= 1, (
         f"{name}: the Arrow cosine kernel appears {cos_nodes}× in the "
         "final plan — a pushed-down threshold duplicated the UDF; "
-        "score through cosine_once (llm_ops) instead of cosine")
+        "score through score_pairs_threshold (llm_ops)")

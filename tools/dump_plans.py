@@ -64,10 +64,11 @@ AUDITED = [
      "whole-stage-codegen JVM arithmetic (no interpreted zip_with/"
      "aggregate HOFs, no Python stage at all); top-k stays "
      "TakeOrderedAndProject."),
-    ("sim_join_threshold", ["ArrowEvalPython"],
-     "pair scoring runs the Arrow-batched numpy cosine — an "
-     "ArrowEvalPython stage (not a row-at-a-time BatchEvalPython, not "
-     "interpreted HOFs); the expression form survives only where argmax "
+    ("sim_join_threshold", ["MapInPandas"],
+     "pair scoring + threshold run INSIDE one Arrow-batched mapInPandas "
+     "kernel (score_pairs_threshold) — a MapInPandas stage, not a "
+     "row-at-a-time BatchEvalPython and not a Filter-over-UDF Catalyst "
+     "could duplicate; the expression form survives only where argmax "
      "tie-semantics must replicate the oracle's fold order."),
     ("text_ngram_jaccard", ["HashAggregate", "HashJoin"],
      "inverted-index EQUI-join on shingle (plus the r04 document-frequency "
