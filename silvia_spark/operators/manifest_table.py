@@ -1241,10 +1241,21 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
 def version_at(path: str, ts: float) -> int:
     """The snapshot version a reader at wall time ``ts`` would have
     seen — the NEWEST retained version whose commit time is <= ts
-    (Delta's TIMESTAMP AS OF resolution). Raises when ts predates the
-    oldest retained commit (time travel cannot cross the vacuum
-    horizon) or the first commit."""
+    (Delta's TIMESTAMP AS OF resolution). Commit timestamps are not
+    guaranteed monotone along the parent chain (a rebased claim
+    refreshes its ts; clocks skew; pre-r11 docs fall back to file
+    mtime), so resolution runs over a MONOTONE-ADJUSTED history —
+    each version's effective ts is the running max from oldest to
+    newest, Delta's timestamp-adjustment rule — which keeps the
+    answer well-ordered: a later version never resolves for an
+    earlier wall time. Raises when ts predates the oldest retained
+    commit (time travel cannot cross the vacuum horizon) or the
+    first commit."""
     hist = table_history(path)  # newest first
+    run = None
+    for h in reversed(hist):  # oldest → newest: running-max adjust
+        run = h["ts"] if run is None else max(run, h["ts"])
+        h["ts"] = run
     for h in hist:
         if h["ts"] <= ts:
             return h["version"]
@@ -1393,6 +1404,12 @@ def read_snapshot(spark: SparkSession, path: str,
     # transforms map ranges, bucket maps equality) — evaluated on the
     # manifest's partition values, before stats, before any listing
     pvals = _transform_prune(m.get("part_transform"), prune)
+    cur_spec = m.get("part_col")  # pvals only speaks the CURRENT
+    # spec's value domain: after set_partition_column old-spec files'
+    # partition values come from a DIFFERENT column, so comparing them
+    # against transformed bounds would silently drop matching rows —
+    # old-spec segments/entries are always kept (stats pruning still
+    # applies; it keys on data content, not the directory domain)
     prune = _prune_physical(m, prune)  # the stats index keys on
     #                                    physical names under a mapping
     if (prune or pvals) and "segments" in m:
@@ -1400,13 +1417,16 @@ def read_snapshot(spark: SparkSession, path: str,
         entries = [e for s in m["segments"]
                    if _seg_overlaps(s, prune or {})
                    and (pvals is None
+                        or s.get("pcol", cur_spec) != cur_spec
                         or any(pvals(p) for p in s["partitions"]))
                    for e in _read_segment(root, s["path"])]
     else:
         entries = _resolve(root, m)
         nonempty = bool(entries)
     if pvals:
-        entries = [e for e in entries if pvals(e["partition"])]
+        entries = [e for e in entries
+                   if _entry_spec(e) != cur_spec
+                   or pvals(e["partition"])]
     if prune:
         entries = prune_entries(entries, prune)
     if (prune or pvals) and not entries and nonempty:
@@ -2028,11 +2048,19 @@ def _transform_value(pt: dict, v) -> str | None:
             return v.strftime("%Y-%m-%d")
         return None
     if pt["kind"] == "bucket":
+        if isinstance(v, bool):
+            return None  # Python str(True)='True' vs Spark 'true' —
+            # the crc32 bucket would differ from the staged one
         if not isinstance(v, (int, str)):
             return None  # float renderings drift between engines
         return str(zlib.crc32(str(v).encode("utf-8")) % pt["n"])
     if pt["kind"] == "truncate":
-        return str(v)[: pt["n"]]
+        if not isinstance(v, str):
+            return None  # stringified numerics are not lexicographically
+            # monotone (truncate(1) of 9..12 gives '9' > '1'): a range
+            # mapped through them would prune EVERY file — abstain, the
+            # residual row filter stays in charge
+        return v[: pt["n"]]
     return None
 
 
@@ -2224,30 +2252,56 @@ def add_check_constraint(spark: SparkSession, path: str, name: str,
     pruned-scan job over the current snapshot); a table already in
     violation refuses the constraint, so a recorded constraint is an
     invariant of every retained snapshot from its commit forward, never
-    an aspiration. Metadata-only commit: zero data movement."""
+    an aspiration. Metadata-only commit: zero data movement.
+
+    Probe-then-commit is NOT a TOCTOU hole: the probed version is
+    pinned, and if any commit lands between the probe scan and the
+    metadata flip, the attempt is discarded and the probe re-runs
+    against the new snapshot — the constraint is only ever recorded
+    over data it actually validated."""
     root = _norm(path)
-    doc = _load_doc(root)
     if not name or not name.isidentifier():
         raise ValueError(f"constraint name {name!r} must be an "
                          "identifier")
-    if name in (doc.get("constraints") or {}):
-        raise ValueError(f"constraint {name!r} already exists: "
-                         f"{doc['constraints'][name]}")
-    probe = {**doc, "constraints": {name: expr}}
-    # validates expr compiles AND existing data passes, in one job
-    _enforce_constraints(read_snapshot(spark, root), probe,
-                         f"existing data (v{doc['version']})")
 
-    def mutate(nd: dict) -> None:
-        cons = dict(nd.get("constraints") or {})
-        if name in cons:
-            raise ValueError(
-                f"constraint {name!r} already exists: {cons[name]}")
-        cons[name] = expr
-        nd["constraints"] = cons
-        nd["op"] = "add_constraint"
+    class _Stale(Exception):
+        pass
 
-    return _commit_metadata(root, mutate)
+    for _ in range(8):
+        doc = _load_doc(root)
+        if name in (doc.get("constraints") or {}):
+            raise ValueError(f"constraint {name!r} already exists: "
+                             f"{doc['constraints'][name]}")
+        probe = {**doc, "constraints": {name: expr}}
+        probed_v = doc["version"]
+        # validates expr compiles AND existing data passes, in one
+        # job — pinned to the probed version, so a concurrent append
+        # cannot slip unvalidated rows under the scan
+        _enforce_constraints(read_snapshot(spark, root, probed_v),
+                             probe, f"existing data (v{probed_v})")
+
+        def mutate(nd: dict) -> None:
+            if nd.get("parent") != probed_v:
+                # a commit landed after the probe: its rows were never
+                # validated — re-probe against the new snapshot rather
+                # than record the constraint over unchecked data
+                raise _Stale()
+            cons = dict(nd.get("constraints") or {})
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists: "
+                    f"{cons[name]}")
+            cons[name] = expr
+            nd["constraints"] = cons
+            nd["op"] = "add_constraint"
+
+        try:
+            return _commit_metadata(root, mutate)
+        except _Stale:
+            continue
+    raise RuntimeError(
+        f"add_check_constraint({name!r}) lost the probe/commit race "
+        "8 times to concurrent writers — quiesce writes and retry")
 
 
 def drop_check_constraint(path: str, name: str) -> int:

@@ -156,3 +156,57 @@ def test_constraint_enforced_on_evolved_column_null_fill(spark,
     narrow = spark.createDataFrame([Row(k=81, v=1.0, part="a")])
     commit_append(spark, root, narrow, "part")
     assert read_snapshot(spark, root).where("k = 81").count() == 1
+
+
+def test_add_constraint_revalidates_after_racing_commit(spark,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """r12 ADVICE regression (TOCTOU): a commit landing between the
+    probe scan and the metadata flip was validated against the
+    PRE-constraint snapshot, so the constraint could be recorded over
+    never-validated (violating) rows. The probe pins its version and
+    the commit discards+re-probes when the parent moved — a racing
+    violating append now refuses the constraint."""
+    import silvia_spark.operators.manifest_table as mt
+
+    root = _mk(spark, tmp_path)
+    orig = mt._enforce_constraints
+    raced = {"n": 0}
+
+    def racy(df, doc, what):
+        if raced["n"] == 0:
+            raced["n"] = 1
+            commit_append(spark, root, spark.createDataFrame(
+                [Row(k=999, v=-5.0, part="a")]), "part")
+        return orig(df, doc, what)
+
+    monkeypatch.setattr(mt, "_enforce_constraints", racy)
+    with pytest.raises(ConstraintViolation, match="v_pos"):
+        add_check_constraint(spark, root, "v_pos", "v > 0")
+    assert "v_pos" not in (load_manifest(root).get(
+        "constraints") or {})
+
+
+def test_add_constraint_retries_past_benign_racing_commit(
+        spark, tmp_path, monkeypatch):
+    """The benign half: a racing commit whose rows PASS the probe on
+    re-validation lands the constraint on the second attempt instead
+    of failing spuriously."""
+    import silvia_spark.operators.manifest_table as mt
+
+    root = _mk(spark, tmp_path)
+    orig = mt._enforce_constraints
+    raced = {"n": 0}
+
+    def racy(df, doc, what):
+        if raced["n"] == 0:
+            raced["n"] = 1
+            commit_append(spark, root, spark.createDataFrame(
+                [Row(k=999, v=5.0, part="a")]), "part")
+        return orig(df, doc, what)
+
+    monkeypatch.setattr(mt, "_enforce_constraints", racy)
+    v = add_check_constraint(spark, root, "v_pos", "v > 0")
+    assert load_manifest(root)["constraints"] == {"v_pos": "v > 0"}
+    assert v == current_version(root)
+    assert raced["n"] == 1

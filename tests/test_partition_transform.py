@@ -180,3 +180,72 @@ def test_clustered_compaction_zorder_two_dims(spark, tmp_path):
     got = sorted((r["k"], r["j"], r["v"]) for r in
                  rs(spark, root).collect())
     assert got == sorted((r.k, r.j, r.v) for r in rows)
+
+
+def test_truncate_int_source_abstains_not_empty(spark, tmp_path):
+    """r12 ADVICE regression: truncate on a NON-string source must
+    ABSTAIN from pruning, not prune through stringified numerics —
+    truncate(1) of ints 9..12 gives dlo='9' > dhi='1', which pruned
+    EVERY partition and silently dropped rows 9..12."""
+    root = os.path.join(str(tmp_path), "tbl")
+    rows = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(1, 21)])
+    create_table(rows, root, "k", transform="truncate", transform_n=1)
+    got = read_snapshot(spark, root, prune={"k": (9, 12)})
+    assert sorted(r["k"] for r in
+                  got.where("k between 9 and 12").collect()) == \
+        [9, 10, 11, 12]
+    # negative bounds abstain too
+    neg = read_snapshot(spark, root, prune={"k": (-5, 3)})
+    assert sorted(r["k"] for r in
+                  neg.where("k <= 3").collect()) == [1, 2, 3]
+    # string sources still prune (lexicographic monotone is real there)
+    assert _transform_value({"kind": "truncate", "n": 2,
+                             "source": "s"}, "w03x") == "w0"
+    assert _transform_value({"kind": "truncate", "n": 1,
+                             "source": "k"}, 9) is None
+
+
+def test_bucket_bool_source_abstains(spark, tmp_path):
+    """r12 ADVICE regression: Python str(True)='True' but Spark casts
+    bool to 'true' — the crc32 bucket computed for pruning differed
+    from the staged one, so an equality prune skipped the wrong
+    bucket. Bool must abstain like float does."""
+    pt = {"kind": "bucket", "n": 4, "source": "flag"}
+    assert _transform_value(pt, True) is None
+    assert _transform_value(pt, False) is None
+    root = os.path.join(str(tmp_path), "tbl")
+    rows = spark.createDataFrame(
+        [Row(k=i, flag=bool(i % 2), v=float(i)) for i in range(1, 11)])
+    create_table(rows, root, "flag", transform="bucket", transform_n=2)
+    got = read_snapshot(spark, root, prune={"flag": (True, True)})
+    assert sorted(r["k"] for r in got.where("flag").collect()) == \
+        [1, 3, 5, 7, 9]
+
+
+def test_mixed_spec_transform_prune_keeps_old_spec_files(spark,
+                                                         tmp_path):
+    """r12 ADVICE regression (data-losing): after evolving to a days
+    transform, OLD-spec files' partition values live in a different
+    column's domain ('w00x'), and comparing them lexicographically
+    against transformed bounds ('2024-01-03') pruned them out of
+    range reads entirely. Old-spec groups must always be kept; the
+    residual row filter stays in charge."""
+    root = _mk(spark, tmp_path)  # partitioned by s ('w00x'...)
+    set_partition_column(root, "ts", transform="days")
+    commit_append(spark, root, spark.createDataFrame(
+        [Row(k=100 + i,
+             ts=datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+             s="zz", v=100.0 + i) for i in range(3)]), "ts")
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 2, 23, 59, 59)
+    got = read_snapshot(spark, root, prune={"ts": (lo, hi)})
+    want = sorted([r.k for r in TS
+                   if lo <= r.ts <= hi] + [100, 101])
+    assert sorted(r["k"] for r in got.where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .collect()) == want
+    # and the new-spec side still actually prunes directories
+    m = load_manifest(root)
+    new_spec = [e for e in m["files"] if e["path"].startswith("p_days")]
+    assert new_spec, "expected post-evolution files under the transform"

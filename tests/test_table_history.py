@@ -118,3 +118,37 @@ def test_restore_noop_to_head_and_cdf_diff(spark, tmp_path):
     assert sorted(r["k"] for r in
                   read_snapshot(spark, root).collect()) == list(
         range(1, 11))
+
+
+def test_version_at_monotone_adjustment_under_clock_skew(spark,
+                                                         tmp_path):
+    """r12 ADVICE regression: commit timestamps are not guaranteed
+    monotone (rebased claims refresh ts; clocks skew). version_at
+    must resolve over a running-max-adjusted history (Delta's
+    timestamp adjustment) — the raw newest-first scan could return a
+    LATER version for an EARLIER wall time than an intermediate
+    commit a reader actually saw."""
+    import json as _json
+
+    from silvia_spark.operators.manifest_table import (FS, _load_doc,
+                                                       _manifest_path)
+
+    root = _mk(spark, tmp_path)
+    for i in (30, 31):
+        commit_append(spark, root, spark.createDataFrame(
+            [Row(k=i, v=float(i), part="a")]), "part")
+    assert current_version(root) == 3
+    # skew: v2's clock ran ahead of v3's
+    for v, ts in ((1, 1000.0), (2, 3000.0), (3, 2000.0)):
+        doc = _load_doc(root, v)
+        doc["ts"] = ts
+        FS.put_atomic(_manifest_path(root, v), _json.dumps(doc))
+    # adjusted history: v1=1000, v2=3000, v3=max(3000,2000)=3000
+    assert version_at(root, 2500.0) == 1   # raw scan would say 3
+    assert version_at(root, 3000.0) == 3
+    assert version_at(root, 1500.0) == 1
+    with pytest.raises(ValueError, match="oldest"):
+        version_at(root, 999.0)
+    # resolution is monotone in ts
+    got = [version_at(root, t) for t in (1000, 2000, 2999, 3000, 9999)]
+    assert got == sorted(got)
