@@ -140,7 +140,7 @@ def _geo(d: dict[str, float]) -> float:
 
 def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
                   ratios_raw, ratios_marg, breaches, extended, iterative,
-                  loadavg, sf_val, load_gate) -> dict:
+                  loadavg, sf_val, load_gate, floor_band=None) -> dict:
     """The one self-contained JSON object the driver's stdout-tail capture
     must fully hold (~2000-char cap). Keep keys/prose lean — growth here is
     regression-guarded by tests/test_bench_artifact.py."""
@@ -161,11 +161,61 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "iterative": iterative,
         "sf1_raw_ratios": _sf1_ratios(),
         "sf1_heavy": _sf1_heavy(),
-        "skew_aqe": _skew_aqe(),
         "loadavg": loadavg,
         "load_gate": load_gate,
+        "fb": floor_band or {},
         "sf": sf_val,
     }
+
+
+def _floor_band() -> dict:
+    """Historical floor band from the committed per-round artifacts
+    (BENCH_r*.json `parsed` blocks): the data-independent scheduling
+    floor is the one number that moves ONLY with machine conditions, so
+    comparing this run's measured floor against the rolling median is
+    the in-run detector for co-tenant load the start-only load gate
+    cannot see (r11: gate passed, floor doubled mid-sweep, every raw
+    number inflated ~20 ms). Returns {} when fewer than 3 rounds have
+    recorded floors."""
+    import glob
+    import statistics
+    here = os.path.dirname(os.path.abspath(__file__))
+    floors, scans = [], []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+            if parsed.get("floor_sec") and parsed.get("floor_scan_sec"):
+                floors.append(float(parsed["floor_sec"]))
+                scans.append(float(parsed["floor_scan_sec"]))
+        except (OSError, ValueError, TypeError):
+            continue
+    if len(floors) < 3:
+        return {}
+    return {"med": round(statistics.median(floors), 4),
+            "med_scan": round(statistics.median(scans), 4),
+            "n": len(floors)}
+
+
+_FLOOR_BAND_X = 1.5  # degraded when measured floor > 1.5x rolling median
+
+
+def _floor_verdict(band: dict, floor: float, floor_scan: float,
+                   reran: bool) -> dict:
+    """Compact floor-band verdict for the artifact line: x = the worse
+    of the two floor ratios vs the committed medians; degraded when it
+    exceeds the 1.5x band. main() auto-reruns the sweep ONCE on a
+    degraded first pass (mins merge — load only inflates, so extra runs
+    can only improve) and the final verdict reflects the re-measured
+    floor, with `reran` recording that the artifact already burned its
+    retry."""
+    if not band:
+        return {"n": 0}
+    x = max(floor / band["med"], floor_scan / band["med_scan"])
+    out = {"x": round(x, 2), "deg": x > _FLOOR_BAND_X}
+    if reran:
+        out["rr"] = True
+    return out
 
 
 def _sf1_ratios() -> dict[str, float]:
@@ -224,7 +274,7 @@ def _load_gate() -> dict:
     query tracking floor_sec. Wait up to SPARK_GRAFT_LOAD_WAIT_SEC
     (default 300) for the 1-min loadavg to drop below
     SPARK_GRAFT_LOAD_GATE (default 2.0); if it never does, stamp
-    ``degraded: true`` so the artifact itself declares its numbers
+    ``deg: true`` so the artifact itself declares its numbers
     incomparable to the idle baseline instead of leaving the next
     reviewer to reverse-engineer the drift."""
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
@@ -233,10 +283,10 @@ def _load_gate() -> dict:
     waited = 0
     while os.getloadavg()[0] >= gate:
         if time.monotonic() >= deadline:
-            return {"degraded": True, "gate": gate, "waited_sec": waited}
+            return {"deg": True, "gate": gate, "wait": waited}
         time.sleep(5)
         waited += 5
-    return {"degraded": False, "gate": gate, "waited_sec": waited}
+    return {"deg": False, "gate": gate, "wait": waited}
 
 
 def main() -> None:
@@ -282,67 +332,81 @@ def main() -> None:
         df.toArrow()                    # warm-up: codegen + IO cache
         plans[name] = df
 
-    timings = {name: float("inf") for name in HEADLINE}
-    for _ in range(sweeps):
-        for name in HEADLINE:
-            df = plans[name]
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df.toArrow()
-                timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {k: round(v, 4) for k, v in timings.items()}
-
-    # Scheduling floor: the cheapest possible job (SELECT 1, no scan, one
-    # task) on the same warm session. Any query's time decomposes as
-    # floor + marginal work; DuckDB's floor on this box is ~0.1 ms, so for
-    # millisecond-scale queries the per-2x-gate comparison that is fair at
-    # the 100 TB design point is (spark - floor) vs duckdb.
+    # Scheduling floor plan: the cheapest possible job (SELECT 1, no
+    # scan, one task) on the same warm session. Any query's time
+    # decomposes as floor + marginal work; DuckDB's floor on this box is
+    # ~0.1 ms, so for millisecond-scale queries the per-2x-gate
+    # comparison that is fair at the 100 TB design point is
+    # (spark - floor) vs duckdb.
     floor_df = spark.range(0, 1, 1, 1).selectExpr("1 AS one")
     floor_df.toArrow()
-    floor = float("inf")
-    for _ in range(sweeps * 3):
-        t0 = time.perf_counter()
-        floor_df.toArrow()
-        floor = min(floor, time.perf_counter() - t0)
-    floor = round(floor, 4)
-
-    # Scan floor: the cheapest real-table query (pushed 1-row point lookup
-    # on the smallest parquet). Every contract includes at least one scan,
-    # so THIS is the honest zero point when decomposing a per-query time
-    # into fixed overhead + marginal work (e.g. sim_topk_cosine's 2× gate).
+    # Scan floor plan: the cheapest real-table query (pushed 1-row point
+    # lookup on the smallest parquet). Every contract includes at least
+    # one scan, so THIS is the honest zero point when decomposing a
+    # per-query time into fixed overhead + marginal work.
     from pyspark.sql import functions as SF
     scan_df = (load_table(spark, sf_dir, "embeddings")
                .where(SF.col("vec_id") == 1).select("vec_id"))
     scan_df.toArrow()
-    floor_scan = float("inf")
-    for _ in range(sweeps * 3):
-        t0 = time.perf_counter()
-        scan_df.toArrow()
-        floor_scan = min(floor_scan, time.perf_counter() - t0)
-    floor_scan = round(floor_scan, 4)
-
-    extended = {name: float("inf") for name in EXTENDED}
     ext_plans = {}
     for name in EXTENDED:
         df = registry.QUERIES[name](spark, sf_dir)
         df.toArrow()                    # warm-up: codegen + IO cache
         ext_plans[name] = df
-    for _ in range(sweeps):
-        for name in EXTENDED:
-            t0 = time.perf_counter()
-            ext_plans[name].toArrow()
-            extended[name] = min(extended[name], time.perf_counter() - t0)
-    extended = {k: round(v, 3) for k, v in extended.items()}
-
-    iterative = {name: float("inf") for name in ITERATIVE}
     for name in ITERATIVE:
         registry.QUERIES[name](spark, sf_dir).toArrow()   # warm-up
+
+    timings = {name: float("inf") for name in HEADLINE}
+    extended = {name: float("inf") for name in EXTENDED}
+    iterative = {name: float("inf") for name in ITERATIVE}
+    floor = floor_scan = float("inf")
+    band = _floor_band()
+    floor_band: dict = {}
+    # Floor-band degradation guard (r11 verdict: the start-only load
+    # gate passed while the floor doubled mid-sweep): measure everything,
+    # check the floor against the committed rolling median, and when the
+    # band is breached re-run the whole sweep ONCE after a short backoff.
+    # Mins merge across attempts — co-tenant load only inflates, so the
+    # retry can only tighten; the artifact records the verdict either way.
+    for attempt in (0, 1):
         for _ in range(sweeps):
+            for name in HEADLINE:
+                df = plans[name]
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.toArrow()
+                    timings[name] = min(timings[name],
+                                        time.perf_counter() - t0)
+        for _ in range(sweeps * 3):
             t0 = time.perf_counter()
-            registry.QUERIES[name](spark, sf_dir).toArrow()
-            iterative[name] = min(iterative[name],
-                                  time.perf_counter() - t0)
+            floor_df.toArrow()
+            floor = min(floor, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            scan_df.toArrow()
+            floor_scan = min(floor_scan, time.perf_counter() - t0)
+        for _ in range(sweeps):
+            for name in EXTENDED:
+                t0 = time.perf_counter()
+                ext_plans[name].toArrow()
+                extended[name] = min(extended[name],
+                                     time.perf_counter() - t0)
+        for name in ITERATIVE:
+            for _ in range(sweeps):
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).toArrow()
+                iterative[name] = min(iterative[name],
+                                      time.perf_counter() - t0)
+        floor_band = _floor_verdict(band, floor, floor_scan,
+                                    reran=bool(attempt))
+        if not floor_band.get("deg") or attempt:
+            break
+        time.sleep(float(os.environ.get(
+            "SPARK_GRAFT_FLOOR_RETRY_SLEEP", "15")))
+    timings = {k: round(v, 4) for k, v in timings.items()}
+    extended = {k: round(v, 3) for k, v in extended.items()}
     iterative = {k: round(v, 4) for k, v in iterative.items()}
+    floor = round(floor, 4)
+    floor_scan = round(floor_scan, 4)
 
     total = round(sum(timings.values()), 4)
     compile_total = round(sum(compiles.values()), 4)
@@ -381,6 +445,8 @@ def main() -> None:
                        "is Spark's constant ~17ms local scheduling floor "
                        "on a ms-scale query, not marginal work; per-query "
                        "marginal = t - floor_scan_sec, spelled out here"),
+        "floor_band_hist": _floor_band(),
+        "skew_aqe": _skew_aqe(),
         "sweeps": sweeps,
         "note": ("per-query min across sweeps*3 warm runs; r02's uniform +35% "
                  "was concurrent driver load (idle rerun of identical code: "
@@ -423,7 +489,7 @@ def main() -> None:
         total, timings, compile_total, floor, floor_scan, marginal,
         ratios_raw, ratios_marg, breaches, extended, iterative,
         [round(load_start, 2), round(os.getloadavg()[0], 2)], sf_val,
-        load_gate)))
+        load_gate, floor_band)))
 
     # Free the persisted LSH/SimHash build sides (one live cache per slot
     # survives the sweep otherwise — harmless at exit here, but the bench

@@ -60,7 +60,8 @@ def test_final_line_fits_tail_capture_worst_case(monkeypatch):
         ratios_raw=ratios, ratios_marg=ratios, breaches=breaches,
         extended=extended, iterative=iterative,
         loadavg=[12.34, 12.34], sf_val=0.1,
-        load_gate={"degraded": True, "gate": 2.0, "waited_sec": 300}))
+        load_gate={"deg": True, "gate": 2.0, "wait": 300},
+        floor_band={"x": 99.99, "deg": True, "rr": True}))
     assert len(line) <= _TAIL_BUDGET, (
         f"final bench line would be {len(line)} chars — trims needed "
         "(move a field to the diagnostics line) or the driver tail "
@@ -74,13 +75,14 @@ def test_extended_and_iterative_ride_the_final_line():
         {k: 0.05 for k in bench.HEADLINE}, {},
         {k: 0.02 for k in bench.EXTENDED},
         {k: 0.9 for k in bench.ITERATIVE}, [0.5, 1.0], 0.1,
-        {"degraded": False, "gate": 2.0, "waited_sec": 0})
+        {"deg": False, "gate": 2.0, "wait": 0})
     assert set(line["extended"]) == set(bench.EXTENDED)
     assert set(line["iterative"]) == set(bench.ITERATIVE)
     assert "floor_scan_sec" in line and "raw_gate_breaches" in line
     # r08 verdict item 4: the artifact must carry the idle-box gate field
-    assert line["load_gate"] == {"degraded": False, "gate": 2.0,
-                                 "waited_sec": 0}
+    assert line["load_gate"] == {"deg": False, "gate": 2.0, "wait": 0}
+    # r12: and the in-run floor-band verdict
+    assert line["fb"] == {}
 
 
 def _baseline_md_headline_ms() -> dict[str, float]:
@@ -101,3 +103,29 @@ def test_baseline_ms_matches_baseline_md():
         f"md-only: {set(md) - set(bench.BASELINE_MS)}, "
         f"bench-only: {set(bench.BASELINE_MS) - set(md)}, "
         f"diffs: { {k: (md.get(k), bench.BASELINE_MS.get(k)) for k in set(md) | set(bench.BASELINE_MS) if md.get(k) != bench.BASELINE_MS.get(k)} }")
+
+
+def test_floor_band_reads_committed_artifacts():
+    band = bench._floor_band()
+    # the checkout carries r04..r11 floors, so the band is live
+    assert band["n"] >= 3
+    assert 0.005 < band["med"] < 0.05
+    assert band["med"] <= band["med_scan"]
+
+
+def test_floor_verdict_flags_inflated_floor_and_reruns_once():
+    """r11 post-mortem: the start-only load gate passed while the
+    scheduling floor doubled mid-sweep. The band verdict must mark a
+    floor >1.5x the committed median as degraded (main() then re-runs
+    the sweep once), and a floor inside the band as clean."""
+    band = {"med": 0.012, "med_scan": 0.018, "n": 8}
+    hot = bench._floor_verdict(band, 0.024, 0.036, reran=False)
+    assert hot["deg"] and hot["x"] == 2.0
+    cool = bench._floor_verdict(band, 0.013, 0.019, reran=False)
+    assert not cool["deg"] and "rr" not in cool
+    retried = bench._floor_verdict(band, 0.024, 0.02, reran=True)
+    assert retried["deg"] and retried["rr"]
+    # scan floor alone can trip it (IO contention without CPU load)
+    io_hot = bench._floor_verdict(band, 0.012, 0.06, reran=False)
+    assert io_hot["deg"]
+    assert bench._floor_verdict({}, 9.9, 9.9, reran=False) == {"n": 0}
