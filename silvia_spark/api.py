@@ -77,7 +77,9 @@ from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
-                                                  read_stream_table)
+                                                  read_stream_table,
+                                                  read_table,
+                                                  register_table_view)
 from silvia_spark.streaming.streams import net_changes, replicate_table
 from silvia_spark.operators.manifest_table import (
     add_check_constraint,
@@ -159,6 +161,7 @@ __all__ = [
     "table_history", "version_at", "restore_table", "clone_table",
     "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
+    "read_table", "register_table_view",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

@@ -1383,33 +1383,28 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     return 1
 
 
-def read_snapshot(spark: SparkSession, path: str,
-                  version: int | None = None,
-                  prune: dict[str, tuple] | None = None) -> DataFrame:
-    """Resolve pointer → manifest → file list. Orphan files (from
-    crashed or in-flight commits) are invisible by construction.
+def _pruned_entries(root: str, m: dict,
+                    prune: dict[str, tuple] | None
+                    ) -> tuple[list[dict], bool, bool]:
+    """Resolve a manifest doc's entry list under the min/max prune
+    index — the shared driver-side core of read_snapshot AND the batch
+    DataSource's partition planning. Returns (entries, nonempty,
+    pruned): `nonempty` says the unpruned snapshot held rows (so an
+    empty pruned list means "everything pruned", not "empty table"),
+    `pruned` whether any pruning predicate was active.
 
-    ``prune={col: (lo, hi)}`` applies the manifest's min/max index
-    BEFORE Spark ever lists a file — first at SEGMENT granularity (a
-    segment whose stats rollup misses the range is skipped without
-    reading its entry list), then per file: at 100 TB the difference
-    between "open every footer" and "open the 0.1% of files whose range
-    overlaps the predicate". File-granular and conservative — the caller
-    still applies the row-level filter; pruning only shrinks the file
-    list it runs over."""
-    root = _norm(path)
-    m = _load_doc(root, version)
-    # hidden-transform partition pruning: a prune on the SOURCE column
-    # maps through the transform to directory skipping (monotone
-    # transforms map ranges, bucket maps equality) — evaluated on the
-    # manifest's partition values, before stats, before any listing
+    Hidden-transform partition pruning: a prune on the SOURCE column
+    maps through the transform to directory skipping (monotone
+    transforms map ranges, bucket maps equality) — evaluated on the
+    manifest's partition values, before stats, before any listing.
+    pvals only speaks the CURRENT spec's value domain: after
+    set_partition_column old-spec files' partition values come from a
+    DIFFERENT column, so comparing them against transformed bounds
+    would silently drop matching rows — old-spec segments/entries are
+    always kept (stats pruning still applies; it keys on data content,
+    not the directory domain)."""
     pvals = _transform_prune(m.get("part_transform"), prune)
-    cur_spec = m.get("part_col")  # pvals only speaks the CURRENT
-    # spec's value domain: after set_partition_column old-spec files'
-    # partition values come from a DIFFERENT column, so comparing them
-    # against transformed bounds would silently drop matching rows —
-    # old-spec segments/entries are always kept (stats pruning still
-    # applies; it keys on data content, not the directory domain)
+    cur_spec = m.get("part_col")
     prune = _prune_physical(m, prune)  # the stats index keys on
     #                                    physical names under a mapping
     if (prune or pvals) and "segments" in m:
@@ -1429,7 +1424,27 @@ def read_snapshot(spark: SparkSession, path: str,
                    or pvals(e["partition"])]
     if prune:
         entries = prune_entries(entries, prune)
-    if (prune or pvals) and not entries and nonempty:
+    return entries, nonempty, bool(prune or pvals)
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None,
+                  prune: dict[str, tuple] | None = None) -> DataFrame:
+    """Resolve pointer → manifest → file list. Orphan files (from
+    crashed or in-flight commits) are invisible by construction.
+
+    ``prune={col: (lo, hi)}`` applies the manifest's min/max index
+    BEFORE Spark ever lists a file — first at SEGMENT granularity (a
+    segment whose stats rollup misses the range is skipped without
+    reading its entry list), then per file: at 100 TB the difference
+    between "open every footer" and "open the 0.1% of files whose range
+    overlaps the predicate". File-granular and conservative — the caller
+    still applies the row-level filter; pruning only shrinks the file
+    list it runs over."""
+    root = _norm(path)
+    m = _load_doc(root, version)
+    entries, nonempty, pruned = _pruned_entries(root, m, prune)
+    if pruned and not entries and nonempty:
         # everything pruned: an empty frame with the snapshot
         # schema — never a full-snapshot listing just for a schema
         return _empty_like(spark, root, m)
@@ -4223,6 +4238,80 @@ def scan_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
                  F.sum("l_quantity").cast("bigint").alias("qty_sum"))
             .orderBy("l_returnflag"))
+
+
+# --- contract: SQL surface over the batch DataSource (L33) --------------------
+
+_SQL_TT_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+appended AS (
+  SELECT l_orderkey + 20000000 AS l_orderkey, l_linenumber,
+         l_returnflag, l_quantity + 1 AS l_quantity, l_extendedprice
+  FROM base WHERE l_orderkey % 13 = 0
+),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+FROM v2 WHERE l_quantity <= 25
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@contract("scan_sql_time_travel", oracle=_SQL_TT_ORACLE)
+def scan_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest tables addressed from PLAIN SQL through the batch
+    DataSource (Delta's ``spark.read.format("delta")`` + ``VERSION AS
+    OF`` shape): ``register_table_view`` pins version 2 of a
+    create → append → merge history as a temp view, and the query is
+    ``spark.sql`` text a BI tool could have issued — no Python table
+    API in the read path. Discrimination is real on both axes: reading
+    v3 instead of v2 would drop every merged row from the WHERE
+    l_quantity <= 25 band (the merge adds +500), and the predicate
+    itself reaches the manifest's min/max prune via the source's
+    ``pushFilters`` before any file opens (file-level conservative;
+    Spark re-applies the exact row filter — the same division of labor
+    as read_snapshot(prune=...), proven at the unit level in
+    tests/test_manifest_datasource.py). DV masking, column mapping and
+    hidden partitioning ride the same shared ``_read_slice`` kernel as
+    the CDC stream, so SQL readers cannot observe different table
+    semantics than Python readers."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_sqltt_"), "tbl")
+    create_table(li, root, "l_returnflag", stats_cols=["l_quantity"])
+    commit_append(
+        spark, root,
+        li.where(F.col("l_orderkey") % 13 == 0)
+        .select((F.col("l_orderkey") + 20000000).alias("l_orderkey"),
+                "l_linenumber", "l_returnflag",
+                (F.col("l_quantity") + 1).alias("l_quantity"),
+                "l_extendedprice"),
+        "l_returnflag")
+    commit_merge(
+        spark, root,
+        li.where(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                (F.col("l_quantity") + 500).alias("l_quantity"),
+                "l_extendedprice", F.lit("U").alias("op")),
+        ["l_orderkey", "l_linenumber", "l_returnflag"], "l_returnflag")
+
+    from silvia_spark.sources.manifest_stream import register_table_view
+
+    register_table_view(spark, "silvia_sql_tt", root, version=2)
+    return spark.sql("""
+        SELECT l_returnflag, count(*) AS cnt,
+               CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+        FROM silvia_sql_tt WHERE l_quantity <= 25
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
 
 
 # --- contract: RESTORE to an earlier version (L28) ----------------------------

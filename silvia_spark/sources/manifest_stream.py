@@ -1,7 +1,13 @@
-"""Manifest tables as a STREAMING SOURCE (Spark 4 Python DataSource
-streaming API) — the read half of L12's exactly-once streaming write,
-i.e. Delta's ``spark.readStream.format("delta")`` shape on this repo's
-snapshot-manifest layer (operators/manifest_table.py).
+"""Manifest tables as a Spark DataSource — STREAMING source (the read
+half of L12's exactly-once streaming write, Delta's
+``spark.readStream.format("delta")`` shape) AND, since r12, the BATCH
+read path (``spark.read.format("silvia_manifest")`` — Delta's batch
+``format("delta")`` shape with ``versionAsOf``/``timestampAsOf``/
+``changesSince`` and pushed-filter manifest pruning; see
+``ManifestBatchReader``) over this repo's snapshot-manifest layer
+(operators/manifest_table.py). Both paths share one executor-side
+Arrow kernel (``_read_slice``), so SQL/batch readers and CDC stream
+consumers observe identical table semantics.
 
 Offsets are table VERSIONS: each micro-batch covers the file-granular
 diff between two committed snapshots (the same set read_changes
@@ -64,7 +70,8 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import StructType
 
@@ -83,12 +90,13 @@ def _trace(msg: str) -> None:
             f.write(msg + "\n")
 
 
-def _table_schema(root: str) -> StructType:
+def _table_schema(root: str, version: int | None = None) -> StructType:
     """The snapshot read schema in read order (data fields, partition
-    column last — matching read_snapshot's column order)."""
+    column last — matching read_snapshot's column order). Time travel
+    reads under the pinned version's OWN schema/names."""
     from silvia_spark.operators.manifest_table import _load_doc
 
-    doc = _load_doc(root)
+    doc = _load_doc(root, version)
     sj = doc.get("schema")
     if not sj:
         raise ValueError(
@@ -706,87 +714,95 @@ class ManifestStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FileSlice):
-        # Executor-side, columnar end-to-end: pyarrow reads the one
-        # parquet file and the batch is handed to Spark as Arrow
-        # RecordBatches — no per-row Python objects. Columns align to
-        # the stream schema by NAME (a file written before a schema
-        # evolution NULL-fills the newer columns); the partition column
-        # is materialized from the manifest entry's recorded value.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
+        return _read_slice(self.schema, self.phys_of, self.part_col,
+                           self.cdf, partition)
 
-        # iter_batches, not read_table: a fat file streams through the
-        # executor row-group by row-group instead of materializing
-        # whole (r09 verdict blemish) — peak memory is one batch.
-        pf = pq.ParquetFile(partition.path)
-        present = set(pf.schema_arrow.names)
-        # column mapping: files contain PHYSICAL names; fetch by the
-        # reader field's physical name and emit under the logical one
-        # the column this file's DIRECTORY encodes (None for _changes/
-        # records, which carry everything as data): under partition-
-        # spec evolution an old-spec file's dir column differs from the
-        # table's current one — part_value fills the DIR column, and
-        # the current partition column reads as plain file data
-        dircol = None if partition.is_cdf else (
-            partition.pcol
-            or (self.phys_of.get(self.part_col) if self.part_col
-                else None))
-        data_cols = [self.phys_of[f.name] for f in self.schema.fields
-                     if self.phys_of[f.name] in present
-                     and self.phys_of[f.name] != dircol]
-        # merge-on-read: materialize this file's tombstoned positions
-        # from its delete-vector sidecar (small by the write-side
-        # crossover) and mask them out batch-by-batch below — a
-        # delivered file carries only the rows live at its version
-        dv_idx = None
-        if partition.dv_path is not None:
+
+def _read_slice(schema, phys_of, part_col, cdf, partition: _FileSlice):
+    """Executor-side, columnar end-to-end: pyarrow reads the one
+    parquet file and the batch is handed to Spark as Arrow
+    RecordBatches — no per-row Python objects. Columns align to the
+    reader schema by NAME (a file written before a schema evolution
+    NULL-fills the newer columns); the partition column is
+    materialized from the manifest entry's recorded value. Shared by
+    the STREAMING reader and the BATCH reader — one read path, so
+    DV masking, column mapping, hidden partitioning, and spec
+    evolution behave identically through both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    # iter_batches, not read_table: a fat file streams through the
+    # executor row-group by row-group instead of materializing
+    # whole (r09 verdict blemish) — peak memory is one batch.
+    pf = pq.ParquetFile(partition.path)
+    present = set(pf.schema_arrow.names)
+    # column mapping: files contain PHYSICAL names; fetch by the
+    # reader field's physical name and emit under the logical one
+    # the column this file's DIRECTORY encodes (None for _changes/
+    # records, which carry everything as data): under partition-
+    # spec evolution an old-spec file's dir column differs from the
+    # table's current one — part_value fills the DIR column, and
+    # the current partition column reads as plain file data
+    dircol = None if partition.is_cdf else (
+        partition.pcol
+        or (phys_of.get(part_col) if part_col
+            else None))
+    data_cols = [phys_of[f.name] for f in schema.fields
+                 if phys_of[f.name] in present
+                 and phys_of[f.name] != dircol]
+    # merge-on-read: materialize this file's tombstoned positions
+    # from its delete-vector sidecar (small by the write-side
+    # crossover) and mask them out batch-by-batch below — a
+    # delivered file carries only the rows live at its version
+    dv_idx = None
+    if partition.dv_path is not None:
+        import numpy as np
+
+        dvt = pq.read_table(
+            partition.dv_path, columns=["path", "row_index"],
+            filters=[("path", "==", partition.rel)])
+        dv_idx = np.asarray(dvt.column("row_index").to_numpy(),
+                            dtype="int64")
+    off = 0
+    for rb in pf.iter_batches(columns=data_cols):
+        if dv_idx is not None and len(dv_idx):
             import numpy as np
 
-            dvt = pq.read_table(
-                partition.dv_path, columns=["path", "row_index"],
-                filters=[("path", "==", partition.rel)])
-            dv_idx = np.asarray(dvt.column("row_index").to_numpy(),
-                                dtype="int64")
-        off = 0
-        for rb in pf.iter_batches(columns=data_cols):
-            if dv_idx is not None and len(dv_idx):
-                import numpy as np
-
-                idx = np.arange(off, off + rb.num_rows, dtype="int64")
-                off += rb.num_rows
-                mask = ~np.isin(idx, dv_idx)
-                if not mask.all():
-                    rb = rb.filter(pa.array(mask))
-                if rb.num_rows == 0:
-                    continue
+            idx = np.arange(off, off + rb.num_rows, dtype="int64")
+            off += rb.num_rows
+            mask = ~np.isin(idx, dv_idx)
+            if not mask.all():
+                rb = rb.filter(pa.array(mask))
+            if rb.num_rows == 0:
+                continue
+        else:
+            off += rb.num_rows
+        n = rb.num_rows
+        arrays, names = [], []
+        for f in schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == "_commit_version" and partition.ver is not None:
+                col = pa.array([partition.ver] * n, type=at)
+            elif (f.name == "_change_type" and cdf
+                  and not partition.is_cdf):
+                col = pa.array([partition.ctype or "insert"] * n,
+                               type=at)
+            elif dircol is not None and phys_of[f.name] == dircol:
+                pv = _cast_partition(partition.part_value, f)
+                col = (pa.nulls(n, type=at) if pv is None
+                       else pa.array([pv] * n, type=at))
+            elif phys_of[f.name] in rb.schema.names:
+                col = rb.column(phys_of[f.name])
+                if col.type != at:
+                    col = col.cast(at)
             else:
-                off += rb.num_rows
-            n = rb.num_rows
-            arrays, names = [], []
-            for f in self.schema.fields:
-                at = to_arrow_type(f.dataType)
-                if f.name == "_commit_version" and partition.ver is not None:
-                    col = pa.array([partition.ver] * n, type=at)
-                elif (f.name == "_change_type" and self.cdf
-                      and not partition.is_cdf):
-                    col = pa.array([partition.ctype or "insert"] * n,
-                                   type=at)
-                elif dircol is not None and self.phys_of[f.name] == dircol:
-                    pv = _cast_partition(partition.part_value, f)
-                    col = (pa.nulls(n, type=at) if pv is None
-                           else pa.array([pv] * n, type=at))
-                elif self.phys_of[f.name] in rb.schema.names:
-                    col = rb.column(self.phys_of[f.name])
-                    if col.type != at:
-                        col = col.cast(at)
-                else:
-                    col = pa.nulls(n, type=at)
-                arrays.append(col)
-                names.append(f.name)
-            yield pa.RecordBatch.from_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                 else a for a in arrays], names=names)
+                col = pa.nulls(n, type=at)
+            arrays.append(col)
+            names.append(f.name)
+        yield pa.RecordBatch.from_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+             else a for a in arrays], names=names)
 
 
 def _cast_partition(value: str, field):
@@ -824,15 +840,201 @@ def _cast_partition(value: str, field):
         "source (string/integer/float/date/timestamp/decimal work)")
 
 
+class ManifestBatchReader(DataSourceReader):
+    """BATCH read path for manifest tables — Delta's
+    ``spark.read.format("delta")`` shape, incl. time travel and CDF:
+
+    - ``versionAsOf`` / ``timestampAsOf``: the snapshot pinned to a
+      retained version (timestamp resolution via the monotone-adjusted
+      ``version_at``).
+    - ``changesSince=N``: the row-level change feed for versions
+      N+1..head as one batch frame (+ ``_change_type`` /
+      ``_commit_version`` columns) — the batch twin of the CDC stream.
+
+    Planning is driver-side METADATA only (O(pruned entries) manifest
+    reads, never a file listing); one InputPartition per data file
+    keeps the read executor-parallel, rows travel as Arrow
+    RecordBatches through the same ``_read_slice`` kernel as the
+    stream, so DV masking, column mapping, hidden partitioning and
+    spec evolution behave identically through SQL and Python.
+
+    Filter pushdown (``pushFilters``): comparison predicates on stats-
+    indexed columns become the manifest's min/max + partition-value
+    prune BEFORE any file is opened — the same ``_pruned_entries``
+    core as ``read_snapshot(prune=...)``, so a point lookup on a
+    100 TB table opens the ~0.1% of files whose range overlaps. Every
+    filter is returned as unsupported: file-granular pruning is
+    conservative, Spark re-applies the exact row-level predicate."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from silvia_spark.operators.manifest_table import (_load_doc,
+                                                           _phys_name)
+
+        self.root = local_path(options["path"])
+        self.schema = schema
+        self.changes_since = options.get("changessince")
+        self.version = _resolve_version(self.root, options)
+        doc = _load_doc(self.root, self.version)
+        self.part_col = doc.get("part_col")
+        cm = doc.get("col_map")
+        self.phys_of = {f.name: _phys_name(cm, f.name)
+                        for f in schema.fields}
+        self.cdf = self.changes_since is not None
+        self._prune: dict[str, tuple] = {}
+
+    def pushFilters(self, filters):
+        """Harvest file-prune bounds from the pushed predicates; yield
+        every filter back (= unsupported, Spark re-applies row-level —
+        the prune is a conservative file-level superset, which is
+        exactly the division of labor read_snapshot documents)."""
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, In,
+                                            LessThan, LessThanOrEqual)
+
+        for flt in filters:
+            col = getattr(flt, "attribute", None)
+            if col is not None and len(col) == 1:
+                name = col[0]
+                if isinstance(flt, EqualTo):
+                    self._bound(name, flt.value, flt.value)
+                elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    # strict > uses the closed bound: the [min,max]
+                    # overlap test keeps a superset of the true files
+                    self._bound(name, flt.value, None)
+                elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                    self._bound(name, None, flt.value)
+                elif isinstance(flt, In) and flt.values:
+                    try:
+                        self._bound(name, min(flt.values),
+                                    max(flt.values))
+                    except TypeError:
+                        pass  # mixed/unorderable literals: abstain
+            yield flt
+
+    def _bound(self, name: str, lo, hi) -> None:
+        """Intersect a new [lo, hi] with the column's running bounds
+        (None = unbounded side) — multiple pushed conjuncts on one
+        column tighten the prune."""
+        plo, phi = self._prune.get(name, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        self._prune[name] = (plo, phi)
+
+    def partitions(self) -> list[InputPartition]:
+        from silvia_spark.operators.manifest_table import (
+            _load_doc, _pruned_entries)
+
+        if self.changes_since is not None:
+            return _change_slices(self.root, int(self.changes_since),
+                                  self.version)
+        m = _load_doc(self.root, self.version)
+        entries, _, _ = _pruned_entries(self.root, m,
+                                        self._prune or None)
+        if not entries:
+            # the API requires >= 1 partition; an empty slice keeps
+            # the everything-pruned read a valid empty frame
+            return [_FileSlice("", None)]
+        return [_slice(self.root, e) for e in entries]
+
+    def read(self, partition: _FileSlice):
+        if not partition.path:
+            return iter(())
+        return _read_slice(self.schema, self.phys_of, self.part_col,
+                           self.cdf, partition)
+
+
+def _resolve_version(root: str, options: dict) -> int:
+    """Pin the snapshot version from versionAsOf / timestampAsOf (at
+    most one), defaulting to the current head. Resolved ONCE at plan
+    time so every partition of the scan reads one consistent
+    snapshot even while writers commit."""
+    from silvia_spark.operators.manifest_table import (current_version,
+                                                       version_at)
+
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "versionAsOf and timestampAsOf are mutually exclusive")
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        try:
+            at = float(ts)
+        except ValueError:
+            import datetime
+
+            at = datetime.datetime.fromisoformat(str(ts)).timestamp()
+        return version_at(root, at)
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return cur
+
+
+def _change_slices(root: str, since: int, to: int) -> list[InputPartition]:
+    """Batch changeFeed planning for versions since+1..to — the same
+    per-version walk as the CDC stream's _cdf_partitions (append diffs
+    as insert slices, merge/delete versions via their commit-time
+    _changes/ records), without the streaming reader's offset state."""
+    from silvia_spark.operators.manifest_table import (_diff_entries,
+                                                       _load_doc,
+                                                       _resolve)
+
+    if to <= since:
+        return [_FileSlice("", None)]
+    out: list[InputPartition] = []
+    prev: dict | None = None
+    for v in range(since + 1, to + 1):
+        try:
+            d = _load_doc(root, v)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"changesSince={since} needs manifest v{v}, which is "
+                "gone (vacuumed?): widen keep_versions or raise the "
+                "starting version") from e
+        cdf = d.get("cdf")
+        if cdf is None:
+            raise RuntimeError(
+                f"version {v} carries no change record (committed "
+                "before enable_cdf?): start changesSince at or after "
+                "the enablement version")
+        if cdf["mode"] == "append":
+            base = prev if (prev is not None
+                            and prev["version"] == v - 1) else (
+                _load_doc(root, v - 1) if v > 1 else None)
+            entries = (_diff_entries(root, base, d)
+                       if base is not None else _resolve(root, d))
+            for e in entries:
+                sl = _slice(root, e)
+                sl.ctype, sl.ver = "insert", v
+                out.append(sl)
+        elif cdf["mode"] == "files":
+            for p in cdf["files"]:
+                sl = _FileSlice(os.path.join(root, p), None)
+                sl.is_cdf, sl.ver = True, v
+                out.append(sl)
+        prev = d
+    return out or [_FileSlice("", None)]
+
+
 class ManifestTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "silvia_manifest"
 
     def schema(self) -> StructType:
-        sch = _table_schema(local_path(self.options["path"]))
-        if str(self.options.get("changefeed",
-                                "false")).lower() in ("true", "1"):
+        root = local_path(self.options["path"])
+        version = (_resolve_version(root, self.options)
+                   if ("versionasof" in self.options
+                       or "timestampasof" in self.options)
+                   else None)
+        sch = _table_schema(root, version)
+        if (str(self.options.get("changefeed",
+                                 "false")).lower() in ("true", "1")
+                or "changessince" in self.options):
             from pyspark.sql.types import LongType, StringType, StructField
 
             sch = StructType(
@@ -843,6 +1045,9 @@ class ManifestTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> ManifestStreamReader:
         return ManifestStreamReader(schema, self.options)
+
+    def reader(self, schema: StructType) -> ManifestBatchReader:
+        return ManifestBatchReader(schema, self.options)
 
 
 def read_stream_changes(spark, path: str, starting_version: int = 0):
@@ -895,3 +1100,40 @@ def read_stream_table(spark, path: str, starting_version: int = 0,
     if max_bytes_per_trigger is not None:
         r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return r.load()
+
+
+def read_table(spark, path: str, version: int | None = None,
+               timestamp=None, changes_since: int | None = None):
+    """Batch DataFrame over a manifest table through the DataSource
+    format path — ``spark.read.format("silvia_manifest")`` with time
+    travel (``version`` / ``timestamp``) or the batch change feed
+    (``changes_since``). The SQL-facing twin of read_snapshot: same
+    snapshot semantics, same merge-on-read DV masking, but the scan is
+    a real Spark source (usable from ``spark.sql`` via a view,
+    filter-pushdown-pruned at the manifest before any file opens)."""
+    spark.dataSource.register(ManifestTableDataSource)
+    # required for pushFilters-implementing Python sources (and what
+    # makes the manifest prune reachable from SQL predicates); runtime-
+    # settable, so a vanilla session works without builder confs
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    r = spark.read.format("silvia_manifest").option("path", path)
+    if version is not None:
+        r = r.option("versionAsOf", str(version))
+    if timestamp is not None:
+        r = r.option("timestampAsOf", str(timestamp))
+    if changes_since is not None:
+        r = r.option("changesSince", str(changes_since))
+    return r.load()
+
+
+def register_table_view(spark, name: str, path: str,
+                        version: int | None = None, timestamp=None,
+                        changes_since: int | None = None):
+    """Register a manifest table as a temp view so plain-SQL users and
+    BI tools reach it: ``spark.sql(f"SELECT ... FROM {name}")``. The
+    view pins the resolved snapshot (Delta's ``VERSION AS OF`` as a
+    view per version) — re-register to follow the head."""
+    df = read_table(spark, path, version=version, timestamp=timestamp,
+                    changes_since=changes_since)
+    df.createOrReplaceTempView(name)
+    return df
