@@ -858,6 +858,7 @@ def prune_entries(entries: list[dict],
 # of the entry-relative file ``path``. An entry referencing one carries
 # {"dv": <name>, "dv_rows": <its tombstone count>}.
 _DELETES = "_deletes"
+_CLONE_LEASES = ".clone_leases"
 # extracts "part=val/filename.parquet" from _metadata.file_path — exactly
 # the manifest entry's ``path`` (Hive-escaping keeps '/' out of values)
 _REL_RE = r"([^/]+/[^/]+)$"
@@ -1345,12 +1346,22 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     clone's v1, and ``commit_compaction`` LOCALIZES the clone (every
     partition still referencing source files rewrites into owned ones).
 
-    The one cross-table dependency is the source's retention: a source
-    ``vacuum`` that retires the cloned snapshot's files breaks the
-    clone's unlocalized reads — the same documented hazard as Delta's
-    shallow clones. Localize (compact) before loosening the source's
-    retention. Cloning a mid-migration source (mixed partition specs)
-    refuses — migrate first."""
+    The cross-table retention dependency is CLOSED by clone leases
+    (r12, going beyond Delta's documented shallow-clone hazard): the
+    clone registers a lease sidecar under each owning root
+    (``.clone_leases/``), and the owner's ``vacuum`` pins every file a
+    live clone still references — exact-file pinning read from the
+    clone's own retained manifests, O(clone entries) per vacuum. The
+    lease releases automatically: once NO RETAINED clone version
+    references the owner — localize with ``commit_compaction``, then
+    ``vacuum`` the clone so its pre-localization versions retire
+    (time travel to those versions still needs the source files until
+    then) — the next source vacuum removes the sidecar; a clone
+    DROPPED by deleting its directory stops pinning the same way. During the clone's creation window the young lease pins the
+    source snapshot's whole version instead (mtime grace), so a
+    concurrent vacuum cannot retire the manifest mid-clone. Cloning a
+    mid-migration source (mixed partition specs) refuses — migrate
+    first."""
     sroot, droot = _norm(src), _norm(dst)
     m = _load_doc(sroot, version)
     if _mixed_specs(m):
@@ -1361,13 +1372,24 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     if current_version(droot) is not None:
         raise FileExistsError(f"{droot} is already a manifest table")
     entries = []
+    roots: set[str] = set()
     for e in _resolve(sroot, m):
         ne = dict(e)
         # a clone OF a clone keeps pointing at the ultimate owner
         ne["base"] = e.get("base", sroot)
+        roots.add(ne["base"])
         if e.get("dv"):
             ne["dv_base"] = e.get("dv_base", sroot)
+            roots.add(ne["dv_base"])
         entries.append(ne)
+    # Clone leases FIRST, before the clone's manifest exists: each
+    # owning root gets a sidecar pinning its files against vacuum.
+    # While the lease is young and the clone unreadable (this creation
+    # window), vacuum pins the recorded src_version's whole manifest;
+    # once the clone is live, vacuum pins its exact referenced files.
+    for froot in sorted(roots):
+        _clone_lease_write(froot, droot,
+                           m["version"] if froot == sroot else None)
     commit_id = uuid.uuid4().hex
     segs = [_write_segment(droot, entries, reused=True)] if entries \
         else []
@@ -2907,6 +2929,104 @@ def commit_compaction(spark: SparkSession, path: str, part_col: str,
 _READER_LEASE_TTL_SEC = 86_400.0
 
 
+def _clone_lease_path(root: str, droot: str) -> str:
+    import hashlib
+
+    key = hashlib.sha1(droot.encode("utf-8")).hexdigest()[:16]
+    return os.path.join(root, _CLONE_LEASES, f"clone-{key}.json")
+
+
+def _clone_lease_write(root: str, droot: str,
+                       src_version: int | None) -> None:
+    """Register a clone's retention lease on an owning root.
+    ``src_version`` (the snapshot being cloned, when this root IS the
+    direct source) lets vacuum pin the whole version while the lease is
+    young and the clone not yet readable — the creation window."""
+    FS.makedirs(os.path.join(root, _CLONE_LEASES))
+    doc = {"dst": droot, "ts": time.time()}
+    if src_version is not None:
+        doc["src_version"] = int(src_version)
+    FS.put_atomic(_clone_lease_path(root, droot), json.dumps(doc))
+
+
+def _clone_pinned(root: str, now: float
+                  ) -> tuple[set[str], set[str], int | None]:
+    """Files/DVs under ``root`` still referenced by live clones, plus
+    the minimum whole-version pin from creation-window leases. Reads
+    each lease's clone table and unions the foreign entries pointing
+    back here, across ALL of the clone's retained versions (clone-side
+    time travel can reach any of them). Stale leases — clone dropped,
+    or no longer referencing this root (localized / diverged) — are
+    removed here, so release is automatic at the owner's next vacuum."""
+    lease_dir = os.path.join(root, _CLONE_LEASES)
+    live: set[str] = set()
+    live_dv: set[str] = set()
+    min_ver: int | None = None
+    if not FS.isdir(lease_dir):
+        return live, live_dv, min_ver
+    for fname in sorted(FS.listdir(lease_dir)):
+        if not fname.startswith("clone-"):
+            continue
+        fp = os.path.join(lease_dir, fname)
+        try:
+            lease = json.loads(FS.read_text(fp))
+            droot = lease["dst"]
+        except (FileNotFoundError, ValueError, KeyError, OSError):
+            continue
+        if current_version(droot) is None:
+            young = (now - float(lease.get("ts", 0))
+                     <= _CLAIM_GRACE_SEC)
+            if young:
+                # creation window: the clone's manifest has not landed
+                # yet — pin the recorded source version wholesale
+                sv = lease.get("src_version")
+                if sv is not None:
+                    min_ver = (int(sv) if min_ver is None
+                               else min(min_ver, int(sv)))
+                continue
+            FS.remove(fp)  # clone dropped (rmtree): stop pinning
+            continue
+        pinned = pinned_dv = False
+        man_dir = os.path.join(droot, _MANIFESTS)
+        seen_segs: set[str] = set()
+        try:
+            mfs = sorted(FS.listdir(man_dir))
+        except (FileNotFoundError, OSError):
+            mfs = []
+        for mf in mfs:
+            if not (mf.startswith("v") and mf.endswith(".json")):
+                continue
+            try:
+                d = _load_doc(droot, int(mf[1:-5]))
+            except (FileNotFoundError, ValueError):
+                continue
+            if "files" in d:
+                es = d["files"]
+            else:
+                es = []
+                for sg in d.get("segments", ()):
+                    if sg["path"] in seen_segs:
+                        continue
+                    seen_segs.add(sg["path"])
+                    try:
+                        es.extend(_read_segment(droot, sg["path"]))
+                    except FileNotFoundError:
+                        continue
+            for e in es:
+                if e.get("base") == root:
+                    live.add(e["path"])
+                    pinned = True
+                if e.get("dv") and e.get("dv_base") == root:
+                    live_dv.add(e["dv"])
+                    pinned_dv = True
+        if not (pinned or pinned_dv):
+            # the clone is READABLE and references nothing here: its
+            # manifests are authoritative (the creation window is the
+            # unreadable-dst branch above), so the lease releases now
+            FS.remove(fp)
+    return live, live_dv, min_ver
+
+
 def _min_reader_version(root: str, now: float) -> int | None:
     """Smallest committed version any LIVE streaming reader holds —
     from the ``lease-*.json`` sidecars the manifest streaming source
@@ -3015,6 +3135,16 @@ def vacuum(path: str, keep_versions: int = 1,
                 # must survive too (r11 review finding — keeping only
                 # >= mrv wedged exactly the stream the lease protects)
                 keep_from = max(1, mrv - 1)
+        # Clone leases (r12: the shallow-clone hazard closed): files a
+        # live clone still references are pinned exactly; a clone mid-
+        # creation pins its recorded source version wholesale. Stale
+        # leases are removed inside _clone_pinned.
+        clone_live: set[str] = set()
+        clone_dv: set[str] = set()
+        if respect_readers:
+            clone_live, clone_dv, cminv = _clone_pinned(root, now0)
+            if cminv is not None and cminv < keep_from:
+                keep_from = max(1, cminv)
         keep = set(range(keep_from, cur + 1))
         # Manifest triage (single listing — nothing with v <= cur can
         # appear later while we hold the flip lock):
@@ -3071,6 +3201,8 @@ def vacuum(path: str, keep_versions: int = 1,
             live |= {e["path"] for e in kept_entries}
             live_dv |= {e["dv"] for e in kept_entries if e.get("dv")}
             live_cdf |= set(doc.get("cdf", {}).get("files", ()))
+        live |= clone_live
+        live_dv |= clone_dv
         # Known-dead files = those referenced ONLY by manifests retired
         # above. Segments shared with a kept manifest (carried forward
         # by reference) are NOT dead — the `live` check in the sweep

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 from silvia_spark.operators.manifest_table import (
     clone_table, commit_append, commit_compaction, commit_delete,
-    create_table, current_version, load_manifest, read_change_feed,
-    read_snapshot, set_partition_column, table_history, vacuum)
+    commit_merge, create_table, current_version, load_manifest,
+    read_change_feed, read_snapshot, set_partition_column,
+    table_history, vacuum)
 from silvia_spark.sources.manifest_stream import read_stream_table
 
 
@@ -142,3 +143,120 @@ def test_clone_carries_meta_and_refuses_mixed_specs(spark, tmp_path):
     set_partition_column(src2, "k")
     with pytest.raises(ValueError, match="multiple partition specs"):
         clone_table(src2, os.path.join(str(tmp_path), "dst2"))
+
+
+def _lease_files(root):
+    d = os.path.join(root, ".clone_leases")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_source_vacuum_spares_clone_referenced_files(spark, tmp_path):
+    """r12 (verdict item 4): the shallow-clone retention hazard is
+    CLOSED — a source vacuum that retires the cloned snapshot must
+    spare every file a live clone still references, and the clone
+    keeps reading bit-exact afterwards."""
+    src = _mk(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "dst")
+    clone_table(src, dst)
+    assert _lease_files(src), "clone registered no lease on its source"
+    # churn the source so v1's files retire from ITS retention window
+    commit_merge(spark, src, spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i) + 100,
+             op="U") for i in range(1, 11)]),
+        ["k", "part"], "part")
+    commit_append(spark, src, spark.createDataFrame(
+        [Row(k=50, v=5.0, part="a")]), "part")
+    deleted = vacuum(src, keep_versions=1)
+    # the clone's whole snapshot still reads — pre-lease this raised
+    # missing-input-files (v1's rewritten files were known-dead)
+    assert sorted((r["k"], r["v"]) for r in
+                  read_snapshot(spark, dst).collect()) == \
+        [(i, float(i)) for i in range(1, 11)]
+    # and the source's own head moved on unaffected
+    assert {r["v"] for r in read_snapshot(spark, src)
+            .where("k <= 10").collect()} == {float(i) + 100
+                                             for i in range(1, 11)}
+
+
+def test_lease_releases_after_localization(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "dst")
+    clone_table(src, dst)
+    commit_compaction(spark, dst, "part")  # localize: owns all files
+    commit_append(spark, src, spark.createDataFrame(
+        [Row(k=50, v=5.0, part="a")]), "part")
+    # while the clone RETAINS its pre-localization v1, the lease must
+    # hold (clone time travel to v1 still reads source files) ...
+    vacuum(src, keep_versions=1)
+    assert _lease_files(src), (
+        "lease released while the clone still retains a version "
+        "referencing the source")
+    assert sorted(r["k"] for r in read_snapshot(
+        spark, dst, version=1).collect()) == list(range(1, 11))
+    # ... and releases once the clone vacuums those versions away
+    vacuum(dst, keep_versions=1)
+    vacuum(src, keep_versions=1)
+    assert _lease_files(src) == [], (
+        "fully-localized clone's lease must release at the next "
+        "source vacuum")
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, dst).collect()) == \
+        list(range(1, 11))
+
+
+def test_dropped_clone_stops_pinning(spark, tmp_path):
+    import json as _json
+    import shutil
+
+    src = _mk(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "dst")
+    clone_table(src, dst)
+    commit_merge(spark, src, spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i) + 100,
+             op="U") for i in range(1, 11)]),
+        ["k", "part"], "part")
+    shutil.rmtree(dst)  # drop the clone without any release call
+    # age the lease past the creation-window grace
+    lease = os.path.join(src, ".clone_leases", _lease_files(src)[0])
+    doc = _json.load(open(lease))
+    doc["ts"] -= 3600
+    open(lease, "w").write(_json.dumps(doc))
+    deleted = vacuum(src, keep_versions=1)
+    assert _lease_files(src) == [], "dropped clone's lease must go"
+    assert deleted, "retired v1 files must actually delete now"
+
+
+def test_clone_lease_pins_dv_sidecars(spark, tmp_path):
+    src = _mk(spark, tmp_path, cdf=True)
+    commit_delete(spark, src, spark.createDataFrame(
+        [Row(k=4, part="b")]), ["k", "part"], "part")
+    dst = os.path.join(str(tmp_path), "dst")
+    clone_table(src, dst)  # references src files AND src's vector
+    # source rewrites everything (compaction reconciles the vector)
+    commit_compaction(spark, src, "part")
+    vacuum(src, keep_versions=1)
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, dst).collect()) == \
+        [1, 2, 3, 5, 6, 7, 8, 9, 10]
+
+
+def test_clone_of_clone_leases_the_ultimate_owner(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    c1 = os.path.join(str(tmp_path), "c1")
+    c2 = os.path.join(str(tmp_path), "c2")
+    clone_table(src, c1)
+    clone_table(c1, c2)
+    # c2's entries point at src, so src carries BOTH leases
+    assert len(_lease_files(src)) == 2
+    # c1 localizes (and vacuums its foreign-referencing versions) and
+    # releases; c2 still pins src
+    commit_compaction(spark, c1, "part")
+    vacuum(c1, keep_versions=1)
+    commit_merge(spark, src, spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=0.0, op="U")
+         for i in range(1, 11)]), ["k", "part"], "part")
+    vacuum(src, keep_versions=1)
+    assert len(_lease_files(src)) == 1
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, c2).collect()) == list(
+        range(1, 11))
