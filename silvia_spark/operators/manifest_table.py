@@ -1212,20 +1212,68 @@ def _doc_ts(root: str, doc: dict) -> float:
     return FS.mtime(_manifest_path(root, doc["version"]))
 
 
-def table_history(path: str, limit: int | None = None) -> list[dict]:
+# History checkpointing (r12, verdict item 5): refresh the rolled-up
+# commit log once a walk crosses this many docs past the last
+# checkpoint, so table_history / version_at on a 10^5-commit streaming
+# table read ONE sidecar + O(delta) docs instead of the whole chain.
+_HIST_CKPT_EVERY = 64
+
+
+def _hist_ckpt_path(root: str) -> str:
+    return os.path.join(root, _MANIFESTS, "history-ckpt.json")
+
+
+def _hist_ckpt_read(root: str) -> dict | None:
+    try:
+        d = json.loads(FS.read_text(_hist_ckpt_path(root)))
+        if (d.get("entries")
+                and d["entries"][0]["version"] == d["version"]):
+            return d
+    except (FileNotFoundError, ValueError, KeyError, OSError):
+        pass
+    return None
+
+
+def checkpoint_history(path: str) -> int:
+    """Force-roll the history checkpoint at the current head (the
+    read-side does this lazily every ``_HIST_CKPT_EVERY`` commits;
+    call this after a bulk backfill to pay the walk once). Returns the
+    checkpointed version."""
+    root = _norm(path)
+    hist = table_history(root, _refresh=True)
+    return hist[0]["version"]
+
+
+def table_history(path: str, limit: int | None = None,
+                  _refresh: bool = False) -> list[dict]:
     """The table's commit log, newest first (Delta's DESCRIBE
     HISTORY): one row per RETAINED snapshot with version, commit
-    timestamp, operation kind, and parent. O(retained versions)
-    manifest-doc reads — entry lists are never resolved. Versions
-    retired by vacuum no longer appear (their manifests are gone);
-    the current snapshot is always present."""
+    timestamp, operation kind, and parent. Resolution is O(delta)
+    + one checkpoint read, not O(versions): walks docs newest-first
+    only until it reaches the rolled-up checkpoint
+    (``_manifests/history-ckpt.json``, Delta's checkpoint-file idea
+    applied to the op log) and splices its immutable tail; an
+    unlimited walk that crossed more than ``_HIST_CKPT_EVERY`` docs
+    past the checkpoint re-rolls it (read-repair — commit paths stay
+    untouched), best-effort on read-only media. Versions retired by
+    vacuum no longer appear (their manifests are gone, and vacuum
+    truncates the checkpoint under its lock BEFORE removing
+    manifests); the current snapshot is always present."""
     root = _norm(path)
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
+    ckpt = _hist_ckpt_read(root)
     out: list[dict] = []
     v = cur
+    walked = 0
     while v >= 1 and (limit is None or len(out) < limit):
+        if ckpt is not None and v == ckpt["version"]:
+            for h in ckpt["entries"]:
+                out.append(dict(h))
+                if limit is not None and len(out) >= limit:
+                    break
+            break
         try:
             doc = _load_doc(root, v)
         except (FileNotFoundError, ValueError):
@@ -1233,9 +1281,17 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
         out.append({"version": v, "ts": _doc_ts(root, doc),
                     "op": doc.get("op", "unknown"),
                     "parent": doc.get("parent")})
+        walked += 1
         if doc.get("parent") is None:
             break
         v = doc["parent"]
+    if limit is None and (walked > _HIST_CKPT_EVERY
+                          or (_refresh and out)):
+        try:
+            FS.put_atomic(_hist_ckpt_path(root), json.dumps(
+                {"version": cur, "entries": out}))
+        except OSError:
+            pass  # read-only media: the walk still answered
     return out
 
 
@@ -3146,6 +3202,20 @@ def vacuum(path: str, keep_versions: int = 1,
             if cminv is not None and cminv < keep_from:
                 keep_from = max(1, cminv)
         keep = set(range(keep_from, cur + 1))
+        # History checkpoint truncation BEFORE any manifest removal
+        # (crash-safe order: a ckpt listing only retained versions is
+        # always consistent; a crash after this but before removals
+        # just forces a longer walk next time, never phantom history)
+        ck = _hist_ckpt_read(root)
+        if ck is not None:
+            kept_entries_ck = [h for h in ck["entries"]
+                               if h["version"] >= keep_from]
+            if not kept_entries_ck or ck["version"] < keep_from:
+                FS.remove(_hist_ckpt_path(root))
+            elif len(kept_entries_ck) != len(ck["entries"]):
+                FS.put_atomic(_hist_ckpt_path(root), json.dumps(
+                    {"version": ck["version"],
+                     "entries": kept_entries_ck}))
         # Manifest triage (single listing — nothing with v <= cur can
         # appear later while we hold the flip lock):
         # - v in keep: retained snapshot, contributes to `live`.
