@@ -32,13 +32,17 @@ contribute their existing entries to the new manifest by reference, and
 the pruned scan opens only touched partitions' files. Concurrency:
 APPENDS are multi-writer safe via optimistic version claims (append
 entries commute; the manifest's create-exclusive write is the CAS, lost
-claims rebase and retry — see commit_append); MERGE/compaction commits
-stay single-writer because their keep-lists are computed against one
-parent. Every committer verifies AFTER the pointer flip that the
-manifest committed under its claimed version is its own
-(``_claim_survived``): a claim usurped by a crash-recovery replace is
-therefore a rebase-and-retry for appenders and an explicit error for
-merge/compaction — never silent loss.
+claims rebase and retry — see commit_append); MERGES rebase on a lost
+race when FILE-LEVEL conflict detection proves the interposed commits
+touched none of the merge's rewrite set (r12 — Delta's read-set/
+write-set disjointness on the pruned file lists; overlapping merges
+and mid-merge schema/spec changes still raise); compaction commits
+stay single-writer because their keep-lists span the whole snapshot.
+Every committer verifies AFTER the pointer flip that the manifest
+committed under its claimed version is its own (``_claim_survived``):
+a claim usurped by a crash-recovery replace is therefore a
+rebase-and-retry for appenders and disjoint merges and an explicit
+error otherwise — never silent loss.
 
 Filesystem portability: every protocol-relevant filesystem touch goes
 through the ``FS`` adapter (manifest_fs.py). POSIX gets O_EXCL claims,
@@ -1613,33 +1617,56 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     # table from rewriting 10⁶ entries. Only segments whose partition
     # set intersects the change batch are resolved; their untouched
     # entries are re-homed into a fresh segment (same data files).
-    carried, resolved = _split_segments(root, doc, touched)
-    cur_entries = [e for e in resolved if e["partition"] in touched]
-    rehome = [e for e in resolved if e["partition"] not in touched]
+    def _plan_sets(d: dict):
+        """(carried segments, rewrite set, rehome set) for this merge
+        against snapshot ``d`` — recomputable, so a merge that loses
+        the version race can REBASE onto the new head when its rewrite
+        set is untouched (file-level conflict detection below).
 
-    # File-granular rewrite pruning: within a touched partition, a file
-    # whose recorded [min, max] on an indexed KEY column is disjoint
-    # from the change batch's key range IN THAT PARTITION cannot contain
-    # any row the anti-join would remove — it is carried by reference
-    # (byte-identical path in the new manifest) instead of rewritten.
-    # Conservative exactly like prune_entries: statless files and
-    # overlapping ranges rewrite; all-NULL change keys prune nothing
-    # (their bound is None). Equality semantics make disjoint-on-ANY-key
-    # sufficient: a row must match EVERY key to be replaced.
-    if key_cols and cur_entries:
-        by_part: dict[str, list[dict]] = {}
-        for e in cur_entries:
-            by_part.setdefault(e["partition"], []).append(e)
-        cur_entries = []
-        cm = doc.get("col_map")
-        for p, es in by_part.items():
-            pr = {_phys_name(cm, k): v
-                  for k, v in rng.get(p, {}).items()
-                  if v[0] is not None}  # stats key on physical names
-            need = prune_entries(es, pr) if pr else es
-            need_paths = {e["path"] for e in need}
-            cur_entries.extend(need)
-            rehome.extend(e for e in es if e["path"] not in need_paths)
+        File-granular rewrite pruning: within a touched partition, a
+        file whose recorded [min, max] on an indexed KEY column is
+        disjoint from the change batch's key range IN THAT PARTITION
+        cannot contain any row the anti-join would remove — it is
+        carried by reference (byte-identical path in the new manifest)
+        instead of rewritten. Conservative exactly like prune_entries:
+        statless files and overlapping ranges rewrite; all-NULL change
+        keys prune nothing (their bound is None). Equality semantics
+        make disjoint-on-ANY-key sufficient: a row must match EVERY
+        key to be replaced."""
+        carried_, resolved = _split_segments(root, d, touched)
+        cur_ = [e for e in resolved if e["partition"] in touched]
+        reh_ = [e for e in resolved if e["partition"] not in touched]
+        if key_cols and cur_:
+            by_part: dict[str, list[dict]] = {}
+            for e in cur_:
+                by_part.setdefault(e["partition"], []).append(e)
+            cur_ = []
+            cm = d.get("col_map")
+            for p, es in by_part.items():
+                pr = {_phys_name(cm, k): v
+                      for k, v in rng.get(p, {}).items()
+                      if v[0] is not None}  # stats key on phys names
+                need = prune_entries(es, pr) if pr else es
+                need_paths = {e["path"] for e in need}
+                cur_.extend(need)
+                reh_.extend(e for e in es
+                            if e["path"] not in need_paths)
+        return carried_, cur_, reh_
+
+    def _merge_sig(d: dict) -> str:
+        """Everything the staged merge output's validity depends on
+        besides the rewrite set: schema/names, spec, constraints, CDF
+        enablement, stats config. An interposed commit changing ANY of
+        these invalidates the staged frames — no rebase."""
+        return json.dumps(
+            {k: d.get(k) for k in
+             ("schema", "col_map", "part_col", "part_transform",
+              "constraints", "cdf_enabled", "stats_cols")},
+            sort_keys=True)
+
+    carried, cur_entries, rehome = _plan_sets(doc)
+    read_set = {(e["path"], e.get("dv")) for e in cur_entries}
+    sig0 = _merge_sig(doc)
 
     merged = changes.where(F.col("op") != "D").drop("op")
     # CHECK constraints: only the change payload needs validation (the
@@ -1680,32 +1707,75 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
     new_entries = _stage_write(
         _derive_for_stage(_to_physical(merged, doc), doc), root,
         part_used, stats_cols=stats_cols)
-    segs = list(carried)
-    if rehome:
-        segs.append(_write_segment(root, rehome, reused=True))
-    if new_entries:
-        segs.append(_write_segment(root, new_entries))
-    segs = _coalesce_segments(root, segs)  # merge-only workloads must
-    #                              respect the manifest-size bound too
-    version = doc["version"] + 1
-    newdoc = _make_doc(version, doc["version"], segs,
-                       txns=doc.get("txn"), commit_id=commit_id,
-                       schema=doc.get("schema"),
-                       stats_cols=stats_cols, op="merge")
-    _carry_table_meta(newdoc, doc)
-    newdoc.setdefault("part_col", part_used)
-    if doc.get("cdf_enabled"):
-        newdoc["cdf"] = {"mode": "files", "files": cdf_files}
-    _write_doc(root, version, newdoc,
-               verify_paths=[e["path"] for e in new_entries] + cdf_files,
-               staged_epoch=epoch0)
-    if not (_flip_current(root, version, commit_id=commit_id)
-            or _claim_survived(root, version, commit_id=commit_id)):
-        raise RuntimeError(
-            f"merge lost v{version} to a concurrent commit after its "
-            f"claim — the table advanced without this merge; re-run it "
-            f"against the new snapshot")
-    return version
+    # Commit with FILE-LEVEL conflict detection (r12, verdict item 6):
+    # a merge that loses the version race no longer raises
+    # unconditionally — it reloads the new head, re-plans its rewrite
+    # set against it, and REBASES automatically when (a) the rewrite
+    # set (paths + delete vectors) is byte-identical — the interposed
+    # commits touched disjoint files, so the staged anti-join output
+    # and CDF records are still exact — and (b) nothing in _merge_sig
+    # changed. Delta's read-set/write-set disjointness check, done on
+    # the pruned file lists the manifest already carries. Overlapping
+    # merges still raise; the staged files stay adopted across
+    # attempts (only the manifest reference is rebuilt, like
+    # commit_append's optimistic retry).
+    deadline = time.monotonic() + 30.0
+    while True:
+        segs = list(carried)
+        if rehome:
+            segs.append(_write_segment(root, rehome, reused=True))
+        if new_entries:
+            segs.append(_write_segment(root, new_entries))
+        segs = _coalesce_segments(root, segs)  # merge-only workloads
+        #                  must respect the manifest-size bound too
+        version = doc["version"] + 1
+        newdoc = _make_doc(version, doc["version"], segs,
+                           txns=doc.get("txn"), commit_id=commit_id,
+                           schema=doc.get("schema"),
+                           stats_cols=stats_cols, op="merge")
+        _carry_table_meta(newdoc, doc)
+        newdoc.setdefault("part_col", part_used)
+        if doc.get("cdf_enabled"):
+            newdoc["cdf"] = {"mode": "files", "files": cdf_files}
+        try:
+            _write_doc(root, version, newdoc,
+                       verify_paths=[e["path"] for e in new_entries]
+                       + cdf_files,
+                       staged_epoch=epoch0)
+            if (_flip_current(root, version, commit_id=commit_id)
+                    or _claim_survived(root, version,
+                                       commit_id=commit_id)):
+                return version
+        except FileExistsError:
+            pass  # version claimed by a concurrent commit: rebase
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"merge lost v{version} to concurrent commits "
+                "repeatedly (30s) — quiesce writers or re-run")
+        newhead = _load_doc(root)
+        if newhead["version"] == doc["version"]:
+            # claimer still in flight (claimed-not-flipped): wait for
+            # its flip or its crash-reclaim instead of spinning
+            time.sleep(0.25)
+            continue
+        doc = newhead
+        if _mixed_specs(doc):
+            raise RuntimeError(
+                "merge conflict: a concurrent partition-spec change "
+                "landed mid-merge — compact, then re-run")
+        if _merge_sig(doc) != sig0:
+            raise RuntimeError(
+                "merge conflict: a concurrent commit changed the "
+                "table's schema/spec/constraints mid-merge — re-run "
+                "against the new snapshot")
+        carried, cur2, rehome = _plan_sets(doc)
+        if {(e["path"], e.get("dv")) for e in cur2} != read_set:
+            raise RuntimeError(
+                "merge conflict: a concurrent commit touched files in "
+                "this merge's rewrite set (overlapping key bands) — "
+                "re-run against the new snapshot")
+        # disjoint: rebase onto the new head with the SAME staged
+        # output; loop re-claims version+1
 
 
 def _write_dv(spark: SparkSession, root: str, dv_union: DataFrame) -> str:
@@ -2450,10 +2520,10 @@ def commit_append(spark: SparkSession, path: str, batch: DataFrame,
     adopted and stay valid — only the manifest reference is rebuilt).
     Every commit verifies its claim survived the flip
     (``_claim_survived``), so a claim usurped by a crash-recovery
-    replace rebases too. MERGE/compaction stay single-writer: their
-    keep-lists are computed against one parent, so a lost race there is
-    an explicit error (FileExistsError at the claim, RuntimeError after
-    the flip), never silent corruption."""
+    replace rebases too. MERGEs rebase a lost race when file-level
+    conflict detection proves disjointness (commit_merge); compaction
+    stays single-writer (its keep-list spans the whole snapshot), so a
+    lost race there is an explicit error, never silent corruption."""
     root = _norm(path)
     staged = None
     staged_seg = None

@@ -1449,3 +1449,128 @@ def test_delete_zero_hits_is_a_noop(spark, tmp_path):
     keys2 = spark.createDataFrame([(100, "p1")], "k BIGINT, part STRING")
     assert mt.commit_delete(spark, root, keys2, ["k", "part"],
                             "part") == 1
+
+
+from pyspark.sql import Row  # noqa: E402  (concurrency tests below)
+
+
+def test_disjoint_partition_merges_auto_rebase(spark, tmp_path,
+                                               monkeypatch):
+    """r12 (verdict item 6): two merges on DISJOINT partitions no
+    longer serialize through manual retries — the loser re-plans
+    against the new head, finds its rewrite set untouched, and
+    rebases automatically."""
+    root = os.path.join(str(tmp_path), "tbl")
+    mt.create_table(spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i))
+         for i in range(1, 11)]).select("k", "v", "part"), root,
+        "part", stats_cols=["k"])
+    v0 = mt.current_version(root)
+    chg_b = spark.createDataFrame(
+        [Row(k=2, part="b", v=202.0, op="U")])
+    orig = mt._write_doc
+    fired = {"n": 0}
+
+    def racy(root_, version, doc, **kw):
+        if doc.get("op") == "merge" and fired["n"] == 0:
+            fired["n"] = 1
+            # a competing merge on the OTHER partition lands first
+            mt.commit_merge(spark, root, chg_b, ["k", "part"], "part")
+        return orig(root_, version, doc, **kw)
+
+    monkeypatch.setattr(mt, "_write_doc", racy)
+    v = mt.commit_merge(spark, root, spark.createDataFrame(
+        [Row(k=1, part="a", v=101.0, op="U")]), ["k", "part"], "part")
+    assert v == v0 + 2, "loser must rebase to the next version"
+    got = {(r["k"], r["v"]) for r in mt.read_snapshot(spark, root)
+           .where("k <= 2").collect()}
+    assert got == {(1, 101.0), (2, 202.0)}, "both merges must land"
+
+
+def test_disjoint_file_band_merges_auto_rebase(spark, tmp_path,
+                                               monkeypatch):
+    """Same partition, disjoint KEY BANDS in separate files: the
+    stats-pruned rewrite sets are disjoint, so both merges land."""
+    root = os.path.join(str(tmp_path), "tbl")
+    mt.create_table(spark.createDataFrame(
+        [Row(k=i, part="a", v=float(i)) for i in range(1, 11)])
+        .coalesce(1).select("k", "v", "part"), root, "part",
+        stats_cols=["k"])
+    mt.commit_append(spark, root, spark.createDataFrame(
+        [Row(k=i, v=float(i), part="a")
+         for i in range(101, 111)]).coalesce(1), "part")
+    v0 = mt.current_version(root)
+    chg_hi = spark.createDataFrame(
+        [Row(k=105, part="a", v=1050.0, op="U")])
+    orig = mt._write_doc
+    fired = {"n": 0}
+
+    def racy(root_, version, doc, **kw):
+        if doc.get("op") == "merge" and fired["n"] == 0:
+            fired["n"] = 1
+            mt.commit_merge(spark, root, chg_hi, ["k", "part"], "part")
+        return orig(root_, version, doc, **kw)
+
+    monkeypatch.setattr(mt, "_write_doc", racy)
+    v = mt.commit_merge(spark, root, spark.createDataFrame(
+        [Row(k=5, part="a", v=50.0, op="U")]), ["k", "part"], "part")
+    assert v == v0 + 2
+    got = {(r["k"], r["v"]) for r in mt.read_snapshot(spark, root)
+           .where("k IN (5, 105)").collect()}
+    assert got == {(5, 50.0), (105, 1050.0)}
+    assert mt.read_snapshot(spark, root).count() == 20
+
+
+def test_overlapping_merges_still_raise(spark, tmp_path, monkeypatch):
+    """Rewrite sets that intersect are a REAL conflict: the loser's
+    staged anti-join is stale, so it must refuse, not rebase. The data
+    is coalesced to ONE file per partition so both merges' keys land
+    in the same file — with per-key files they would be legitimately
+    disjoint and rebase (the previous test)."""
+    root = os.path.join(str(tmp_path), "tbl")
+    mt.create_table(spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i))
+         for i in range(1, 11)]).coalesce(1).select("k", "v", "part"),
+        root, "part", stats_cols=["k"])
+    chg_other = spark.createDataFrame(
+        [Row(k=3, part="a", v=303.0, op="U")])  # same partition "a"
+    orig = mt._write_doc
+    fired = {"n": 0}
+
+    def racy(root_, version, doc, **kw):
+        if doc.get("op") == "merge" and fired["n"] == 0:
+            fired["n"] = 1
+            mt.commit_merge(spark, root, chg_other, ["k", "part"], "part")
+        return orig(root_, version, doc, **kw)
+
+    monkeypatch.setattr(mt, "_write_doc", racy)
+    with pytest.raises(RuntimeError, match="overlapping|rewrite set"):
+        mt.commit_merge(spark, root, spark.createDataFrame(
+            [Row(k=1, part="a", v=101.0, op="U")]),
+            ["k", "part"], "part")
+    # the competing merge's result is intact
+    assert {(r["k"], r["v"]) for r in mt.read_snapshot(spark, root)
+            .where("k = 3").collect()} == {(3, 303.0)}
+
+
+def test_concurrent_schema_change_refuses_rebase(spark, tmp_path,
+                                                 monkeypatch):
+    root = os.path.join(str(tmp_path), "tbl")
+    mt.create_table(spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i))
+         for i in range(1, 11)]).select("k", "v", "part"), root,
+        "part", stats_cols=["k"])
+    orig = mt._write_doc
+    fired = {"n": 0}
+
+    def racy(root_, version, doc, **kw):
+        if doc.get("op") == "merge" and fired["n"] == 0:
+            fired["n"] = 1
+            mt.rename_column(root, "v", "value")
+        return orig(root_, version, doc, **kw)
+
+    monkeypatch.setattr(mt, "_write_doc", racy)
+    with pytest.raises(RuntimeError, match="schema/spec/constraints"):
+        mt.commit_merge(spark, root, spark.createDataFrame(
+            [Row(k=1, part="a", v=101.0, op="U")]),
+            ["k", "part"], "part")
