@@ -98,6 +98,10 @@ EXTENDED = [
     # r07: the two-pass unigram-LM scorer (double corpus tokenization +
     # vocab broadcast join — the heaviest explode after entropy).
     "text_unigram_logprob",
+    # r12: the chooser-ROUTED ANN row (verdict item 7) — what a user
+    # should actually call; benchmarked beside the pinned variants so
+    # the routing decision's cost/benefit is visible per round.
+    "sim_ann_auto",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's

@@ -97,6 +97,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         ORDER BY event_type
     """).collect()
 
+    # 7b. The DataSource format path (r12): the same snapshots through
+    #     spark.read.format("silvia_manifest") — a REAL Spark source,
+    #     so pushed SQL comparison filters prune the manifest's
+    #     min/max index before any file opens, and BI tools that only
+    #     speak spark.sql reach every table feature (time travel, DV
+    #     masking, column mapping) through a registered view
+    ds_rows = api.read_table(spark, root).count()
+    api.register_table_view(spark, "events_ds_v1", root, version=1)
+    ds_v1 = spark.sql(
+        "SELECT count(*) AS c FROM events_ds_v1").collect()[0]["c"]
+
     # 8. GC everything no retained snapshot references
     deleted = api.vacuum(root, keep_versions=1)
 
@@ -150,6 +161,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
                    .select(F.input_file_name()).distinct().count())
 
     out = {"v_after_append": v, "v_after_merge": v_merge,
+           "ds_rows": ds_rows, "ds_v1_rows": ds_v1,
            "feed_rows": feed_rows, "v1_rows": v1_rows,
            "current_rows": cur_rows, "appended_back": appended_back,
            "sql_drift_rows": len(sql_drift),

@@ -76,6 +76,7 @@ from silvia_spark.operators.scale_patterns import (
 from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
+from silvia_spark.sources.delta_read import read_delta
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table,
                                                   read_table,
@@ -161,7 +162,7 @@ __all__ = [
     "table_history", "version_at", "restore_table", "clone_table",
     "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
-    "read_table", "register_table_view",
+    "read_table", "register_table_view", "read_delta",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN

@@ -566,3 +566,25 @@ def probed_candidates(buckets: DataFrame) -> DataFrame:
             .select(F.least("vec_l", "vec_r").alias("vec_a"),
                     F.greatest("vec_l", "vec_r").alias("vec_b"))
             .distinct())
+
+
+@contract("sim_ann_auto", oracle=_ANN_ORACLE)
+def sim_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chooser-ROUTED ANN join (r12, verdict item 7): prices the
+    corpus's actual bucket occupancy with
+    ``estimate_ann_candidates_per_vec`` (a 2/64 slice of the base
+    GEMM), routes through ``choose_ann_variant``'s measured decision
+    rule, and dispatches to the pinned variant kernel — mp2 in
+    index-bound regimes (few candidates per vector), base tables in
+    candidate-bound ones (the probe fan-out multiplies the join input
+    exactly where the join already dominates; measured both ways, see
+    ANN_CROSSOVER.json / SCALE.md §ANN). Every variant ends in the
+    same exact-cosine verify at the same threshold, so recall is 1 and
+    the hash is stable whichever regime the corpus lands in — the
+    routed row is what a user should actually call, benchmarked beside
+    the pinned variants in BENCH artifacts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    est = estimate_ann_candidates_per_vec(spark, e)
+    name, _cfg = choose_ann_variant(est_candidates_per_vec=est)
+    fn = sim_ann_lsh_multiprobe2 if name == "mp2" else sim_ann_lsh
+    return fn(spark, sf_dir)

@@ -51,53 +51,35 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r11 packing (evidence ledger after r10: r06=28,
-    # r07=48, r08=45, r09=43, r10=50; all 214 pre-r11 contracts checked
-    # at least once, 0 failures ever). Window arithmetic: tier 0 = the
-    # 10 manifest contracts whose read/commit paths changed in r11
-    # (merge-on-read deletion vectors thread through read_snapshot /
-    # read_changes / commit_merge / compaction / vacuum; decimal stats
-    # encoding; LeaseLost flip fallback; stream snap pinning) plus the
-    # 4 ANN contracts rescored through cosine_once, then the NEW r11
-    # contracts, then the entire 28-key r06 tail (r10 verdict item 8 —
-    # sim_ann_lsh and multiprobe2 sit in tier 0 already), then r07 keys
-    # fill the window to 50. After this round no contract's newest
-    # driver evidence is older than r07. Groups alphabetical within
-    # their evidence round. ==========
-    # -- tier 0: implementation changed in r11 after newest evidence -----
-    "sink_table_manifest_commit", "stream_manifest_sink",
-    "scan_manifest_changes", "scan_manifest_pruned",
-    "scan_manifest_schema_evolution", "stream_manifest_source",
-    "scan_manifest_zorder", "sink_merge_pruned", "stream_manifest_admission",
-    "scan_manifest_widened", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
-    "sim_ann_lsh_multiprobe2", "sim_join_threshold",
-    # -- tier 0c: NEW in r11 — L21 merge-on-read deletion vectors,
-    # L22 column-mapping rename/drop evolution, L23 row-level change
-    # feed ----------------------------------------------------------------
+    # ============ r12 packing (evidence ledger after r11: r06=2,
+    # r07=48, r08=44, r09=43, r10=39, r11=50; zero failures ever).
+    # Window arithmetic: tier 0 = the 22 manifest contracts whose
+    # read/commit paths changed in r12 (transform-prune spec guard,
+    # truncate/bool abstention, _pruned_entries factoring, _read_slice
+    # extraction, merge rebase + file-level conflict detection, clone
+    # leases in vacuum, history checkpoints, version_at monotone
+    # adjustment, constraint TOCTOU) + the 2 NEW r12 contracts (L33
+    # SQL time travel, J43 chooser-routed ANN), then the 2-key r06
+    # evidence tail, then r07 keys oldest-first fill the window to 50
+    # (the first ~24 make the cut). After this round the oldest
+    # evidence is r07. ==========
+    # -- tier 0: implementation changed in r12 after newest evidence --
+    "scan_manifest_pruned", "scan_partition_evolved",
+    "scan_partition_hidden_days", "scan_time_travel_ts",
+    "sink_append_constrained", "sink_merge_pruned",
+    "sink_table_manifest_commit", "scan_table_clone", "sink_restore_version",
     "sink_delete_dv", "scan_manifest_renamed", "scan_changes_row_level",
-    # -- tier 0d: NEW in r11 (second wave) — L24 CHECK constraints, L25
-    # CDC streaming change feed, L26 partition-spec evolution, L27
-    # history + timestamp travel, L28 RESTORE, L29 hidden partition
-    # transforms, L30 clustered compaction, L31 shallow clone, L32 CDC
-    # replication ----------------------------------------------------------
-    "sink_append_constrained", "stream_changes_cdf",
-    "scan_partition_evolved", "scan_time_travel_ts",
-    "sink_restore_version", "scan_partition_hidden_days",
-    "sink_compact_clustered", "scan_table_clone",
-    "stream_replicate_table",
-    # -- new contracts registered mid-round slot in here, inside the window --
+    "scan_manifest_changes", "scan_manifest_schema_evolution",
+    "scan_manifest_zorder", "scan_manifest_widened", "stream_manifest_source",
+    "stream_manifest_sink", "stream_manifest_admission", "stream_changes_cdf",
+    "stream_replicate_table", "sink_compact_clustered",
+    # -- tier 0b: NEW in r12 --
+    "scan_sql_time_travel", "sim_ann_auto",
+    # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
-    # -- tier 1: the 26 remaining r06-era keys (oldest evidence) ---------
-    "scan_partition_pruned", "source_python_datasource", "stream_dedup_exact",
-    "stream_session_30m", "stream_sliding", "stream_stateful_funnel",
-    "stream_static_join", "stream_stream_join", "stream_tumbling_1h",
-    "text_fingerprint", "text_fuzzy_pairs", "text_lang_profile",
-    "text_quality_filter", "text_term_freq", "text_token_bpe",
-    "text_tokenize_stats", "udaf_pandas_grouped", "udf_arrow_map",
-    "udf_pandas_scalar", "udf_python_scalar", "udtf_apply_in_pandas",
-    "udtf_python", "window_first_last", "window_moving_frame",
+    # -- r06-era evidence --
     "window_percent_rank", "window_range_frame",
-    # -- tier 2: r07-era evidence (first ~9 make the window cut) ---------
+    # -- r07-era evidence --
     "agg_heavy_hitters", "curation_pipeline", "dedup_cluster_cc",
     "events_retention_cohort", "filter_compound", "filter_like_regexp",
     "join_null_safe", "join_range_banded", "limit_offset", "pivot_unpivot",
@@ -113,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "sort_multikey_nulls", "source_csv_tsv", "source_json_lines",
     "stream_kafka_shim_live", "subquery_scalar", "text_unigram_logprob",
     "topk_limit",
-    # -- tier 3: r08-era evidence ----------------------------------------
+    # -- r08-era evidence --
     "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
     "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
@@ -121,15 +103,16 @@ _PRIORITY: tuple[str, ...] = (
     "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
     "q7_volume_shipping", "q8_market_share", "sample_stratified",
     "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
-    "sim_ann_ivf_kmeans", "sim_centroids", "sink_partition_overwrite",
-    "source_orc", "source_rate_stream", "stream_dedup_live",
-    "stream_foreachbatch_upsert", "stream_funnel_live", "stream_session_live",
-    "stream_static_join_live", "stream_stream_join_live",
-    "stream_transform_with_state", "stream_tumbling_live",
-    "stream_watermark_late", "text_lang_detect", "text_ngram_jaccard",
-    "text_pack_sequences", "text_pii_scrub", "text_tfidf",
-    "text_unicode_normalize", "window_gaps_islands", "window_ignore_nulls",
-    # -- tier 4: r09-era evidence ----------------------------------------
+    "sim_ann_ivf_kmeans", "sim_centroids", "sim_topk_cosine",
+    "sink_partition_overwrite", "source_orc", "source_rate_stream",
+    "stream_dedup_live", "stream_foreachbatch_upsert", "stream_funnel_live",
+    "stream_session_live", "stream_static_join_live",
+    "stream_stream_join_live", "stream_transform_with_state",
+    "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
+    "text_ngram_jaccard", "text_pack_sequences", "text_pii_scrub",
+    "text_tfidf", "text_unicode_normalize", "window_gaps_islands",
+    "window_ignore_nulls",
+    # -- r09-era evidence --
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
     "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
     "agg_histogram_width", "agg_pricing_summary", "agg_rollup", "agg_stats",
@@ -143,7 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_contamination", "text_repetition_filter", "udf_arrow_scalar",
     "udtf_lateral", "window_anomaly_zscore", "window_lag_lead",
     "window_rank_topn", "window_row_dense_ntile",
-    # -- tier 5: r10-fresh evidence — dead last ---------------------------
+    # -- r10-era evidence --
     "agg_bool_quantifiers", "agg_collect_sorted", "agg_corr_exact",
     "agg_filtered_counts", "agg_percentiles", "agg_rollup_multires",
     "agg_string_listagg", "dedup_docs_exact", "dedup_docs_minhash",
@@ -155,9 +138,19 @@ _PRIORITY: tuple[str, ...] = (
     "join_skew_salted", "multimodal_decode", "sample_weighted_priority",
     "scalar_bit_ops", "scalar_collation", "scalar_datetime_iso",
     "scalar_radix", "scalar_try_arith", "scalar_url_parse", "scalar_variant",
-    "sim_topk_cosine", "sink_sorted_zonemap", "source_json_corrupt",
-    "source_xml", "stream_moments_live", "text_entropy_quality",
-    "window_trailing_interval",
+    "sink_sorted_zonemap", "source_json_corrupt", "source_xml",
+    "stream_moments_live", "text_entropy_quality", "window_trailing_interval",
+    # -- r11-era evidence --
+    "scan_partition_pruned", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
+    "sim_ann_lsh_multiprobe2", "sim_join_threshold",
+    "source_python_datasource", "stream_dedup_exact", "stream_session_30m",
+    "stream_sliding", "stream_stateful_funnel", "stream_static_join",
+    "stream_stream_join", "stream_tumbling_1h", "text_fingerprint",
+    "text_fuzzy_pairs", "text_lang_profile", "text_quality_filter",
+    "text_term_freq", "text_token_bpe", "text_tokenize_stats",
+    "udaf_pandas_grouped", "udf_arrow_map", "udf_pandas_scalar",
+    "udf_python_scalar", "udtf_apply_in_pandas", "udtf_python",
+    "window_first_last", "window_moving_frame",
 )
 
 

@@ -1,0 +1,132 @@
+"""LSH verify-kernel head-to-head (r12, verdict "What's wrong" item 4):
+mapInPandas numpy scoring vs the JVM codegen ``zip_with/aggregate``
+cosine, at real candidate volumes.
+
+SURVEY §4 named the codegen form preferred-if-close; it was never
+measured at sf1 candidate counts. This times the IDENTICAL candidate
+set (the base LSH join's output, built once and persisted) through:
+
+- ``mapinpandas``: score_pairs_threshold — one Arrow crossing, numpy
+  einsum per batch, threshold inside the kernel (the shipping path);
+- ``codegen``: cosine_expr (dot64/norm64 HOF fold) + a plain Filter —
+  zero Python, whole-stage codegen, but an interpreted HOF per row;
+- ``pandas_udf``: the cosine() scalar pandas_udf + Filter — Arrow
+  crossing WITH a Filter-over-UDF shape (included to re-measure the
+  r10 double-eval hazard's cost when Catalyst duplicates it).
+
+Counts are asserted equal across kernels before timing (same rows, so
+the comparison is kernel cost only). Writes ANN_VERIFY_KERNEL.json.
+
+Run: python tools/bench_verify_kernel.py [sf_dir] (default sf0.1;
+pass /root/repo/.bench_sf1_dv for the 10x corpus)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from bench import _load_gate
+    gate = _load_gate()
+    from silvia_spark.functions.llm_extras import (_ANN_BUCKET_CAP,
+                                                   bucket_keys,
+                                                   cap_buckets)
+    from silvia_spark.functions.llm_ops import (cosine, cosine_expr,
+                                                score_pairs_threshold)
+    from silvia_spark.io import load_table
+    from silvia_spark.session import get_session
+
+    spark = get_session("verify_kernel_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = cap_buckets(bucket_keys(spark, e), _ANN_BUCKET_CAP)
+    left = buckets.select(F.col("vec_id").alias("vec_a"),
+                          "table_id", "bucket_key")
+    right = buckets.select(F.col("vec_id").alias("vec_b"),
+                           "table_id", "bucket_key")
+    cand = (left.join(right, ["table_id", "bucket_key"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    joined = cand.join(a, "vec_a").join(b, "vec_b").persist()
+    n_cand = joined.count()  # materialize the shared input once
+
+    def k_mapinpandas():
+        return score_pairs_threshold(joined)
+
+    def k_codegen():
+        c = cosine_expr(F.col("ea"), F.col("eb"))
+        return (joined.select("vec_a", "vec_b", c.alias("cos_raw"))
+                .where(F.col("cos_raw") >= 0.4)
+                .select("vec_a", "vec_b",
+                        F.round("cos_raw", 6).alias("cos_sim"))
+                .orderBy("vec_a", "vec_b"))
+
+    def k_pandas_udf():
+        c = cosine(F.col("ea"), F.col("eb"))
+        return (joined.select("vec_a", "vec_b", c.alias("cos_raw"))
+                .where(F.col("cos_raw") >= 0.4)
+                .select("vec_a", "vec_b",
+                        F.round("cos_raw", 6).alias("cos_sim"))
+                .orderBy("vec_a", "vec_b"))
+
+    kernels = {"mapinpandas": k_mapinpandas, "codegen": k_codegen,
+               "pandas_udf": k_pandas_udf}
+    counts = {name: fn().count() for name, fn in kernels.items()}
+    assert len(set(counts.values())) == 1, counts
+
+    reps = int(os.environ.get("SILVIA_VK_REPS", "3"))
+    times: dict[str, float] = {}
+    for name, fn in kernels.items():
+        fn().toArrow()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn().toArrow()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(name, times[name], flush=True)
+
+    artifact = {
+        "metric": "lsh_verify_kernel_head_to_head",
+        "sf_dir": sf_dir,
+        "candidates": n_cand,
+        "pairs_kept": next(iter(counts.values())),
+        "sec": times,
+        "per_million_cand_sec": {
+            k: round(v / max(n_cand, 1) * 1e6, 3)
+            for k, v in times.items()},
+        "load_gate": gate,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "note": ("identical persisted candidate input; counts asserted "
+                 "equal across kernels before timing"),
+    }
+    out = os.path.join(REPO, "ANN_VERIFY_KERNEL.json")
+    prior = {}
+    if os.path.exists(out):
+        try:
+            prior = json.load(open(out))
+        except ValueError:
+            prior = {}
+    prior[os.path.basename(sf_dir.rstrip("/"))] = artifact
+    with open(out, "w") as f:
+        json.dump(prior, f, indent=1)
+    print(json.dumps(artifact))
+    joined.unpersist()
+
+
+if __name__ == "__main__":
+    main()
