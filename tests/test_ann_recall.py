@@ -153,3 +153,23 @@ def test_estimate_candidates_tracks_measured_scale(spark):
         * _ANN_DISTINCT_RATIO / n
     assert 0 < est < 2 * uniform + 1, (est, uniform)
     assert choose_ann_variant(est_candidates_per_vec=est)[0] == "mp2"
+
+
+def test_sim_ann_auto_routes_and_matches_pinned_variant(spark):
+    """J43: the routed contract must dispatch through the measured
+    rule and emit EXACTLY a pinned variant's output (recall-1 verify
+    makes all variants set-equal, so routing can never change the
+    hash)."""
+    from silvia_spark.functions.llm_extras import (
+        choose_ann_variant, estimate_ann_candidates_per_vec,
+        sim_ann_auto, sim_ann_lsh)
+    from silvia_spark.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    est = estimate_ann_candidates_per_vec(spark, e)
+    name, cfg = choose_ann_variant(est_candidates_per_vec=est)
+    assert name in ("base", "mp2") and cfg["tables"] in (64, 16)
+    got = sorted(map(tuple, sim_ann_auto(spark, sf).collect()))
+    want = sorted(map(tuple, sim_ann_lsh(spark, sf).collect()))
+    assert got == want
