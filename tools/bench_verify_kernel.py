@@ -91,8 +91,64 @@ def main() -> None:
                         F.round("cos_raw", 6).alias("cos_sim"))
                 .orderBy("vec_a", "vec_b"))
 
+    def k_mapinarrow():
+        # single crossing like mapInPandas, but pure Arrow: no pandas
+        # DataFrame construction per batch, numpy reads the list
+        # arrays' buffers directly
+        import numpy as np
+        import pyarrow as pa
+
+        j = _joined()
+        out_schema = pa.schema([
+            pa.field("vec_a", pa.int64()), pa.field("vec_b", pa.int64()),
+            pa.field("cos_raw", pa.float64())])
+
+        def score(batches):
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
+                    continue
+                ea, eb = rb.column(2), rb.column(3)
+                A = np.asarray(ea.flatten(), dtype=np.float64
+                               ).reshape(n, -1)
+                B = np.asarray(eb.flatten(), dtype=np.float64
+                               ).reshape(n, -1)
+                num = np.einsum("ij,ij->i", A, B)
+                den = (np.sqrt(np.einsum("ij,ij->i", A, A))
+                       * np.sqrt(np.einsum("ij,ij->i", B, B)))
+                v = num / den
+                m = v >= 0.4
+                if not m.any():
+                    continue
+                idx = pa.array(np.nonzero(m)[0])
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0).take(idx).cast(pa.int64()),
+                     rb.column(1).take(idx).cast(pa.int64()),
+                     pa.array(v[m], type=pa.float64())],
+                    schema=out_schema)
+
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        sch = StructType([StructField("vec_a", LongType()),
+                          StructField("vec_b", LongType()),
+                          StructField("cos_raw", DoubleType())])
+        return (j.select("vec_a", "vec_b", "ea", "eb")
+                .mapInArrow(score, sch)
+                .select("vec_a", "vec_b",
+                        F.round("cos_raw", 6).alias("cos_sim"))
+                .orderBy("vec_a", "vec_b"))
+
     kernels = {"mapinpandas": k_mapinpandas, "codegen": k_codegen,
-               "pandas_udf": k_pandas_udf}
+               "pandas_udf": k_pandas_udf, "mapinarrow": k_mapinarrow}
+    only = os.environ.get("SILVIA_VK_ONLY")
+    if only:
+        kernels = {k: v for k, v in kernels.items()
+                   if k in only.split(",") or k == "mapinpandas"}
+    if os.environ.get("SILVIA_VK_ORDER") == "rev":
+        # ordering confound control: single-rep sequential sweeps can
+        # favor whichever kernel runs on the most-settled box — a
+        # reversed pass distinguishes kernel cost from box state
+        kernels = dict(reversed(list(kernels.items())))
     counts = {name: fn().count() for name, fn in kernels.items()}
     assert len(set(counts.values())) == 1, counts
 
