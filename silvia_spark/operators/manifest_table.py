@@ -1291,9 +1291,23 @@ def table_history(path: str, limit: int | None = None,
         v = doc["parent"]
     if limit is None and (walked > _HIST_CKPT_EVERY
                           or (_refresh and out)):
+        # Read-repair write — under the SAME flip lock vacuum holds
+        # for its truncation, with the oldest spliced version's
+        # manifest re-verified inside the lock. Without both, a walk
+        # that read manifests BEFORE a vacuum retired them could land
+        # its checkpoint AFTER vacuum's truncation, resurrecting
+        # retired versions ("phantom history": version_at would then
+        # resolve to a version whose read 404s). Lock + re-check makes
+        # that ordering harmless: either we write before vacuum (it
+        # truncates us correctly) or after (the oldest-entry probe
+        # sees the retired manifest gone and we skip — the next walk
+        # re-rolls from live manifests only).
         try:
-            FS.put_atomic(_hist_ckpt_path(root), json.dumps(
-                {"version": cur, "entries": out}))
+            with FS.locked(root):
+                if out and FS.exists(
+                        _manifest_path(root, out[-1]["version"])):
+                    FS.put_atomic(_hist_ckpt_path(root), json.dumps(
+                        {"version": cur, "entries": out}))
         except OSError:
             pass  # read-only media: the walk still answered
     return out
@@ -1432,24 +1446,29 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     if current_version(droot) is not None:
         raise FileExistsError(f"{droot} is already a manifest table")
     entries = []
-    roots: set[str] = set()
+    ref_paths: dict[str, set[str]] = {}
+    ref_dvs: dict[str, set[str]] = {}
     for e in _resolve(sroot, m):
         ne = dict(e)
         # a clone OF a clone keeps pointing at the ultimate owner
         ne["base"] = e.get("base", sroot)
-        roots.add(ne["base"])
+        ref_paths.setdefault(ne["base"], set()).add(ne["path"])
         if e.get("dv"):
             ne["dv_base"] = e.get("dv_base", sroot)
-            roots.add(ne["dv_base"])
+            ref_dvs.setdefault(ne["dv_base"], set()).add(e["dv"])
         entries.append(ne)
     # Clone leases FIRST, before the clone's manifest exists: each
     # owning root gets a sidecar pinning its files against vacuum.
-    # While the lease is young and the clone unreadable (this creation
-    # window), vacuum pins the recorded src_version's whole manifest;
-    # once the clone is live, vacuum pins its exact referenced files.
-    for froot in sorted(roots):
-        _clone_lease_write(froot, droot,
-                           m["version"] if froot == sroot else None)
+    # While the clone is unreadable (the creation window), vacuum pins
+    # the lease's recorded EXACT file list (plus the direct source's
+    # whole src_version); once the clone is live, vacuum pins the
+    # files its own retained manifests reference.
+    for froot in sorted(set(ref_paths) | set(ref_dvs)):
+        _clone_lease_write(
+            froot, droot,
+            m["version"] if froot == sroot else None,
+            paths=sorted(ref_paths.get(froot, ())),
+            dvs=sorted(ref_dvs.get(froot, ())))
     commit_id = uuid.uuid4().hex
     segs = [_write_segment(droot, entries, reused=True)] if entries \
         else []
@@ -2462,6 +2481,16 @@ def add_check_constraint(spark: SparkSession, path: str, name: str,
             return _commit_metadata(root, mutate)
         except _Stale:
             continue
+        except (FileExistsError, RuntimeError):
+            # the OTHER lost-race outcomes of _commit_metadata — the
+            # create-exclusive version claim losing (FileExistsError)
+            # and a usurped flip / vacuumed claim (RuntimeError incl.
+            # CommitAborted) — are the same "a writer got there first"
+            # condition _Stale models; re-probe against the new
+            # snapshot instead of surfacing a retryable race to the
+            # caller (ValueError — constraint exists / invalid — still
+            # propagates)
+            continue
     raise RuntimeError(
         f"add_check_constraint({name!r}) lost the probe/commit race "
         "8 times to concurrent writers — quiesce writes and retry")
@@ -3063,15 +3092,27 @@ def _clone_lease_path(root: str, droot: str) -> str:
 
 
 def _clone_lease_write(root: str, droot: str,
-                       src_version: int | None) -> None:
+                       src_version: int | None,
+                       paths: list[str] | None = None,
+                       dvs: list[str] | None = None) -> None:
     """Register a clone's retention lease on an owning root.
     ``src_version`` (the snapshot being cloned, when this root IS the
-    direct source) lets vacuum pin the whole version while the lease is
-    young and the clone not yet readable — the creation window."""
+    direct source) lets vacuum pin the whole version while the clone
+    is not yet readable — the creation window. ``paths``/``dvs`` are
+    the EXACT files under ``root`` the clone will reference — recorded
+    in every lease regardless of root (r12 review finding: an indirect
+    owner's lease carried src_version=None AND no file list, so a
+    creation-window vacuum on that root pinned nothing and relied on
+    the intermediate clone's own lease, which can already be released
+    if the intermediate was localized and vacuumed)."""
     FS.makedirs(os.path.join(root, _CLONE_LEASES))
     doc = {"dst": droot, "ts": time.time()}
     if src_version is not None:
         doc["src_version"] = int(src_version)
+    if paths:
+        doc["paths"] = sorted(paths)
+    if dvs:
+        doc["dvs"] = sorted(dvs)
     FS.put_atomic(_clone_lease_path(root, droot), json.dumps(doc))
 
 
@@ -3100,17 +3141,36 @@ def _clone_pinned(root: str, now: float
         except (FileNotFoundError, ValueError, KeyError, OSError):
             continue
         if current_version(droot) is None:
-            young = (now - float(lease.get("ts", 0))
-                     <= _CLAIM_GRACE_SEC)
-            if young:
-                # creation window: the clone's manifest has not landed
-                # yet — pin the recorded source version wholesale
-                sv = lease.get("src_version")
-                if sv is not None:
-                    min_ver = (int(sv) if min_ver is None
-                               else min(min_ver, int(sv)))
+            age = now - float(lease.get("ts", 0))
+            if not FS.isdir(droot):
+                # clone_table makedirs(droot) BEFORE any lease lands,
+                # so a missing dst directory means the clone was
+                # DROPPED (rmtree) — stop pinning (after a short grace
+                # against FS listing lag)
+                if age > _CLAIM_GRACE_SEC:
+                    FS.remove(fp)
                 continue
-            FS.remove(fp)  # clone dropped (rmtree): stop pinning
+            # dst dir present but unreadable: clone creation still in
+            # flight (segment/manifest writes can legitimately take
+            # minutes on a big snapshot) or a crashed clone. Pinning by
+            # lease age alone was the r12 hazard: a >60s creation lost
+            # its lease permanently and the source became vacuumable
+            # under a clone that then landed. Keep pinning the
+            # recorded exact file list (+ the direct source's whole
+            # version) until the reader-lease TTL — a crashed clone
+            # holds its sources for one TTL, same policy as an
+            # abandoned streaming checkpoint.
+            ttl = float(os.environ.get("SILVIA_READER_LEASE_TTL_SEC",
+                                       _READER_LEASE_TTL_SEC))
+            if age > ttl:
+                FS.remove(fp)  # crashed long ago: release
+                continue
+            sv = lease.get("src_version")
+            if sv is not None:
+                min_ver = (int(sv) if min_ver is None
+                           else min(min_ver, int(sv)))
+            live.update(lease.get("paths") or ())
+            live_dv.update(lease.get("dvs") or ())
             continue
         pinned = pinned_dv = False
         man_dir = os.path.join(droot, _MANIFESTS)

@@ -71,6 +71,30 @@ def _check_protocol(proto: dict | None) -> None:
             "interop understands")
 
 
+def _check_table_config(meta: dict) -> None:
+    """Refuse LEGACY-protocol feature enablement that readerFeatures
+    never names: column mapping ships at minReaderVersion=2 with no
+    feature list, so a protocol-only gate passes a table whose parquet
+    columns are physical ``col-<uuid>`` names — read with the logical
+    schema that is an all-NULL silent wrong read, the exact failure
+    this module's contract forbids. Checked AFTER replay on the
+    winning metaData's configuration (the authoritative source per
+    the protocol), belt-and-braces for DVs too."""
+    conf = meta.get("configuration") or {}
+    cmm = conf.get("delta.columnMapping.mode")
+    if cmm not in (None, "", "none"):
+        raise NotImplementedError(
+            f"Delta column mapping mode {cmm!r} is not supported by "
+            "this read-only interop (parquet columns carry physical "
+            "names; a plain schema read would return NULLs)")
+    if str(conf.get("delta.enableDeletionVectors",
+                    "false")).lower() == "true":
+        raise NotImplementedError(
+            "Delta deletion vectors are enabled on this table — "
+            "unsupported by this read-only interop (rows deleted via "
+            "DVs would silently reappear)")
+
+
 def _apply_action(state: dict, action: dict) -> None:
     if "add" in action:
         a = action["add"]
@@ -123,6 +147,7 @@ def _replay(root: str, target: int) -> dict:
         raise ValueError(
             f"no metaData action found up to version {target} — "
             "not a readable Delta table")
+    _check_table_config(state["meta"])
     return state
 
 

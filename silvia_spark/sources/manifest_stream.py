@@ -695,9 +695,24 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "before enable_cdf?): start the changeFeed stream "
                     "at or after the enablement version")
             if cdf["mode"] == "append":
-                base = prev if (prev is not None
-                                and prev["version"] == v - 1) else (
-                    _load_doc(self.root, v - 1) if v > 1 else None)
+                if prev is not None and prev["version"] == v - 1:
+                    base = prev
+                elif v > 1:
+                    try:
+                        base = _load_doc(self.root, v - 1)
+                    except FileNotFoundError as e:
+                        # same vacuum diagnostic as the window load
+                        # above — the first append diff's BASE
+                        # manifest can be the vacuumed one
+                        raise RuntimeError(
+                            f"changeFeed stream needs manifest "
+                            f"v{v - 1} as the diff base for v{v}, "
+                            "and it is gone (vacuumed?): widen "
+                            "keep_versions over the longest consumer "
+                            "lag, or restart the stream at a retained "
+                            "startingVersion") from e
+                else:
+                    base = None
                 entries = (_diff_entries(self.root, base, d)
                            if base is not None else
                            _resolve(self.root, d))
@@ -1002,9 +1017,22 @@ def _change_slices(root: str, since: int, to: int) -> list[InputPartition]:
                 "before enable_cdf?): start changesSince at or after "
                 "the enablement version")
         if cdf["mode"] == "append":
-            base = prev if (prev is not None
-                            and prev["version"] == v - 1) else (
-                _load_doc(root, v - 1) if v > 1 else None)
+            if prev is not None and prev["version"] == v - 1:
+                base = prev
+            elif v > 1:
+                try:
+                    base = _load_doc(root, v - 1)
+                except FileNotFoundError as e:
+                    # the first append diff needs the SINCE manifest
+                    # as its base — same vacuum diagnostic as the
+                    # guarded load above, not a bare FileNotFoundError
+                    raise RuntimeError(
+                        f"changesSince={since} needs manifest "
+                        f"v{v - 1} as the diff base for v{v}, and it "
+                        "is gone (vacuumed?): widen keep_versions or "
+                        "raise the starting version") from e
+            else:
+                base = None
             entries = (_diff_entries(root, base, d)
                        if base is not None else _resolve(root, d))
             for e in entries:

@@ -144,3 +144,36 @@ def test_missing_log_and_bad_version(spark, tmp_path):
     root, _ = _fixture(tmp_path)
     with pytest.raises(ValueError, match="exceeds head"):
         read_delta(spark, root, version=9)
+
+
+def test_legacy_column_mapping_refuses_not_nulls(spark, tmp_path):
+    """r13 (ADVICE 1): column mapping at minReaderVersion=2 ships with
+    NO readerFeatures list — the protocol gate alone passes it, and a
+    plain schema read of physical col-<uuid> parquet names would
+    return all-NULL columns. The metaData configuration gate must
+    refuse loudly instead."""
+    root, _ = _fixture(tmp_path)
+    _commit(root, 2, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "fixture", "schemaString": SCHEMA_STR,
+                      "partitionColumns": ["p"],
+                      "format": {"provider": "parquet"},
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta(spark, root)
+    assert read_delta(spark, root, version=1).count() == 7
+
+
+def test_legacy_dv_enablement_refuses(spark, tmp_path):
+    root, _ = _fixture(tmp_path)
+    _commit(root, 2, [
+        {"metaData": {"id": "fixture", "schemaString": SCHEMA_STR,
+                      "partitionColumns": ["p"],
+                      "format": {"provider": "parquet"},
+                      "configuration": {
+                          "delta.enableDeletionVectors": "true"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="eletion vector"):
+        read_delta(spark, root)

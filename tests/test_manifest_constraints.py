@@ -210,3 +210,31 @@ def test_add_constraint_retries_past_benign_racing_commit(
     assert load_manifest(root)["constraints"] == {"v_pos": "v > 0"}
     assert v == current_version(root)
     assert raced["n"] == 1
+
+
+def test_add_constraint_retries_all_lost_race_outcomes(
+        spark, tmp_path, monkeypatch):
+    """r13 (ADVICE 4): the probe/commit retry loop must re-probe on
+    EVERY lost-race outcome of _commit_metadata — the create-exclusive
+    claim losing (FileExistsError) and a usurped flip (RuntimeError) —
+    not only the explicit _Stale parent check."""
+    import silvia_spark.operators.manifest_table as mt
+
+    root = _mk(spark, tmp_path)
+    calls = {"n": 0}
+    real = mt._commit_metadata
+
+    def flaky(r, mutate):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileExistsError("version claim lost (simulated)")
+        if calls["n"] == 2:
+            raise RuntimeError(
+                "metadata commit lost v2 to a concurrent commit "
+                "after its claim (simulated)")
+        return real(r, mutate)
+
+    monkeypatch.setattr(mt, "_commit_metadata", flaky)
+    v = add_check_constraint(spark, root, "k_pos", "k > 0")
+    assert calls["n"] == 3 and v == current_version(root)
+    assert "k_pos" in load_manifest(root)["constraints"]

@@ -171,3 +171,28 @@ def test_sql_aggregate_over_view_matches_snapshot(spark, tmp_path):
             .agg(F.count(F.lit(1)).alias("c"), F.sum("k").alias("sk"))
             .orderBy("part").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_changes_since_names_vacuumed_diff_base(spark, tmp_path):
+    """r13 (ADVICE 5): when the SINCE manifest itself was vacuumed but
+    since+1..head survive, the batch change feed must fail with the
+    widen-keep_versions diagnostic naming the missing BASE manifest,
+    not a bare FileNotFoundError from the unguarded base load."""
+    import os
+
+    from pyspark.sql import Row
+
+    from silvia_spark.operators.manifest_table import (commit_append,
+                                                       create_table,
+                                                       vacuum)
+
+    root = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame(
+        [Row(k=i, part="a", v=float(i)) for i in range(1, 4)])
+    create_table(df, root, "part", cdf=True)
+    for i in range(3):
+        commit_append(spark, root, spark.createDataFrame(
+            [Row(k=10 + i, part="a", v=1.0)]), "part")
+    vacuum(root, keep_versions=2)  # keeps v3, v4; v2 (the base) gone
+    with pytest.raises(Exception, match="diff base"):
+        read_table(spark, root, changes_since=2).collect()

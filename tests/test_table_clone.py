@@ -260,3 +260,64 @@ def test_clone_of_clone_leases_the_ultimate_owner(spark, tmp_path):
     assert sorted(r["k"] for r in
                   read_snapshot(spark, c2).collect()) == list(
         range(1, 11))
+
+
+def test_inflight_clone_past_grace_keeps_pinning(spark, tmp_path):
+    """r13 (ADVICE 3b): a clone whose segment/manifest writes take
+    longer than the 60s claim grace must NOT lose its lease — the dst
+    directory existing without a pointer means creation-in-flight, and
+    the lease keeps pinning the recorded source version + exact file
+    list until the reader TTL (pre-fix: the lease was removed at 60s
+    and the landing clone's sources were vacuumable)."""
+    import json as _json
+
+    src = _mk(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "dst")
+    clone_table(src, dst)
+    # rewind to mid-creation: pointer not yet flipped, lease aged 5 min
+    os.remove(os.path.join(dst, "_current"))
+    lease = os.path.join(src, ".clone_leases", _lease_files(src)[0])
+    doc = _json.load(open(lease))
+    doc["ts"] -= 300.0
+    open(lease, "w").write(_json.dumps(doc))
+    commit_merge(spark, src, spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i) + 100,
+             op="U") for i in range(1, 11)]), ["k", "part"], "part")
+    vacuum(src, keep_versions=1)
+    assert _lease_files(src), (
+        "in-flight clone lease removed past grace — the r12 hazard")
+    # the clone's pointer flip lands now; it must read the v1 files
+    with open(os.path.join(dst, "_current"), "w") as f:
+        f.write("1")
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, dst).collect()) == list(
+        range(1, 11))
+
+
+def test_indirect_owner_creation_window_pins_exact_files(spark,
+                                                         tmp_path):
+    """r13 (ADVICE 3a): during a clone-of-clone's creation window, its
+    lease on the ULTIMATE owner must pin the referenced files even
+    though that root is not the direct clone source (pre-fix: the
+    indirect lease carried src_version=None and no file list, so the
+    window relied entirely on the intermediate clone's own lease —
+    gone here because the intermediate localized and vacuumed)."""
+    src = _mk(spark, tmp_path)
+    c1 = os.path.join(str(tmp_path), "c1")
+    c2 = os.path.join(str(tmp_path), "c2")
+    clone_table(src, c1)
+    clone_table(c1, c2)
+    os.remove(os.path.join(c2, "_current"))  # c2 mid-creation
+    # the intermediate localizes and its lease on src releases
+    commit_compaction(spark, c1, "part")
+    vacuum(c1, keep_versions=1)
+    # src rewrites everything and vacuums while c2 is still unreadable
+    commit_merge(spark, src, spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=0.0, op="U")
+         for i in range(1, 11)]), ["k", "part"], "part")
+    vacuum(src, keep_versions=1)
+    with open(os.path.join(c2, "_current"), "w") as f:
+        f.write("1")
+    assert sorted(r["k"] for r in
+                  read_snapshot(spark, c2).collect()) == list(
+        range(1, 11))

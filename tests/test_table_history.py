@@ -224,3 +224,45 @@ def test_vacuum_truncates_history_checkpoint(spark, tmp_path):
     # and resolution below the horizon still raises
     with pytest.raises(ValueError):
         version_at(root, 0.0)
+
+
+def test_read_repair_ckpt_skips_when_vacuum_raced_the_walk(
+        tmp_path, monkeypatch):
+    """r13 (ADVICE 2): the read-repair checkpoint write must not
+    resurrect versions a vacuum retired between the walk and the
+    write. The write now runs under the flip lock with the oldest
+    spliced version's manifest re-verified inside it — simulated here
+    by truncating the log at the moment the write acquires the lock
+    (exactly where a racing vacuum's effects become visible)."""
+    from contextlib import contextmanager
+
+    import silvia_spark.operators.manifest_table as mt
+
+    root = os.path.join(str(tmp_path), "tbl")
+    _fab_chain(root, 100)
+    real_locked = mt.FS.locked
+    fired = {"n": 0}
+
+    @contextmanager
+    def racing_locked(r):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            for v in range(1, 98):  # vacuum keep_versions=3 equivalent
+                os.remove(mt._manifest_path(root, v))
+            if os.path.exists(mt._hist_ckpt_path(root)):
+                os.remove(mt._hist_ckpt_path(root))
+        with real_locked(r):
+            yield
+
+    monkeypatch.setattr(mt.FS, "locked", racing_locked)
+    full = table_history(root)  # walk read all docs pre-race
+    assert len(full) == 100
+    monkeypatch.undo()
+    ck = mt._hist_ckpt_read(root)
+    assert ck is None or all(
+        os.path.exists(mt._manifest_path(root, h["version"]))
+        for h in ck["entries"]), "phantom history checkpoint"
+    hist = table_history(root)
+    assert [h["version"] for h in hist] == [100, 99, 98]
+    with pytest.raises(ValueError):
+        version_at(root, 0.0)  # below the (raced) horizon: no phantom
