@@ -255,7 +255,8 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _verify_candidates(e: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_candidates(e: DataFrame, cand: DataFrame,
+                       slot: str = "lsh") -> DataFrame:
     """Shared exact-cosine verify tail for the whole LSH family: score
     each candidate (vec_a, vec_b) pair against the raw embeddings, keep
     cosine ≥ 0.4, round for output, order. ONE definition so the
@@ -268,14 +269,15 @@ def _verify_candidates(e: DataFrame, cand: DataFrame) -> DataFrame:
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("eb"))
-    # score_pairs_threshold: the 0.4 threshold lives INSIDE the
-    # mapInPandas kernel — one Arrow crossing per candidate,
-    # structurally (no Filter-over-UDF for Catalyst to duplicate, the
-    # r10 blemish; no asNondeterministic barrier, whose executor-heap
-    # blowup the sf1 candidate-dense regime measured in r11). Rows
-    # below threshold never materialize downstream.
+    # score_pairs_threshold: scalar-UDF score into a persist barrier,
+    # JVM threshold over the cache — ONE ArrowEvalPython structurally
+    # (nothing for Catalyst's pushdown to duplicate: it stops at the
+    # InMemoryRelation), no asNondeterministic marker (the r11
+    # executor-heap hazard). Measured 43 s vs the previous kernel's
+    # 145-150 s at sf1's 195 M candidates — ANN_VERIFY_KERNEL.json.
     return score_pairs_threshold(
-        cand.join(a, "vec_a").join(b, "vec_b"))
+        cand.join(a, "vec_a").join(b, "vec_b"),
+        slot=f"verify.{slot}")
 
 
 @contract("sim_ann_lsh", oracle=_ANN_ORACLE)
@@ -303,7 +305,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    return _verify_candidates(e, cand)
+    return _verify_candidates(e, cand, slot="lsh")
 
 
 # --- multiprobe variant: fewer tables, one extra probe per table --------------
@@ -396,7 +398,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("vec_l", "vec_r").alias("vec_b"))
         .distinct()
     )
-    return _verify_candidates(e, cand)
+    return _verify_candidates(e, cand, slot="mp1")
 
 
 # --- multiprobe-2 variant: the probe-count knob turned to 2 bits --------------
@@ -494,7 +496,7 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("vec_l", "vec_r").alias("vec_b"))
         .distinct()
     )
-    return _verify_candidates(e, cand)
+    return _verify_candidates(e, cand, slot="mp2")
 
 
 # --- parameterized probe family: the recall-experiment kernel ----------------
@@ -588,3 +590,129 @@ def sim_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     name, _cfg = choose_ann_variant(est_candidates_per_vec=est)
     fn = sim_ann_lsh_multiprobe2 if name == "mp2" else sim_ann_lsh
     return fn(spark, sf_dir)
+
+
+# --- ANN index persistence (r13, r12 verdict item 8) ---------------------------
+# Every sim_ann_* call recomputes the sign-projection GEMM and bucket
+# table per query. At 100 TB the index IS the asset: stage the bucket
+# table as an L11 manifest table once, append index DELTAS as the
+# corpus grows, and let queries skip the GEMM entirely on a warm
+# index. The index is ~n·T rows of (vec_id, table_id, bucket_key) —
+# 3 longs, ~24 B/row before encoding: 64 tables over 10⁹ vectors is
+# ~1.5 TB spread across the cluster, linear in corpus size and tiny
+# next to the corpus itself. See SCALE.md §ANN-index.
+
+_ANN_INDEX_NOTE = "_ann_index.json"
+
+
+def _ann_index_params() -> dict:
+    return {"seed": _ANN_SEED, "bits": _ANN_BITS,
+            "tables": _ANN_TABLES, "dim": _ANN_DIM}
+
+
+def _ann_corpus_mark(e: DataFrame) -> dict:
+    """Cheap freshness fingerprint: (row count, max vec_id). Exact for
+    the append-only corpora the incremental path serves; a corpus that
+    mutates in place (deletes, re-embeds) must rebuild — disclosed in
+    SCALE.md, enforced by the mark mismatch falling back to compute."""
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.max("vec_id").alias("hi")).collect()[0]
+    return {"n_vecs": int(row["n"] or 0),
+            "max_vec_id": (None if row["hi"] is None
+                           else int(row["hi"]))}
+
+
+def persist_ann_index(spark: SparkSession, e: DataFrame,
+                      index_root: str) -> int:
+    """Build or INCREMENTALLY extend the persisted LSH index for
+    corpus ``e`` under ``index_root`` (an L11 manifest table
+    partitioned by table_id, stats on vec_id). First call stages the
+    full bucket table; later calls with a GROWN corpus compute bucket
+    keys for the delta ONLY (vec_id above the indexed high-water mark
+    — the append-only fast path; the general CDC-driven consumer is a
+    design note, SCALE.md §ANN-index) and commit_append them: an
+    index update costs O(new vectors), not O(corpus). Returns the
+    committed table version."""
+    import json as _json
+    import os as _os
+
+    from silvia_spark.operators.manifest_table import (FS, _norm,
+                                                       commit_append,
+                                                       create_table,
+                                                       current_version)
+
+    root = _norm(index_root)
+    mark = _ann_corpus_mark(e)
+    note_path = _os.path.join(root, _ANN_INDEX_NOTE)
+    if current_version(root) is None:
+        bk = bucket_keys(spark, e)
+        create_table(bk, root, "table_id", stats_cols=["vec_id"])
+        version = 1
+    else:
+        note = _json.loads(FS.read_text(note_path))
+        if note["params"] != _ann_index_params():
+            raise ValueError(
+                f"index at {root} was built with a different "
+                "hyperplane family — rebuild under a new root")
+        hwm = note["mark"]["max_vec_id"]
+        if (mark["max_vec_id"] is not None and hwm is not None
+                and mark["max_vec_id"] <= hwm):
+            return current_version(root)  # nothing new: no-op
+        delta = e.where(F.col("vec_id") > F.lit(hwm))
+        version = commit_append(spark, root,
+                                bucket_keys(spark, delta), "table_id")
+    FS.put_atomic(note_path, _json.dumps(
+        {"params": _ann_index_params(), "mark": mark}))
+    return version
+
+
+def ann_index_fresh(e: DataFrame, index_root: str) -> bool:
+    """True iff the persisted index covers EXACTLY this corpus (same
+    hyperplane family, same count + high-water mark). A stale or
+    foreign index is never silently used — callers fall back to the
+    query-time GEMM."""
+    import json as _json
+    import os as _os
+
+    from silvia_spark.operators.manifest_table import (FS, _norm,
+                                                       current_version)
+
+    root = _norm(index_root)
+    if current_version(root) is None:
+        return False
+    try:
+        note = _json.loads(FS.read_text(
+            _os.path.join(root, _ANN_INDEX_NOTE)))
+    except (FileNotFoundError, ValueError):
+        return False
+    return (note.get("params") == _ann_index_params()
+            and note.get("mark") == _ann_corpus_mark(e))
+
+
+def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str,
+                        index_root: str) -> DataFrame:
+    """``sim_ann_lsh`` with the bucket table served from a persisted
+    index when fresh: the query plan contains NO hyperplane GEMM (no
+    posexplode ⋈ sign table, no hash-aggregate over dot terms) — the
+    bucket self-join reads the manifest table and goes straight to
+    candidates + exact verify. Falls back to the query-time GEMM on a
+    stale/missing index, so the output contract is identical either
+    way (asserted in tests/test_ann_index.py)."""
+    from silvia_spark.operators.manifest_table import read_snapshot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if ann_index_fresh(e, index_root):
+        bk = read_snapshot(spark, index_root)
+    else:
+        bk = bucket_keys(spark, e)
+    buckets = managed_persist(
+        cap_buckets(bk, _ANN_BUCKET_CAP), "sim_ann_lsh_indexed.buckets")
+    left = buckets.select(F.col("vec_id").alias("vec_a"),
+                          "table_id", "bucket_key")
+    right = buckets.select(F.col("vec_id").alias("vec_b"),
+                           "table_id", "bucket_key")
+    cand = (left.join(right, ["table_id", "bucket_key"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct())
+    return _verify_candidates(e, cand, slot="indexed")

@@ -132,44 +132,51 @@ def cosine_once(a, b):
     return _COS_ARROW_ND(a, b)
 
 
-def score_pairs_threshold(joined, tau: float = 0.4):
+def score_pairs_threshold(joined, tau: float = 0.4,
+                          slot: str = "score_pairs"):
     """Exact-cosine verify tail shared by the LSH family and the
-    quadratic baseline: score (vec_a, ea, vec_b, eb) pairs and keep
-    cosine ≥ ``tau`` — ONE streaming mapInPandas pass with the
-    threshold applied inside the kernel. Properties the previous
-    project-then-filter shapes lacked:
+    quadratic baseline: score (vec_a, ea, vec_b, eb) pairs with the
+    scalar Arrow ``cosine`` UDF, persist the scored
+    (vec_a, vec_b, cos_raw) frame, and filter JVM-side over the cache.
 
-    - exactly one Python crossing per row, structurally: there is no
-      Filter expression referencing a UDF column, so Catalyst has
-      nothing to substitute/duplicate (the r10 double-ArrowEvalPython
-      blemish) and no ``asNondeterministic`` marker is needed (whose
-      barrier blew the executor heap at 195 M candidates — measured,
-      r11);
-    - memory bounded by one Arrow batch per task however many
-      candidates flow through — dropped rows never materialize
-      downstream;
-    - rounding stays a JVM-side ``F.round`` AFTER the kernel, so the
-      emitted values are bit-identical to the previous shape (the
-      family's exact all-pairs oracles stay green)."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    This is the r13 SINGLE-EVAL shape, chosen by measurement at sf1's
+    195 M candidates (ANN_VERIFY_KERNEL.json): 43 s vs 145–150 s for
+    the r11–r12 mapInPandas kernel (3.4×) and 102 s for the naive
+    scalar-UDF + Filter shape (whose plan Catalyst rewrites into TWO
+    ArrowEvalPython nodes by substituting the UDF into the pushed
+    predicate — the r10 blemish). Why each property holds:
 
-    fields = {f.name: f for f in joined.schema.fields}
-    schema = StructType([fields["vec_a"], fields["vec_b"],
-                         StructField("cos_raw", DoubleType())])
+    - ONE Python crossing, structurally: predicate pushdown stops at
+      the ``InMemoryRelation`` barrier — the UDF runs once while the
+      cache fills, the threshold Filter scans cached batches (with
+      batch-level min/max pruning on cos_raw for free). No
+      ``asNondeterministic`` marker (the r11 executor-heap hazard).
+    - The scalar ArrowEvalPython ships ONLY (ea, eb) to Python and a
+      double back, pipelined — measured ~2× the throughput of the
+      mapInPandas node's full-batch restructuring even before the
+      double-eval fix (the kernel study's central finding). A
+      pass-through mapInArrow threshold stage was measured as the
+      alternative barrier and REJECTED: chaining a second Python
+      stage cost more than the whole shipping kernel (176 s).
+    - Cache payload is (long, long, double) — ~24 B/row raw, columnar
+      compressed, MEMORY_AND_DISK via managed_persist (one live slot
+      per ``slot``; bench/parity reps clear_caches() between runs so
+      timings stay honest). At 10⁹ candidates that is ~24 GB across
+      the cluster for the duration of the query — linear in the
+      candidate count the join already materializes into the distinct
+      shuffle, and freed at the next run of the slot.
+    - Values are bit-identical to every previous kernel (same einsum,
+      same JVM F.round after), so the family's exact all-pairs
+      oracles stay green; numpy and the JVM agree on the >= compare
+      for every non-NaN double, and the corpus has no zero-norm
+      vectors to produce NaN (pytest-pinned in test_determinism)."""
+    from silvia_spark.io import managed_persist
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = _np_cos(pdf["ea"], pdf["eb"])
-            m = v >= tau
-            if not m.any():
-                continue
-            out = pdf.loc[m, ["vec_a", "vec_b"]].copy()
-            out["cos_raw"] = v[m]
-            yield out
-
-    return (joined.mapInPandas(score, schema)
+    scored = joined.select(
+        "vec_a", "vec_b",
+        cosine(F.col("ea"), F.col("eb")).alias("cos_raw"))
+    scored = managed_persist(scored, f"score_pairs.{slot}")
+    return (scored.where(F.col("cos_raw") >= tau)
             .select("vec_a", "vec_b",
                     F.round("cos_raw", 6).alias("cos_sim"))
             .orderBy("vec_a", "vec_b"))
@@ -384,11 +391,12 @@ def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    # score_pairs_threshold: the threshold lives INSIDE the mapInPandas
-    # kernel — one Arrow crossing per pair, nothing for Catalyst's
-    # filter pushdown to duplicate (see its docstring)
+    # score_pairs_threshold: scalar-UDF score into a persist barrier,
+    # JVM threshold over the cache — one Python crossing, structurally
+    # (see its docstring for the r13 measurement)
     return score_pairs_threshold(
-        a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")))
+        a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")),
+        slot="sim_join_threshold")
 
 
 # --- J5: per-label centroids + intra-label coherence -------------------------

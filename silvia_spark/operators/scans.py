@@ -834,3 +834,141 @@ def sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_current")
         .orderBy("c_custkey", "valid_from")
     )
+
+
+# --- A18: Delta-log read interop with DVs + column mapping (r13) --------------
+
+_A18_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderkey < 1200 AND o_orderkey % 7 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("source_delta_interop", oracle=_A18_ORACLE)
+def source_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read an existing Delta table that exercises the two features a
+    modern Delta lake actually has enabled (A18 — the r12 verdict's
+    #3): COLUMN MAPPING (parquet columns carry physical col-N names;
+    the log's schemaString maps them back) and DELETION VECTORS (row
+    positions tombstoned via the protocol's roaring-bitmap DV files).
+    The fixture is generated here from the orders table following the
+    PUBLIC protocol byte-for-byte (sources/delta_read.py implements it
+    from the spec; tests/test_delta_read.py pins the formats
+    independently), so the driver hash proves: physical→logical
+    aliasing, partition restoration from physicalName-keyed
+    partitionValues, and positional DV masking all compose into the
+    exact rows the oracle derives relationally. 100 TB: scans stay
+    JVM-native parquet with an anti-join against the decoded
+    tombstones — only the bitmaps (KBs per file) pass the driver."""
+    import json as _json
+    import struct
+    import zlib
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from silvia_spark.sources.delta_read import (_Z85_CHARS,
+                                                 read_delta)
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 1200)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .orderBy("o_orderkey").collect())
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_delta_"), "dt")
+    os.makedirs(root)
+
+    def z85(b: bytes) -> str:
+        out = ""
+        for i in range(0, len(b), 4):
+            acc = int.from_bytes(b[i:i + 4], "big")
+            s = ""
+            for _ in range(5):
+                s = _Z85_CHARS[acc % 85] + s
+                acc //= 85
+            out += s
+        return out
+
+    def rbm(positions: list[int]) -> bytes:
+        conts: dict[int, list[int]] = defaultdict(list)
+        for v in sorted(positions):
+            conts[v >> 16].append(v & 0xFFFF)
+        n = len(conts)
+        buf = struct.pack("<I", 12346) + struct.pack("<I", n)
+        for k in sorted(conts):
+            buf += struct.pack("<HH", k, len(conts[k]) - 1)
+        off = len(buf) + 4 * n
+        for k in sorted(conts):
+            buf += struct.pack("<I", off)
+            off += 2 * len(conts[k])
+        for k in sorted(conts):
+            for v in conts[k]:
+                buf += struct.pack("<H", v)
+        return (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+                + buf)
+
+    schema_str = _json.dumps({"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k1"}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-p2"}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-s3"}},
+    ]})
+    by_status: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_status[r["o_orderstatus"]].append(r)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors",
+                                         "columnMapping"]}},
+        {"metaData": {"id": "a18", "schemaString": schema_str,
+                      "partitionColumns": ["o_orderstatus"],
+                      "format": {"provider": "parquet"},
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+    ]
+    import uuid as _uuid
+    for st in sorted(by_status):
+        grp = by_status[st]
+        rel = f"part-{st}.parquet"
+        pq.write_table(pa.table({
+            "col-k1": pa.array([r["o_orderkey"] for r in grp],
+                               pa.int64()),
+            "col-p2": pa.array([float(r["o_totalprice"]) for r in grp],
+                               pa.float64())}),
+            os.path.join(root, rel))
+        dead = [i for i, r in enumerate(grp)
+                if r["o_orderkey"] % 7 == 0]
+        add = {"path": rel, "partitionValues": {"col-s3": st},
+               "size": 1, "modificationTime": 0, "dataChange": True}
+        if dead:
+            data = rbm(dead)
+            u = _uuid.uuid4()
+            with open(os.path.join(
+                    root, f"deletion_vector_{u}.bin"), "wb") as f:
+                f.write(b"\x01" + struct.pack(">i", len(data)) + data
+                        + struct.pack(">i",
+                                      zlib.crc32(data) & 0x7FFFFFFF))
+            add["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": z85(u.bytes),
+                "offset": 1, "sizeInBytes": len(data),
+                "cardinality": len(dead)}
+        actions.append({"add": add})
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+
+    return (read_delta(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+            .orderBy("o_orderstatus"))

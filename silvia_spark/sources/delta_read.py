@@ -1,37 +1,56 @@
 """Read-only interop with the PUBLIC Delta Lake transaction-log format
-(r12 stretch, verdict item 9): reconstruct a Delta table's file list
-from its ``_delta_log`` and read it as a plain DataFrame — the first
-thing a real adopter asks of a new engine ("can it read the tables I
-already have?").
+(r12 stretch; widened in r13 per the r12 verdict's #3): reconstruct a
+Delta table's snapshot from its ``_delta_log`` and read it as a plain
+DataFrame — the first thing a real adopter asks of a new engine ("can
+it read the tables I already have?").
 
 Implemented strictly from the published protocol (the Delta PROTOCOL.md
-action format is an open spec; no delta-spark dependency, no code from
-any Delta implementation):
+action/DV/checkpoint formats are an open spec; no delta-spark
+dependency, no code from any Delta implementation):
 
 - commits are ``_delta_log/%020d.json`` files of newline-delimited
   actions; ``add``/``remove`` actions accumulate the file list,
   the latest ``metaData`` wins (schemaString = Spark StructType JSON,
   partitionColumns), ``protocol`` gates readability;
-- ``_last_checkpoint`` (+ ``%020d.checkpoint.parquet``) snapshots the
-  accumulated state so reconstruction is checkpoint + O(delta commits),
-  exactly the shape this repo's own manifest layer uses;
+- ``_last_checkpoint`` + classic ``%020d.checkpoint.parquet`` AND
+  multi-part ``%020d.checkpoint.%010d.%010d.parquet`` checkpoints
+  snapshot the accumulated state, so reconstruction is checkpoint +
+  O(delta commits) — the shape this repo's own manifest layer uses;
 - partition values ride the ``add`` action's ``partitionValues`` map
   (authoritative — the directory layout is NOT), serialized as strings
   per the protocol's partition-value rules; they are restored by
   grouping adds on their partition tuple and casting the literals
   through the table schema (one JVM-native parquet scan per partition
-  group, union by name — no Python row path).
+  group, union by name — no Python row path);
+- COLUMN MAPPING (``delta.columnMapping.mode`` = name/id): parquet
+  files carry physical ``col-<uuid>`` names recorded in each schema
+  field's ``delta.columnMapping.physicalName`` metadata; the scan
+  reads the physical schema and aliases back to logical names
+  (partitionValues keys are physical under mapping, per the spec);
+- DELETION VECTORS: an ``add``'s ``deletionVector`` descriptor marks
+  row POSITIONS of that file as deleted. The descriptor's bitmap (the
+  protocol's RoaringBitmapArray in 64-bit "portable" serialization,
+  inside the versioned DV file layout, z85 path/inline encodings) is
+  decoded driver-side — DVs are KBs per file — and applied
+  JVM-side: DV'd files scan with ``_metadata.row_index`` and
+  anti-join the (file, position) tombstones, the exact merge-on-read
+  shape this repo's own manifest DV layer uses. 100 TB: the scan
+  stays executor-parallel native parquet; only the bitmaps (bounded
+  by deleted-row count, not data size) pass through the driver.
 
 Scope (loud refusals, never silent wrong reads): protocol
-``minReaderVersion`` ≤ 2; reader table features such as deletion
-vectors or column mapping raise NotImplementedError. Time travel via
-``version=`` replays the log to that version.
+``minReaderVersion`` ≤ 3 with reader features limited to
+{deletionVectors, columnMapping, timestampNtz, v2Checkpoint-classic};
+v2 sidecar checkpoints and unknown features raise NotImplementedError.
+Time travel via ``version=`` replays the log to that version.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
+import uuid as _uuid
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,16 +61,43 @@ from silvia_spark.io import local_path
 
 _LOG = "_delta_log"
 
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"}
 
-def _log_versions(log_dir: str) -> tuple[list[int], list[int]]:
-    """(json commit versions, single-file checkpoint versions)."""
-    commits, ckpts = [], []
+
+def _log_versions(log_dir: str) -> tuple[list[int], dict[int, list[str]]]:
+    """(json commit versions, checkpoint version → its file list).
+    Recognizes classic single-file checkpoints AND multi-part
+    ``%020d.checkpoint.%010d.%010d.parquet`` ones; a multi-part
+    checkpoint is usable only when ALL its parts are present (a
+    partially-written checkpoint must not shadow the JSON log)."""
+    commits: list[int] = []
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    singles: dict[int, str] = {}
     for f in os.listdir(log_dir):
         if f.endswith(".json") and f[:20].isdigit():
             commits.append(int(f[:20]))
-        elif f.endswith(".checkpoint.parquet") and f[:20].isdigit():
-            ckpts.append(int(f[:20]))
-    return sorted(commits), sorted(ckpts)
+            continue
+        if not (f.endswith(".parquet") and f[:20].isdigit()
+                and ".checkpoint" in f):
+            continue
+        v = int(f[:20])
+        mid = f[20:-8]  # between version and ".parquet"
+        if mid == ".checkpoint":
+            singles[v] = f
+        else:
+            seg = mid[len(".checkpoint."):].split(".")
+            if (len(seg) == 2 and seg[0].isdigit()
+                    and seg[1].isdigit()):
+                parts.setdefault(v, {})[int(seg[0])] = (
+                    int(seg[1]), f)
+    ckpts: dict[int, list[str]] = {v: [f] for v, f in singles.items()}
+    for v, got in parts.items():
+        n = next(iter(got.values()))[0]
+        if len(got) == n and set(got) == set(range(1, n + 1)):
+            ckpts.setdefault(v, [got[i][1]
+                                 for i in range(1, n + 1)])
+    return sorted(commits), ckpts
 
 
 def _check_protocol(proto: dict | None) -> None:
@@ -59,40 +105,34 @@ def _check_protocol(proto: dict | None) -> None:
         return
     mrv = int(proto.get("minReaderVersion", 1))
     feats = set(proto.get("readerFeatures") or ())
-    unsupported = feats - {"timestampNtz", "v2Checkpoint"}
+    unsupported = feats - _SUPPORTED_READER_FEATURES
     if mrv > 2 and unsupported:
         raise NotImplementedError(
             f"Delta reader features {sorted(unsupported)} are not "
-            "supported by this read-only interop (deletion vectors / "
-            "column mapping need a native Delta reader)")
+            "supported by this read-only interop")
     if mrv > 3:
         raise NotImplementedError(
             f"Delta minReaderVersion={mrv} is newer than this "
             "interop understands")
 
 
-def _check_table_config(meta: dict) -> None:
-    """Refuse LEGACY-protocol feature enablement that readerFeatures
-    never names: column mapping ships at minReaderVersion=2 with no
-    feature list, so a protocol-only gate passes a table whose parquet
-    columns are physical ``col-<uuid>`` names — read with the logical
-    schema that is an all-NULL silent wrong read, the exact failure
-    this module's contract forbids. Checked AFTER replay on the
-    winning metaData's configuration (the authoritative source per
-    the protocol), belt-and-braces for DVs too."""
-    conf = meta.get("configuration") or {}
-    cmm = conf.get("delta.columnMapping.mode")
-    if cmm not in (None, "", "none"):
+def _mapping_mode(meta: dict) -> str:
+    """Column mapping mode from the winning metaData's configuration —
+    the authoritative source whether enablement came via readerFeatures
+    or the LEGACY minReaderVersion=2 route that names no features (the
+    r13 silent-NULL-read fix: a protocol-only gate misses it)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode") or "none"
+    if mode not in ("none", "name", "id"):
         raise NotImplementedError(
-            f"Delta column mapping mode {cmm!r} is not supported by "
-            "this read-only interop (parquet columns carry physical "
-            "names; a plain schema read would return NULLs)")
-    if str(conf.get("delta.enableDeletionVectors",
-                    "false")).lower() == "true":
-        raise NotImplementedError(
-            "Delta deletion vectors are enabled on this table — "
-            "unsupported by this read-only interop (rows deleted via "
-            "DVs would silently reappear)")
+            f"Delta column mapping mode {mode!r} is not a protocol "
+            "mode this interop understands")
+    return mode
+
+
+def _phys_name(field) -> str:
+    md = field.metadata or {}
+    return md.get("delta.columnMapping.physicalName", field.name)
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -112,7 +152,7 @@ def _replay(root: str, target: int) -> dict:
     commits, ckpts = _log_versions(log_dir)
     if not commits and not ckpts:
         raise FileNotFoundError(f"no Delta log under {log_dir}")
-    head = max(commits + ckpts)
+    head = max(commits + list(ckpts))
     if target > head:
         raise ValueError(f"version {target} exceeds head {head}")
     state: dict = {"adds": {}, "meta": None, "protocol": None}
@@ -122,12 +162,12 @@ def _replay(root: str, target: int) -> dict:
         ckv = max(usable)
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(
-            log_dir, f"{ckv:020d}.checkpoint.parquet"))
-        for row in t.to_pylist():
-            # one action per checkpoint row; null columns are absent
-            _apply_action(state, {k: v for k, v in row.items()
-                                  if v is not None})
+        for part in ckpts[ckv]:
+            t = pq.read_table(os.path.join(log_dir, part))
+            for row in t.to_pylist():
+                # one action per checkpoint row; null columns absent
+                _apply_action(state, {k: v for k, v in row.items()
+                                      if v is not None})
         start = ckv + 1
     for v in range(start, target + 1):
         p = os.path.join(log_dir, f"{v:020d}.json")
@@ -147,8 +187,142 @@ def _replay(root: str, target: int) -> dict:
         raise ValueError(
             f"no metaData action found up to version {target} — "
             "not a readable Delta table")
-    _check_table_config(state["meta"])
+    _mapping_mode(state["meta"])  # raises on unknown modes
     return state
+
+
+# --- deletion-vector decoding (protocol formats, from the spec) ---------------
+
+_Z85_CHARS = ("0123456789abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85: 5 chars → 4 bytes, big-endian base-85 (the encoding
+    Delta's DV descriptors use for UUIDs and inline bitmaps)."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i:i + 5]:
+            acc = acc * 85 + _Z85_INDEX[ch]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_positions(buf: bytes, off: int) -> tuple[list[int], int]:
+    """Decode ONE 32-bit RoaringBitmap in the standard interoperable
+     'portable' serialization (the public RoaringFormatSpec): returns
+    (contained values, bytes consumed). Handles array, bitmap, and run
+    containers."""
+    import numpy as np
+
+    SERIAL_COOKIE_NO_RUN = 12346
+    SERIAL_COOKIE = 12347
+    NO_OFFSET_THRESHOLD = 4
+    start = off
+    (cookie32,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    cookie = cookie32 & 0xFFFF
+    run_bitset = None
+    if cookie == SERIAL_COOKIE:
+        n = (cookie32 >> 16) + 1
+        nb = (n + 7) // 8
+        run_bitset = buf[off:off + nb]
+        off += nb
+    elif cookie == SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    keys = [0] * n
+    cards = [0] * n
+    for i in range(n):
+        keys[i], cm1 = struct.unpack_from("<HH", buf, off)
+        cards[i] = cm1 + 1
+        off += 4
+    if run_bitset is None or n >= NO_OFFSET_THRESHOLD:
+        off += 4 * n  # offset header: sequential decode ignores it
+    vals: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = (run_bitset is not None
+                  and (run_bitset[i // 8] >> (i % 8)) & 1)
+        if is_run:
+            (nruns,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            runs = np.frombuffer(buf, dtype="<u2",
+                                 count=2 * nruns, offset=off)
+            off += 4 * nruns
+            for j in range(nruns):
+                s0, ln = int(runs[2 * j]), int(runs[2 * j + 1])
+                vals.extend(range(base + s0, base + s0 + ln + 1))
+        elif cards[i] > 4096:
+            words = np.frombuffer(buf, dtype="<u8", count=1024,
+                                  offset=off)
+            off += 8192
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little")
+            vals.extend((base + np.nonzero(bits)[0]).tolist())
+        else:
+            arr = np.frombuffer(buf, dtype="<u2", count=cards[i],
+                                offset=off)
+            off += 2 * cards[i]
+            vals.extend((base + arr.astype(np.int64)).tolist())
+    return vals, off - start
+
+
+def _roaring_array_positions(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray 'portable' format: magic int32
+    (1681511377), int64 bitmap count, then each 32-bit bitmap (keyed
+    by its index as the high 32 bits) in standard portable form."""
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != 1681511377:
+        raise ValueError(f"bad DV magic {magic}")
+    (count,) = struct.unpack_from("<q", data, 4)
+    off = 12
+    out: list[int] = []
+    for high in range(count):
+        vals, used = _roaring32_positions(data, off)
+        off += used
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def _dv_positions(root: str, dv: dict) -> list[int]:
+    """Deleted row positions from a deletionVector descriptor —
+    storageType 'i' (inline z85 data), 'u' (relative file named by a
+    z85 UUID, optional random prefix), 'p' (absolute path)."""
+    st = dv["storageType"]
+    if st == "i":
+        return _roaring_array_positions(
+            _z85_decode(dv["pathOrInlineDv"]))
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uid = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(uid))
+        fname = f"deletion_vector_{u}.bin"
+        path = os.path.join(root, prefix, fname) if prefix \
+            else os.path.join(root, fname)
+    elif st == "p":
+        path = local_path(dv["pathOrInlineDv"])
+    else:
+        raise NotImplementedError(
+            f"DV storageType {st!r} is not in the protocol")
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob or blob[0] != 1:
+        raise ValueError(
+            f"unsupported DV file version {blob[:1]!r} in {path}")
+    off = int(dv.get("offset") or 1)
+    (size,) = struct.unpack_from(">i", blob, off)  # big-endian wrapper
+    data = blob[off + 4: off + 4 + size]
+    return _roaring_array_positions(data)
+
+
+# --- the batch read ------------------------------------------------------------
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -159,37 +333,87 @@ def read_delta(spark: SparkSession, path: str,
     actions' ``partitionValues`` maps, grouped so each distinct
     partition tuple is one scan + literal columns (a 100 TB Delta
     table with k partitions is k plain scans unioned by name —
-    Catalyst folds the literals; no Python crossing anywhere)."""
+    Catalyst folds the literals). Column-mapped tables scan under
+    physical names and alias back; DV'd files anti-join their decoded
+    (file, row_index) tombstones — merge-on-read, executor-parallel,
+    no Python row path anywhere."""
     root = local_path(path)
     if version is None:
         commits, ckpts = _log_versions(os.path.join(root, _LOG))
         if not commits and not ckpts:
             raise FileNotFoundError(
                 f"no Delta log under {os.path.join(root, _LOG)}")
-        version = max(commits + ckpts)
+        version = max(commits + list(ckpts))
     state = _replay(root, version)
     meta = state["meta"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = _mapping_mode(meta)
+    phys = {f.name: (_phys_name(f) if mode != "none" else f.name)
+            for f in schema.fields}
     part_cols = list(meta.get("partitionColumns") or ())
     fields = {f.name: f for f in schema.fields}
-    data_schema = StructType([f for f in schema.fields
-                              if f.name not in part_cols])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    phys_data_schema = StructType(
+        [type(f)(phys[f.name], f.dataType, f.nullable)
+         for f in data_fields])
     if not state["adds"]:
         return spark.createDataFrame([], schema)
     groups: dict[tuple, list[str]] = {}
+    dv_groups: dict[tuple, list[str]] = {}
+    tombstones: list[tuple[str, int]] = []
     for a in state["adds"].values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(root, unquote(a["path"])))
+        # partitionValues keys are PHYSICAL names under mapping
+        key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
+        fpath = os.path.join(root, unquote(a["path"]))
+        dv = a.get("deletionVector")
+        if dv is not None and int(dv.get("cardinality", 1)) > 0:
+            dv_groups.setdefault(key, []).append(fpath)
+            tombstones.extend(
+                (os.path.abspath(fpath), p)
+                for p in _dv_positions(root, dv))
+        else:
+            groups.setdefault(key, []).append(fpath)
+
+    def _with_parts(df: DataFrame, key: tuple) -> DataFrame:
+        for c, v in zip(part_cols, key):
+            lit = (F.lit(None) if v is None else F.lit(v))
+            df = df.withColumn(c, lit.cast(fields[c].dataType))
+        return df.select(*[f.name for f in schema.fields])
+
+    def _rename(df: DataFrame) -> DataFrame:
+        if mode == "none":
+            return df
+        return df.select(*[F.col(phys[f.name]).alias(f.name)
+                           for f in data_fields],
+                         *[c for c in ("__fp", "__ri")
+                           if c in df.columns])
+
     out: DataFrame | None = None
     for key, files in sorted(groups.items(),
                              key=lambda kv: tuple(
                                  (v is None, v) for v in kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(files))
-        for c, v in zip(part_cols, key):
-            lit = (F.lit(None) if v is None else F.lit(v))
-            df = df.withColumn(c, lit.cast(fields[c].dataType))
-        df = df.select(*[f.name for f in schema.fields])
+        df = _rename(spark.read.schema(phys_data_schema)
+                     .parquet(*sorted(files)))
+        df = _with_parts(df, key)
         out = df if out is None else out.unionByName(df)
+    if dv_groups:
+        dead = spark.createDataFrame(
+            tombstones or [("", -1)], "__fp string, __ri long")
+        for key, files in sorted(dv_groups.items(),
+                                 key=lambda kv: tuple(
+                                     (v is None, v) for v in kv[0])):
+            raw = (spark.read.schema(phys_data_schema)
+                   .parquet(*sorted(files))
+                   .select("*",
+                           F.regexp_replace(
+                               F.col("_metadata.file_path"),
+                               "^file:/+", "/").alias("__fp"),
+                           F.col("_metadata.row_index").alias("__ri")))
+            masked = (_rename(raw)
+                      .join(F.broadcast(dead), ["__fp", "__ri"],
+                            "left_anti")
+                      .drop("__fp", "__ri"))
+            df = _with_parts(masked, key)
+            out = df if out is None else out.unionByName(df)
     return out

@@ -70,9 +70,11 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader,
                                     DataSourceStreamReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 from silvia_spark.io import local_path
@@ -1048,7 +1050,252 @@ def _change_slices(root: str, since: int, to: int) -> list[InputPartition]:
     return out or [_FileSlice("", None)]
 
 
+class _InsertCommit(WriterCommitMessage):
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class ManifestInsertWriter(DataSourceArrowWriter):
+    """SQL DML WRITE half of the manifest DataSource (r13 — the r12
+    verdict's #2): ``INSERT INTO`` a registered manifest table routes
+    rows through Spark's v2 write protocol into a manifest APPEND
+    commit — write path SQL text end-to-end, same commit semantics as
+    ``commit_append``.
+
+    Division of labor mirrors a lake-format connector:
+
+    - ``write`` (executors, Arrow batches): split each batch on the
+      partition column, stream slices into per-partition parquet
+      writers under the table's live layout with commit-unique names
+      (orphans until the manifest lands — vacuum's mtime grace
+      protects them, exactly like staged files), enforce CHECK
+      constraints per batch BEFORE anything is written (DuckDB
+      evaluates the recorded SQL expr over the Arrow batch with the
+      same IS-FALSE-violates NULL semantics as the Spark path — no
+      SparkSession exists inside a write task), and report manifest
+      entries (path, partition, rows, bytes, footer min/max for the
+      table's stats_cols) in the commit message.
+    - ``commit`` (driver, once, after every task succeeded): the same
+      optimistic claim/flip tail as commit_append — new segment +
+      parent segments by reference, ``_write_doc(occ=True)`` with
+      verify_paths + the preflight vacuum epoch, rebase on a lost
+      claim. O(batch + segment count), never O(table files).
+
+    Scope (loud refusals, never silent drift): append only
+    (``overwrite`` raises); the INSERT schema must equal the table's
+    recorded schema (Spark's INSERT INTO resolution reorders/casts
+    by position against the reader schema, so this holds for any
+    well-typed INSERT — no additive evolution through SQL, matching
+    Delta's default); column-mapped tables, hidden partition
+    transforms, and mixed partition specs refuse at plan time (their
+    staging rules live in the Python path's rebase loop); NULL
+    partition values refuse. A concurrent constraint/spec/mapping
+    change between planning and commit aborts the commit loudly —
+    rows were validated against the old set.
+    """
+
+    def __init__(self, options, schema: StructType):
+        from silvia_spark.operators import manifest_table as mt
+
+        self.root = local_path(options["path"])
+        doc = mt._load_doc(self.root)
+        if doc.get("col_map") is not None:
+            raise NotImplementedError(
+                "INSERT INTO a column-mapped manifest table is not "
+                "supported through SQL yet — use commit_append (the "
+                "physical-name staging rules live there)")
+        if doc.get("part_transform"):
+            raise NotImplementedError(
+                "INSERT INTO a hidden-transform-partitioned table is "
+                "not supported through SQL yet — use commit_append")
+        if mt._mixed_specs(doc):
+            raise ValueError(
+                "table holds multiple partition specs: run "
+                "commit_compaction before SQL INSERTs")
+        part_col = doc.get("part_col")
+        if not part_col:
+            raise ValueError(
+                "table records no partition column (pre-r08 layout): "
+                "commit once via commit_append to migrate")
+        if doc.get("schema"):
+            tbl = StructType.fromJson(json.loads(doc["schema"]))
+            want = [(f.name, f.dataType.simpleString())
+                    for f in tbl.fields]
+            got = [(f.name, f.dataType.simpleString())
+                   for f in schema.fields]
+            if got != want:
+                raise ValueError(
+                    f"INSERT schema {got} must match the table schema "
+                    f"{want} exactly (no additive evolution through "
+                    "SQL; use commit_append(evolve=True))")
+        self.part_col = part_col
+        self.col_names = [f.name for f in schema.fields]
+        self.constraints = dict(doc.get("constraints") or {})
+        self.stats_cols = list(mt._doc_stats_cols(self.root, doc))
+        self.epoch0 = mt._vacuum_epoch(self.root)
+
+    # -- executor side ----------------------------------------------------
+
+    def write(self, iterator) -> _InsertCommit:
+        import uuid as _uuid
+        from urllib.parse import quote
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from silvia_spark.operators import manifest_table as mt
+
+        token = _uuid.uuid4().hex[:12]
+        writers: dict[str, pq.ParquetWriter] = {}
+        paths: dict[str, str] = {}
+        con = None
+        pi = self.col_names.index(self.part_col)
+        for rb in iterator:
+            if not rb.num_rows:
+                continue
+            if self.constraints:
+                if con is None:
+                    import duckdb
+
+                    con = duckdb.connect()
+                t = pa.Table.from_batches([rb])
+                con.register("__silvia_insert_batch", t)
+                for name, expr in self.constraints.items():
+                    bad = con.execute(
+                        "SELECT count(*) FROM __silvia_insert_batch "
+                        f"WHERE ({expr}) IS FALSE").fetchone()[0]
+                    if bad:
+                        raise mt.ConstraintViolation(
+                            f"CHECK constraint {name!r} ({expr}) "
+                            f"violated by {bad} row(s) of the INSERT "
+                            "batch — nothing committed")
+            pcol = rb.column(pi)
+            if pc.any(pc.is_null(pcol)).as_py():
+                raise ValueError(
+                    f"NULL {self.part_col!r} partition values are not "
+                    "supported through SQL INSERT")
+            data = rb.drop_columns([self.part_col])
+            for v in pc.unique(pcol).to_pylist():
+                sl = data.filter(pc.equal(pcol, v))
+                key = str(v)
+                w = writers.get(key)
+                if w is None:
+                    part_dir = f"{self.part_col}={quote(key, safe='')}"
+                    live = os.path.join(self.root, part_dir)
+                    os.makedirs(live, exist_ok=True)
+                    rel = (f"{part_dir}/part-{token}-"
+                           f"{len(writers):05d}.parquet")
+                    paths[key] = rel
+                    w = writers[key] = pq.ParquetWriter(
+                        os.path.join(self.root, rel), sl.schema)
+                w.write_batch(sl)
+        entries = []
+        for key, w in writers.items():
+            w.close()
+            rel = paths[key]
+            full = os.path.join(self.root, rel)
+            rows, stats = mt._file_stats(full, self.stats_cols)
+            e = {"path": rel, "partition": key, "rows": rows,
+                 "bytes": os.path.getsize(full)}
+            if stats:
+                e["stats"] = stats
+            entries.append(e)
+        return _InsertCommit(entries)
+
+    # -- driver side --------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        from silvia_spark.operators import manifest_table as mt
+
+        entries = [e for m in messages if m is not None
+                   for e in m.entries]
+        root = self.root
+        commit_id = _uuid.uuid4().hex
+        for _ in range(mt._APPEND_RETRIES):
+            doc = mt._load_doc(root)
+            if dict(doc.get("constraints") or {}) != self.constraints:
+                raise RuntimeError(
+                    "table constraints changed while the INSERT ran — "
+                    "its rows were validated against the old set; "
+                    "re-run the INSERT")
+            if (doc.get("col_map") is not None
+                    or doc.get("part_transform")
+                    or doc.get("part_col") != self.part_col):
+                raise RuntimeError(
+                    "table partition spec / column mapping changed "
+                    "while the INSERT ran — files were written under "
+                    "the old layout; re-run the INSERT")
+            seg = (mt._write_segment(root, entries)
+                   if entries else None)
+            if "files" in doc:
+                parent = ([mt._write_segment(root, doc["files"],
+                                             reused=True)]
+                          if doc["files"] else [])
+            else:
+                parent = list(doc.get("segments", ()))
+            segments = mt._coalesce_segments(
+                root, parent + ([seg] if seg else []))
+            version = doc["version"] + 1
+            newdoc = mt._make_doc(
+                version, doc["version"], segments,
+                txns=doc.get("txn"), commit_id=commit_id,
+                schema=doc.get("schema"),
+                stats_cols=doc.get("stats_cols"), op="append")
+            mt._carry_table_meta(newdoc, doc)
+            if doc.get("cdf_enabled"):
+                newdoc["cdf"] = {"mode": "append"}
+            try:
+                mt._write_doc(root, version, newdoc, occ=True,
+                              verify_paths=[e["path"] for e in entries],
+                              staged_epoch=self.epoch0)
+            except FileExistsError:
+                _time.sleep(0.01)  # loser: rebase against new parent
+                continue
+            except mt.CommitAborted as e:
+                # unlike commit_append there is nothing to restage —
+                # the executors are gone; surface loudly
+                raise RuntimeError(
+                    "INSERT data files were garbage-collected before "
+                    "the commit landed (a vacuum raced a long-running "
+                    "INSERT): re-run the INSERT") from e
+            try:
+                if (mt._flip_current(root, version, commit_id=commit_id)
+                        or mt._claim_survived(root, version,
+                                              commit_id=commit_id)):
+                    return
+            except mt.CommitAborted:
+                continue
+        raise RuntimeError(
+            f"SQL INSERT lost {mt._APPEND_RETRIES} version races under "
+            f"{root} — extreme writer contention")
+
+    def abort(self, messages) -> None:
+        # files without a manifest entry are invisible to every reader
+        # and age out under vacuum's orphan grace — leaving them beats
+        # a half-delete racing still-running tasks (jsonl_sink's rule)
+        pass
+
+
 class ManifestTableDataSource(DataSource):
+    # Per-table subclasses (register_sql_table) bake the table root in
+    # here: Spark's Python-DataSource catalog bridge does NOT forward a
+    # catalog table's stored OPTIONS to the scan/write workers
+    # (measured r13: reader() and writer() both receive {} for a table
+    # created with CREATE TABLE ... USING ... OPTIONS (path ...)), so
+    # path-by-option only works for the DataFrameReader/Writer API.
+    # cloudpickle serializes a dynamically created subclass BY VALUE,
+    # so the baked path travels to every worker with the class itself.
+    _DEFAULT_PATH: str | None = None
+
+    def __init__(self, options):
+        super().__init__(options)
+        if self._DEFAULT_PATH and not options.get("path"):
+            self.options["path"] = self._DEFAULT_PATH
+
     @classmethod
     def name(cls) -> str:
         return "silvia_manifest"
@@ -1076,6 +1323,17 @@ class ManifestTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ManifestBatchReader:
         return ManifestBatchReader(schema, self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> ManifestInsertWriter:
+        if overwrite:
+            raise ValueError(
+                "silvia_manifest supports INSERT INTO (append) only; "
+                "for replacement semantics use commit_merge / "
+                "restore_table, or partition overwrite via the Python "
+                "API — a blind SQL overwrite of a versioned table "
+                "would bypass its history")
+        return ManifestInsertWriter(self.options, schema)
 
 
 def read_stream_changes(spark, path: str, starting_version: int = 0):
@@ -1165,3 +1423,32 @@ def register_table_view(spark, name: str, path: str,
                     changes_since=changes_since)
     df.createOrReplaceTempView(name)
     return df
+
+
+def register_sql_table(spark, name: str, path: str) -> str:
+    """Register a manifest table as a CATALOG table that supports SQL
+    DML — ``SELECT`` and ``INSERT INTO <name>`` both as plain SQL text
+    (L34). A temp view (register_table_view) cannot accept inserts,
+    and Spark's Python-DS catalog bridge drops a ``CREATE TABLE ...
+    OPTIONS (path ...)`` table's options before they reach the
+    scan/write workers (measured — see ManifestTableDataSource), so
+    this registers a PER-TABLE DataSource subclass with the root baked
+    into the class (cloudpickle ships it by value) and creates the
+    catalog table over that source. Re-run in each session before
+    using the name (attach-time work, same as view registration);
+    the table definition itself persists in the session catalog."""
+    import hashlib
+
+    root = local_path(path)
+    key = hashlib.sha1(root.encode("utf-8")).hexdigest()[:10]
+    src_name = f"silvia_manifest_{key}"
+    cls = type(f"ManifestTableDS_{key}", (ManifestTableDataSource,),
+               {"_DEFAULT_PATH": root,
+                "name": classmethod(lambda c, _n=src_name: _n)})
+    spark.dataSource.register(cls)
+    # same runtime conf read_table sets: the reader implements
+    # pushFilters, which Spark refuses to plan with pushdown disabled
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} USING {src_name}")
+    return name

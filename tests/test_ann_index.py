@@ -1,0 +1,84 @@
+"""ANN index persistence prototype (r13 — r12 verdict #8): a warm
+persisted index serves the bucket table with NO query-time GEMM, the
+incremental path indexes only the corpus delta, and staleness always
+falls back to compute — identical pair output in every mode."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from silvia_spark.functions.llm_extras import (ann_index_fresh,
+                                               persist_ann_index,
+                                               sim_ann_lsh,
+                                               sim_ann_lsh_indexed)
+from silvia_spark.io import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return sorted((r["vec_a"], r["vec_b"], r["cos_sim"])
+                  for r in df.collect())
+
+
+def _bucket_plan(spark, sf_dir, index_root):
+    from silvia_spark.functions.llm_extras import (_ANN_BUCKET_CAP,
+                                                   bucket_keys,
+                                                   cap_buckets)
+    from silvia_spark.operators.manifest_table import (current_version,
+                                                       read_snapshot)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if ann_index_fresh(e, index_root):
+        bk = read_snapshot(spark, index_root)
+    else:
+        bk = bucket_keys(spark, e)
+    return bk._jdf.queryExecution().executedPlan().toString()
+
+
+def test_warm_index_skips_gemm_with_identical_output(spark, tmp_path):
+    idx = os.path.join(str(tmp_path), "ann_idx")
+    e = load_table(spark, SF, "embeddings")
+    v = persist_ann_index(spark, e, idx)
+    assert v == 1 and ann_index_fresh(e, idx)
+    # the GEMM is GONE from the warm bucket plan: no posexplode of the
+    # embedding, no hyperplane hash-aggregate — a manifest scan only
+    plan = _bucket_plan(spark, SF, idx)
+    assert "posexplode" not in plan and "xxhash64" not in plan
+    # and the pair output is identical to the compute-every-time path
+    assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
+        _pairs(sim_ann_lsh(spark, SF))
+    # re-persist on an unchanged corpus: no-op, same version
+    assert persist_ann_index(spark, e, idx) == 1
+
+
+def test_incremental_index_appends_delta_only(spark, tmp_path):
+    idx = os.path.join(str(tmp_path), "ann_idx")
+    e = load_table(spark, SF, "embeddings")
+    hi = e.agg(F.max("vec_id")).collect()[0][0]
+    half = e.where(F.col("vec_id") <= hi // 2)
+    assert persist_ann_index(spark, half, idx) == 1
+    assert not ann_index_fresh(e, idx)  # covers half, not the corpus
+    # growing the corpus appends ONE delta commit (v2), not a rebuild
+    assert persist_ann_index(spark, e, idx) == 2
+    assert ann_index_fresh(e, idx)
+    # the delta commit's row count is the delta's bucket rows
+    from silvia_spark.functions.llm_extras import _ANN_TABLES
+    from silvia_spark.operators.manifest_table import read_changes
+
+    delta_rows = read_changes(spark, idx, 1, 2).count()
+    n_delta = e.where(F.col("vec_id") > hi // 2).count()
+    assert delta_rows == n_delta * _ANN_TABLES
+    assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
+        _pairs(sim_ann_lsh(spark, SF))
+
+
+def test_stale_or_missing_index_falls_back(spark, tmp_path):
+    idx = os.path.join(str(tmp_path), "ann_idx")
+    # missing: compute path (GEMM present), correct output
+    plan = _bucket_plan(spark, SF, idx)
+    assert "posexplode" in plan.lower()
+    assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
+        _pairs(sim_ann_lsh(spark, SF))

@@ -129,3 +129,18 @@ def test_floor_verdict_flags_inflated_floor_and_reruns_once():
     io_hot = bench._floor_verdict(band, 0.012, 0.06, reran=False)
     assert io_hot["deg"]
     assert bench._floor_verdict({}, 9.9, 9.9, reran=False) == {"n": 0}
+
+
+def test_sf1_heavy_control_verdict_flags_loaded_run():
+    """r13 (r12 verdict item 4): the heavy sweep's per-row attribution
+    control — a drifted control beside a row's best rep marks the row
+    degraded; an in-band control stays clean; a zero baseline cannot
+    silently pass."""
+    from tools.bench_sf1_heavy import _CTRL_GATE, _ctrl_verdict
+
+    hot = _ctrl_verdict(0.1, 0.21)
+    assert hot["deg"] and hot["x"] == 2.1
+    cool = _ctrl_verdict(0.1, 0.12)
+    assert not cool["deg"] and cool["x"] == 1.2
+    assert _ctrl_verdict(0.0, 0.1)["deg"]
+    assert _CTRL_GATE == 1.5

@@ -130,9 +130,9 @@ def test_unsupported_reader_features_refuse(spark, tmp_path):
     root, _ = _fixture(tmp_path)
     _commit(root, 2, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["typeWidening"]}},
     ])
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, root)
     # older versions stay readable
     assert read_delta(spark, root, version=1).count() == 7
@@ -146,34 +146,239 @@ def test_missing_log_and_bad_version(spark, tmp_path):
         read_delta(spark, root, version=9)
 
 
-def test_legacy_column_mapping_refuses_not_nulls(spark, tmp_path):
-    """r13 (ADVICE 1): column mapping at minReaderVersion=2 ships with
-    NO readerFeatures list — the protocol gate alone passes it, and a
-    plain schema read of physical col-<uuid> parquet names would
-    return all-NULL columns. The metaData configuration gate must
-    refuse loudly instead."""
-    root, _ = _fixture(tmp_path)
+# --- r13 widenings: DVs, column mapping, multi-part checkpoints ----------------
+# Fixture encoders below mirror the PUBLIC formats (z85, roaring
+# portable, the DV file wrapper) so the decoder is exercised against
+# independently-constructed bytes.
+
+import struct
+import uuid as _uuid
+from collections import defaultdict
+
+from silvia_spark.sources.delta_read import (_Z85_CHARS,
+                                             _roaring32_positions)
+
+
+def _z85_encode(b: bytes) -> str:
+    # z85 is defined on 4-byte groups: pad with trailing zeros (the
+    # roaring parser reads structurally and ignores trailing bytes;
+    # UUIDs are 16 bytes, never padded)
+    b = b + b"\x00" * (-len(b) % 4)
+    out = ""
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i:i + 4], "big")
+        s = ""
+        for _ in range(5):
+            s = _Z85_CHARS[acc % 85] + s
+            acc //= 85
+        out += s
+    return out
+
+
+def _roaring32_ser(values):
+    conts = defaultdict(list)
+    for v in sorted(values):
+        conts[v >> 16].append(v & 0xFFFF)
+    n = len(conts)
+    out = struct.pack("<I", 12346) + struct.pack("<I", n)
+    for k in sorted(conts):
+        out += struct.pack("<HH", k, len(conts[k]) - 1)
+    off = len(out) + 4 * n
+    for k in sorted(conts):
+        out += struct.pack("<I", off)
+        off += 2 * len(conts[k])
+    for k in sorted(conts):
+        for v in conts[k]:
+            out += struct.pack("<H", v)
+    return out
+
+
+def _rbm_array_ser(positions):
+    assert all(p < (1 << 32) for p in positions)
+    return (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+            + _roaring32_ser(positions))
+
+
+def _dv_file(root, positions):
+    """On-disk DV ('u' storage): version byte + [size][data][crc]."""
+    import zlib
+
+    data = _rbm_array_ser(positions)
+    u = _uuid.uuid4()
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"),
+              "wb") as f:
+        f.write(b"\x01" + struct.pack(">i", len(data)) + data
+                + struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF))
+    return {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(data),
+            "cardinality": len(positions)}
+
+
+def test_roaring_bitmap_and_run_containers_decode():
+    # bitmap container (card > 4096): positions 0..4999 of chunk 0
+    n = 1
+    buf = struct.pack("<I", 12346) + struct.pack("<I", n)
+    buf += struct.pack("<HH", 0, 5000 - 1)
+    buf += struct.pack("<I", len(buf) + 4)
+    words = bytearray(8192)
+    for p in range(5000):
+        words[p // 8] |= 1 << (p % 8)
+    buf += bytes(words)
+    vals, used = _roaring32_positions(buf, 0)
+    assert used == len(buf) and vals == list(range(5000))
+    # run container: chunk 1, run start=10 len=89 -> 90 values
+    cookie = struct.pack("<I", 12347 | ((1 - 1) << 16))
+    buf2 = cookie + b"\x01"                      # run bitset: 1 run
+    buf2 += struct.pack("<HH", 1, 90 - 1)        # key=1, card=90
+    buf2 += struct.pack("<H", 1)                 # nruns
+    buf2 += struct.pack("<HH", 10, 89)
+    vals2, used2 = _roaring32_positions(buf2, 0)
+    assert used2 == len(buf2)
+    assert vals2 == [(1 << 16) + v for v in range(10, 100)]
+
+
+def test_deletion_vectors_mask_rows(spark, tmp_path):
+    """DV'd files lose exactly their tombstoned positions ('u' file
+    storage with prefix-free path AND 'i' inline), clean files ride
+    the plain scan, and remove+re-add with a DV supersedes."""
+    root, (a0, b0, a1, n0) = _fixture(tmp_path)
+    # v2: attach a DV to a1 (positions 0 and 2 -> drops k=1, k=3)
+    dv = _dv_file(root, [0, 2])
     _commit(root, 2, [
+        {"add": {"path": a1, "partitionValues": {"p": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": dv}},
+    ])
+    got = _rows(read_delta(spark, root))
+    assert got == [(2, 2.0, "a"), (4, 4.0, "a"), (6, 6.0, "b"),
+                   (7, 7.0, "b"), (99, 99.0, None)]
+    # v3: inline DV on b0 (drop position 1 -> k=7)
+    inline = {"storageType": "i",
+              "pathOrInlineDv": _z85_encode(_rbm_array_ser([1])),
+              "sizeInBytes": 0, "cardinality": 1}
+    _commit(root, 3, [
+        {"add": {"path": b0, "partitionValues": {"p": "b"}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": inline}},
+    ])
+    got3 = _rows(read_delta(spark, root))
+    assert got3 == [(2, 2.0, "a"), (4, 4.0, "a"), (6, 6.0, "b"),
+                    (99, 99.0, None)]
+    # time travel still sees the undeleted snapshot
+    assert len(_rows(read_delta(spark, root, version=1))) == 7
+
+
+CM_SCHEMA_STR = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ],
+})
+
+
+def _cm_data_file(root, rel, ks):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({"col-aaa": pa.array(ks, type=pa.int64()),
+                  "col-bbb": pa.array([float(k) for k in ks])}),
+        path)
+    return rel
+
+
+def test_column_mapping_reads_logical_names(spark, tmp_path):
+    """mode=name (shipped at legacy minReaderVersion=2 with NO
+    readerFeatures): parquet columns carry physical col-<uuid> names,
+    partitionValues keys are physical — the read must surface LOGICAL
+    names with real values (the r13 ADVICE finding showed the old gate
+    let this through as an all-NULL read; now it is supported outright)."""
+    root = os.path.join(str(tmp_path), "cmtbl")
+    f_a = _cm_data_file(root, "part-a.parquet", [1, 2])
+    f_b = _cm_data_file(root, "part-b.parquet", [9])
+    _commit(root, 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {"id": "fixture", "schemaString": SCHEMA_STR,
+        {"metaData": {"id": "cm", "schemaString": CM_SCHEMA_STR,
                       "partitionColumns": ["p"],
                       "format": {"provider": "parquet"},
                       "configuration": {
                           "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": f_a, "partitionValues": {"col-ccc": "a"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": f_b, "partitionValues": {"col-ccc": "b"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        read_delta(spark, root)
-    assert read_delta(spark, root, version=1).count() == 7
+    got = read_delta(spark, root)
+    assert got.columns == ["k", "v", "p"]
+    assert _rows(got) == [(1, 1.0, "a"), (2, 2.0, "a"), (9, 9.0, "b")]
 
 
-def test_legacy_dv_enablement_refuses(spark, tmp_path):
-    root, _ = _fixture(tmp_path)
-    _commit(root, 2, [
-        {"metaData": {"id": "fixture", "schemaString": SCHEMA_STR,
+def test_column_mapping_with_dv(spark, tmp_path):
+    """The verdict's 'DV'd + renamed table' combo: physical-name scan,
+    logical aliasing, and positional masking compose."""
+    root = os.path.join(str(tmp_path), "cmdv")
+    f_a = _cm_data_file(root, "part-a.parquet", [1, 2, 3, 4])
+    dv = _dv_file(root, [1, 3])  # drop k=2, k=4
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors",
+                                         "columnMapping"]}},
+        {"metaData": {"id": "cmdv", "schemaString": CM_SCHEMA_STR,
                       "partitionColumns": ["p"],
                       "format": {"provider": "parquet"},
                       "configuration": {
-                          "delta.enableDeletionVectors": "true"}}},
+                          "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": f_a, "partitionValues": {"col-ccc": "a"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv}},
     ])
-    with pytest.raises(NotImplementedError, match="eletion vector"):
+    assert _rows(read_delta(spark, root)) == [(1, 1.0, "a"),
+                                              (3, 3.0, "a")]
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """%020d.checkpoint.%010d.%010d.parquet parts are a single
+    checkpoint; replay must union all parts — and an INCOMPLETE part
+    set must be ignored (fall back to JSON replay), never half-read."""
+    root, (a0, b0, a1, n0) = _fixture(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    meta_row = {"protocol": {"minReaderVersion": 1,
+                             "minWriterVersion": 2},
+                "metaData": None, "add": None}
+    rows1 = [meta_row,
+             {"protocol": None, "add": None,
+              "metaData": {"id": "fixture", "schemaString": SCHEMA_STR,
+                           "partitionColumns": ["p"],
+                           "format": {"provider": "parquet"},
+                           "configuration": {"appendOnly": "false"}}}]
+    rows2 = [{"protocol": None, "metaData": None,
+              "add": {"path": rel, "partitionValues": pv, "size": 1,
+                      "modificationTime": 0, "dataChange": True}}
+             for rel, pv in [(b0, {"p": "b"}), (a1, {"p": "a"}),
+                             (n0, {"p": None})]]
+    pq.write_table(pa.Table.from_pylist(rows1), os.path.join(
+        log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    part2 = os.path.join(
+        log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    pq.write_table(pa.Table.from_pylist(rows2), part2)
+    c0 = _data_file(root, "p=c/part-0.parquet", [50])
+    _commit(root, 2, [_add(c0, {"p": "c"})])
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = read_delta(spark, root)
+    assert _rows(got) == [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "a"),
+                          (4, 4.0, "a"), (6, 6.0, "b"), (7, 7.0, "b"),
+                          (50, 50.0, "c"), (99, 99.0, None)]
+    # incomplete part set: only part 2 of 2 present -> the commits are
+    # gone too, so resolution must fail loudly rather than half-read
+    os.remove(os.path.join(
+        log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    with pytest.raises(FileNotFoundError):
         read_delta(spark, root)

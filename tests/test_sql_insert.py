@@ -1,0 +1,126 @@
+"""SQL DML writes for manifest tables (L34, r13 — r12 verdict #2):
+INSERT INTO through the DataSource writer half lands a REAL manifest
+append — constraints, CDF, versioning, and refusals identical to the
+Python commit path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from silvia_spark.operators.manifest_table import (
+    add_check_constraint, commit_append, create_table, current_version,
+    read_changes, read_snapshot, rename_column)
+from silvia_spark.sources.manifest_stream import (
+    ManifestTableDataSource, read_table, register_sql_table)
+
+
+def _mk(spark, tmp_path, name="tbl", **kw):
+    root = os.path.join(str(tmp_path), name)
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), part=("a" if i % 2 else "b"))
+         for i in range(1, 11)])
+    create_table(df.select("k", "v", "part"), root, "part", **kw)
+    return root
+
+
+def _sql_table(spark, root, name="sql_tbl"):
+    return register_sql_table(spark, name, root)
+
+
+def test_insert_into_sql_text_end_to_end(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    t = _sql_table(spark, root)
+    spark.sql(f"INSERT INTO {t} VALUES (100, 3.5, 'a'), (101, 4.5, 'b')")
+    assert current_version(root) == 2
+    got = sorted((r["k"], r["v"], r["part"]) for r in
+                 read_snapshot(spark, root).collect())
+    assert (100, 3.5, "a") in got and (101, 4.5, "b") in got
+    assert len(got) == 12
+    # the catalog table reads through the same snapshot
+    assert spark.sql(f"SELECT count(*) c FROM {t}"
+                     ).collect()[0]["c"] == 12
+    # v1 untouched (append, never rewrite)
+    assert read_snapshot(spark, root, version=1).count() == 10
+
+
+def test_insert_matches_python_append_result(spark, tmp_path):
+    r_sql = _mk(spark, tmp_path, "t_sql")
+    r_py = _mk(spark, tmp_path, "t_py")
+    batch = spark.createDataFrame(
+        [Row(k=50 + i, v=float(i), part=("a" if i % 3 else "b"))
+         for i in range(6)]).select("k", "v", "part")
+    t = _sql_table(spark, r_sql)
+    batch.createOrReplaceTempView("ins_src")
+    spark.sql(f"INSERT INTO {t} SELECT k, v, part FROM ins_src")
+    commit_append(spark, r_py, batch, "part")
+    a = sorted(map(tuple, read_snapshot(spark, r_sql).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, r_py).collect()))
+    assert a == b
+    # both carry per-file stats for the table's stats_cols policy and
+    # identical version/op metadata
+    assert current_version(r_sql) == current_version(r_py) == 2
+
+
+def test_insert_enforces_check_constraints(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    add_check_constraint(spark, root, "v_pos", "v > 0")
+    t = _sql_table(spark, root)
+    v0 = current_version(root)
+    with pytest.raises(Exception, match="v_pos"):
+        spark.sql(f"INSERT INTO {t} VALUES (200, -1.0, 'a')")
+    assert current_version(root) == v0
+    assert read_snapshot(spark, root).where("k = 200").count() == 0
+    # NULL passes (SQL CHECK semantics), like the Python path
+    spark.sql(f"INSERT INTO {t} VALUES (201, NULL, 'a')")
+    assert read_snapshot(spark, root).where("k = 201").count() == 1
+
+
+def test_insert_records_cdf(spark, tmp_path):
+    root = _mk(spark, tmp_path, cdf=True)
+    t = _sql_table(spark, root)
+    spark.sql(f"INSERT INTO {t} VALUES (300, 1.0, 'b')")
+    ch = read_changes(spark, root, 1, 2, row_level=True)
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == \
+        [(300, "insert")]
+
+
+def test_insert_refusals(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    t = _sql_table(spark, root)
+    spark.dataSource.register(ManifestTableDataSource)
+    # overwrite is not a thing on a versioned table via blind SQL
+    with pytest.raises(Exception, match="append"):
+        spark.createDataFrame([Row(k=1, v=1.0, part="a")]) \
+            .write.format("silvia_manifest") \
+            .option("path", root).mode("overwrite").save()
+    # column-mapped tables refuse (staging rules live in Python path)
+    rename_column(root, "v", "val")
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.sql(f"INSERT INTO {t} VALUES (1, 1.0, 'a')")
+
+
+def test_insert_null_partition_refuses(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    t = _sql_table(spark, root)
+    v0 = current_version(root)
+    with pytest.raises(Exception, match="NULL"):
+        spark.sql(
+            f"INSERT INTO {t} VALUES (1, 1.0, CAST(NULL AS STRING))")
+    assert current_version(root) == v0
+
+
+def test_writer_api_append_mode(spark, tmp_path):
+    """df.write.format(...).mode('append') — the non-SQL face of the
+    same writer — lands the identical commit."""
+    root = _mk(spark, tmp_path)
+    spark.dataSource.register(ManifestTableDataSource)
+    spark.createDataFrame([Row(k=400, v=2.0, part="b")]) \
+        .select("k", "v", "part") \
+        .write.format("silvia_manifest").option("path", root) \
+        .mode("append").save()
+    assert current_version(root) == 2
+    assert read_table(spark, root).where("k = 400").count() == 1

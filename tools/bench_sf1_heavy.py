@@ -333,6 +333,35 @@ def _log(msg: str) -> None:
           flush=True)
 
 
+# --- per-row attribution control (r13, r12 verdict item 4) --------------------
+# The heavy sweep saturates its own 32-core box BY DESIGN, so end-of-
+# sweep loadavg cannot attribute a slow row to box state vs kernel —
+# exactly how the r11 false ANN regression was manufactured. Remedy:
+# a fixed Spark control query interleaved between heavy reps; a row
+# whose adjacent control drifts past the gate is marked degraded in
+# the artifact itself, so cross-round deltas on `deg` rows are
+# inadmissible without a rerun.
+
+_CTRL_GATE = 1.5
+
+
+def _control_sec(spark) -> float:
+    """Fixed-work JVM-only control: a codegen range-sum, no IO, no
+    Python workers — its runtime moves with scheduler/CPU contention
+    only, which is the confound being measured."""
+    t0 = time.perf_counter()
+    spark.range(20_000_000).selectExpr("sum(id * 2) AS s").collect()
+    return time.perf_counter() - t0
+
+
+def _ctrl_verdict(base: float, reading: float,
+                  gate: float = _CTRL_GATE) -> dict:
+    """Pure verdict: control drift ratio vs the pre-sweep baseline.
+    deg=True marks the adjacent heavy reading as environment-bound."""
+    x = reading / base if base > 0 else float("inf")
+    return {"x": round(x, 2), "deg": x > gate}
+
+
 def main() -> None:
     # Idle-box gate (r09 verdict: the r08 sf1-heavy artifact recorded
     # loadavg 46.78 — self-polluted numbers). Same gate as bench.py's
@@ -376,19 +405,36 @@ def main() -> None:
 
     from silvia_spark.io import clear_caches
 
+    # control baseline BEFORE any heavy work (idle-gated box)
+    _control_sec(spark)  # JIT warm
+    ctrl_base = min(_control_sec(spark) for _ in range(3))
+    _log(f"control baseline {ctrl_base:.3f}s")
+
     timings: dict[str, float] = {}
+    controls: dict[str, dict] = {}
     for q in verified:
         _log(f"time {q}")
         clear_caches()
         df = registry.QUERIES[q](spark, DATA_DIR)
         df.toArrow()  # warm
         best = float("inf")
+        best_ctrl = None
         for _ in range(REPS):
             clear_caches()
             t0 = time.perf_counter()
             registry.QUERIES[q](spark, DATA_DIR).toArrow()
-            best = min(best, time.perf_counter() - t0)
+            sec = time.perf_counter() - t0
+            # control ADJACENT to this rep: the reading that vouches
+            # (or doesn't) for the rep the min might select
+            ctrl = _ctrl_verdict(ctrl_base, _control_sec(spark))
+            if sec < best:
+                best, best_ctrl = sec, ctrl
         timings[q] = round(best, 3)
+        controls[q] = {**(best_ctrl or {}),
+                       "loadavg": round(os.getloadavg()[0], 2)}
+        if best_ctrl and best_ctrl["deg"]:
+            _log(f"  DEGRADED: control x{best_ctrl['x']} "
+                 f"beside the best rep — row not attributable")
 
     # the one feasible same-scale DuckDB comparison (linear oracle)
     import duckdb  # noqa: F401 — presence check for the note below
@@ -408,6 +454,12 @@ def main() -> None:
         "layout": f"{SHARDS}-file directories (multi-split, both engines)",
         "verified": verified,
         "spark_sec": timings,
+        # r13: per-row attribution controls — a fixed codegen control
+        # query timed beside each row's best rep; deg rows are
+        # environment-bound and inadmissible for cross-round deltas
+        "controls": controls,
+        "control_baseline_sec": round(ctrl_base, 3),
+        "control_gate": _CTRL_GATE,
         "duckdb_sec": {"text_unigram_logprob": round(duck, 3)},
         "note": ("each query verified on the 10x corpus before timing "
                  "(see tools/bench_sf1_heavy.py docstring for the "

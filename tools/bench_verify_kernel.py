@@ -91,6 +91,28 @@ def main() -> None:
                         F.round("cos_raw", 6).alias("cos_sim"))
                 .orderBy("vec_a", "vec_b"))
 
+    _singles = []
+
+    def k_pandas_udf_single():
+        # r13: SINGLE-eval scalar shape — the scored frame is persisted
+        # (MEMORY_AND_DISK) before the threshold filter, so Catalyst's
+        # predicate pushdown meets an InMemoryRelation barrier instead
+        # of a Project it can substitute the UDF into: ONE
+        # ArrowEvalPython, structurally (the r10 double-eval is
+        # impossible), no asNondeterministic marker (the r11 heap
+        # hazard). Cache payload is (long, long, double) — 24 B/row raw
+        # — NOT the embeddings; the filter scans the cached batches
+        # with batch-level min/max pruning on cos_raw for free.
+        c = cosine(F.col("ea"), F.col("eb"))
+        scored = (_joined()
+                  .select("vec_a", "vec_b", c.alias("cos_raw"))
+                  .persist())
+        _singles.append(scored)
+        return (scored.where(F.col("cos_raw") >= 0.4)
+                .select("vec_a", "vec_b",
+                        F.round("cos_raw", 6).alias("cos_sim"))
+                .orderBy("vec_a", "vec_b"))
+
     def k_mapinarrow():
         # single crossing like mapInPandas, but pure Arrow: no pandas
         # DataFrame construction per batch, numpy reads the list
@@ -138,8 +160,46 @@ def main() -> None:
                         F.round("cos_raw", 6).alias("cos_sim"))
                 .orderBy("vec_a", "vec_b"))
 
+    def k_pandas_udf_mapfilter():
+        # r13: the OTHER single-eval shape — scalar-UDF cosine (the
+        # pipelined ArrowEvalPython the study measured fastest), then
+        # the threshold inside a pass-through mapInArrow stage over
+        # the 24 B/row scored triple. No Filter node referencing a UDF
+        # exists, so Catalyst has nothing to substitute; no
+        # materialization, no cache lifecycle. The second crossing
+        # carries (long, long, double) only and filters with a pure
+        # pyarrow compute kernel.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pyspark.sql.types import (DoubleType, LongType,
+                                       StructField, StructType)
+
+        c = cosine(F.col("ea"), F.col("eb"))
+        scored = (_joined()
+                  .select("vec_a", "vec_b", c.alias("cos_raw")))
+
+        def thresh(batches):
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                kept = rb.filter(pc.greater_equal(
+                    rb.column(2), pa.scalar(0.4, pa.float64())))
+                if kept.num_rows:
+                    yield kept
+
+        sch = StructType([StructField("vec_a", LongType()),
+                          StructField("vec_b", LongType()),
+                          StructField("cos_raw", DoubleType())])
+        return (scored.mapInArrow(thresh, sch)
+                .select("vec_a", "vec_b",
+                        F.round("cos_raw", 6).alias("cos_sim"))
+                .orderBy("vec_a", "vec_b"))
+
     kernels = {"mapinpandas": k_mapinpandas, "codegen": k_codegen,
-               "pandas_udf": k_pandas_udf, "mapinarrow": k_mapinarrow}
+               "pandas_udf": k_pandas_udf, "mapinarrow": k_mapinarrow,
+               "pandas_udf_single": k_pandas_udf_single,
+               "pandas_udf_mapfilter": k_pandas_udf_mapfilter}
     only = os.environ.get("SILVIA_VK_ONLY")
     if only:
         kernels = {k: v for k, v in kernels.items()
@@ -149,7 +209,19 @@ def main() -> None:
         # favor whichever kernel runs on the most-settled box — a
         # reversed pass distinguishes kernel cost from box state
         kernels = dict(reversed(list(kernels.items())))
-    counts = {name: fn().count() for name, fn in kernels.items()}
+    def _reset():
+        # drop single-eval caches OUTSIDE the timed region — otherwise
+        # (a) later reps would sameResult-match the already-built
+        # blocks and measure a warm read, or (b) a blocking unpersist
+        # inside fn() would bill the PREVIOUS rep's teardown to this
+        # one
+        while _singles:
+            _singles.pop().unpersist(True)
+
+    counts = {}
+    for name, fn in kernels.items():
+        counts[name] = fn().count()
+        _reset()
     assert len(set(counts.values())) == 1, counts
 
     reps = int(os.environ.get("SILVIA_VK_REPS", "3"))
@@ -158,10 +230,12 @@ def main() -> None:
         fn().toArrow()  # warm
         best = float("inf")
         for _ in range(reps):
+            _reset()
             t0 = time.perf_counter()
             fn().toArrow()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        _reset()
         print(name, times[name], flush=True)
 
     artifact = {
@@ -189,6 +263,8 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(prior, f, indent=1)
     print(json.dumps(artifact))
+    while _singles:
+        _singles.pop().unpersist(True)
     cand.unpersist()
 
 
