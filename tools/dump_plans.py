@@ -64,12 +64,14 @@ AUDITED = [
      "whole-stage-codegen JVM arithmetic (no interpreted zip_with/"
      "aggregate HOFs, no Python stage at all); top-k stays "
      "TakeOrderedAndProject."),
-    ("sim_join_threshold", ["MapInPandas"],
-     "pair scoring + threshold run INSIDE one Arrow-batched mapInPandas "
-     "kernel (score_pairs_threshold) — a MapInPandas stage, not a "
-     "row-at-a-time BatchEvalPython and not a Filter-over-UDF Catalyst "
-     "could duplicate; the expression form survives only where argmax "
-     "tie-semantics must replicate the oracle's fold order."),
+    ("sim_join_threshold", ["ArrowEvalPython", "InMemoryTableScan"],
+     "r13 single-eval verify (score_pairs_threshold): the scalar "
+     "cosine UDF scores into a persisted (vec_a, vec_b, cos_raw) "
+     "frame — exactly ONE ArrowEvalPython, inside the cached plan — "
+     "and the threshold Filter scans the InMemoryTableScan (pushdown "
+     "stops at the InMemoryRelation, so Catalyst cannot substitute "
+     "the UDF into the predicate and re-evaluate it; measured 43 s "
+     "vs 150 s mapInPandas at sf1, ANN_VERIFY_KERNEL.json)."),
     ("text_ngram_jaccard", ["HashAggregate", "HashJoin"],
      "inverted-index EQUI-join on shingle (plus the r04 document-frequency "
      "cap aggregate) — candidate pairs are hash-joined on the shingle key "
