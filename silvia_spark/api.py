@@ -76,10 +76,14 @@ from silvia_spark.operators.scale_patterns import (
 from silvia_spark.operators.joins import nearest_asof
 
 # Manifest table layer (atomic multi-partition commits, time travel) -----------
+from silvia_spark.catalog import (attach_catalog, catalog_add,
+                                  catalog_list, catalog_remove)
 from silvia_spark.sources.delta_read import read_delta
+from silvia_spark.sources.iceberg_read import read_iceberg
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table,
                                                   read_table,
+                                                  register_sql_table,
                                                   register_table_view)
 from silvia_spark.streaming.streams import net_changes, replicate_table
 from silvia_spark.operators.manifest_table import (
@@ -122,12 +126,15 @@ from silvia_spark.functions.llm_ops import (
     norm64,
 )
 from silvia_spark.functions.llm_extras import (
+    ann_index_fresh,
     bucket_keys,
     choose_ann_variant,
     estimate_ann_candidates_per_vec,
     bucket_keys_multiprobe,
     bucket_keys_multiprobe2,
     cap_buckets,
+    persist_ann_index,
+    sim_ann_lsh_indexed,
 )
 
 # Training-data pipeline kernels ----------------------------------------------
@@ -162,14 +169,17 @@ __all__ = [
     "table_history", "version_at", "restore_table", "clone_table",
     "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
-    "read_table", "register_table_view", "read_delta",
+    "read_table", "register_table_view", "register_sql_table",
+    "read_delta", "read_iceberg",
+    "attach_catalog", "catalog_add", "catalog_remove", "catalog_list",
     # dedup / clustering
     "jaccard_pairs", "two_phase_components", "min_label_components",
     # similarity / ANN
     "cosine", "cosine_expr", "dot64", "norm64", "label_centroids",
     "bucket_keys", "bucket_keys_multiprobe", "bucket_keys_multiprobe2",
     "choose_ann_variant", "estimate_ann_candidates_per_vec",
-    "cap_buckets",
+    "cap_buckets", "persist_ann_index", "ann_index_fresh",
+    "sim_ann_lsh_indexed",
     # training-data kernels
     "shingle_tokens", "chunk_windows", "quantize_int8", "reservoir_sample",
     "knuth_draw", "contamination_scan", "repetition_stats",

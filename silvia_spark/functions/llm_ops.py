@@ -175,7 +175,17 @@ def score_pairs_threshold(joined, tau: float = 0.4,
     scored = joined.select(
         "vec_a", "vec_b",
         cosine(F.col("ea"), F.col("eb")).alias("cos_raw"))
-    scored = managed_persist(scored, f"score_pairs.{slot}")
+    # DISK_ONLY, deliberately: the barrier is written once and read
+    # once, so memory-caching it buys nothing — and cached blocks are
+    # unevictable below storageFraction, which at mp2-sf1 (195 M
+    # candidates × 32 concurrent tasks of probe-join/distinct in the
+    # SAME stage pipeline) squeezed the execution pool and OOMed the
+    # executor (measured r13; raising the heap instead made the
+    # shuffle-heavy generation 2.5× SLOWER — 531 s → 1337 s GEN at
+    # 48 g, a G1 large-heap effect — so the barrier stays off-heap
+    # and the session heap stays at its measured-good size).
+    scored = managed_persist(scored, f"score_pairs.{slot}",
+                             level="DISK_ONLY")
     return (scored.where(F.col("cos_raw") >= tau)
             .select("vec_a", "vec_b",
                     F.round("cos_raw", 6).alias("cos_sim"))

@@ -134,8 +134,14 @@ _LIVE_CACHES: dict[str, DataFrame] = {}
 _LIVE_CACHES_LOCK = threading.Lock()
 
 
-def managed_persist(df: DataFrame, slot: str) -> DataFrame:
-    """persist(MEMORY_AND_DISK) with at most one live cache per slot.
+def managed_persist(df: DataFrame, slot: str,
+                    level: str | None = None) -> DataFrame:
+    """persist (MEMORY_AND_DISK by default; pass ``level="DISK_ONLY"``
+    for write-once-read-once barrier frames whose cached blocks must
+    not compete with execution memory — the r13 verify cache's lesson:
+    unevictable storage below storageFraction squeezed the execution
+    pool under a 195 M-candidate join pipeline and OOMed the executor)
+    with at most one live cache per slot.
     Lock-guarded: concurrent contract runs (e.g. a threaded driver) must
     not interleave the pop/insert and leak an unpersisted cache.
 
@@ -166,7 +172,8 @@ def managed_persist(df: DataFrame, slot: str) -> DataFrame:
                     return prev
             except Exception:
                 pass  # Connect session / stopped session: fall through
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(StorageLevel.DISK_ONLY if level == "DISK_ONLY"
+                         else StorageLevel.MEMORY_AND_DISK)
         _LIVE_CACHES[slot] = out
     if prev is not None:
         try:

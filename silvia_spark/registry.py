@@ -60,15 +60,16 @@ _PRIORITY: tuple[str, ...] = (
     # ADVICE fixes touched, tier 0b = the 3 NEW r13 contracts (L34 SQL
     # INSERT, L35 catalog, A18 Delta DV+mapping interop), then the
     # 24-key r07 evidence tail, then r08 keys oldest-first fill the
-    # window to 50 (13 make the cut). After this round the oldest
+    # window to 50 (12 make the cut). After this round the oldest
     # evidence is r08. ==========
     # -- tier 0: implementation changed in r13 after newest evidence --
     "sim_join_threshold", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
     "sim_ann_lsh_multiprobe2", "sim_ann_auto", "scan_table_clone",
     "scan_time_travel_ts", "sink_append_constrained", "scan_manifest_changes",
     "stream_changes_cdf",
-    # -- tier 0b: NEW in r13 --
+    # -- tier 0b: NEW in r13 (incl. the A19 Iceberg stretch) --
     "sink_sql_insert", "scan_catalog_attached", "source_delta_interop",
+    "source_iceberg_interop",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
     # -- r07-era evidence (the whole tail drains this round) --
@@ -88,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "q22_dormant_customers",
     # -- beyond the 50-slot window: prior order preserved (r08 rest,
     # r09, r10, r11, then the r12-checked keys) --
+    "q22_dormant_customers",
     "scan_manifest_pruned", "scan_partition_evolved",
     "scan_partition_hidden_days", "sink_merge_pruned",
     "sink_table_manifest_commit", "sink_restore_version", "sink_delete_dv",

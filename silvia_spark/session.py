@@ -120,7 +120,18 @@ def get_session(app_name: str = "silvia_spark", master: str | None = None,
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode heap: the driver JVM IS every executor. 8g is the
+        # MEASURED-good size for this box (r13): raising it to 48g
+        # made the shuffle-heavy JVM-only ANN generation 2.5× slower
+        # (531 s → 1337 s for the mp2-sf1 GEMM/join/distinct — a G1
+        # large-heap effect), while the r13 verify-cache OOM that
+        # motivated a bigger heap was the CACHE's fault, fixed at the
+        # source instead (the verify barrier persists DISK_ONLY, so
+        # cached blocks never compete with execution memory —
+        # llm_ops.score_pairs_threshold). Override per-run with
+        # SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
