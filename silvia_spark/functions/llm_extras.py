@@ -269,6 +269,20 @@ def _verify_candidates(e: DataFrame, cand: DataFrame,
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("eb"))
+    # Stage cut BEFORE the Python eval: persist the 16 B/row candidate
+    # PAIRS (DISK_ONLY) so the distinct's shuffle-reduce and the
+    # ArrowEvalPython row-queue never share one task's memory. Fused,
+    # the scalar eval's result-rejoin queue (it buffers the 1 KB
+    # embedding-attached input rows while Python computes) on top of
+    # the distinct's hash structures OOMed the 8 g executor at
+    # mp2-sf1's 195 M candidates (measured r13, twice); the
+    # verify-kernel bench never hit it precisely because it persisted
+    # pairs first — this reproduces that measured-safe shape in the
+    # shipping path. The old mapInPandas kernel didn't need the cut
+    # (map output replaces input, no rejoin queue) but cost 3× the
+    # verify time (ANN_VERIFY_KERNEL.json).
+    cand = managed_persist(cand, f"verify.{slot}.pairs",
+                           level="DISK_ONLY")
     # score_pairs_threshold: scalar-UDF score into a persist barrier,
     # JVM threshold over the cache — ONE ArrowEvalPython structurally
     # (nothing for Catalyst's pushdown to duplicate: it stops at the
