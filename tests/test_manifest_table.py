@@ -429,7 +429,16 @@ def test_usurped_merge_raises_not_silent(spark, tmp_path, monkeypatch):
         return real_flip(r, version, entries, **kw)
 
     monkeypatch.setattr(mt, "_flip_current", usurping_flip)
-    with pytest.raises(RuntimeError, match="lost v2 to a concurrent"):
+    # since the r12 file-level conflict detection, a usurped merge
+    # whose rewrite set OVERLAPS the interposed commit's raises the
+    # specific "merge conflict" error (the auto-rebase path handles
+    # the disjoint case); the pre-r12 generic "lost v2" message
+    # remains for usurpers outside the read set — either way the
+    # loser errors LOUDLY, which is what this test pins (caught by
+    # the r13 CI-mode run; r12 recorded no CI log, the exact gap the
+    # r12 verdict's item 7 flagged)
+    with pytest.raises(RuntimeError,
+                       match="lost v2 to a concurrent|merge conflict"):
         mt.commit_merge(spark, root, _chg(spark), ["k", "part"], "part")
     # the usurper's snapshot is the committed one, fully consistent
     assert _rows(mt.read_snapshot(spark, root)) == sorted(
