@@ -672,7 +672,13 @@ def persist_ann_index(spark: SparkSession, e: DataFrame,
         if (mark["max_vec_id"] is not None and hwm is not None
                 and mark["max_vec_id"] <= hwm):
             return current_version(root)  # nothing new: no-op
-        delta = e.where(F.col("vec_id") > F.lit(hwm))
+        # hwm None means the index was built over an EMPTY corpus —
+        # nothing is indexed, so the whole corpus is the delta. The
+        # NULL-comparison filter would commit an empty append yet
+        # advance the mark, silently serving an empty index (r13
+        # ADVICE).
+        delta = (e if hwm is None
+                 else e.where(F.col("vec_id") > F.lit(hwm)))
         version = commit_append(spark, root,
                                 bucket_keys(spark, delta), "table_id")
     FS.put_atomic(note_path, _json.dumps(

@@ -116,6 +116,13 @@ class CommitAborted(RuntimeError):
     nothing visible; appenders catch this and rebase."""
 
 
+class MetadataCommitRaced(RuntimeError):
+    """Raised by _commit_metadata when its claim lost to a concurrent
+    commit after the flip — the precise lost-race outcome retry loops
+    may safely re-probe on. Kept distinct from bare RuntimeError so a
+    genuine bug is never swallowed as a race (r13 ADVICE, low)."""
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFESTS, f"v{version:06d}.json")
 
@@ -2087,7 +2094,7 @@ def _commit_metadata(root: str, mutate) -> int:
     _write_doc(root, version, newdoc)
     if not (_flip_current(root, version, commit_id=commit_id)
             or _claim_survived(root, version, commit_id=commit_id)):
-        raise RuntimeError(
+        raise MetadataCommitRaced(
             f"metadata commit lost v{version} to a concurrent commit "
             "after its claim — re-apply against the new snapshot")
     return version
@@ -2449,6 +2456,7 @@ def add_check_constraint(spark: SparkSession, path: str, name: str,
     class _Stale(Exception):
         pass
 
+    last_err: BaseException | None = None
     for _ in range(8):
         doc = _load_doc(root)
         if name in (doc.get("constraints") or {}):
@@ -2480,20 +2488,25 @@ def add_check_constraint(spark: SparkSession, path: str, name: str,
         try:
             return _commit_metadata(root, mutate)
         except _Stale:
+            last_err = None
             continue
-        except (FileExistsError, RuntimeError):
-            # the OTHER lost-race outcomes of _commit_metadata — the
-            # create-exclusive version claim losing (FileExistsError)
-            # and a usurped flip / vacuumed claim (RuntimeError incl.
-            # CommitAborted) — are the same "a writer got there first"
-            # condition _Stale models; re-probe against the new
-            # snapshot instead of surfacing a retryable race to the
-            # caller (ValueError — constraint exists / invalid — still
-            # propagates)
+        except (FileExistsError, CommitAborted,
+                MetadataCommitRaced) as err:
+            # ONLY the named lost-race outcomes of _commit_metadata —
+            # the create-exclusive version claim losing
+            # (FileExistsError), a vacuumed claim (CommitAborted), and
+            # a usurped flip (MetadataCommitRaced) — are the same
+            # "a writer got there first" condition _Stale models;
+            # re-probe against the new snapshot. Any other
+            # RuntimeError is a genuine failure and propagates
+            # immediately rather than being retried 8 times and
+            # masked as a race (r13 ADVICE, low).
+            last_err = err
             continue
     raise RuntimeError(
         f"add_check_constraint({name!r}) lost the probe/commit race "
-        "8 times to concurrent writers — quiesce writes and retry")
+        "8 times to concurrent writers — quiesce writes and retry"
+    ) from last_err
 
 
 def drop_check_constraint(path: str, name: str) -> int:

@@ -89,7 +89,6 @@ _PRIORITY: tuple[str, ...] = (
     "q22_dormant_customers",
     # -- beyond the 50-slot window: prior order preserved (r08 rest,
     # r09, r10, r11, then the r12-checked keys) --
-    "q22_dormant_customers",
     "scan_manifest_pruned", "scan_partition_evolved",
     "scan_partition_hidden_days", "sink_merge_pruned",
     "sink_table_manifest_commit", "sink_restore_version", "sink_delete_dv",
@@ -163,7 +162,10 @@ def _reorder() -> None:
     tail = [n for n in _PRIORITY[sentinel_idx + 1:] if n in QUERIES]
     listed = set(head) | set(tail)
     new = [n for n in QUERIES if n not in listed]
-    desired = head + new + tail
+    # dict.fromkeys dedupes while preserving first occurrence — a duplicate
+    # _PRIORITY entry would otherwise make `desired` never equal
+    # list(QUERIES) and defeat the early-return guard below (r13 ADVICE).
+    desired = list(dict.fromkeys(head + new + tail))
     if list(QUERIES) == desired:
         # Already ordered — skip the pop/reinsert cycle. Not just an
         # optimization: load_all_modules() runs inside parity.check, so a

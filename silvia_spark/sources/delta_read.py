@@ -403,12 +403,20 @@ def read_delta(spark: SparkSession, path: str,
         for key, files in sorted(dv_groups.items(),
                                  key=lambda kv: tuple(
                                      (v is None, v) for v in kv[0])):
+            # _metadata.file_path is a URI: scheme-prefixed and
+            # percent-encoded (space → %20, %% → %25, non-ASCII → UTF-8
+            # escapes). Tombstone keys are raw os.path.abspath() paths, so
+            # decode the URI to a filesystem path before joining; a literal
+            # '+' is legal (unencoded) in a URI path but url_decode would
+            # turn it into a space, so protect it as %2B first (r13 ADVICE).
             raw = (spark.read.schema(phys_data_schema)
                    .parquet(*sorted(files))
                    .select("*",
-                           F.regexp_replace(
-                               F.col("_metadata.file_path"),
-                               "^file:/+", "/").alias("__fp"),
+                           F.url_decode(F.regexp_replace(
+                               F.regexp_replace(
+                                   F.col("_metadata.file_path"),
+                                   "^file:/+", "/"),
+                               r"\+", "%2B")).alias("__fp"),
                            F.col("_metadata.row_index").alias("__ri")))
             masked = (_rename(raw)
                       .join(F.broadcast(dead), ["__fp", "__ri"],

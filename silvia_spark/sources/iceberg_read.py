@@ -52,40 +52,36 @@ _TYPES = {
 
 
 def _field_type(t):
+    """Iceberg type → Spark JSON-schema type: a plain string for
+    primitives/decimals, the full type dict for struct/list.
+    StructType.fromJson accepts either form in a field's "type", so
+    complex types are passed through whole — the old "fields"-key probe
+    collapsed arrays to the bare string "array" (r13 ADVICE)."""
     if isinstance(t, str):
         if t in _TYPES:
-            return {"type": _TYPES[t]}
+            return _TYPES[t]
         if t.startswith("decimal("):
-            return {"type": t}
+            return t
         raise NotImplementedError(f"Iceberg type {t!r} unsupported")
     if t["type"] == "struct":
         return {"type": "struct", "fields": [
-            {"name": f["name"], "type": _field_type(f["type"])["type"]
-             if isinstance(_field_type(f["type"]), dict)
-             and "fields" not in _field_type(f["type"])
-             else _field_type(f["type"]),
+            {"name": f["name"], "type": _field_type(f["type"]),
              "nullable": not f.get("required", False),
              "metadata": {}}
             for f in t["fields"]]}
     if t["type"] == "list":
-        el = _field_type(t["element"])
         return {"type": "array",
-                "elementType": el["type"] if "fields" not in el else el,
+                "elementType": _field_type(t["element"]),
                 "containsNull": not t.get("element-required", False)}
     raise NotImplementedError(
         f"Iceberg type {t['type']!r} unsupported (struct/list only)")
 
 
 def _spark_schema(ice_schema: dict) -> StructType:
-    fields = []
-    for f in ice_schema["fields"]:
-        ft = _field_type(f["type"])
-        fields.append({
-            "name": f["name"],
-            "type": ft["type"] if "fields" not in ft else ft,
-            "nullable": not f.get("required", False),
-            "metadata": {}})
-    return StructType.fromJson({"type": "struct", "fields": fields})
+    return StructType.fromJson({"type": "struct", "fields": [
+        {"name": f["name"], "type": _field_type(f["type"]),
+         "nullable": not f.get("required", False), "metadata": {}}
+        for f in ice_schema["fields"]]})
 
 
 def _resolve_metadata(root: str,

@@ -75,6 +75,29 @@ def test_incremental_index_appends_delta_only(spark, tmp_path):
         _pairs(sim_ann_lsh(spark, SF))
 
 
+def test_index_built_over_empty_corpus_then_grown(spark, tmp_path):
+    """r13 ADVICE (medium): an index first built over an EMPTY corpus
+    records max_vec_id=None; the incremental filter vec_id > NULL then
+    selected nothing, committed an empty append, yet advanced the mark
+    — ann_index_fresh said True and served an empty bucket table. A
+    None high-water mark must index the WHOLE corpus as the delta."""
+    idx = os.path.join(str(tmp_path), "ann_idx")
+    e = load_table(spark, SF, "embeddings")
+    empty = e.where(F.lit(False))
+    assert persist_ann_index(spark, empty, idx) == 1
+    assert ann_index_fresh(empty, idx)
+    assert not ann_index_fresh(e, idx)
+    # grow from empty to the full corpus: the whole corpus is indexed
+    v = persist_ann_index(spark, e, idx)
+    assert v == 2 and ann_index_fresh(e, idx)
+    from silvia_spark.functions.llm_extras import _ANN_TABLES
+    from silvia_spark.operators.manifest_table import read_snapshot
+    assert (read_snapshot(spark, idx).count()
+            == e.count() * _ANN_TABLES)
+    assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
+        _pairs(sim_ann_lsh(spark, SF))
+
+
 def test_stale_or_missing_index_falls_back(spark, tmp_path):
     idx = os.path.join(str(tmp_path), "ann_idx")
     # missing: compute path (GEMM present), correct output

@@ -268,6 +268,34 @@ def test_deletion_vectors_mask_rows(spark, tmp_path):
     assert len(_rows(read_delta(spark, root, version=1))) == 7
 
 
+def test_deletion_vectors_with_special_char_paths(spark, tmp_path):
+    """r13 ADVICE (medium): the DV anti-join keyed the scan side on
+    _metadata.file_path (a percent-encoded URI) but the tombstone side
+    on os.path.abspath — a table path or file name with a space, %, +,
+    or non-ASCII never matched and DV'd rows silently reappeared. The
+    keys must now meet on the decoded filesystem path."""
+    root = os.path.join(str(tmp_path), "dv tbl %x + ü")
+    a0 = _data_file(root, "p=a/part 0 %v + ü.parquet", [1, 2, 3])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "sp", "schemaString": SCHEMA_STR,
+                      "partitionColumns": ["p"],
+                      "format": {"provider": "parquet"},
+                      "configuration": {}}},
+        _add(a0, {"p": "a"}),
+    ])
+    inline = {"storageType": "i",
+              "pathOrInlineDv": _z85_encode(_rbm_array_ser([1])),
+              "sizeInBytes": 0, "cardinality": 1}
+    _commit(root, 1, [
+        {"add": {"path": a0, "partitionValues": {"p": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": inline}},
+    ])
+    assert _rows(read_delta(spark, root)) == [(1, 1.0, "a"),
+                                              (3, 3.0, "a")]
+
+
 CM_SCHEMA_STR = json.dumps({
     "type": "struct",
     "fields": [

@@ -81,14 +81,15 @@ def _mlist(root, name, manifest_paths, content=0):
     return p
 
 
-def _metadata(root, snapshots, current, fv=2, vn=1):
+def _metadata(root, snapshots, current, fv=2, vn=1, schema=None):
+    schema = ICE_SCHEMA if schema is None else schema
     meta = {"format-version": fv, "table-uuid": "t", "location": root,
-            "schemas": [ICE_SCHEMA], "current-schema-id": 0,
+            "schemas": [schema], "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "default-spec-id": 0,
             "current-snapshot-id": current, "snapshots": snapshots}
     if fv == 1:
-        meta = {**meta, "schema": ICE_SCHEMA}
+        meta = {**meta, "schema": schema}
         del meta["schemas"], meta["current-schema-id"]
     mp = os.path.join(root, "metadata", f"v{vn}.metadata.json")
     with open(mp, "w") as f:
@@ -146,6 +147,59 @@ def test_delete_manifest_refuses_loudly(spark, tmp_path):
               current=1)
     with pytest.raises(NotImplementedError, match="delete"):
         read_iceberg(spark, root)
+
+
+def test_list_column_schema_and_read(spark, tmp_path):
+    """r13 ADVICE (medium): list types collapsed to the bare string
+    "array" in _spark_schema → CANNOT_PARSE_DATATYPE. List columns —
+    top-level, struct-nested, and list-of-list — must convert and an
+    end-to-end read with a list column must round-trip values."""
+    from silvia_spark.sources.iceberg_read import _spark_schema
+
+    sch = _spark_schema({"type": "struct", "fields": [
+        {"id": 1, "name": "k", "required": True, "type": "long"},
+        {"id": 2, "name": "tags", "required": False, "type": {
+            "type": "list", "element-id": 3, "element": "string",
+            "element-required": False}},
+        {"id": 4, "name": "s", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 5, "name": "xs", "required": False, "type": {
+                    "type": "list", "element-id": 6,
+                    "element": "long",
+                    "element-required": True}}]}},
+        {"id": 7, "name": "ll", "required": False, "type": {
+            "type": "list", "element-id": 8,
+            "element": {"type": "list", "element-id": 9,
+                        "element": "double",
+                        "element-required": False},
+            "element-required": False}},
+    ]})
+    assert sch["tags"].dataType.simpleString() == "array<string>"
+    assert (sch["s"].dataType["xs"].dataType.simpleString()
+            == "array<bigint>")
+    assert sch["ll"].dataType.simpleString() == "array<array<double>>"
+
+    root = str(tmp_path / "icel")
+    path = os.path.join(root, "data", "a.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "tags": pa.array([["x", "y"], []],
+                         pa.list_(pa.string()))}), path)
+    m1 = _manifest(root, "m1.avro", [_entry(path, rows=2)])
+    ml = _mlist(root, "snap-1.avro", [(m1, 0)])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}],
+              current=1, schema={
+                  "type": "struct", "schema-id": 0, "fields": [
+                      {"id": 1, "name": "k", "required": False,
+                       "type": "long"},
+                      {"id": 2, "name": "tags", "required": False,
+                       "type": {"type": "list", "element-id": 3,
+                                "element": "string",
+                                "element-required": False}}]})
+    got = sorted((r["k"], r["tags"])
+                 for r in read_iceberg(spark, root).collect())
+    assert got == [(1, ["x", "y"]), (2, [])]
 
 
 def test_format_refusals(spark, tmp_path):

@@ -216,8 +216,9 @@ def test_add_constraint_retries_all_lost_race_outcomes(
         spark, tmp_path, monkeypatch):
     """r13 (ADVICE 4): the probe/commit retry loop must re-probe on
     EVERY lost-race outcome of _commit_metadata — the create-exclusive
-    claim losing (FileExistsError) and a usurped flip (RuntimeError) —
-    not only the explicit _Stale parent check."""
+    claim losing (FileExistsError) and a usurped flip
+    (MetadataCommitRaced) — not only the explicit _Stale parent
+    check."""
     import silvia_spark.operators.manifest_table as mt
 
     root = _mk(spark, tmp_path)
@@ -229,7 +230,7 @@ def test_add_constraint_retries_all_lost_race_outcomes(
         if calls["n"] == 1:
             raise FileExistsError("version claim lost (simulated)")
         if calls["n"] == 2:
-            raise RuntimeError(
+            raise mt.MetadataCommitRaced(
                 "metadata commit lost v2 to a concurrent commit "
                 "after its claim (simulated)")
         return real(r, mutate)
@@ -238,3 +239,38 @@ def test_add_constraint_retries_all_lost_race_outcomes(
     v = add_check_constraint(spark, root, "k_pos", "k > 0")
     assert calls["n"] == 3 and v == current_version(root)
     assert "k_pos" in load_manifest(root)["constraints"]
+
+
+def test_add_constraint_propagates_non_race_failures(
+        spark, tmp_path, monkeypatch):
+    """r13 ADVICE (low): only the NAMED race types re-probe. A generic
+    RuntimeError from _commit_metadata is a genuine failure — it must
+    surface immediately (not be retried 8 times and masked as a
+    'lost the probe/commit race' message)."""
+    import silvia_spark.operators.manifest_table as mt
+
+    root = _mk(spark, tmp_path)
+    calls = {"n": 0}
+
+    def broken(r, mutate):
+        calls["n"] += 1
+        raise RuntimeError("disk on fire (simulated non-race bug)")
+
+    monkeypatch.setattr(mt, "_commit_metadata", broken)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        add_check_constraint(spark, root, "k_pos", "k > 0")
+    assert calls["n"] == 1
+    # and when the race types DO exhaust the retry budget, the final
+    # error chains the last underlying exception for diagnosis
+    calls["n"] = 0
+
+    def always_raced(r, mutate):
+        calls["n"] += 1
+        raise mt.MetadataCommitRaced("usurped (simulated)")
+
+    monkeypatch.setattr(mt, "_commit_metadata", always_raced)
+    with pytest.raises(RuntimeError,
+                       match="lost the probe/commit race") as ei:
+        add_check_constraint(spark, root, "k_pos2", "k > 0")
+    assert calls["n"] == 8
+    assert isinstance(ei.value.__cause__, mt.MetadataCommitRaced)

@@ -78,6 +78,23 @@ def test_registry_priority_covers_all_contracts():
         f"stale _PRIORITY entries: {sorted(listed - registered)}"
 
 
+def test_registry_priority_has_no_duplicates_and_reorder_settles():
+    """r13 ADVICE (medium): a duplicate _PRIORITY entry made _reorder's
+    `desired` list never equal list(QUERIES), so the early-return guard
+    — load-bearing against mutating QUERIES under an active iterator in
+    parity.check — was dead and the pop/reinsert cycle ran every load.
+    _PRIORITY must be duplicate-free AND a second _reorder must be a
+    no-op (order already settled)."""
+    prio = [n for n in registry._PRIORITY
+            if n is not registry._NEW_CONTRACTS_HERE]
+    dupes = [n for n in set(prio) if prio.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    registry._reorder()
+    before = list(registry.QUERIES)
+    registry._reorder()  # must hit the early-return: order unchanged
+    assert list(registry.QUERIES) == before
+
+
 def test_approx_distinct_within_hll_bounds(spark):
     """D3 (agg_approx_distinct) is rows-only for the driver — HLL sketches
     are engine-specific — but the ESTIMATE is still checkable: per group,
