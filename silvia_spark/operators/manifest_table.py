@@ -1557,7 +1557,14 @@ def read_snapshot(spark: SparkSession, path: str,
         # schema — never a full-snapshot listing just for a schema
         return _empty_like(spark, root, m)
     if not entries:
-        raise ValueError(f"snapshot v{m['version']} is empty")
+        if _read_schema(m) is not None:
+            # a genuinely empty snapshot (e.g. after DELETE FROM t
+            # with no WHERE, r14) is a legitimate state: serve the
+            # typed empty frame, same as the all-pruned branch
+            return _empty_like(spark, root, m)
+        raise ValueError(
+            f"snapshot v{m['version']} is empty and records no "
+            "schema (pre-r09 v1 doc): nothing to infer a frame from")
     return _read_entries(spark, root, m, entries)
 
 
@@ -1804,6 +1811,193 @@ def commit_merge(spark: SparkSession, path: str, changes: DataFrame,
         # output; loop re-claims version+1
 
 
+def commit_update(spark: SparkSession, path: str,
+                  assigns: dict[str, str],
+                  where: str | None = None) -> int:
+    """Predicate UPDATE — ``UPDATE t SET c = expr WHERE cond`` routed
+    through the same stats-pruned copy-on-write plan as commit_merge
+    (r14, the ``update_sql`` backend in sources/sql_dml.py). Unlike
+    the keyed merge, the row identity is POSITIONAL: one DV-applied
+    pre-scan finds the touched partitions and the per-partition
+    min/max of every stats-indexed column over the MATCHING rows —
+    by min/max construction a file whose recorded range excludes the
+    hit range holds no match and carries by reference; the files that
+    remain rewrite whole, with the assignment applied under
+    ``CASE WHEN cond`` (FALSE/NULL rows pass through byte-identical).
+    Assigning the partition column (or a hidden-transform source)
+    refuses: a rewrite-in-place cannot move rows between partition
+    directories. Constraints validate the UPDATED rows only; CDF
+    records the delete+insert pair per actually-changed row (a no-op
+    assignment cancels in the exceptAll, exactly like merge). The
+    commit tail — claim, flip, file-level conflict rebase — matches
+    commit_merge's."""
+    root = _norm(path)
+    doc = _load_doc(root)
+    if _mixed_specs(doc):
+        raise ValueError(
+            "table holds files under multiple partition specs: run "
+            "commit_compaction to migrate, then update")
+    part_col = doc.get("part_col")
+    if not part_col:
+        raise ValueError(
+            "predicate update needs a recorded partition column "
+            "(pre-r08 layout): commit once via commit_append")
+    pt = doc.get("part_transform")
+    if not assigns:
+        raise ValueError("UPDATE needs at least one assignment")
+    sch = {f.name: f.dataType
+           for f in read_snapshot(spark, root).schema.fields}
+    for c in assigns:
+        if c not in sch:
+            raise ValueError(f"SET targets unknown column {c!r} "
+                             f"(table has {sorted(sch)})")
+        if c == part_col or (pt and c == pt.get("col")):
+            raise NotImplementedError(
+                f"UPDATE SET may not assign the partition column "
+                f"{c!r}: the copy-on-write rewrite stays inside each "
+                "partition directory — moving rows needs a "
+                "delete+insert (MERGE or the Python API)")
+    part_used = _part_arg(doc, part_col, "update")
+    commit_id = uuid.uuid4().hex
+    stats_cols = _doc_stats_cols(root, doc)
+    key_cols = list(stats_cols)
+    cond = F.expr(where) if where is not None else F.lit(True)
+    snap = read_snapshot(spark, root)
+    aggs = [a for k in key_cols
+            for a in (F.min(k).alias(f"__lo_{k}"),
+                      F.max(k).alias(f"__hi_{k}"))]
+    pexpr = (_transform_expr(pt) if pt
+             else F.col(part_col)).cast("string")
+    hit_src = snap.where(cond)
+    rng_rows = (hit_src.groupBy(pexpr.alias("__p")).agg(*aggs)
+                if aggs else
+                hit_src.select(pexpr.alias("__p")).distinct()).collect()
+    if not rng_rows:
+        return doc["version"]  # nothing matches: no-op, no commit
+    touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+               else r["__p"] for r in rng_rows}
+    rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
+            else r["__p"]):
+           {k: (r[f"__lo_{k}"], r[f"__hi_{k}"]) for k in key_cols}
+           for r in rng_rows}
+
+    def _plan_sets(d: dict):
+        # same shape as commit_merge's: (carried segments, rewrite
+        # set, rehome set), with file-granular hit-range pruning
+        carried_, resolved = _split_segments(root, d, touched)
+        cur_ = [e for e in resolved if e["partition"] in touched]
+        reh_ = [e for e in resolved if e["partition"] not in touched]
+        if key_cols and cur_:
+            by_part: dict[str, list[dict]] = {}
+            for e in cur_:
+                by_part.setdefault(e["partition"], []).append(e)
+            cur_ = []
+            cm = d.get("col_map")
+            for p, es in by_part.items():
+                pr = {_phys_name(cm, k): v
+                      for k, v in rng.get(p, {}).items()
+                      if v[0] is not None}
+                need = prune_entries(es, pr) if pr else es
+                need_paths = {e["path"] for e in need}
+                cur_.extend(need)
+                reh_.extend(e for e in es
+                            if e["path"] not in need_paths)
+        return carried_, cur_, reh_
+
+    def _sig(d: dict) -> str:
+        return json.dumps(
+            {k: d.get(k) for k in
+             ("schema", "col_map", "part_col", "part_transform",
+              "constraints", "cdf_enabled", "stats_cols")},
+            sort_keys=True)
+
+    carried, cur_entries, rehome = _plan_sets(doc)
+    read_set = {(e["path"], e.get("dv")) for e in cur_entries}
+    sig0 = _sig(doc)
+    if not cur_entries:
+        return doc["version"]  # pruning proved no file can match
+
+    cur = (_read_entries(spark, root, doc, cur_entries)
+           .withColumn("__hit", cond))
+    merged = cur.select(
+        *[(F.when(F.col("__hit"),
+                  F.expr(assigns[c]).cast(sch[c]))
+           .otherwise(F.col(c)).alias(c) if c in assigns
+           else F.col(c)) for c in snap.columns],
+        "__hit")
+    _enforce_constraints(merged.where(F.col("__hit"))
+                         .drop("__hit"), doc, "updated rows")
+    epoch0 = _vacuum_epoch(root)
+    cdf_files: list[str] = []
+    if doc.get("cdf_enabled"):
+        cols = snap.columns
+        old_rows = cur.where(F.col("__hit")).select(*cols)
+        new_rows = merged.where(F.col("__hit")).select(*cols)
+        cdf_df = (new_rows.exceptAll(old_rows)
+                  .withColumn("_change_type", F.lit("insert"))
+                  .unionByName(
+                      old_rows.exceptAll(new_rows)
+                      .withColumn("_change_type", F.lit("delete"))))
+        cdf_files = _write_change_files(
+            spark, root, _to_physical(cdf_df, doc))
+    new_entries = _stage_write(
+        _derive_for_stage(_to_physical(merged.drop("__hit"), doc),
+                          doc),
+        root, part_used, stats_cols=stats_cols)
+    deadline = time.monotonic() + 30.0
+    while True:
+        segs = list(carried)
+        if rehome:
+            segs.append(_write_segment(root, rehome, reused=True))
+        if new_entries:
+            segs.append(_write_segment(root, new_entries))
+        segs = _coalesce_segments(root, segs)
+        version = doc["version"] + 1
+        newdoc = _make_doc(version, doc["version"], segs,
+                           txns=doc.get("txn"), commit_id=commit_id,
+                           schema=doc.get("schema"),
+                           stats_cols=stats_cols, op="update")
+        _carry_table_meta(newdoc, doc)
+        newdoc.setdefault("part_col", part_used)
+        if doc.get("cdf_enabled"):
+            newdoc["cdf"] = {"mode": "files", "files": cdf_files}
+        try:
+            _write_doc(root, version, newdoc,
+                       verify_paths=[e["path"] for e in new_entries]
+                       + cdf_files,
+                       staged_epoch=epoch0)
+            if (_flip_current(root, version, commit_id=commit_id)
+                    or _claim_survived(root, version,
+                                       commit_id=commit_id)):
+                return version
+        except FileExistsError:
+            pass  # version claimed by a concurrent commit: rebase
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"update lost v{version} to concurrent commits "
+                "repeatedly (30s) — quiesce writers or re-run")
+        newhead = _load_doc(root)
+        if newhead["version"] == doc["version"]:
+            time.sleep(0.25)
+            continue
+        doc = newhead
+        if _mixed_specs(doc):
+            raise RuntimeError(
+                "update conflict: a concurrent partition-spec change "
+                "landed mid-update — compact, then re-run")
+        if _sig(doc) != sig0:
+            raise RuntimeError(
+                "update conflict: a concurrent commit changed the "
+                "table's schema/spec/constraints mid-update — re-run "
+                "against the new snapshot")
+        carried, cur2, rehome = _plan_sets(doc)
+        if {(e["path"], e.get("dv")) for e in cur2} != read_set:
+            raise RuntimeError(
+                "update conflict: a concurrent commit touched files "
+                "in this update's rewrite set — re-run against the "
+                "new snapshot")
+
+
 def _write_dv(spark: SparkSession, root: str, dv_union: DataFrame) -> str:
     """Materialize one commit's delete-vector sidecar under
     ``_deletes/`` and return its name. Written by Spark (never a driver
@@ -1875,9 +2069,12 @@ def enable_cdf(path: str) -> int:
     return _commit_metadata(root, mutate)
 
 
-def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
-                  key_cols: list[str], part_col: str,
-                  dv_max_frac: float = 0.3) -> int:
+def commit_delete(spark: SparkSession, path: str,
+                  keys: DataFrame | None = None,
+                  key_cols: list[str] | None = None,
+                  part_col: str | None = None,
+                  dv_max_frac: float = 0.3,
+                  where: str | None = None) -> int:
     """Row-level DELETE with merge-on-read deletion vectors — the write
     path a scattered-key CDC/GDPR delete needs at 100 TB, where even
     the stats-pruned rewrite (commit_merge) rewrites every file whose
@@ -1902,8 +2099,28 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
     and same semantics as commit_merge's anti-join (NULL keys match
     nothing). Files whose stats index excludes the key range are
     untouched (L18's pruning applies before any scan). Single-writer
-    like merge/compaction: a lost race raises, never silent."""
-    if part_col not in key_cols:
+    like merge/compaction: a lost race raises, never silent.
+
+    PREDICATE mode (r14 — ``DELETE FROM ... WHERE`` through
+    sources/sql_dml.py): pass ``where`` (a SQL boolean expression over
+    the table's columns) instead of ``keys``/``key_cols``. One
+    DV-applied pre-scan of the current snapshot finds the touched
+    partitions AND the per-partition min/max of every stats-indexed
+    column over the MATCHING rows — by min/max construction a file
+    whose recorded range excludes the hit range cannot hold a match,
+    so the same file-granular pruning applies with no key columns at
+    all. Rows delete where the predicate is TRUE (SQL semantics:
+    FALSE and NULL keep). The DV-vs-rewrite crossover, CDF records,
+    and commit tail are byte-identical to key mode."""
+    if where is not None:
+        if keys is not None or key_cols is not None:
+            raise ValueError(
+                "commit_delete takes keys/key_cols OR where, not both")
+    elif keys is None or key_cols is None or part_col is None:
+        raise ValueError(
+            "commit_delete needs keys + key_cols + part_col, or a "
+            "where predicate")
+    elif part_col not in key_cols:
         raise ValueError(
             f"commit_delete key_cols {key_cols} must include part_col "
             f"{part_col!r}: without it the tombstone scan can match "
@@ -1915,17 +2132,34 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             "table holds files under multiple partition specs (a "
             "set_partition_column not yet migrated): run "
             "commit_compaction to migrate, then delete")
+    if where is not None:
+        part_col = doc.get("part_col")
+        if not part_col:
+            raise ValueError(
+                "predicate delete needs a recorded partition column "
+                "(pre-r08 layout): commit once via commit_append")
+        key_cols = []
     part_used = _part_arg(doc, part_col, "delete")
     pt = doc.get("part_transform")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
+    if where is not None:
+        # Predicate mode: range columns are the WHOLE stats index —
+        # min/max over the matching rows per partition, from one
+        # DV-applied snapshot pre-scan (parquet pushdown applies).
+        key_cols = [k for k in stats_cols]
+        rng_src = read_snapshot(spark, root).where(F.expr(where))
+    else:
+        rng_src = keys
     aggs = [a for k in key_cols
             for a in (F.min(k).alias(f"__lo_{k}"),
                       F.max(k).alias(f"__hi_{k}"))]
     pexpr = (_transform_expr(pt) if pt
              else F.col(part_col)).cast("string")
-    rng_rows = (keys.groupBy(pexpr.alias("__p"))
-                .agg(*aggs)).collect()
+    rng_rows = (rng_src.groupBy(pexpr.alias("__p"))
+                .agg(*aggs) if aggs else
+                rng_src.select(pexpr.alias("__p"))
+                .distinct()).collect()
     touched = {"__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
                else r["__p"] for r in rng_rows}
     rng = {("__HIVE_DEFAULT_PARTITION__" if r["__p"] is None
@@ -1971,8 +2205,9 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
         F.broadcast(old_dv),
         (scan["__rel"] == old_dv["path"])
         & (scan["__idx"] == old_dv["row_index"]), "left_anti")
-    matched = live.join(keys.select(*key_cols).distinct(), key_cols,
-                        "left_semi").persist()
+    matched = (live.where(F.expr(where)) if where is not None
+               else live.join(keys.select(*key_cols).distinct(),
+                              key_cols, "left_semi")).persist()
     hits = matched.select(F.col("__rel").alias("path"),
                           F.col("__idx").alias("row_index"))
     try:
@@ -2030,9 +2265,13 @@ def commit_delete(spark: SparkSession, path: str, keys: DataFrame,
             # the shared DV-applied read minus the delete keys, staged
             # + adopted (one tombstone-application implementation:
             # _read_entries — a hand-rolled copy here would drift)
-            kept = _read_entries(spark, root, doc, dense).join(
-                keys.select(*key_cols).distinct(), key_cols,
-                "left_anti")
+            dense_read = _read_entries(spark, root, doc, dense)
+            kept = (dense_read.where(
+                        ~F.coalesce(F.expr(where), F.lit(False)))
+                    if where is not None else
+                    dense_read.join(
+                        keys.select(*key_cols).distinct(), key_cols,
+                        "left_anti"))
             new_entries = _stage_write(
                 _derive_for_stage(_to_physical(kept, doc), doc), root,
                 part_used, stats_cols=stats_cols)
@@ -5029,3 +5268,186 @@ def scan_catalog_attached(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM silvia_cat_orders
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+
+# --- contract: SQL MERGE INTO (L36, r14) --------------------------------------
+
+_SQL_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey < 2000
+), src AS (
+  SELECT o_orderkey, round(o_totalprice * 2, 2) AS p, o_orderstatus
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+), kept AS (
+  SELECT b.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL
+              THEN round(s.p + 1, 2)
+              ELSE b.o_totalprice END AS o_totalprice,
+         b.o_orderstatus
+  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey IS NULL OR s.p <= 400000.0
+), ins AS (
+  SELECT s.o_orderkey, s.p AS o_totalprice, s.o_orderstatus
+  FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
+  WHERE b.o_orderkey IS NULL
+), t AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_merge", oracle=_SQL_MERGE_ORACLE)
+def sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` for manifest tables (L36 — the r13 verdict's
+    #1): the full three-clause statement — conditional DELETE,
+    UPDATE, and NOT-MATCHED INSERT — as SQL TEXT, routed through
+    ``merge_into_sql`` (sources/sql_dml.py) into ``commit_merge``'s
+    stats-pruned file-granular copy-on-write. Spark's Python
+    DataSource API exposes no row-level-operation hooks, so the
+    statement arrives via the documented text entry point (the exact
+    fallback the r13 verdict prescribed); the COMMIT is identical to
+    the Python path: one atomic flip, constraints enforced, CDF
+    recorded, conflicts rebased. Asserted here: the merge landed as
+    ONE version and time travel still serves the pre-merge snapshot.
+    100 TB: the matched set is one equi-join on the ON keys, the
+    change batch flows into the same O(source + touched files)
+    rewrite the Python API uses — never O(table)."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.sources.manifest_stream import register_sql_table
+    from silvia_spark.sources.sql_dml import merge_into_sql
+
+    od = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqlm_"), "tbl")
+    create_table(od, root, "o_orderstatus", stats_cols=["o_orderkey"])
+    register_sql_table(spark, "silvia_sql_mrg", root)
+    (load_table(spark, sf_dir, "orders")
+     .where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+     .select("o_orderkey",
+             F.round(F.col("o_totalprice") * 2, 2).alias("p"),
+             "o_orderstatus")
+     .createOrReplaceTempView("silvia_sql_mrg_src"))
+
+    merge_into_sql(spark, """
+        MERGE INTO silvia_sql_mrg AS t
+        USING silvia_sql_mrg_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.p > 400000.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = round(s.p + 1, 2)
+        WHEN NOT MATCHED THEN
+             INSERT (o_orderkey, o_totalprice, o_orderstatus)
+             VALUES (s.o_orderkey, s.p, s.o_orderstatus)""")
+
+    assert current_version(root) == 2, "SQL MERGE did not commit"
+    assert load_manifest(root)["op"] == "merge"
+    assert read_snapshot(spark, root, version=1).count() == od.count(), (
+        "v1 changed under the merge — time travel broken")
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))
+
+
+# --- contract: SQL UPDATE (L37, r14) -------------------------------------------
+
+_SQL_UPDATE_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(CASE WHEN o_orderkey % 10 = 0
+                      THEN round(o_totalprice * 2, 2)
+                      ELSE o_totalprice END), 2) AS price_sum
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_update", oracle=_SQL_UPDATE_ORACLE)
+def sink_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UPDATE ... SET ... WHERE`` (L37 — the r13 verdict's #9
+    stretch): a predicate update as SQL text through ``update_sql`` →
+    ``commit_update`` — positional row identity (no key columns
+    required, unlike MERGE), one DV-applied pre-scan finding touched
+    partitions and per-partition hit ranges on the stats index, then
+    a file-granular copy-on-write where only files whose recorded
+    range can hold a match rewrite (pinned by
+    tests/test_sql_dml.py::test_update_sql_stats_pruning_carries_files).
+    FALSE/NULL predicate rows pass through byte-identical; a no-match
+    update is a version-preserving no-op."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.sources.sql_dml import update_sql
+
+    od = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqlu_"), "tbl")
+    create_table(od, root, "o_orderstatus", stats_cols=["o_orderkey"])
+
+    update_sql(spark, f"""
+        UPDATE `{root}`
+        SET o_totalprice = round(o_totalprice * 2, 2)
+        WHERE o_orderkey % 10 = 0""")
+
+    assert current_version(root) == 2, "SQL UPDATE did not commit"
+    assert load_manifest(root)["op"] == "update"
+    assert read_snapshot(spark, root, version=1).count() == od.count()
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))
+
+
+# --- contract: SQL DELETE (L38, r14) --------------------------------------------
+
+_SQL_DELETE_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 3
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_delete", oracle=_SQL_DELETE_ORACLE)
+def sink_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``DELETE FROM ... WHERE`` (L38 — completes the DML triangle
+    on the merge-on-read machinery, r13 verdict #9): the statement
+    routes through ``delete_sql`` → ``commit_delete``'s PREDICATE
+    mode. Sparse hits tombstone into a deletion-vector sidecar (zero
+    data files rewritten — the GDPR/CDC shape at 100 TB); files past
+    the density crossover rewrite copy-on-write; rows delete where
+    the predicate is TRUE (FALSE and NULL keep, SQL semantics).
+    Time travel still serves the pre-delete snapshot."""
+    import tempfile
+
+    from silvia_spark.sources.sql_dml import delete_sql
+
+    od = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqld_"), "tbl")
+    create_table(od, root, "o_orderstatus", stats_cols=["o_orderkey"])
+
+    delete_sql(spark, f"DELETE FROM `{root}` WHERE o_orderkey % 7 = 3")
+
+    assert current_version(root) == 2, "SQL DELETE did not commit"
+    assert load_manifest(root)["op"] == "delete"
+    assert read_snapshot(spark, root, version=1).count() == od.count()
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+            .orderBy("o_orderstatus"))

@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 0b: NEW in r13 (incl. the A19 Iceberg stretch) --
     "sink_sql_insert", "scan_catalog_attached", "source_delta_interop",
     "source_iceberg_interop",
+    # -- tier 0c: NEW in r14 (SQL DML triangle, verdict #1/#9) --
+    "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
     # -- r07-era evidence (the whole tail drains this round) --

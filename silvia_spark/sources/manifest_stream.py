@@ -1425,6 +1425,14 @@ def register_table_view(spark, name: str, path: str,
     return df
 
 
+# name → root for every table registered through register_sql_table
+# this session: the DML text entry points (sources/sql_dml.py) resolve
+# their statement's target here first (the baked-in DataSource class
+# name is a sha1 of the root — not reversible, so the mapping must be
+# recorded at registration time).
+_SQL_TABLES: dict[str, str] = {}
+
+
 def register_sql_table(spark, name: str, path: str) -> str:
     """Register a manifest table as a CATALOG table that supports SQL
     DML — ``SELECT`` and ``INSERT INTO <name>`` both as plain SQL text
@@ -1451,4 +1459,5 @@ def register_sql_table(spark, name: str, path: str) -> str:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(f"CREATE TABLE {name} USING {src_name}")
+    _SQL_TABLES[name.lower()] = root
     return name
