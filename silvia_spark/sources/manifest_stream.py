@@ -1086,12 +1086,17 @@ class ManifestInsertWriter(DataSourceArrowWriter):
     recorded schema (Spark's INSERT INTO resolution reorders/casts
     by position against the reader schema, so this holds for any
     well-typed INSERT — no additive evolution through SQL, matching
-    Delta's default); column-mapped tables, hidden partition
-    transforms, and mixed partition specs refuse at plan time (their
-    staging rules live in the Python path's rebase loop); NULL
-    partition values refuse. A concurrent constraint/spec/mapping
-    change between planning and commit aborts the commit loudly —
-    rows were validated against the old set.
+    Delta's default); mixed partition specs refuse at plan time; NULL
+    partition values refuse. Column-mapped tables stage under their
+    PHYSICAL names via the recorded col_map, and hidden-transform
+    tables derive the partition value in the write task with the
+    Python-side transform twin (``_transform_value``, pinned ≡ the
+    Spark staging expression) — both r14, lifting the r13 refusals
+    (r13 verdict #2); a source value the twin cannot represent
+    exactly (e.g. a float bucket key) refuses loudly rather than
+    risking engine-rendering drift. A concurrent
+    constraint/spec/mapping change between planning and commit aborts
+    the commit loudly — rows were validated against the old set.
     """
 
     def __init__(self, options, schema: StructType):
@@ -1099,15 +1104,6 @@ class ManifestInsertWriter(DataSourceArrowWriter):
 
         self.root = local_path(options["path"])
         doc = mt._load_doc(self.root)
-        if doc.get("col_map") is not None:
-            raise NotImplementedError(
-                "INSERT INTO a column-mapped manifest table is not "
-                "supported through SQL yet — use commit_append (the "
-                "physical-name staging rules live there)")
-        if doc.get("part_transform"):
-            raise NotImplementedError(
-                "INSERT INTO a hidden-transform-partitioned table is "
-                "not supported through SQL yet — use commit_append")
         if mt._mixed_specs(doc):
             raise ValueError(
                 "table holds multiple partition specs: run "
@@ -1128,10 +1124,20 @@ class ManifestInsertWriter(DataSourceArrowWriter):
                     f"INSERT schema {got} must match the table schema "
                     f"{want} exactly (no additive evolution through "
                     "SQL; use commit_append(evolve=True))")
-        self.part_col = part_col
+        self.part_col = part_col          # derived col under transform
+        self.pt = doc.get("part_transform")
+        self.col_map = doc.get("col_map")
         self.col_names = [f.name for f in schema.fields]
+        # logical → physical rename applied executor-side at write
+        # time (identity without a mapping); the partition/source
+        # column cannot rename, so directory names stay logical
+        self.phys = {c: mt._phys_name(self.col_map, c)
+                     for c in self.col_names}
+        # footer stats keyed by PHYSICAL name — the staged files carry
+        # physical columns and the prune side maps logical→physical
+        self.stats_cols = [mt._phys_name(self.col_map, c)
+                           for c in mt._doc_stats_cols(self.root, doc)]
         self.constraints = dict(doc.get("constraints") or {})
-        self.stats_cols = list(mt._doc_stats_cols(self.root, doc))
         self.epoch0 = mt._vacuum_epoch(self.root)
 
     # -- executor side ----------------------------------------------------
@@ -1150,7 +1156,8 @@ class ManifestInsertWriter(DataSourceArrowWriter):
         writers: dict[str, pq.ParquetWriter] = {}
         paths: dict[str, str] = {}
         con = None
-        pi = self.col_names.index(self.part_col)
+        split_col = self.pt["source"] if self.pt else self.part_col
+        pi = self.col_names.index(split_col)
         for rb in iterator:
             if not rb.num_rows:
                 continue
@@ -1173,12 +1180,39 @@ class ManifestInsertWriter(DataSourceArrowWriter):
             pcol = rb.column(pi)
             if pc.any(pc.is_null(pcol)).as_py():
                 raise ValueError(
-                    f"NULL {self.part_col!r} partition values are not "
+                    f"NULL {split_col!r} partition values are not "
                     "supported through SQL INSERT")
-            data = rb.drop_columns([self.part_col])
-            for v in pc.unique(pcol).to_pylist():
-                sl = data.filter(pc.equal(pcol, v))
-                key = str(v)
+            # under a hidden transform the SOURCE column stays in the
+            # data files (the derived dir key is never materialized —
+            # same layout the Python staging path produces); a plain
+            # spec drops the partition column Hive-style
+            data = rb if self.pt else rb.drop_columns([self.part_col])
+            if self.col_map is not None:
+                data = pa.RecordBatch.from_arrays(
+                    list(data.columns),
+                    names=[self.phys[n] for n in data.schema.names])
+            if self.pt:
+                # derive the partition key ONCE per row (the derived
+                # domain is small — days/buckets/prefixes — while the
+                # source can be high-cardinality: filtering per source
+                # value would be O(distinct × rows))
+                keys_py = []
+                for v in pcol.to_pylist():
+                    k = mt._transform_value(self.pt, v)
+                    if k is None:
+                        raise NotImplementedError(
+                            f"cannot derive the {self.pt['kind']!r} "
+                            f"partition value for {v!r} of type "
+                            f"{type(v).__name__} in a write task "
+                            "(engine-rendering drift risk) — use "
+                            "commit_append, which derives in Spark")
+                    keys_py.append(k)
+                karr = pa.array(keys_py, pa.string())
+            else:
+                karr = pcol
+            for v in pc.unique(karr).to_pylist():
+                sl = data.filter(pc.equal(karr, v))
+                key = v if self.pt else str(v)
                 w = writers.get(key)
                 if w is None:
                     part_dir = f"{self.part_col}={quote(key, safe='')}"
@@ -1222,8 +1256,8 @@ class ManifestInsertWriter(DataSourceArrowWriter):
                     "table constraints changed while the INSERT ran — "
                     "its rows were validated against the old set; "
                     "re-run the INSERT")
-            if (doc.get("col_map") is not None
-                    or doc.get("part_transform")
+            if (doc.get("col_map") != self.col_map
+                    or doc.get("part_transform") != self.pt
                     or doc.get("part_col") != self.part_col):
                 raise RuntimeError(
                     "table partition spec / column mapping changed "

@@ -90,17 +90,68 @@ def test_insert_records_cdf(spark, tmp_path):
 
 def test_insert_refusals(spark, tmp_path):
     root = _mk(spark, tmp_path)
-    t = _sql_table(spark, root)
     spark.dataSource.register(ManifestTableDataSource)
     # overwrite is not a thing on a versioned table via blind SQL
     with pytest.raises(Exception, match="append"):
         spark.createDataFrame([Row(k=1, v=1.0, part="a")]) \
             .write.format("silvia_manifest") \
             .option("path", root).mode("overwrite").save()
-    # column-mapped tables refuse (staging rules live in Python path)
+
+
+def test_insert_column_mapped_roundtrip(spark, tmp_path):
+    """r14 (r13 verdict #2): INSERT INTO a column-mapped table stages
+    under the recorded PHYSICAL names — the r13 refusal is lifted.
+    The renamed logical column serves old and new rows alike."""
+    root = _mk(spark, tmp_path)
     rename_column(root, "v", "val")
-    with pytest.raises(Exception, match="column-mapped"):
-        spark.sql(f"INSERT INTO {t} VALUES (1, 1.0, 'a')")
+    t = _sql_table(spark, root, name="sql_cm_tbl")
+    spark.sql(f"INSERT INTO {t} VALUES (100, 42.5, 'a')")
+    assert current_version(root) == 3
+    got = read_snapshot(spark, root)
+    assert got.columns == ["k", "val", "part"]
+    assert got.where("k = 100").collect()[0]["val"] == 42.5
+    assert got.count() == 11  # old rows still serve through the map
+    # the staged file carries the PHYSICAL name ('v'), not 'val'
+    import pyarrow.parquet as pq
+
+    from silvia_spark.operators.manifest_table import load_manifest
+    new = [e for e in load_manifest(root)["files"]
+           if "part-" in e["path"]
+           and pq.read_schema(os.path.join(root, e["path"])).names
+           == ["k", "v"]]
+    assert new, "no staged file carries the physical column names"
+
+
+def test_insert_hidden_transform_roundtrip(spark, tmp_path):
+    """r14 (r13 verdict #2): INSERT INTO a hidden-transform table
+    derives the partition value in the write task (the
+    _transform_value twin, pinned ≡ the Spark staging expr) — the r13
+    refusal is lifted; unrepresentable source types still refuse."""
+    root = os.path.join(str(tmp_path), "ttbl")
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), part=f"cat{i % 3}") for i in range(1, 7)])
+    create_table(df.select("k", "v", "part"), root, "part",
+                 transform="bucket", transform_n=4)
+    t = _sql_table(spark, root, name="sql_pt_tbl")
+    spark.sql(f"INSERT INTO {t} VALUES (100, 9.0, 'cat1')")
+    assert current_version(root) == 2
+    got = read_snapshot(spark, root)
+    assert got.where("k = 100").count() == 1 and got.count() == 7
+    # the new file sits in the same derived bucket dir the Python
+    # staging path would choose for 'cat1'
+    import zlib
+
+    from silvia_spark.operators.manifest_table import load_manifest
+    bucket = str(zlib.crc32(b"cat1") % 4)
+    new = [e for e in load_manifest(root)["files"]
+           if "part-" in e["path"].rsplit("/", 1)[-1]]
+    assert any(e["partition"] == bucket for e in new), (new, bucket)
+    # commit_append twin agrees end-to-end
+    commit_append(spark, root, spark.createDataFrame(
+        [Row(k=101, v=9.5, part="cat1")]).select("k", "v", "part"),
+        "part")
+    two = read_snapshot(spark, root).where("k >= 100")
+    assert sorted(r["k"] for r in two.collect()) == [100, 101]
 
 
 def test_insert_null_partition_refuses(spark, tmp_path):
