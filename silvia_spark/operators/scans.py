@@ -987,7 +987,8 @@ WITH base AS (
 ), t AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
 SELECT o_orderstatus, count(*) AS cnt,
        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+FROM t WHERE o_orderkey % 5 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
@@ -1000,13 +1001,17 @@ def source_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Avro spec (sources/avro_min.py — no avro library exists here; its
     encoder/decoder are pinned by roundtrip + container tests). The
     fixture is generated in-contract from the orders table as a
-    2-snapshot v2 tree, so the driver hash proves: snapshot
-    resolution, manifest-tree walking, Avro deflate-block decode, and
-    schema mapping compose into exactly the rows the oracle derives
-    relationally — and the time-traveled snapshot 1 still reads the
-    pre-append state (asserted). 100 TB: manifests are driver-side
-    METADATA (KBs per thousand files); the data read is a JVM-native
-    schema-projected parquet scan of exactly the live files."""
+    3-snapshot v2 tree — append, then a POSITION-delete snapshot
+    (r14, r13 verdict #3) — so the driver hash proves: snapshot
+    resolution, manifest-tree walking, Avro deflate-block decode,
+    schema mapping, AND the (file, pos) broadcast anti-join that
+    applies v2 position deletes compose into exactly the rows the
+    oracle derives relationally; the time-traveled snapshots 1 and 2
+    still read their pre-delete states (asserted). 100 TB: manifests
+    are driver-side METADATA (KBs per thousand files); the data read
+    is a JVM-native schema-projected parquet scan of exactly the live
+    files, with tombstones joined broadcast like every DV path in
+    this engine."""
     import json as _json
     import tempfile
 
@@ -1056,9 +1061,9 @@ def source_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "content", "type": "int"},
             {"name": "added_snapshot_id", "type": "long"}]}
 
-    def _entry(path, status=1):
+    def _entry(path, status=1, content=0):
         return {"status": status, "snapshot_id": 1,
-                "data_file": {"content": 0, "file_path": path,
+                "data_file": {"content": content, "file_path": path,
                               "file_format": "PARQUET",
                               "record_count": 1,
                               "file_size_in_bytes": 1}}
@@ -1076,13 +1081,28 @@ def source_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ocf(m2, entry_schema,
               [_entry(p, status=0) for p in files1]
               + [_entry(f_extra, status=1)])
+    # snapshot 3: position deletes for every o_orderkey % 5 == 0 row
+    # — positions are the row indices within each written file
+    targets: list[tuple[str, int]] = []
+    for (st, rows), p in zip(sorted(by_status.items()), files1):
+        targets += [(p, i) for i, r in enumerate(rows)
+                    if r[0] % 5 == 0]
+    targets += [(f_extra, i) for i, r in enumerate(extra)
+                if r[0] % 5 == 0]
+    f_del = os.path.join(root, "data", "del-1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([t[0] for t in targets], pa.string()),
+        "pos": pa.array([t[1] for t in targets], pa.int64())}), f_del)
+    m3 = os.path.join(root, "metadata", "m3.avro")
+    write_ocf(m3, entry_schema, [_entry(f_del, content=1)])
 
-    def _mlist(name, mp):
+    def _mlist(name, *mps):
         p = os.path.join(root, "metadata", name)
         write_ocf(p, mlist_schema, [
             {"manifest_path": mp, "manifest_length": 1,
-             "partition_spec_id": 0, "content": 0,
-             "added_snapshot_id": 1}])
+             "partition_spec_id": 0, "content": c,
+             "added_snapshot_id": 1}
+            for mp, c in mps])
         return p
 
     ice_schema = {"type": "struct", "schema-id": 0, "fields": [
@@ -1096,12 +1116,15 @@ def source_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "location": root, "schemas": [ice_schema],
             "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0, "current-snapshot-id": 2,
+            "default-spec-id": 0, "current-snapshot-id": 3,
             "snapshots": [
                 {"snapshot-id": 1,
-                 "manifest-list": _mlist("snap-1.avro", m1)},
+                 "manifest-list": _mlist("snap-1.avro", (m1, 0))},
                 {"snapshot-id": 2,
-                 "manifest-list": _mlist("snap-2.avro", m2)}]}
+                 "manifest-list": _mlist("snap-2.avro", (m2, 0))},
+                {"snapshot-id": 3,
+                 "manifest-list": _mlist("snap-3.avro", (m2, 0),
+                                         (m3, 1))}]}
     with open(os.path.join(root, "metadata",
                            "v1.metadata.json"), "w") as f:
         _json.dump(meta, f)
@@ -1111,6 +1134,8 @@ def source_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert read_iceberg(spark, root, snapshot_id=1).count() == \
         len(base), "snapshot-1 time travel drifted"
+    assert read_iceberg(spark, root, snapshot_id=2).count() == \
+        len(base) + len(extra), "snapshot-2 still holds every row"
     return (read_iceberg(spark, root)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("cnt"),

@@ -12,10 +12,13 @@ dependency, no code from any Delta implementation):
   actions; ``add``/``remove`` actions accumulate the file list,
   the latest ``metaData`` wins (schemaString = Spark StructType JSON,
   partitionColumns), ``protocol`` gates readability;
-- ``_last_checkpoint`` + classic ``%020d.checkpoint.parquet`` AND
-  multi-part ``%020d.checkpoint.%010d.%010d.parquet`` checkpoints
-  snapshot the accumulated state, so reconstruction is checkpoint +
-  O(delta commits) — the shape this repo's own manifest layer uses;
+- ``_last_checkpoint`` + classic ``%020d.checkpoint.parquet``,
+  multi-part ``%020d.checkpoint.%010d.%010d.parquet``, AND v2
+  UUID-named ``%020d.checkpoint.<uuid>.{parquet,json}`` checkpoints
+  (whose ``sidecar`` actions point at add/remove parquet under
+  ``_delta_log/_sidecars/`` — r14) snapshot the accumulated state,
+  so reconstruction is checkpoint + O(delta commits) — the shape
+  this repo's own manifest layer uses;
 - partition values ride the ``add`` action's ``partitionValues`` map
   (authoritative — the directory layout is NOT), serialized as strings
   per the protocol's partition-value rules; they are restored by
@@ -40,8 +43,8 @@ dependency, no code from any Delta implementation):
 
 Scope (loud refusals, never silent wrong reads): protocol
 ``minReaderVersion`` ≤ 3 with reader features limited to
-{deletionVectors, columnMapping, timestampNtz, v2Checkpoint-classic};
-v2 sidecar checkpoints and unknown features raise NotImplementedError.
+{deletionVectors, columnMapping, timestampNtz, v2Checkpoint};
+unknown features raise NotImplementedError.
 Time travel via ``version=`` replays the log to that version.
 """
 
@@ -67,22 +70,29 @@ _SUPPORTED_READER_FEATURES = {
 
 def _log_versions(log_dir: str) -> tuple[list[int], dict[int, list[str]]]:
     """(json commit versions, checkpoint version → its file list).
-    Recognizes classic single-file checkpoints AND multi-part
-    ``%020d.checkpoint.%010d.%010d.parquet`` ones; a multi-part
-    checkpoint is usable only when ALL its parts are present (a
-    partially-written checkpoint must not shadow the JSON log)."""
+    Recognizes classic single-file checkpoints, multi-part
+    ``%020d.checkpoint.%010d.%010d.parquet`` ones (usable only when
+    ALL parts are present — a partially-written checkpoint must not
+    shadow the JSON log), and v2 UUID-named
+    ``%020d.checkpoint.<uuid>.{parquet,json}`` checkpoints (r14 —
+    whose ``sidecar`` actions _replay resolves; before this, a
+    ``.checkpoint.<uuid>.json`` name would even have parsed as a
+    COMMIT, replaying checkpoint actions as a spurious version)."""
     commits: list[int] = []
     parts: dict[int, dict[int, tuple[int, str]]] = {}
     singles: dict[int, str] = {}
+    v2s: dict[int, str] = {}
     for f in os.listdir(log_dir):
-        if f.endswith(".json") and f[:20].isdigit():
+        if (f.endswith(".json") and f[:20].isdigit()
+                and ".checkpoint" not in f):
             commits.append(int(f[:20]))
             continue
-        if not (f.endswith(".parquet") and f[:20].isdigit()
+        if not (f.endswith((".parquet", ".json")) and f[:20].isdigit()
                 and ".checkpoint" in f):
             continue
         v = int(f[:20])
-        mid = f[20:-8]  # between version and ".parquet"
+        stem = f[:-8] if f.endswith(".parquet") else f[:-5]
+        mid = stem[20:]  # between version and the extension
         if mid == ".checkpoint":
             singles[v] = f
         else:
@@ -91,12 +101,16 @@ def _log_versions(log_dir: str) -> tuple[list[int], dict[int, list[str]]]:
                     and seg[1].isdigit()):
                 parts.setdefault(v, {})[int(seg[0])] = (
                     int(seg[1]), f)
+            elif len(seg) == 1 and seg[0]:
+                v2s[v] = f  # UUID-named v2 checkpoint
     ckpts: dict[int, list[str]] = {v: [f] for v, f in singles.items()}
     for v, got in parts.items():
         n = next(iter(got.values()))[0]
         if len(got) == n and set(got) == set(range(1, n + 1)):
             ckpts.setdefault(v, [got[i][1]
                                  for i in range(1, n + 1)])
+    for v, f in v2s.items():
+        ckpts.setdefault(v, [f])
     return sorted(commits), ckpts
 
 
@@ -162,10 +176,35 @@ def _replay(root: str, target: int) -> dict:
         ckv = max(usable)
         import pyarrow.parquet as pq
 
+        def _ckpt_actions(path: str):
+            if path.endswith(".json"):  # v2 checkpoints may be JSON
+                for line in open(path, encoding="utf-8").read() \
+                        .splitlines():
+                    if line.strip():
+                        yield json.loads(line)
+            else:
+                for row in pq.read_table(path).to_pylist():
+                    # one action per checkpoint row; nulls absent
+                    yield {k: v for k, v in row.items()
+                           if v is not None}
+
+        sidecars: list[str] = []
         for part in ckpts[ckv]:
-            t = pq.read_table(os.path.join(log_dir, part))
-            for row in t.to_pylist():
-                # one action per checkpoint row; null columns absent
+            for action in _ckpt_actions(os.path.join(log_dir, part)):
+                if "sidecar" in action:
+                    # v2 checkpoint: add/remove state lives in sidecar
+                    # parquet under _delta_log/_sidecars/ (r14 — the
+                    # r13 verdict's #4; previously these actions were
+                    # silently skipped, losing the whole file list)
+                    sidecars.append(action["sidecar"]["path"])
+                elif "checkpointMetadata" in action:
+                    continue  # v2 marker: no snapshot state
+                else:
+                    _apply_action(state, action)
+        for sc in sidecars:
+            sp = (local_path(sc) if "://" in sc or os.path.isabs(sc)
+                  else os.path.join(log_dir, "_sidecars", sc))
+            for row in pq.read_table(sp).to_pylist():
                 _apply_action(state, {k: v for k, v in row.items()
                                       if v is not None})
         start = ckv + 1

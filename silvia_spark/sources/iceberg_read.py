@@ -13,9 +13,11 @@ exists in this environment):
 - ``metadata/vN.metadata.json`` (or ``version-hint.text``) → current
   snapshot; ``format-version`` 1 and 2 both supported;
 - snapshot → manifest LIST (Avro) → manifest files (Avro) → live data
-  file entries (status existing/added; a v2 DELETE manifest with live
-  delete files refuses loudly — merge-on-read deletes need the
-  engine's own DV machinery mapped over, a later round's work);
+  file entries (status existing/added); v2 POSITION deletes apply as
+  a (file, row-position) broadcast anti-join — the same DV machinery
+  the manifest layer and delta_read use (r14, r13 verdict #3);
+  EQUALITY deletes refuse loudly (they need the scan's data values
+  under sequence-number ordering);
 - data files must be parquet (the spec allows ORC/Avro data — refuse
   loudly, never read wrong bytes);
 - the Iceberg schema JSON maps to a Spark StructType (primitives +
@@ -27,8 +29,8 @@ exists in this environment):
   metadata at 100 TB, never a listing).
 
 Scope refusals (loud, never silent wrong reads): format-version > 2,
-live delete files, non-parquet data files, unsupported schema types,
-unsupported Avro codecs.
+live EQUALITY-delete files, non-parquet data/delete files,
+unsupported schema types, unsupported Avro codecs.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ import os
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from silvia_spark.io import local_path
@@ -158,22 +161,41 @@ def read_iceberg(spark: SparkSession, path: str,
     snap = snaps[int(snapshot_id)]
     schema = _spark_schema(_current_schema(meta))
 
-    data_files: list[str] = []
+    data_files: list[tuple[str, str]] = []  # (recorded uri, local)
+    del_files: list[str] = []
     if "manifest-list" in snap:
         _, mlist = read_ocf(_to_local(root, snap["manifest-list"]))
         manifests = []
         for m in mlist:
             if int(m.get("content", 0)) == 1:
-                # v2 delete manifest: only reject when it still
-                # carries LIVE delete files (a fully-expired one is
-                # inert metadata)
+                # v2 delete manifest: POSITION deletes apply (r14 —
+                # r13 verdict #3: they name explicit (file, pos)
+                # targets, so sequence-number scoping is moot);
+                # EQUALITY deletes still refuse — applying them needs
+                # the scan's data values under sequence ordering
                 _, dentries = read_ocf(
                     _to_local(root, m["manifest_path"]))
-                if any(int(e.get("status", 0)) != 2 for e in dentries):
-                    raise NotImplementedError(
-                        "Iceberg v2 row-level deletes (delete "
-                        "manifests with live files) are not supported "
-                        "by this read-only interop")
+                for e in dentries:
+                    if int(e.get("status", 0)) == 2:
+                        continue  # removed delete file: inert
+                    rec = e["data_file"]
+                    c = int(rec.get("content", 0))
+                    if c == 2:
+                        raise NotImplementedError(
+                            "Iceberg v2 EQUALITY deletes are not "
+                            "supported by this read-only interop "
+                            "(position deletes are)")
+                    if c != 1:
+                        raise ValueError(
+                            f"delete manifest entry with content={c} "
+                            "(expected 1=position or 2=equality)")
+                    fmt = str(rec.get("file_format",
+                                      "PARQUET")).upper()
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"Iceberg delete file format {fmt} "
+                            "unsupported (parquet only)")
+                    del_files.append(_to_local(root, rec["file_path"]))
                 continue
             manifests.append(m["manifest_path"])
     else:
@@ -193,9 +215,40 @@ def read_iceberg(spark: SparkSession, path: str,
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt} unsupported "
                     "(parquet only)")
-            data_files.append(_to_local(root, df_rec["file_path"]))
+            data_files.append((str(df_rec["file_path"]),
+                               _to_local(root, df_rec["file_path"])))
     if not data_files:
         return spark.createDataFrame([], schema)
-    return (spark.read.schema(schema)
-            .parquet(*sorted(set(data_files)))
+    files = sorted({local for _uri, local in data_files})
+    scan = spark.read.schema(schema).parquet(*files)
+    if not del_files:
+        return scan.select(*[f.name for f in schema.fields])
+    # Position-delete application = the same (file, row-position)
+    # broadcast anti-join the manifest DV layer and delta_read use.
+    # Delete rows name their target by the RECORDED file_path URI;
+    # the scan tags rows with _metadata.file_path (percent-encoded
+    # URI). Both sides normalize to the local filesystem path — the
+    # recorded side through the manifest's own uri→local mapping
+    # (driver-side, O(files)), the scan side by decoding the URI
+    # (literal '+' protected from url_decode's plus-as-space rule).
+    # Tombstones for files absent from this snapshot miss the join by
+    # construction — those files are never scanned, so they are inert.
+    uri_map = spark.createDataFrame(
+        [(uri, os.path.abspath(local)) for uri, local in
+         {u: l for u, l in data_files}.items()],
+        "__uri string, __fp string")
+    dels = (spark.read.parquet(*sorted(set(del_files)))
+            .select(F.col("file_path").alias("__uri"),
+                    F.col("pos").cast("long").alias("__ri"))
+            .join(F.broadcast(uri_map), "__uri")
+            .select("__fp", "__ri"))
+    tagged = scan.select(
+        "*",
+        F.url_decode(F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:/+", "/"),
+            r"\+", "%2B")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"))
+    return (tagged.join(F.broadcast(dels), ["__fp", "__ri"],
+                        "left_anti")
             .select(*[f.name for f in schema.fields]))

@@ -136,16 +136,58 @@ def test_v1_inline_manifests(spark, tmp_path):
     assert _rows(read_iceberg(spark, root)) == [(1, 1.0, "a")]
 
 
-def test_delete_manifest_refuses_loudly(spark, tmp_path):
+def _pos_delete_file(root, rel, targets):
+    """Spec-shaped position-delete parquet: (file_path, pos) rows."""
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({
+        "file_path": pa.array([t[0] for t in targets], pa.string()),
+        "pos": pa.array([t[1] for t in targets], pa.int64())}), path)
+    return path
+
+
+def test_position_deletes_mask_rows(spark, tmp_path):
+    """r14 (r13 verdict #3): a v2 snapshot carrying POSITION deletes
+    reads with exactly the tombstoned (file, pos) rows removed —
+    including tombstones for files not in the snapshot (inert) —
+    while EQUALITY deletes still refuse loudly."""
+    root = str(tmp_path / "icepd")
+    fa = _data_file(root, "data/a.parquet", [1, 2, 3], "a")
+    fb = _data_file(root, "data/b.parquet", [5, 6], "b")
+    m1 = _manifest(root, "m1.avro", [_entry(fa, rows=3),
+                                     _entry(fb, rows=2)])
+    # drop a.parquet positions 0 and 2 (k=1, k=3), b position 1 (k=6),
+    # plus an inert tombstone for a file that left the snapshot
+    dl = _pos_delete_file(root, "data/del-1.parquet",
+                          [(fa, 0), (fa, 2), (fb, 1),
+                           (os.path.join(root, "data/gone.parquet"),
+                            0)])
+    md = _manifest(root, "md.avro", [_entry(dl, content=1)])
+    ml = _mlist(root, "snap-1.avro", [(m1, 0), (md, 1)])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}],
+              current=1)
+    assert _rows(read_iceberg(spark, root)) == [(2, 2.0, "a"),
+                                                (5, 5.0, "b")]
+    # an expired (status=2) delete entry is inert metadata
+    md2 = _manifest(root, "md2.avro",
+                    [_entry(dl, content=1, status=2)])
+    ml2 = _mlist(root, "snap-2.avro", [(m1, 0), (md2, 1)])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml},
+                     {"snapshot-id": 2, "manifest-list": ml2}],
+              current=2, vn=2)
+    assert len(_rows(read_iceberg(spark, root))) == 5
+
+
+def test_equality_deletes_refuse_loudly(spark, tmp_path):
     root = str(tmp_path / "iced")
     fa = _data_file(root, "data/a.parquet", [1], "a")
     dele = _data_file(root, "data/del.parquet", [1], "a")
     m1 = _manifest(root, "m1.avro", [_entry(fa)])
-    md = _manifest(root, "md.avro", [_entry(dele, content=1)])
+    md = _manifest(root, "md.avro", [_entry(dele, content=2)])
     ml = _mlist(root, "snap-1.avro", [(m1, 0), (md, 1)])
     _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}],
               current=1)
-    with pytest.raises(NotImplementedError, match="delete"):
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         read_iceberg(spark, root)
 
 
