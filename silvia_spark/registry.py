@@ -70,8 +70,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 0b: NEW in r13 (incl. the A19 Iceberg stretch) --
     "sink_sql_insert", "scan_catalog_attached", "source_delta_interop",
     "source_iceberg_interop",
-    # -- tier 0c: NEW in r14 (SQL DML triangle, verdict #1/#9) --
+    # -- tier 0c: NEW in r14 (SQL DML triangle, verdict #1/#9;
+    # index-served ANN, verdict #7) --
     "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
+    "sim_ann_indexed",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
     # -- r07-era evidence (the whole tail drains this round) --

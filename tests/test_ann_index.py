@@ -75,6 +75,29 @@ def test_incremental_index_appends_delta_only(spark, tmp_path):
         _pairs(sim_ann_lsh(spark, SF))
 
 
+def test_auto_routes_through_warm_index_gemm_free(spark, tmp_path,
+                                                  monkeypatch):
+    """r14 (r13 verdict #7): sim_ann_auto probes the persisted index
+    first — warm index ⇒ the indexed route, no occupancy estimate,
+    no GEMM anywhere in the plan; cold ⇒ the r12 estimate+choose
+    path, unchanged. Output identical either way."""
+    from silvia_spark.functions.llm_extras import sim_ann_auto
+
+    idx = os.path.join(str(tmp_path), "ann_idx")
+    e = load_table(spark, SF, "embeddings")
+    cold = _pairs(sim_ann_auto(spark, SF))
+    persist_ann_index(spark, e, idx)
+    monkeypatch.setenv("SILVIA_ANN_INDEX_ROOT", idx)
+    warm_df = sim_ann_auto(spark, SF)
+    plan = warm_df._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan and "xxhash64" not in plan, (
+        "warm sim_ann_auto must not contain the hyperplane GEMM")
+    assert _pairs(warm_df) == cold
+    # the registered contract row serves the same pairs
+    from silvia_spark.functions.llm_extras import sim_ann_indexed
+    assert _pairs(sim_ann_indexed(spark, SF)) == cold
+
+
 def test_index_built_over_empty_corpus_then_grown(spark, tmp_path):
     """r13 ADVICE (medium): an index first built over an EMPTY corpus
     records max_vec_id=None; the incremental filter vec_id > NULL then
