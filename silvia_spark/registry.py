@@ -51,67 +51,31 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r13 packing (evidence ledger after r12: r07=24,
-    # r08=44, r09=43, r10=39, r11=28, r12=50; zero failures ever).
-    # Window arithmetic: tier 0 = the 5 ANN-family contracts whose
-    # verify tail changed (single-eval persist-barrier kernel,
-    # ANN_VERIFY_KERNEL.json) + the 5 manifest contracts whose
-    # history/clone-lease/constraint-retry/change-feed paths the r13
-    # ADVICE fixes touched, tier 0b = the 3 NEW r13 contracts (L34 SQL
-    # INSERT, L35 catalog, A18 Delta DV+mapping interop), then the
-    # 24-key r07 evidence tail, then r08 keys oldest-first fill the
-    # window to 50 (12 make the cut). After this round the oldest
-    # evidence is r08. ==========
-    # -- tier 0: implementation changed in r13 after newest evidence --
-    "sim_join_threshold", "sim_ann_lsh", "sim_ann_lsh_multiprobe",
-    "sim_ann_lsh_multiprobe2", "sim_ann_auto", "scan_table_clone",
-    "scan_time_travel_ts", "sink_append_constrained", "scan_manifest_changes",
-    "stream_changes_cdf",
-    # -- tier 0b: NEW in r13 (incl. the A19 Iceberg stretch) --
-    "sink_sql_insert", "scan_catalog_attached", "source_delta_interop",
-    "source_iceberg_interop",
-    # -- tier 0c: NEW in r14 (SQL DML triangle, verdict #1/#9;
+    # ============ r14 packing (evidence ledger after r13: r08=32,
+    # r09=43, r10=39, r11=24, r12=44, r13=50; zero failures ever).
+    # Window arithmetic: tier 0 = 6 contracts whose implementation
+    # changed in r14 after their newest evidence (the SQL INSERT
+    # writer rewrite for evolved tables, the Delta sidecar + Iceberg
+    # position-delete interop paths, index-aware sim_ann_auto, the
+    # constraint-retry fix behind L24, commit_delete's predicate-mode
+    # refactor behind L21) + 4 NEW r14 contracts (SQL DML triangle +
+    # indexed ANN), then the FULL 32-key r08 tail drains, then r09
+    # keys oldest-first fill the window to 50 (8 make the cut).
+    # After this round the oldest evidence is r09. ==========
+    # -- tier 0: implementation changed in r14 after newest evidence --
+    "sink_sql_insert", "source_delta_interop", "source_iceberg_interop",
+    "sim_ann_auto", "sink_append_constrained", "sink_delete_dv",
+    # -- tier 0b: NEW in r14 (SQL DML triangle, verdict #1/#9;
     # index-served ANN, verdict #7) --
     "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
     "sim_ann_indexed",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
-    # -- r07-era evidence (the whole tail drains this round) --
-    "scalar_hash", "scalar_json", "scalar_map", "scalar_math",
-    "scalar_regexp", "scalar_string", "scan_parquet", "scan_schema_evolution",
-    "set_except", "set_intersect", "set_union_all", "set_union_distinct",
-    "sink_compaction_small_files", "sink_jdbc_postgres", "sink_merge_scd2",
-    "sink_parquet_partitioned", "sink_python_datasource",
-    "sort_multikey_nulls", "source_csv_tsv", "source_json_lines",
-    "stream_kafka_shim_live", "subquery_scalar", "text_unigram_logprob",
-    "topk_limit",
-    # -- r08-era evidence (oldest 13 make the window) --
-    "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
-    "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
-    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q19_disjunctive", "q21_waiting_orders",
-    "q22_dormant_customers",
-    # -- beyond the 50-slot window: prior order preserved (r08 rest,
-    # r09, r10, r11, then the r12-checked keys) --
-    "scan_manifest_pruned", "scan_partition_evolved",
-    "scan_partition_hidden_days", "sink_merge_pruned",
-    "sink_table_manifest_commit", "sink_restore_version", "sink_delete_dv",
-    "scan_manifest_renamed", "scan_changes_row_level",
-    "scan_manifest_schema_evolution", "scan_manifest_zorder",
-    "scan_manifest_widened", "stream_manifest_source", "stream_manifest_sink",
-    "stream_manifest_admission", "stream_replicate_table",
-    "sink_compact_clustered", "scan_sql_time_travel", "window_percent_rank",
-    "window_range_frame", "agg_heavy_hitters", "curation_pipeline",
-    "dedup_cluster_cc", "events_retention_cohort", "filter_compound",
-    "filter_like_regexp", "join_null_safe", "join_range_banded",
-    "limit_offset", "pivot_unpivot", "proj_distinct", "proj_select_alias",
-    "q11_important_parts", "q16_supplier_part_counts", "q17_small_quantity",
-    "q18_large_orders", "q20_dominant_suppliers", "q2_min_cost_supplier",
-    "q6_forecast_revenue", "q9_product_profit", "scalar_array", "scalar_cast",
-    "scalar_conditional", "scalar_date", "q4_order_priority",
-    "q5_local_supplier", "q7_volume_shipping", "q8_market_share",
-    "sample_stratified", "scan_dpp_join", "scan_schema_enforce",
-    "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_centroids", "sim_topk_cosine",
+    # -- r08-era evidence (the whole 32-key tail drains this round) --
+    "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q8_market_share", "sample_stratified",
+    "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
+    "sim_ann_ivf_kmeans", "sim_centroids", "sim_topk_cosine",
     "sink_partition_overwrite", "source_orc", "source_rate_stream",
     "stream_dedup_live", "stream_foreachbatch_upsert", "stream_funnel_live",
     "stream_session_live", "stream_static_join_live",
@@ -119,41 +83,79 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
     "text_ngram_jaccard", "text_pack_sequences", "text_pii_scrub",
     "text_tfidf", "text_unicode_normalize", "window_gaps_islands",
-    "window_ignore_nulls", "agg_approx_distinct", "agg_approx_percentile",
-    "agg_bitwise", "agg_count_distinct", "agg_cube", "agg_grouping_sets",
-    "agg_having", "agg_histogram_width", "agg_pricing_summary", "agg_rollup",
-    "agg_stats", "data_mix_sample", "doc_chunk_windows",
-    "embed_quantize_int8", "generator_outer_pos", "join_5way_star",
-    "join_asof", "join_bloom_pruned", "join_broadcast", "join_cross",
-    "join_full_outer", "join_inner_equi", "join_left_anti", "join_left_outer",
-    "join_left_semi", "join_self", "join_theta_range",
-    "q12_shipmode_priority", "q3_shipping_priority", "sample_reservoir_group",
-    "set_except_all", "set_intersect_all", "shard_assign_balanced",
-    "sink_merge_keyed", "stream_running_moments", "text_contamination",
-    "text_repetition_filter", "udf_arrow_scalar", "udtf_lateral",
-    "window_anomaly_zscore", "window_lag_lead", "window_rank_topn",
-    "window_row_dense_ntile", "agg_bool_quantifiers", "agg_collect_sorted",
-    "agg_corr_exact", "agg_filtered_counts", "agg_percentiles",
-    "agg_rollup_multires", "agg_string_listagg", "dedup_docs_exact",
-    "dedup_docs_minhash", "dedup_docs_simhash", "dedup_near_keep_best",
-    "dedup_url_canonical", "embed_norm_stats", "etl_currency_convert",
-    "etl_ip_geo_range", "etl_ua_referer_enrich", "events_attribution_touch",
+    "window_ignore_nulls",
+    # -- r09-era evidence (oldest 8 make the window) --
+    "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
+    "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_histogram_width", "agg_pricing_summary", "agg_rollup", "agg_stats",
+    "data_mix_sample", "doc_chunk_windows", "embed_quantize_int8",
+    "generator_outer_pos", "join_5way_star", "join_asof",
+    "join_bloom_pruned", "join_broadcast", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_left_anti", "join_left_outer", "join_left_semi",
+    "join_self", "join_theta_range", "q12_shipmode_priority",
+    "q3_shipping_priority", "sample_reservoir_group", "set_except_all",
+    "set_intersect_all", "shard_assign_balanced", "sink_merge_keyed",
+    "stream_running_moments", "text_contamination", "text_repetition_filter",
+    "udf_arrow_scalar", "udtf_lateral", "window_anomaly_zscore",
+    "window_lag_lead", "window_rank_topn", "window_row_dense_ntile",
+    # -- r10-era evidence --
+    "agg_bool_quantifiers", "agg_collect_sorted", "agg_corr_exact",
+    "agg_filtered_counts", "agg_percentiles", "agg_rollup_multires",
+    "agg_string_listagg", "dedup_docs_exact", "dedup_docs_minhash",
+    "dedup_docs_simhash", "dedup_near_keep_best", "dedup_url_canonical",
+    "embed_norm_stats", "etl_currency_convert", "etl_ip_geo_range",
+    "etl_ua_referer_enrich", "events_attribution_touch",
     "events_funnel_conversion", "filter_null_semantics", "join_asof_nearest",
     "join_bucketed_colocated", "join_interval_overlap", "join_or_keys_union",
     "join_skew_salted", "multimodal_decode", "sample_weighted_priority",
     "scalar_bit_ops", "scalar_collation", "scalar_datetime_iso",
     "scalar_radix", "scalar_try_arith", "scalar_url_parse", "scalar_variant",
     "sink_sorted_zonemap", "source_json_corrupt", "source_xml",
-    "stream_moments_live", "text_entropy_quality", "window_trailing_interval",
-    "scan_partition_pruned", "source_python_datasource", "stream_dedup_exact",
-    "stream_session_30m", "stream_sliding", "stream_stateful_funnel",
-    "stream_static_join", "stream_stream_join", "stream_tumbling_1h",
-    "text_fingerprint", "text_fuzzy_pairs", "text_lang_profile",
-    "text_quality_filter", "text_term_freq", "text_token_bpe",
-    "text_tokenize_stats", "udaf_pandas_grouped", "udf_arrow_map",
-    "udf_pandas_scalar", "udf_python_scalar", "udtf_apply_in_pandas",
-    "udtf_python", "window_first_last", "window_moving_frame",
-
+    "stream_moments_live", "text_entropy_quality",
+    "window_trailing_interval",
+    # -- r11-era evidence --
+    "scan_partition_pruned", "source_python_datasource",
+    "stream_dedup_exact", "stream_session_30m", "stream_sliding",
+    "stream_stateful_funnel", "stream_static_join", "stream_stream_join",
+    "stream_tumbling_1h", "text_fingerprint", "text_fuzzy_pairs",
+    "text_lang_profile", "text_quality_filter", "text_term_freq",
+    "text_token_bpe", "text_tokenize_stats", "udaf_pandas_grouped",
+    "udf_arrow_map", "udf_pandas_scalar", "udf_python_scalar",
+    "udtf_apply_in_pandas", "udtf_python", "window_first_last",
+    "window_moving_frame",
+    # -- r12-era evidence --
+    "agg_heavy_hitters", "curation_pipeline", "dedup_cluster_cc",
+    "events_retention_cohort", "filter_compound", "filter_like_regexp",
+    "join_null_safe", "join_range_banded", "limit_offset", "pivot_unpivot",
+    "proj_distinct", "proj_select_alias", "q11_important_parts",
+    "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
+    "q20_dominant_suppliers", "q2_min_cost_supplier", "q6_forecast_revenue",
+    "q9_product_profit", "scalar_array", "scalar_cast", "scalar_conditional",
+    "scalar_date", "scan_changes_row_level", "scan_manifest_pruned",
+    "scan_manifest_renamed", "scan_manifest_schema_evolution",
+    "scan_manifest_widened", "scan_manifest_zorder",
+    "scan_partition_evolved", "scan_partition_hidden_days",
+    "scan_sql_time_travel", "sink_compact_clustered", "sink_merge_pruned",
+    "sink_restore_version", "sink_table_manifest_commit",
+    "stream_manifest_admission", "stream_manifest_sink",
+    "stream_manifest_source", "stream_replicate_table",
+    "window_percent_rank", "window_range_frame",
+    # -- r13-era evidence --
+    "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
+    "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q19_disjunctive", "q21_waiting_orders",
+    "scalar_hash", "scalar_json", "scalar_map", "scalar_math",
+    "scalar_regexp", "scalar_string", "scan_catalog_attached",
+    "scan_manifest_changes", "scan_parquet", "scan_schema_evolution",
+    "scan_table_clone", "scan_time_travel_ts", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe", "sim_ann_lsh_multiprobe2",
+    "sim_join_threshold", "sink_compaction_small_files",
+    "sink_jdbc_postgres", "sink_merge_scd2", "sink_parquet_partitioned",
+    "sink_python_datasource", "sort_multikey_nulls", "source_csv_tsv",
+    "source_json_lines", "stream_changes_cdf", "stream_kafka_shim_live",
+    "subquery_scalar", "text_unigram_logprob", "topk_limit",
 )
 
 
