@@ -80,6 +80,8 @@ from silvia_spark.catalog import (attach_catalog, catalog_add,
                                   catalog_list, catalog_remove)
 from silvia_spark.sources.delta_read import read_delta
 from silvia_spark.sources.iceberg_read import read_iceberg
+from silvia_spark.sources.sql_dml import (delete_sql, merge_into_sql,
+                                          update_sql)
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table,
                                                   read_table,
@@ -93,6 +95,7 @@ from silvia_spark.operators.manifest_table import (
     commit_compaction,
     commit_delete,
     commit_merge,
+    commit_update,
     create_table,
     drop_check_constraint,
     drop_column,
@@ -162,7 +165,8 @@ __all__ = [
     "cluster_zorder", "zorder_key",
     # manifest table layer
     "create_table", "read_snapshot", "commit_merge", "commit_compaction",
-    "commit_append", "commit_delete", "read_changes", "prune_entries",
+    "commit_append", "commit_delete", "commit_update", "read_changes",
+    "prune_entries",
     "vacuum", "rename_column", "drop_column", "set_partition_column",
     "add_check_constraint", "drop_check_constraint",
     "enable_cdf", "read_change_feed", "read_stream_changes",
@@ -170,6 +174,7 @@ __all__ = [
     "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
     "read_table", "register_table_view", "register_sql_table",
+    "merge_into_sql", "update_sql", "delete_sql",
     "read_delta", "read_iceberg",
     "attach_catalog", "catalog_add", "catalog_remove", "catalog_list",
     # dedup / clustering

@@ -1,0 +1,122 @@
+"""ANN index build/query economics at sf1 (r14 — r13 verdict #8).
+
+persist_ann_index + sim_ann_lsh_indexed shipped in r13 with plan-shape
+tests but no timing artifact. This measures, on the SAME sharded sf1
+corpus BENCH_sf1_heavy uses (20k vectors, 32-file layout):
+
+- ``build_sec``: cold index build (base GEMM + bucket staging into the
+  L11 manifest table) — the one-time cost a production corpus
+  amortizes across every query;
+- ``warm_query_sec``: sim_ann_lsh_indexed end-to-end with the index
+  fresh — the plan contains NO hyperplane GEMM;
+- ``auto_warm_sec``: the chooser route (sim_ann_auto with
+  SILVIA_ANN_INDEX_ROOT set) — warm detection + the indexed query;
+- ``cold_base_sec``: sim_ann_lsh in the same session (the r12-r13
+  reference kernel), so the GEMM+bucket time the index actually skips
+  is (cold_base − warm_query) under identical load;
+- correctness: the warm pair set is asserted IDENTICAL to the cold
+  one before any timing is recorded (order-insensitive compare).
+
+Timing = BASELINE.md method (min over reps after a warm-up run,
+driver materialization counted). Run:
+    python tools/bench_ann_index.py     (writes ANN_INDEX.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.path.join(REPO, ".bench_sf1_dv")
+IDX_DIR = os.path.join(REPO, ".bench_sf1_annidx")
+REPS = 3
+
+
+def _time(fn, reps=REPS, warmup=1):
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    from silvia_spark.functions.llm_extras import (ann_index_fresh,
+                                                   persist_ann_index,
+                                                   sim_ann_auto,
+                                                   sim_ann_lsh,
+                                                   sim_ann_lsh_indexed)
+    from silvia_spark.io import load_table
+    from silvia_spark.session import get_session
+
+    assert os.path.isdir(DATA_DIR), (
+        "run tools/bench_sf1_heavy.py once first (it builds the "
+        "sharded sf1 corpus)")
+    spark = get_session("silvia_bench_ann_index")
+    e = load_table(spark, DATA_DIR, "embeddings")
+    n = e.count()
+
+    def pairs(df):
+        return sorted((r["vec_a"], r["vec_b"], r["cos_sim"])
+                      for r in df.collect())
+
+    out: dict = {"metric": "ann_index_sf1", "sf": 1.0, "n_vecs": n,
+                 "reps": REPS, "method": "min over reps after warmup, "
+                 "driver materialization counted"}
+
+    # cold build (measured once per rep from scratch — the build IS
+    # the cold path, a warm-up would hide the staging cost)
+    builds = []
+    for _ in range(2):
+        shutil.rmtree(IDX_DIR, ignore_errors=True)
+        t0 = time.monotonic()
+        persist_ann_index(spark, e, IDX_DIR)
+        builds.append(time.monotonic() - t0)
+    out["build_sec"] = round(min(builds), 3)
+    assert ann_index_fresh(e, IDX_DIR)
+
+    # correctness BEFORE timing: warm pairs ≡ cold pairs
+    warm_pairs = pairs(sim_ann_lsh_indexed(spark, DATA_DIR, IDX_DIR))
+    cold_pairs = pairs(sim_ann_lsh(spark, DATA_DIR))
+    assert warm_pairs == cold_pairs, (
+        f"warm/cold drift: {len(warm_pairs)} vs {len(cold_pairs)}")
+    out["pairs"] = len(warm_pairs)
+    out["warm_equals_cold"] = True
+
+    out["warm_query_sec"] = _time(
+        lambda: sim_ann_lsh_indexed(spark, DATA_DIR, IDX_DIR).count())
+    os.environ["SILVIA_ANN_INDEX_ROOT"] = IDX_DIR
+    try:
+        out["auto_warm_sec"] = _time(
+            lambda: sim_ann_auto(spark, DATA_DIR).count())
+    finally:
+        del os.environ["SILVIA_ANN_INDEX_ROOT"]
+    out["cold_base_sec"] = _time(
+        lambda: sim_ann_lsh(spark, DATA_DIR).count())
+    out["gemm_time_skipped_sec"] = round(
+        out["cold_base_sec"] - out["warm_query_sec"], 3)
+    out["break_even_queries"] = (
+        round(out["build_sec"] / out["gemm_time_skipped_sec"], 2)
+        if out["gemm_time_skipped_sec"] > 0 else None)
+    try:
+        la = os.getloadavg()[0]
+    except OSError:
+        la = None
+    out["loadavg"] = la
+
+    with open(os.path.join(REPO, "ANN_INDEX.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
