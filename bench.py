@@ -102,6 +102,14 @@ EXTENDED = [
     # should actually call; benchmarked beside the pinned variants so
     # the routing decision's cost/benefit is visible per round.
     "sim_ann_auto",
+    # r14: the SQL DML triangle (each builds its fixture table, runs
+    # the statement through the text entry point, reads back — the
+    # commit machinery's per-round latency watermark) and the
+    # index-SERVED ANN row (persist-or-reuse + warm indexed query).
+    "sink_sql_merge",
+    "sink_sql_update",
+    "sink_sql_delete",
+    "sim_ann_indexed",
 ]
 
 # DuckDB 1.0.0 warm ms at sf0.1 for the headline set, from BASELINE.md's

@@ -1851,13 +1851,17 @@ def commit_update(spark: SparkSession, path: str,
         if c not in sch:
             raise ValueError(f"SET targets unknown column {c!r} "
                              f"(table has {sorted(sch)})")
-        if c == part_col or (pt and c == pt.get("col")):
+        if c == part_col or (pt and c in (pt.get("col"),
+                                          pt.get("source"))):
             raise NotImplementedError(
                 f"UPDATE SET may not assign the partition column "
-                f"{c!r}: the copy-on-write rewrite stays inside each "
-                "partition directory — moving rows needs a "
-                "delete+insert (MERGE or the Python API)")
-    part_used = _part_arg(doc, part_col, "update")
+                f"{c!r} (or a hidden transform's source): the "
+                "copy-on-write rewrite stays inside each partition "
+                "directory — moving rows needs a delete+insert "
+                "(MERGE or the Python API)")
+    # _part_arg expects the transform SOURCE for hidden-spec tables
+    part_used = _part_arg(doc, pt["source"] if pt else part_col,
+                          "update")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     key_cols = list(stats_cols)
@@ -2132,15 +2136,17 @@ def commit_delete(spark: SparkSession, path: str,
             "table holds files under multiple partition specs (a "
             "set_partition_column not yet migrated): run "
             "commit_compaction to migrate, then delete")
+    pt = doc.get("part_transform")
     if where is not None:
         part_col = doc.get("part_col")
         if not part_col:
             raise ValueError(
                 "predicate delete needs a recorded partition column "
                 "(pre-r08 layout): commit once via commit_append")
+        if pt:
+            part_col = pt["source"]  # _part_arg names the SOURCE
         key_cols = []
     part_used = _part_arg(doc, part_col, "delete")
-    pt = doc.get("part_transform")
     commit_id = uuid.uuid4().hex
     stats_cols = _doc_stats_cols(root, doc)
     if where is not None:

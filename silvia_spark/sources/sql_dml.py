@@ -415,6 +415,12 @@ def merge_into_sql(spark: SparkSession, sql: str,
         raise ValueError(
             "table records no partition column (pre-r08 layout): "
             "commit once via commit_append to migrate")
+    pt = doc.get("part_transform")
+    if pt:
+        # under a hidden transform the logical schema carries the
+        # SOURCE column; commit_merge expects it as the partition
+        # argument and derives the directory value itself
+        part_col = pt["source"]
 
     tq = spec.target_alias or _unquote_ident(spec.target).split(".")[-1]
     sq = spec.source_alias or (

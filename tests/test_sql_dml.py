@@ -327,3 +327,33 @@ def test_delete_update_null_partition_rows(spark, tmp_path):
     assert (1, 9.0, None) in got and (2, 2.0, "a") in got
     delete_sql(spark, f"DELETE FROM `{root}` WHERE part IS NULL")
     assert _rows(spark, root) == [(2, 2.0, "a")]
+
+
+def test_merge_and_update_on_hidden_transform_table(spark, tmp_path):
+    """r14: DML on a hidden-transform-partitioned table — MERGE keys
+    on the transform SOURCE column (commit_merge derives the dir
+    value), and UPDATE refuses to assign the source (a rewrite in
+    place cannot move rows between derived partition dirs)."""
+    root = os.path.join(str(tmp_path), "ttbl")
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), cat=f"c{i % 3}") for i in range(1, 10)])
+    create_table(df.select("k", "v", "cat"), root, "cat",
+                 transform="bucket", transform_n=4)
+    spark.createDataFrame([Row(k=1, nv=100.0), Row(k=77, nv=7.0)]) \
+        .createOrReplaceTempView("mtr")
+    merge_into_sql(spark, f"""
+        MERGE INTO `{root}` AS t USING mtr AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v, cat)
+             VALUES (s.k, s.nv, 'c9')""")
+    got = dict((r["k"], r["v"]) for r in
+               read_snapshot(spark, root).collect())
+    assert got[1] == 100.0 and got[77] == 7.0 and len(got) == 10
+    # predicate UPDATE rides the same transform machinery
+    update_sql(spark, f"UPDATE `{root}` SET v = 0.0 WHERE k = 2")
+    assert read_snapshot(spark, root).where("v = 0.0").count() == 1
+    with pytest.raises(NotImplementedError, match="transform"):
+        update_sql(spark, f"UPDATE `{root}` SET cat = 'cX'")
+    # and predicate DELETE
+    delete_sql(spark, f"DELETE FROM `{root}` WHERE k = 77")
+    assert read_snapshot(spark, root).count() == 9
