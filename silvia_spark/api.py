@@ -80,8 +80,10 @@ from silvia_spark.catalog import (attach_catalog, catalog_add,
                                   catalog_list, catalog_remove)
 from silvia_spark.sources.delta_read import read_delta
 from silvia_spark.sources.iceberg_read import read_iceberg
-from silvia_spark.sources.sql_dml import (delete_sql, merge_into_sql,
-                                          update_sql)
+from silvia_spark.sources.sql_dml import (create_table_sql, delete_sql,
+                                          describe_history_sql,
+                                          merge_into_sql, optimize_sql,
+                                          update_sql, vacuum_sql)
 from silvia_spark.sources.manifest_stream import (read_stream_changes,
                                                   read_stream_table,
                                                   read_table,
@@ -174,7 +176,8 @@ __all__ = [
     "replicate_table", "net_changes",
     "register_snapshot_view", "read_stream_table",
     "read_table", "register_table_view", "register_sql_table",
-    "merge_into_sql", "update_sql", "delete_sql",
+    "merge_into_sql", "update_sql", "delete_sql", "create_table_sql",
+    "optimize_sql", "vacuum_sql", "describe_history_sql",
     "read_delta", "read_iceberg",
     "attach_catalog", "catalog_add", "catalog_remove", "catalog_list",
     # dedup / clustering

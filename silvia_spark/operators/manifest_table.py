@@ -5457,3 +5457,101 @@ def sink_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("o_orderkey").cast("bigint").alias("key_sum"))
             .orderBy("o_orderstatus"))
+
+
+# --- contract: SQL OPTIMIZE (L39, r14) ------------------------------------------
+
+_SQL_OPTIMIZE_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_optimize", oracle=_SQL_OPTIMIZE_ORACLE)
+def sink_sql_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``OPTIMIZE ... ZORDER BY`` (L39 — the maintenance verb of
+    the r14 DML vocabulary, sources/sql_dml.py): the table is
+    deliberately fragmented (four small appends after the create, so
+    every partition holds ≥5 files), then ONE statement routes into
+    ``commit_compaction(order_by=...)``. The oracle hash proves the
+    rewrite is CONTENT-PRESERVING — compaction must never change a
+    row — while the in-contract asserts prove it did real work: file
+    count strictly drops, the op lands as one 'compaction' version,
+    and time travel still serves the fragmented snapshot. 100 TB:
+    this is the nightly job that keeps the manifest stats index
+    tight; the SQL form makes it one scheduled line."""
+    import tempfile
+
+    from silvia_spark.sources.sql_dml import optimize_sql
+
+    od = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqlo_"), "tbl")
+    create_table(od.where(F.col("o_orderkey") % 5 == 0), root,
+                 "o_orderstatus", stats_cols=["o_orderkey"])
+    for rem in (1, 2, 3, 4):
+        commit_append(spark, root,
+                      od.where(F.col("o_orderkey") % 5 == rem),
+                      "o_orderstatus")
+    v0 = current_version(root)
+    files0 = len(load_manifest(root)["files"])
+
+    optimize_sql(spark, f"OPTIMIZE `{root}` ZORDER BY (o_orderkey)")
+
+    m = load_manifest(root)
+    assert current_version(root) == v0 + 1 and m["op"] == "compaction"
+    assert len(m["files"]) < files0, (
+        f"OPTIMIZE did not reduce files: {files0} → {len(m['files'])}")
+    assert read_snapshot(spark, root, version=v0).count() == od.count()
+
+    return (read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+            .orderBy("o_orderstatus"))
+
+
+# --- contract: SQL CREATE TABLE AS (L40, r14) ------------------------------------
+
+_SQL_CTAS_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 2500
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_ctas", oracle=_SQL_CTAS_ORACLE)
+def sink_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``CREATE TABLE ... PARTITIONED BY ... LOCATION ... AS
+    SELECT`` (L40 — the DDL entry of the r14 SQL vocabulary): one
+    statement materializes a SELECT as a new manifest table AND
+    registers the name for follow-on SQL — the readback below goes
+    through ``spark.sql`` against the registered name, so the hash
+    proves the whole circle: CTAS → catalog table → SELECT. 100 TB:
+    CTAS is executor-parallel staging + one O(files) manifest commit,
+    identical to create_table."""
+    import tempfile
+    import uuid as _uuid
+
+    from silvia_spark.sources.sql_dml import create_table_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "silvia_ctas_src")
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqlc_"), "tbl")
+    name = f"silvia_ctas_{_uuid.uuid4().hex[:8]}"
+    got_root = create_table_sql(spark, f"""
+        CREATE TABLE {name} PARTITIONED BY (o_orderstatus)
+        LOCATION '{root}'
+        AS SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM silvia_ctas_src WHERE o_orderkey < 2500""")
+    assert got_root == root and current_version(root) == 1
+
+    return spark.sql(f"""
+        SELECT o_orderstatus, count(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM {name}
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")

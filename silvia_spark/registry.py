@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 0b: NEW in r14 (SQL DML triangle, verdict #1/#9;
     # index-served ANN, verdict #7) --
     "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
-    "sim_ann_indexed",
+    "sim_ann_indexed", "sink_sql_optimize", "sink_sql_ctas",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
     # -- r08-era evidence (the whole 32-key tail drains this round) --

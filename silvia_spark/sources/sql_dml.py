@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["merge_into_sql", "update_sql", "delete_sql",
-           "resolve_table_root"]
+           "create_table_sql", "optimize_sql", "vacuum_sql",
+           "describe_history_sql", "resolve_table_root"]
 
 
 # --- top-level text scanning -------------------------------------------------
@@ -710,3 +711,143 @@ def delete_sql(spark: SparkSession, sql: str,
 
     root = path or resolve_table_root(ref, catalog)
     return commit_delete(spark, root, where=where_sql or "true")
+
+
+# --- maintenance / DDL verbs ------------------------------------------------
+#
+# The rest of a lakehouse user's SQL vocabulary, each one line of text
+# over machinery the Python API already proves: CREATE TABLE AS,
+# OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS], DESCRIBE HISTORY.
+
+def _doc_part_source(doc: dict) -> str:
+    pt = doc.get("part_transform")
+    return pt["source"] if pt else doc.get("part_col")
+
+
+def create_table_sql(spark: SparkSession, sql: str,
+                     path: str | None = None,
+                     catalog: str | None = None) -> str:
+    """``CREATE TABLE <name> [PARTITIONED BY (col)] [LOCATION '<dir>']
+    AS <select>`` → ``create_table`` + session registration (and a
+    durable ``catalog_add`` when ``catalog`` names a catalog file).
+    The table root comes from LOCATION or the ``path`` argument —
+    a name alone has nowhere to put data. Returns the root."""
+    from silvia_spark.catalog import catalog_add
+    from silvia_spark.operators.manifest_table import create_table
+    from silvia_spark.sources.manifest_stream import register_sql_table
+
+    text = sql.strip().rstrip(";")
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(?P<t>`[^`]+`|\S+)"
+        r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<p>[^)]+?)\s*\))?"
+        r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+        r"\s+AS\s+(?P<q>.+)$", text, re.I | re.S)
+    if not m:
+        raise ValueError(
+            "expected CREATE TABLE <name> [PARTITIONED BY (col)] "
+            "[LOCATION '<dir>'] AS <select>")
+    name = _unquote_ident(m.group("t"))
+    root = m.group("loc") or path
+    if not root:
+        raise ValueError(
+            "CREATE TABLE needs a LOCATION '<dir>' clause (or the "
+            "path= argument) — a name alone has nowhere to put data")
+    part = m.group("p")
+    df = spark.sql(m.group("q"))
+    if part:
+        part_cols = [_unquote_ident(c) for c in part.split(",")]
+        if len(part_cols) != 1:
+            raise NotImplementedError(
+                "manifest tables partition by ONE column "
+                f"(got {part_cols})")
+        part_col = part_cols[0]
+    else:
+        # unpartitioned CREATE: a constant partition keeps the Hive
+        # layout machinery intact with exactly one directory
+        part_col = "__all"
+        df = df.withColumn("__all", F.lit("all"))
+    create_table(df, root, part_col)
+    if name and not (os.sep in name or name.startswith(".")):
+        register_sql_table(spark, name, root)
+        if catalog is not None:
+            catalog_add(name, root, catalog=catalog)
+    return root
+
+
+def optimize_sql(spark: SparkSession, sql: str,
+                 path: str | None = None,
+                 catalog: str | None = None,
+                 target_files: int = 1) -> int:
+    """``OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]`` →
+    ``commit_compaction`` (content-preserving small-file rewrite; the
+    ZORDER form rewrites every partition ordered so the per-file
+    min/max stats index tightens — Delta's OPTIMIZE semantics).
+    Returns the committed version."""
+    from silvia_spark.operators.manifest_table import (_load_doc,
+                                                       commit_compaction)
+
+    text = sql.strip().rstrip(";")
+    m = re.match(
+        r"^\s*OPTIMIZE\s+(?P<t>`[^`]+`|\S+)"
+        r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[^)]+?)\s*\))?\s*$",
+        text, re.I)
+    if not m:
+        raise ValueError(
+            "expected OPTIMIZE <table> [ZORDER BY (cols)]")
+    root = path or resolve_table_root(m.group("t"), catalog)
+    doc = _load_doc(root)
+    cols = ([_unquote_ident(c) for c in m.group("z").split(",")]
+            if m.group("z") else None)
+    return commit_compaction(
+        spark, root, _doc_part_source(doc),
+        target_files=target_files, order_by=cols,
+        zorder=bool(cols and len(cols) > 1))
+
+
+def vacuum_sql(spark: SparkSession, sql: str,
+               path: str | None = None,
+               catalog: str | None = None) -> list[str]:
+    """``VACUUM <table> [RETAIN <n> VERSIONS]`` → ``vacuum``. The
+    retention unit is VERSIONS (manifest snapshots), the native
+    retention axis of this table layer — Delta's RETAIN ... HOURS
+    maps onto it via table_history timestamps; refused here rather
+    than approximated. Returns the removed file list."""
+    from silvia_spark.operators.manifest_table import vacuum
+
+    text = sql.strip().rstrip(";")
+    m = re.match(
+        r"^\s*VACUUM\s+(?P<t>`[^`]+`|\S+)"
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*$",
+        text, re.I)
+    if not m:
+        raise ValueError("expected VACUUM <table> [RETAIN n VERSIONS]")
+    if m.group("unit") and m.group("unit").upper() == "HOURS":
+        raise NotImplementedError(
+            "VACUUM RETAIN ... HOURS: this layer retains by VERSIONS "
+            "(snapshots); use RETAIN <n> VERSIONS, or the Python "
+            "vacuum() after resolving a version via table_history")
+    root = path or resolve_table_root(m.group("t"), catalog)
+    keep = int(m.group("n")) if m.group("n") else 1
+    return vacuum(root, keep_versions=keep)
+
+
+def describe_history_sql(spark: SparkSession, sql: str,
+                         path: str | None = None,
+                         catalog: str | None = None) -> DataFrame:
+    """``DESCRIBE HISTORY <table>`` → the commit history as a
+    DataFrame (version, op, parent, commit timestamp) — newest
+    first, like Delta's."""
+    from silvia_spark.operators.manifest_table import table_history
+
+    text = sql.strip().rstrip(";")
+    m = re.match(r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>`[^`]+`|\S+)\s*$",
+                 text, re.I)
+    if not m:
+        raise ValueError("expected DESCRIBE HISTORY <table>")
+    root = path or resolve_table_root(m.group("t"), catalog)
+    hist = table_history(root)
+    return spark.createDataFrame(
+        [(int(h["version"]), str(h.get("op") or ""),
+          (None if h.get("parent") is None else int(h["parent"])),
+          float(h.get("ts") or 0.0)) for h in hist],
+        "version long, op string, parent long, ts double")

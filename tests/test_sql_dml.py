@@ -357,3 +357,66 @@ def test_merge_and_update_on_hidden_transform_table(spark, tmp_path):
     # and predicate DELETE
     delete_sql(spark, f"DELETE FROM `{root}` WHERE k = 77")
     assert read_snapshot(spark, root).count() == 9
+
+
+# --- maintenance / DDL verbs -----------------------------------------------
+
+
+def test_create_table_sql_and_describe_history(spark, tmp_path):
+    from silvia_spark.sources.sql_dml import (create_table_sql,
+                                              describe_history_sql)
+
+    spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 else "b"), v=float(i))
+         for i in range(1, 9)]).createOrReplaceTempView("ctas_src")
+    root = os.path.join(str(tmp_path), "ctbl")
+    got = create_table_sql(spark, f"""
+        CREATE TABLE silvia_t_ctas PARTITIONED BY (part)
+        LOCATION '{root}'
+        AS SELECT k, v, part FROM ctas_src""")
+    assert got == root and current_version(root) == 1
+    assert spark.sql("SELECT count(*) c FROM silvia_t_ctas") \
+        .collect()[0]["c"] == 8
+    # the registered name resolves for follow-on DML
+    update_sql(spark, "UPDATE silvia_t_ctas SET v = 0.0 WHERE k = 1")
+    hist = describe_history_sql(spark,
+                                "DESCRIBE HISTORY silvia_t_ctas")
+    assert [(r["version"], r["op"]) for r in hist.collect()] == \
+        [(2, "update"), (1, "create")]
+    # unpartitioned CTAS gets the constant partition
+    root2 = os.path.join(str(tmp_path), "ctbl2")
+    create_table_sql(spark, f"""
+        CREATE TABLE `{root2}` LOCATION '{root2}'
+        AS SELECT k, v FROM ctas_src WHERE k <= 3""")
+    assert read_snapshot(spark, root2).count() == 3
+    with pytest.raises(ValueError, match="LOCATION"):
+        create_table_sql(spark,
+                         "CREATE TABLE nowhere AS SELECT 1 AS x")
+
+
+def test_optimize_and_vacuum_sql(spark, tmp_path):
+    from silvia_spark.operators.manifest_table import commit_append
+    from silvia_spark.sources.sql_dml import optimize_sql, vacuum_sql
+
+    root = _mk(spark, tmp_path, n=8)
+    for i in range(3):  # fragment
+        commit_append(spark, root, spark.createDataFrame(
+            [Row(k=100 + i, v=1.0, part="a")]).select("k", "v", "part"),
+            "part")
+    before = _rows(spark, root)
+    files0 = len(load_manifest(root)["files"])
+    v = optimize_sql(spark, f"OPTIMIZE `{root}`")
+    m = load_manifest(root)
+    assert m["op"] == "compaction" and v == current_version(root)
+    assert len(m["files"]) < files0
+    assert _rows(spark, root) == before  # content-preserving
+    # vacuum through SQL: retire pre-compaction snapshots
+    removed = vacuum_sql(spark, f"VACUUM `{root}` RETAIN 1 VERSIONS")
+    assert removed, "vacuum removed nothing despite retired versions"
+    assert _rows(spark, root) == before
+    with pytest.raises(NotImplementedError, match="HOURS"):
+        vacuum_sql(spark, f"VACUUM `{root}` RETAIN 168 HOURS")
+    # ZORDER multi-column form parses and commits
+    v2 = optimize_sql(spark, f"OPTIMIZE `{root}` ZORDER BY (k, v)")
+    assert v2 == current_version(root)
+    assert _rows(spark, root) == before
