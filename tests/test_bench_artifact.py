@@ -48,8 +48,13 @@ def test_final_line_fits_tail_capture_worst_case(monkeypatch):
     timings = {k: t for k in bench.HEADLINE}
     marginal = {k: t for k in bench.HEADLINE}
     # extended values today are 0.019-0.045 s and main() rounds them to
-    # 3 decimals — 0.457 IS the 10x-regression worst case for them
+    # 3 decimals — 0.457 IS the 10x-regression worst case for them;
+    # the r14 DML/indexed-ANN rows build fixture tables (1-10 s real),
+    # so their 10x worst case is two digits wider
     extended = {k: 0.457 for k in bench.EXTENDED}
+    for k in ("sink_sql_merge", "sink_sql_update", "sink_sql_delete",
+              "sim_ann_indexed"):
+        extended[k] = 99.999
     iterative = {k: t for k in bench.ITERATIVE}
     ratios = {k: 3.84 for k in bench.HEADLINE}
     breaches = {k: {"r": 13.84, "m": 11.23}
