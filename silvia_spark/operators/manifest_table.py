@@ -5555,3 +5555,67 @@ def sink_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM {name}
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+
+# --- contract: SQL INSERT OVERWRITE (L41, r14) -----------------------------------
+
+_SQL_OVERWRITE_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(round(o_totalprice * 2, 2)), 2) AS price_sum
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2500
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@contract("sink_sql_insert_overwrite", oracle=_SQL_OVERWRITE_ORACLE)
+def sink_sql_insert_overwrite(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SQL ``INSERT OVERWRITE`` (L41, r14): the truncate-style
+    overwrite Spark's Python-DS bridge delivers — the statement
+    replaces the WHOLE table as ONE versioned commit whose manifest
+    references the INSERT's files only; the replaced snapshot stays
+    time-travelable and restorable (asserted), so nothing is lost to
+    the rewrite. Dynamic-mode and PARTITION-scoped overwrites are
+    rejected by Spark's own planner for Python DataSources
+    (partition-granular replacement lives on commit_merge). The
+    oracle derives the post-overwrite table relationally, so the
+    driver hash covers write → commit → readback end-to-end.
+    100 TB: executor-parallel staging, O(batch + segment) driver
+    metadata — a full refresh costs its own data, never a table
+    rewrite on top."""
+    import tempfile
+
+    from silvia_spark.functions.numeric import dsum
+    from silvia_spark.sources.manifest_stream import (
+        read_table, register_sql_table)
+
+    od = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    root = os.path.join(tempfile.mkdtemp(prefix="silvia_msqlw_"), "tbl")
+    create_table(od, root, "o_orderstatus")
+    register_sql_table(spark, "silvia_sql_ow", root)
+    (load_table(spark, sf_dir, "orders")
+     .where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2500))
+     .select("o_orderkey",
+             F.round(F.col("o_totalprice") * 2, 2).alias("p"),
+             "o_orderstatus")
+     .createOrReplaceTempView("silvia_sql_ow_src"))
+
+    spark.sql("""
+        INSERT OVERWRITE silvia_sql_ow
+        SELECT o_orderkey, p AS o_totalprice, o_orderstatus
+        FROM silvia_sql_ow_src""")
+
+    assert current_version(root) == 2, "OVERWRITE did not commit"
+    assert load_manifest(root)["op"] == "overwrite"
+    assert read_snapshot(spark, root, version=1).count() == od.count(), (
+        "v1 changed under the overwrite — time travel broken")
+
+    return (read_table(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum"))
+            .orderBy("o_orderstatus"))

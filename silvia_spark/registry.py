@@ -58,17 +58,19 @@ _PRIORITY: tuple[str, ...] = (
     # writer rewrite for evolved tables, the Delta sidecar + Iceberg
     # position-delete interop paths, index-aware sim_ann_auto, the
     # constraint-retry fix behind L24, commit_delete's predicate-mode
-    # refactor behind L21) + 4 NEW r14 contracts (SQL DML triangle +
-    # indexed ANN), then the FULL 32-key r08 tail drains, then r09
-    # keys oldest-first fill the window to 50 (8 make the cut).
+    # refactor behind L21) + 7 NEW r14 contracts (SQL DML triangle,
+    # indexed ANN, OPTIMIZE/CTAS/INSERT OVERWRITE), then the FULL
+    # 32-key r08 tail drains, then r09 keys oldest-first fill the
+    # window to 50 (5 make the cut).
     # After this round the oldest evidence is r09. ==========
     # -- tier 0: implementation changed in r14 after newest evidence --
     "sink_sql_insert", "source_delta_interop", "source_iceberg_interop",
     "sim_ann_auto", "sink_append_constrained", "sink_delete_dv",
     # -- tier 0b: NEW in r14 (SQL DML triangle, verdict #1/#9;
-    # index-served ANN, verdict #7) --
+    # index-served ANN, verdict #7; OPTIMIZE/CTAS/OVERWRITE DDL) --
     "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
     "sim_ann_indexed", "sink_sql_optimize", "sink_sql_ctas",
+    "sink_sql_insert_overwrite",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
     # -- r08-era evidence (the whole 32-key tail drains this round) --

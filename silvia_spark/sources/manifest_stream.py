@@ -1081,13 +1081,21 @@ class ManifestInsertWriter(DataSourceArrowWriter):
       verify_paths + the preflight vacuum epoch, rebase on a lost
       claim. O(batch + segment count), never O(table files).
 
-    Scope (loud refusals, never silent drift): append only
-    (``overwrite`` raises); the INSERT schema must equal the table's
-    recorded schema (Spark's INSERT INTO resolution reorders/casts
-    by position against the reader schema, so this holds for any
-    well-typed INSERT — no additive evolution through SQL, matching
-    Delta's default); mixed partition specs refuse at plan time; NULL
-    partition values refuse. Column-mapped tables stage under their
+    Scope (loud refusals, never silent drift): append, plus
+    whole-table ``INSERT OVERWRITE`` (r14 — the truncate-style
+    overwrite Spark's Python-DS bridge delivers under its default
+    static mode: the new manifest references the INSERT's files only,
+    one versioned commit, the replaced snapshot stays
+    time-travelable/restorable; dynamic-mode and PARTITION-scoped
+    overwrites are rejected by Spark's own planner for Python
+    DataSources — partition-granular replacement lives on the Python
+    commit_merge path; CDF-enabled tables refuse overwrite, the feed
+    would need the replaced rows' delete records); the INSERT schema
+    must equal the table's recorded schema (Spark's INSERT INTO
+    resolution reorders/casts by position against the reader schema,
+    so this holds for any well-typed INSERT — no additive evolution
+    through SQL, matching Delta's default); mixed partition specs
+    refuse at plan time; NULL partition values refuse. Column-mapped tables stage under their
     PHYSICAL names via the recorded col_map, and hidden-transform
     tables derive the partition value in the write task with the
     Python-side transform twin (``_transform_value``, pinned ≡ the
@@ -1099,11 +1107,33 @@ class ManifestInsertWriter(DataSourceArrowWriter):
     the commit loudly — rows were validated against the old set.
     """
 
-    def __init__(self, options, schema: StructType):
+    def __init__(self, options, schema: StructType,
+                 overwrite: bool = False):
         from silvia_spark.operators import manifest_table as mt
 
         self.root = local_path(options["path"])
+        self.overwrite = overwrite
         doc = mt._load_doc(self.root)
+        if overwrite:
+            # Spark's Python-DS write bridge supports TRUNCATE-style
+            # overwrite only: under the default static mode an
+            # unpartitioned INSERT OVERWRITE arrives here as
+            # overwrite=True (whole-table replace — implemented as one
+            # versioned commit, the old snapshot stays time-travelable
+            # and restorable, so nothing is lost); the dynamic mode
+            # plans OverwritePartitionsDynamic, which Spark itself
+            # rejects for Python DataSources before this code runs,
+            # and a PARTITION-scoped static overwrite plans a non-true
+            # OverwriteByExpression the bridge equally refuses — both
+            # loud, upstream. Partition-granular replacement lives on
+            # the Python path (commit_merge).
+            if doc.get("cdf_enabled"):
+                raise NotImplementedError(
+                    "INSERT OVERWRITE on a CDF-enabled table is not "
+                    "supported through SQL: the change feed needs the "
+                    "replaced rows' delete records, which only the "
+                    "Python commit_merge path computes — use that, or "
+                    "disable CDF")
         if mt._mixed_specs(doc):
             raise ValueError(
                 "table holds multiple partition specs: run "
@@ -1263,9 +1293,22 @@ class ManifestInsertWriter(DataSourceArrowWriter):
                     "table partition spec / column mapping changed "
                     "while the INSERT ran — files were written under "
                     "the old layout; re-run the INSERT")
+            if self.overwrite and doc.get("cdf_enabled"):
+                raise RuntimeError(
+                    "CDF was enabled while the INSERT OVERWRITE ran — "
+                    "its replaced-row delete records cannot be "
+                    "reconstructed now; re-run via commit_merge")
             seg = (mt._write_segment(root, entries)
                    if entries else None)
-            if "files" in doc:
+            if self.overwrite:
+                # truncate-overwrite: the new manifest references the
+                # INSERT's files ONLY; every prior entry stays
+                # referenced by the parent manifest, so time travel
+                # serves the replaced state until vacuum. An empty
+                # INSERT OVERWRITE legitimately truncates to an empty
+                # snapshot (read_snapshot serves a typed empty frame).
+                parent: list = []
+            elif "files" in doc:
                 parent = ([mt._write_segment(root, doc["files"],
                                              reused=True)]
                           if doc["files"] else [])
@@ -1278,7 +1321,8 @@ class ManifestInsertWriter(DataSourceArrowWriter):
                 version, doc["version"], segments,
                 txns=doc.get("txn"), commit_id=commit_id,
                 schema=doc.get("schema"),
-                stats_cols=doc.get("stats_cols"), op="append")
+                stats_cols=doc.get("stats_cols"),
+                op="overwrite" if self.overwrite else "append")
             mt._carry_table_meta(newdoc, doc)
             if doc.get("cdf_enabled"):
                 newdoc["cdf"] = {"mode": "append"}
@@ -1360,14 +1404,12 @@ class ManifestTableDataSource(DataSource):
 
     def writer(self, schema: StructType,
                overwrite: bool) -> ManifestInsertWriter:
-        if overwrite:
-            raise ValueError(
-                "silvia_manifest supports INSERT INTO (append) only; "
-                "for replacement semantics use commit_merge / "
-                "restore_table, or partition overwrite via the Python "
-                "API — a blind SQL overwrite of a versioned table "
-                "would bypass its history")
-        return ManifestInsertWriter(self.options, schema)
+        # overwrite=True (INSERT OVERWRITE / mode("overwrite")) is
+        # DYNAMIC partition overwrite — gated on the session's
+        # partitionOverwriteMode=dynamic opt-in inside the writer
+        # (r14; the r13 blanket refusal is lifted)
+        return ManifestInsertWriter(self.options, schema,
+                                    overwrite=overwrite)
 
 
 def read_stream_changes(spark, path: str, starting_version: int = 0):

@@ -88,14 +88,39 @@ def test_insert_records_cdf(spark, tmp_path):
         [(300, "insert")]
 
 
-def test_insert_refusals(spark, tmp_path):
+def test_insert_overwrite_truncate_semantics(spark, tmp_path):
+    """r14: INSERT OVERWRITE (the truncate-style overwrite Spark's
+    Python-DS bridge delivers under static mode) replaces the WHOLE
+    table as one versioned commit — the replaced snapshot stays
+    time-travelable; an empty overwrite truncates to a typed empty
+    frame; CDF-enabled tables refuse."""
     root = _mk(spark, tmp_path)
+    t = _sql_table(spark, root, name="sql_ow_tbl")
+    spark.sql(f"INSERT OVERWRITE {t} "
+              "VALUES (500, 5.5, 'a'), (501, 6.5, 'b')")
+    assert current_version(root) == 2
+    got = sorted((r["k"], r["v"], r["part"]) for r in
+                 read_snapshot(spark, root).collect())
+    assert got == [(500, 5.5, "a"), (501, 6.5, "b")]
+    from silvia_spark.operators.manifest_table import load_manifest
+    assert load_manifest(root)["op"] == "overwrite"
+    assert read_snapshot(spark, root, version=1).count() == 10
+    # empty overwrite = legal truncate to an empty snapshot
+    spark.sql(f"INSERT OVERWRITE {t} "
+              f"SELECT * FROM {t} WHERE k < 0")
+    assert read_snapshot(spark, root).count() == 0
+    assert read_snapshot(spark, root, version=2).count() == 2
+
+    # CDF-enabled table refuses overwrite at plan time
+    root2 = os.path.join(str(tmp_path), "cdftbl")
+    df = spark.createDataFrame([Row(k=1, v=1.0, part="a")])
+    create_table(df.select("k", "v", "part"), root2, "part", cdf=True)
     spark.dataSource.register(ManifestTableDataSource)
-    # overwrite is not a thing on a versioned table via blind SQL
-    with pytest.raises(Exception, match="append"):
-        spark.createDataFrame([Row(k=1, v=1.0, part="a")]) \
+    with pytest.raises(Exception, match="CDF"):
+        spark.createDataFrame([Row(k=9, v=9.0, part="a")]) \
+            .select("k", "v", "part") \
             .write.format("silvia_manifest") \
-            .option("path", root).mode("overwrite").save()
+            .option("path", root2).mode("overwrite").save()
 
 
 def test_insert_column_mapped_roundtrip(spark, tmp_path):
