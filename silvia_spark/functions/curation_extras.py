@@ -181,7 +181,17 @@ def two_phase_components(pairs: DataFrame,
 
     localCheckpoint (not persist) for the star set: the count and the
     finish both read materialized blocks, and there is no caller-visible
-    handle to unpersist at the right time — blocks free with the frame."""
+    handle to unpersist at the right time — blocks free with the frame.
+
+    Output ordering: BOTH paths return rows sorted by doc_id. The local
+    finish emits one partition that _finish_uf already yields in sorted
+    order — appending a caller-side ``orderBy`` on top re-plans a global
+    sort whose range-partitioning SAMPLING pass re-executes the finish
+    subtree (the single-task union-find ran twice per invocation;
+    measured +1.0 s per run at sf0.1, guide §2.4 "an orderBy used only
+    to make output deterministic"). The distributed path sorts
+    explicitly — there the sort is real work over many partitions and
+    its sampling reads the loop's checkpointed blocks, not a recompute."""
     t = pairs.schema["doc_a"].dataType.simpleString()
     stars = (pairs.mapInPandas(_star_edges, f"doc_a {t}, doc_b {t}")
              .localCheckpoint(eager=True))
@@ -191,7 +201,8 @@ def two_phase_components(pairs: DataFrame,
     cc = min_label_components(stars.select(
         F.col("doc_a"), F.col("doc_b")), max_iters=max_iters)
     size_w = Window.partitionBy("cluster_id")
-    return cc.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+    return (cc.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+            .orderBy("doc_id"))
 
 
 def min_label_components(pairs: DataFrame,
@@ -335,7 +346,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d.select("doc_id", "text"), _CC_TAU)
-    return two_phase_components(pairs).orderBy("doc_id")
+    # two_phase_components output is doc_id-sorted on both finish paths
+    # (see its docstring) — re-sorting here cost a redundant global-sort
+    # sampling pass that re-ran the finish subtree (r14, guide §2.4).
+    return two_phase_components(pairs)
 
 
 # --- J26: Unicode NFC normalization ------------------------------------------

@@ -157,9 +157,27 @@ def jaccard_pairs(docs: DataFrame, tau: float,
 
     The posting list (``tok``) is persisted for the duration of the
     returned plan (io.managed_persist slot): it feeds BOTH sides of the
-    self-join plus the two size probes, and without the cache Spark
-    re-evaluates the interpreted shingling transform once per lineage
-    branch (~5× the corpus scan — measured 16 s → 3 s at sf0.1)."""
+    self-join, and without the cache Spark re-evaluates the interpreted
+    shingling transform once per lineage branch (~5× the corpus scan —
+    measured 16 s → 3 s at sf0.1).
+
+    r14 plan-shape rework (measured at sf0.1, fresh-plan execution from
+    a warm tok cache, min-of-4: 0.85 s → 0.57 s, identical 256 rows):
+
+    - ``sz`` rides the posting list and folds into the pair aggregate
+      (``min`` over a constant-per-doc column), deleting the two
+      doc-size joins — at scale those were two extra shuffles/broadcast
+      builds of a doc-count-sized table per execution (guide §3.3), and
+      the separate ``sized`` cache they probed is gone with them.
+    - The self-join carries a ``merge`` hint: tok is persisted already
+      hash-partitioned AND sorted by the shingle (the df_cap window's
+      exchange), so a sort-merge self-join reads the cached layout with
+      ZERO additional exchange and no sort. Without the hint the local
+      optimizer picks BuildRight broadcast — re-collecting and
+      re-shipping the whole posting list (~10 MB at sf0.1, impossible
+      at corpus scale) on every execution (guide §3.1: pick the
+      strategy deliberately; §2.4: reuse the established partitioning).
+    """
     from pyspark.sql.window import Window
 
     from silvia_spark.functions.llm_ops import _shingles
@@ -167,14 +185,19 @@ def jaccard_pairs(docs: DataFrame, tau: float,
 
     d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     sh = _shingles(d)
-    # Slot keyed by (tau, cap): different thresholds are different live
-    # plans (bench builds several before executing any), and must not
-    # evict each other's posting lists.
-    slot = f"jaccard_pairs.{tau}.{df_cap}"
-    sized = managed_persist(
-        sh.select("doc_id", "sh", F.size("sh").alias("sz")),
-        f"{slot}.sized")
-    tok = sized.select("doc_id", F.explode("sh").alias("s"))
+    # Slot keyed by (input plan, cap) — NOT tau: tau no longer appears in
+    # the posting-list plan (it was only in the deleted size-join tail),
+    # so all thresholds over the same corpus share ONE cached posting
+    # list. The semantic hash separates different doc inputs (e.g.
+    # curation_pipeline's filtered corpus) that would otherwise evict
+    # each other's caches from a shared slot on every invocation.
+    try:
+        plan_key = docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # Connect session: no _jdf — shared slot (worst
+        plan_key = "connect"  # case: cross-corpus eviction, never a leak)
+    slot = f"jaccard_pairs.{plan_key}.{df_cap}"
+    tok = sh.select("doc_id", F.explode("sh").alias("s"),
+                    F.size("sh").alias("sz"))
     if df_cap is not None:
         # One window count partitioned by the shingle — hash-partitioned on
         # the SAME key as the self-join below, so the exchange is reused.
@@ -183,20 +206,18 @@ def jaccard_pairs(docs: DataFrame, tau: float,
                .where(F.col("__df") <= df_cap).drop("__df"))
     tok = managed_persist(tok, f"{slot}.tok")
     inter = (
-        tok.alias("a").join(tok.alias("b"), "s")
+        tok.alias("a").hint("merge").join(tok.alias("b").hint("merge"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.min(F.col("a.sz")).alias("sz_a"),
+             F.min(F.col("b.sz")).alias("sz_b"))
     )
-    sz_a = sized.select(F.col("doc_id").alias("doc_a"),
-                        F.col("sz").alias("sz_a"))
-    sz_b = sized.select(F.col("doc_id").alias("doc_b"),
-                        F.col("sz").alias("sz_b"))
     jacc = (F.col("inter") * F.lit(1.0)
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     return (
-        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        inter
         .where(F.least("sz_a", "sz_b")
                >= F.greatest("sz_a", "sz_b") * F.lit(tau))
         .where(jacc >= tau)
