@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from silvia_spark.io import load_table
+from silvia_spark.io import load_table, managed_persist
 from silvia_spark.registry import contract
 
 # Knuth multiplicative hash — the shared deterministic "randomness" for
@@ -573,7 +573,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the language model — token-keyed partial→final counts (map-side
     partials absorb stopword skew; no token-partitioned window exists
     anywhere, which would put all of 'the' in one task) — plus the
-    total as a full-frame window over the VOCAB-sized aggregate; pass 2
+    total as a scalar aggregate of the persisted vocab frame, broadcast
+    back as a 1-row cross join (r14: the full-frame window it replaces
+    funnelled the whole VOCAB-sized aggregate through one partition,
+    guide §2.5; the cache barrier keeps the corpus tokenized once
+    despite the double reference); pass 2
     re-tokenizes and joins the broadcast LM, so the per-doc aggregate
     rides one doc_id exchange. The per-type NLL term is quantized
     (×1e15 → BIGINT) on the vocabulary BEFORE the join, so the per-doc
@@ -583,8 +587,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id",
                     F.explode(F.split(F.lower("text"), " ")).alias("w"))
-    lm = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-          .withColumn("n", F.sum("c").over(Window.partitionBy())))
+    cnt = managed_persist(
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+        "text_unigram_logprob.lm")
+    lm = cnt.crossJoin(F.broadcast(cnt.agg(F.sum("c").alias("n"))))
     g = F.round(-F.log(F.col("c") * 1.0 / F.col("n")) * 1e15).cast("bigint")
     scored = toks.join(F.broadcast(lm.select("w", g.alias("g"))), "w")
     return (scored.groupBy("doc_id")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from silvia_spark.functions.numeric import dsum, sql_dsum
-from silvia_spark.io import load_tables
+from silvia_spark.io import load_tables, managed_persist
 from silvia_spark.registry import contract
 
 # --- M24: TPC-H Q2 — minimum-cost supplier per part ---------------------------
@@ -212,15 +212,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("l_partkey")
          .agg(F.sum(F.round(F.col("l_extendedprice") * 1000000)
                     .cast("bigint")).alias("val_grid")))
-    # Global total as a FULL-FRAME window over the tiny per-part
-    # aggregate (Q15's pattern): a scalar-aggregate cross join would
-    # reference v twice and Catalyst would recompute the whole fact
-    # subtree for the total branch — two lineitem scans. The single
-    # partition the empty-frame window forces holds part-level rows
-    # (dimension-sized), not fact rows.
-    return (v.withColumn("total_grid",
-                         F.sum("val_grid").over(Window.partitionBy()))
-            .where(1000 * F.col("val_grid") > F.col("total_grid"))
+    # r14: global total as a SCALAR aggregate of the persisted per-part
+    # frame, broadcast back as a 1-row nested-loop join (Q15's r14
+    # pattern). The cache barrier keeps lineitem scanned once despite
+    # the double reference (without it Catalyst recomputes the fact
+    # subtree for the total branch — the measured r07 rejection); the
+    # r07 full-frame window it replaces funnelled the entire part-level
+    # aggregate through ONE partition (guide §2.5 — at 100 TB that is
+    # |parts| rows in a single task).
+    v = managed_persist(v, "q11_important_parts.v")
+    total = v.agg(F.sum("val_grid").alias("total_grid"))
+    return (v.join(F.broadcast(total),
+                   1000 * F.col("val_grid") > F.col("total_grid"))
             .select(F.col("l_partkey").alias("partkey"),
                     (F.col("val_grid") / 1000000.0).alias("value"),
                     "val_grid")

@@ -72,11 +72,12 @@ AUDITED = [
      "stops at the InMemoryRelation, so Catalyst cannot substitute "
      "the UDF into the predicate and re-evaluate it; measured 43 s "
      "vs 150 s mapInPandas at sf1, ANN_VERIFY_KERNEL.json)."),
-    ("text_ngram_jaccard", ["HashAggregate", "HashJoin"],
+    ("text_ngram_jaccard", ["HashAggregate", "SortMergeJoin"],
      "inverted-index EQUI-join on shingle (plus the r04 document-frequency "
-     "cap aggregate) — candidate pairs are hash-joined on the shingle key "
-     "(AQE broadcasts the posting list at audit SF; shuffled hash/SMJ at "
-     "scale), never an all-pairs product."),
+     "cap aggregate) — candidate pairs sort-merge-join on the shingle key "
+     "directly over the posting-list cache's hash-partitioned, sorted "
+     "layout (r14: zero join exchange, no per-execution broadcast of the "
+     "posting list), never an all-pairs product."),
     ("scan_partition_pruned", ["PartitionFilters"],
      "the partition predicate lands in PartitionFilters — pruned at "
      "listing time, unmatched directories never open."),
@@ -129,11 +130,13 @@ AUDITED = [
      "TPC-H Q13: LEFT OUTER with the priority predicate INSIDE the join "
      "condition (zero-order customers survive); per-customer agg and the "
      "histogram agg stack over one custkey exchange."),
-    ("q15_top_supplier", ["Window", "HashAggregate"],
-     "TPC-H Q15: the scalar max is a full-frame window over the tiny "
-     "per-supplier aggregate, so lineitem is scanned/aggregated exactly "
-     "once (the crossJoin-scalar form made Catalyst recompute the whole "
-     "revenue aggregate for the max branch — two fact scans)."),
+    ("q15_top_supplier", ["InMemoryTableScan", "HashAggregate"],
+     "TPC-H Q15: the scalar max is an aggregate of the PERSISTED "
+     "per-supplier revenue, broadcast back as a 1-row equality join — "
+     "one fact scan (the cache barrier is what makes the double "
+     "reference safe), and no single-partition stage (r14: the "
+     "full-frame window this replaces funnelled the whole supplier "
+     "aggregate through ONE task)."),
     ("q17_small_quantity", ["BroadcastHashJoin", "Window",
                             "HashAggregate"],
      "TPC-H Q17: the correlated per-part mean is a WINDOW over the one "
@@ -264,11 +267,11 @@ AUDITED = [
      "broadcast onto the fact; orders joins on the single l_orderkey "
      "exchange; the grid profit expression folds into partial→final "
      "HashAggregates map-side."),
-    ("q11_important_parts", ["Window", "HashAggregate"],
-     "TPC-H Q11: per-part grid sums partial→final; the global total is "
-     "a full-frame WINDOW over the dimension-sized aggregate (Q15's "
-     "one-scan pattern — a scalar cross join would recompute the fact "
-     "subtree); the integer-grid threshold is a pure projection."),
+    ("q11_important_parts", ["InMemoryTableScan", "HashAggregate"],
+     "TPC-H Q11: per-part grid sums partial→final into a cache barrier; "
+     "the global total is a scalar aggregate of the cached frame, "
+     "broadcast back as a 1-row nested-loop join on the integer-grid "
+     "threshold — one fact scan AND no single-partition window (r14)."),
     ("q16_supplier_part_counts", ["HashAggregate", "BroadcastHashJoin",
                                   "LeftAnti"],
      "TPC-H Q16: the distinct (part, supplier) pair reduction is the "
@@ -276,10 +279,13 @@ AUDITED = [
      "excluded-supplier set attaches as a broadcast LEFT ANTI; "
      "count-distinct runs partial→final."),
     ("text_unigram_logprob", ["BroadcastHashJoin", "HashAggregate"],
-     "unigram-LM scoring: pass 1 builds the vocab-sized LM (partial "
-     "aggs absorb stopword skew — deliberately NO token-partitioned "
-     "window), pass 2 joins it back as a broadcast; the NLL term is "
-     "grid-quantized on the vocabulary before the join."),
+     "unigram-LM scoring: pass 1 builds the vocab-sized LM into a cache "
+     "barrier (partial aggs absorb stopword skew — deliberately NO "
+     "token-partitioned window), with the corpus total a scalar "
+     "aggregate of the cache broadcast back as a 1-row cross join "
+     "(r14: previously a single-partition full-frame window); pass 2 "
+     "joins the LM back as a broadcast; the NLL term is grid-quantized "
+     "on the vocabulary before the join."),
     ("q20_dominant_suppliers", ["HashAggregate", "Window", "LeftSemi"],
      "TPC-H Q20: one (part, supplier) aggregate → per-part sum WINDOW "
      "(a re-aggregate join-back would scan the fact twice) → integer "
