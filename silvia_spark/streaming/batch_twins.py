@@ -203,30 +203,40 @@ ORDER BY u.user_id
 def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase per user, batch form: first view,
     first click strictly after it, first purchase strictly after that.
-    Declarative min-after-min joins — one shuffle per stage on user_id, all
-    broadcast-free but partial-aggregated. (The arbitrary-stateful streaming
-    form with applyInPandasWithState is stream_funnel_live.)"""
+
+    ONE pass, ONE user_id exchange: per user, aggregate the first-view ts
+    plus the (tiny) click/purchase ts lists, then resolve the sequential
+    dependency — first click after v_ts, first purchase after that — with
+    array HOFs on the aggregated row. The r14-before form expressed each
+    stage as ev ⋈ prev-stage → min, which Catalyst expands into SEVEN
+    events scans and six user_id exchanges (the v/c subtrees are
+    re-derived inside c/p AND in the final left joins — no subtree reuse
+    across branches). Strictly-after filters on a NULL bound drop every
+    element (x > NULL is NULL), so users without the prerequisite stage
+    get NULL exactly as the join form produced. Per-user state is the
+    click+purchase ts lists — the same bound as the streaming form's
+    per-key state, partial-aggregated map-side. (The arbitrary-stateful
+    streaming form with applyInPandasWithState is stream_funnel_live.)"""
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    v = (ev.where(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
-    c = (ev.join(v, "user_id")
-         .where((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
-         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
-    p = (ev.join(c, "user_id")
-         .where((F.col("event_type") == "purchase")
-                & (F.col("ts") > F.col("c_ts")))
-         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
     return (
-        users
-        .join(v.select("user_id", F.lit(1).alias("has_v")), "user_id", "left")
-        .join(c.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view",
+                         F.col("ts"))).alias("v_ts"),
+            F.collect_list(F.when(F.col("event_type") == "click",
+                                  F.col("ts"))).alias("cl"),
+            F.collect_list(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts"))).alias("pu"),
+        )
+        .withColumn("c_ts", F.array_min(
+            F.filter(F.col("cl"), lambda x: x > F.col("v_ts"))))
+        .withColumn("p_ts", F.array_min(
+            F.filter(F.col("pu"), lambda x: x > F.col("c_ts"))))
         .select(
             "user_id",
-            F.when(F.col("has_p").isNotNull(), 3)
-            .when(F.col("has_c").isNotNull(), 2)
-            .when(F.col("has_v").isNotNull(), 1)
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("v_ts").isNotNull(), 1)
             .otherwise(0).alias("funnel_stage"),
         )
         .orderBy("user_id")
