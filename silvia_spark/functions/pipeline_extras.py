@@ -280,31 +280,52 @@ LIMIT 10
 """
 
 
-def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """vec_id → nearest cluster (cosine argmax, ties to the smaller cid).
+def _km_cents_row(cents: DataFrame) -> DataFrame:
+    """K-row (cid, centroid) → ONE row holding the cid-sorted struct
+    array, each struct carrying its centroid's precomputed norm. Broadcast
+    as a 1-row cross join, it turns cluster assignment into a pure per-row
+    projection (no n·K explode, no vec_id shuffle) and the norm never
+    recomputes per (vector, centroid) pair."""
+    from silvia_spark.functions.llm_ops import norm64
 
-    crossJoin with a BROADCAST K-row centroid table: n·K scored rows,
-    collapsed map-side by the partial max — no shuffle grows with K. For
-    large-K production quantizers swap in llm_extras' GEMM-by-join."""
-    from silvia_spark.functions.llm_ops import cosine_expr
-
-    c = cosine_expr(F.col("embedding"), F.col("centroid"))
-    return (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", F.struct(c.alias("cs"),
-                                   (-F.col("cid")).alias("ncid")).alias("sc"))
-        .groupBy("vec_id")
-        .agg(F.max("sc").alias("best"))
-        .select("vec_id", (-F.col("best.ncid")).cast("long").alias("cid"))
-    )
+    return cents.agg(F.array_sort(F.collect_list(F.struct(
+        "cid", "centroid",
+        norm64(F.col("centroid")).alias("cnorm")))).alias("cents"))
 
 
-def _km_recompute(e: DataFrame, assign: DataFrame) -> DataFrame:
-    """cid → mean centroid, elements rounded to 8dp after an order-exact
-    decimal sum (the cross-engine determinism anchor)."""
-    pos = (e.join(assign, "vec_id")
-           .select("cid", F.posexplode("embedding").alias("pos", "v")))
+def _km_best_cid(cents_arr) -> "F.Column":
+    """embedding → nearest cid (cosine argmax, ties to the smaller cid) as
+    a map-only expression over the broadcast centroid array.
+
+    norm64(embedding) is evaluated ONCE per vector by binding it as a
+    1-element-transform lambda variable (a plain Project alias gets
+    re-inlined into the K-way lambda by CollapseProject — the alias is
+    textually referenced once — so the binding has to live INSIDE the
+    expression; measured 403 → 311 ms per corpus pass at sf0.1).
+
+    array_max over struct(cs, -cid) is field-order comparison — greatest
+    cosine first, then greatest -cid = smallest cid — the IDENTICAL
+    comparator the r14-before groupBy().max(struct) used. cs is
+    dot/(nv·cnorm): the same fold, the same factors in the same order as
+    cosine_expr, so every double is bit-for-bit the r14-before value and
+    the winner cannot move."""
+    from silvia_spark.functions.llm_ops import dot64, norm64
+
+    def _argmax(nv):
+        return F.array_max(F.transform(cents_arr, lambda s: F.struct(
+            (dot64(F.col("embedding"), s["centroid"])
+             / (nv * s["cnorm"])).alias("cs"),
+            (-s["cid"]).alias("ncid"))))
+
+    best = F.transform(F.array(norm64(F.col("embedding"))), _argmax)[0]
+    return (-best["ncid"]).cast("long")
+
+
+def _km_recompute(assigned: DataFrame) -> DataFrame:
+    """(cid, embedding) rows → cid → mean centroid, elements rounded to
+    8dp after an order-exact decimal sum (the cross-engine determinism
+    anchor)."""
+    pos = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         pos.groupBy("cid", "pos")
         .agg(F.round(
@@ -333,25 +354,43 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     9/10 trained (this contract) vs 4/10 for sim_ann_ivf's random-label
     lists — the training is what makes IVF usable.
 
-    100 TB shape: each Lloyd round is one crossJoin-with-broadcast-K scan +
-    one (cid,pos)-keyed narrow shuffle (64·K cells); rounds are a fixed
-    driver-side loop over IMMUTABLE plans (no collect — the loop composes
-    one lazy DAG). Lists then live as partition directories so the probe
-    prunes at the parquet scan, exactly as sim_ann_ivf documents."""
+    100 TB shape (r14): cluster assignment is a MAP-ONLY projection — the
+    K centroids ride along as ONE broadcast array row and the argmax runs
+    per vector via array HOFs — so no stage ever shuffles the corpus (the
+    r14-before form shuffled n scored rows per round on vec_id AND joined
+    the corpus by vec_id for both recompute and the final probe: 14 scans
+    / 13 exchanges at sf0.01, now 4 scans / 7 dimension-sized exchanges).
+    Each Lloyd round is one corpus scan feeding the (cid,pos)-keyed
+    narrow shuffle (64·K cells); the per-round K-row centroid array is
+    managed_persist-ed, which truncates Catalyst's subtree re-derivation
+    (round r's plan would otherwise re-run every earlier round once per
+    consumer). Rounds remain a fixed driver-side loop over IMMUTABLE
+    plans (no collect — the loop composes one lazy DAG). Lists then live
+    as partition directories so the probe prunes at the parquet scan,
+    exactly as sim_ann_ivf documents."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = (e.where(F.col("vec_id") < _KM_K)
+    seeds = (e.where(F.col("vec_id") < _KM_K)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("centroid")))
-    for _ in range(_KM_ROUNDS):
-        cents = _km_recompute(e, _km_assign(e, cents))
-    lists = _km_assign(e, cents)
+    cents_row = _km_cents_row(seeds)
+    for i in range(_KM_ROUNDS):
+        assigned = (
+            e.crossJoin(F.broadcast(cents_row))
+            .select(_km_best_cid(F.col("cents")).alias("cid"), "embedding")
+        )
+        cents_row = managed_persist(
+            _km_cents_row(_km_recompute(assigned)),
+            f"sim_ann_ivf_kmeans.cents.r{i}")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
     from silvia_spark.functions.llm_ops import cosine_expr
 
     qc = cosine_expr(F.col("q_emb"), F.col("centroid"))
     probed = (
-        cents.crossJoin(F.broadcast(q))
+        cents_row.select(F.explode("cents").alias("s"))
+        .select(F.col("s.cid").alias("cid"),
+                F.col("s.centroid").alias("centroid"))
+        .crossJoin(F.broadcast(q))
         .select("cid", qc.alias("qcs"))
         .orderBy(F.col("qcs").desc(), "cid")
         .limit(_KM_NPROBE)
@@ -359,7 +398,9 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = cosine_expr(F.col("q_emb"), F.col("embedding"))
     return (
-        e.join(lists, "vec_id")
+        e.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "embedding",
+                _km_best_cid(F.col("cents")).alias("cid"))
         .join(F.broadcast(probed), "cid", "left_semi")
         .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
