@@ -94,8 +94,13 @@ def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vb").distinct()
     )
     d = load_table(spark, sf_dir, "documents")
+    # Broadcast the dup-id set: without the hint the left join plans SMJ
+    # and shuffles DOCUMENTS by doc_id just to test membership in an
+    # id-only table (~8 B/id per billion docs — the shape this docstring
+    # already promises is broadcast-able). r14: SMJ + documents exchange
+    # → BroadcastHashJoin, zero document shuffle (§3.1).
     return (
-        d.join(dups, d.doc_id == dups.vb, "left")
+        d.join(F.broadcast(dups), d.doc_id == dups.vb, "left")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("docs_total"),
              F.count("vb").alias("dups_removed"),

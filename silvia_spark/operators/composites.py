@@ -231,14 +231,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id",
                    F.explode(F.split(F.lower("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf25 = tf.where(F.col("doc_id") < 25)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     score = F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term"))
+    # Join direction matters at corpus scale: the planner used to broadcast
+    # the FULL-vocabulary df table (unbounded — distinct tokens grow with
+    # the corpus) to probe a 25-doc tf side. Build on the bounded side
+    # instead: broadcast tf25 (≤ the 25 target docs' terms) and stream the
+    # vocabulary through it. Time-neutral at sf0.1 (0.462 vs 0.457 s
+    # min-of-5 interleaved), inner-join output identical (r14, §3.1).
     return (
-        tf.where(F.col("doc_id") < 25)
-        .join(df, "term").crossJoin(F.broadcast(n))
+        df.join(F.broadcast(tf25), "term").crossJoin(F.broadcast(n))
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rk", rk)
         .where(F.col("rk") <= 3)
