@@ -255,6 +255,80 @@ ORDER BY vec_a, vec_b
 """
 
 
+# Candidate-dedup sizing (guide §2.2/§2.5): the family's `.distinct()`
+# runs over the RAW same-bucket pair stream — ~800 M 16-byte rows at
+# sf1 base — and at the session's default shuffle width each reducer
+# hash-aggregates ~25 M rows in one shared-heap task: measured
+# page-allocation stalls + spill, 111 s of the 157 s query. Fix: size
+# the dedup exchange from the occupancy mass the join is ABOUT to
+# produce (Σ|probe_bucket|·|base_bucket| over the persisted bucket
+# table — one tiny job, an upper bound within 2× of the raw stream,
+# which is all partition sizing needs), and pack the (vec_a, vec_b)
+# pair into ONE long when the measured id range allows — half the
+# hashed bytes, a codegen long comparator. Measured at sf1 (194.3 M
+# distinct of 800 M raw, min of 2, identical counts): 111 s stock →
+# 67 s packed → 50 s right-sized → 43 s both (2.6×). 3 M packed rows
+# ≈ 24 MB raw per reducer leaves the hash-aggregate's structures
+# headroom inside a shared-heap task slot; the floor is the session's
+# default parallelism (never fewer tasks than cores — keeps the
+# local bench plan at the stock width), the ceiling bounds scheduler
+# load at any corpus size.
+_PAIR_ROWS_PER_PARTITION = 3_000_000
+_MAX_PAIR_PARTITIONS = 65_536
+
+
+def _distinct_pairs(cand_raw: DataFrame, left: DataFrame,
+                    right: DataFrame, keys: tuple,
+                    lid: str, rid: str) -> DataFrame:
+    """Distinct (vec_a, vec_b) over a raw same-bucket pair stream with
+    the dedup exchange right-sized from the join's own inputs (see the
+    sizing note above). ``left``/``right`` are the two join sides
+    (normally slices of one persisted bucket table — the sizing job is
+    a group-count over the cache, not a recompute), ``keys`` the join
+    key, ``lid``/``rid`` their vector-id columns. The pair is packed
+    into one long iff every id that can reach ``cand_raw`` lies in
+    [0, 2³¹) — measured in the same sizing job (ids on keys with no
+    match on the other side never reach the join, so the joined bound
+    covers exactly the reachable ids); the pack is a bijection there,
+    so counts and values are unchanged (asserted at sf1: 194 304 941
+    pairs both ways). ``cand_raw`` must be exactly the two pair
+    columns, (a, b) order; output schema matches it exactly."""
+    import math
+
+    pa, pb = cand_raw.columns
+    keys = list(keys)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("cl"),
+                                 F.min(lid).alias("lmin"),
+                                 F.max(lid).alias("lmax"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("cr"),
+                                  F.min(rid).alias("rmin"),
+                                  F.max(rid).alias("rmax"))
+    row = (lc.join(rc, keys)
+           .agg(F.sum(F.col("cl") * F.col("cr")).alias("mass"),
+                F.least(F.min("lmin"), F.min("rmin")).alias("lo"),
+                F.greatest(F.max("lmax"), F.max("rmax")).alias("hi"))
+           .collect()[0])
+    mass = int(row["mass"] or 0)
+    spark = cand_raw.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism,
+                 min(_MAX_PAIR_PARTITIONS,
+                     math.ceil(mass / _PAIR_ROWS_PER_PARTITION)))
+    dt = dict(cand_raw.dtypes)
+    if row["lo"] is not None and int(row["lo"]) >= 0 \
+            and int(row["hi"]) < (1 << 31):
+        pk = (F.col(pa).cast("long") * F.lit(1 << 32)
+              + F.col(pb).cast("long"))
+        return (cand_raw.select(pk.alias("pk"))
+                .repartition(nparts, "pk")
+                .distinct()
+                .select(F.shiftright("pk", 32).cast(dt[pa]).alias(pa),
+                        F.col("pk").bitwiseAND(F.lit((1 << 32) - 1))
+                        .cast(dt[pb]).alias(pb)))
+    return (cand_raw
+            .repartition(nparts, pa, pb)
+            .distinct())
+
+
 def _verify_candidates(e: DataFrame, cand: DataFrame,
                        slot: str = "lsh") -> DataFrame:
     """Shared exact-cosine verify tail for the whole LSH family: score
@@ -313,12 +387,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),
                            "table_id", "bucket_key")
-    cand = (
+    cand = _distinct_pairs(
         left.join(right, ["table_id", "bucket_key"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+        .select("vec_a", "vec_b"),
+        left, right, ("table_id", "bucket_key"), "vec_a", "vec_b")
     return _verify_candidates(e, cand, slot="lsh")
 
 
@@ -405,13 +478,12 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
               .union(flips))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
-    cand = (
+    cand = _distinct_pairs(
         probes.join(base, ["table_id", "k"])
         .where(F.col("vec_l") != F.col("vec_r"))
         .select(F.least("vec_l", "vec_r").alias("vec_a"),
-                F.greatest("vec_l", "vec_r").alias("vec_b"))
-        .distinct()
-    )
+                F.greatest("vec_l", "vec_r").alias("vec_b")),
+        probes, base, ("table_id", "k"), "vec_l", "vec_r")
     return _verify_candidates(e, cand, slot="mp1")
 
 
@@ -503,13 +575,12 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
               .union(flips))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
-    cand = (
+    cand = _distinct_pairs(
         probes.join(base, ["table_id", "k"])
         .where(F.col("vec_l") != F.col("vec_r"))
         .select(F.least("vec_l", "vec_r").alias("vec_a"),
-                F.greatest("vec_l", "vec_r").alias("vec_b"))
-        .distinct()
-    )
+                F.greatest("vec_l", "vec_r").alias("vec_b")),
+        probes, base, ("table_id", "k"), "vec_l", "vec_r")
     return _verify_candidates(e, cand, slot="mp2")
 
 
@@ -577,11 +648,12 @@ def probed_candidates(buckets: DataFrame) -> DataFrame:
               .union(buckets.select(
                   F.col("vec_id").alias("vec_l"), "table_id",
                   F.explode("probe_keys").alias("k"))))
-    return (probes.join(base, ["table_id", "k"])
-            .where(F.col("vec_l") != F.col("vec_r"))
-            .select(F.least("vec_l", "vec_r").alias("vec_a"),
-                    F.greatest("vec_l", "vec_r").alias("vec_b"))
-            .distinct())
+    return _distinct_pairs(
+        probes.join(base, ["table_id", "k"])
+        .where(F.col("vec_l") != F.col("vec_r"))
+        .select(F.least("vec_l", "vec_r").alias("vec_a"),
+                F.greatest("vec_l", "vec_r").alias("vec_b")),
+        probes, base, ("table_id", "k"), "vec_l", "vec_r")
 
 
 @contract("sim_ann_auto", oracle=_ANN_ORACLE)
@@ -742,10 +814,11 @@ def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str,
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),
                            "table_id", "bucket_key")
-    cand = (left.join(right, ["table_id", "bucket_key"])
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .distinct())
+    cand = _distinct_pairs(
+        left.join(right, ["table_id", "bucket_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b"),
+        left, right, ("table_id", "bucket_key"), "vec_a", "vec_b")
     return _verify_candidates(e, cand, slot="indexed")
 
 

@@ -301,13 +301,23 @@ def dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_NUM_PERM // _BAND_ROWS)
         ])).alias("band_id", "band_key"),
     )
+    # r14: persist the band table — without the barrier Catalyst plans
+    # the whole 64-permutation signature chain once PER SELF-JOIN SIDE
+    # (the same measured-2× lineage duplication sim_ann_lsh's bucket
+    # persist fixes), and the right-sized packed-key dedup
+    # (llm_extras._distinct_pairs sizing note) needs a cheap band table
+    # to price the join it is about to dedup.
+    from silvia_spark.functions.llm_extras import _distinct_pairs
+    from silvia_spark.io import managed_persist
+
+    bands = managed_persist(bands, "dedup_docs_minhash.bands")
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    cand = (
+    cand = _distinct_pairs(
         left.join(right, ["band_id", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    )
+        .select("doc_a", "doc_b"),
+        left, right, ("band_id", "band_key"), "doc_a", "doc_b")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

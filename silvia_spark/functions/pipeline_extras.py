@@ -106,18 +106,22 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous run's copy so long-lived sessions hold one cache, not N.
     # cap_buckets: same degenerate-bucket guard as sim_ann_lsh (a band bucket
     # of s docs is s² candidates); the cap never triggers on this corpus.
-    from silvia_spark.functions.llm_extras import _ANN_BUCKET_CAP, cap_buckets
+    from silvia_spark.functions.llm_extras import (_ANN_BUCKET_CAP,
+                                                   _distinct_pairs,
+                                                   cap_buckets)
 
     bands = managed_persist(
         cap_buckets(bands, _ANN_BUCKET_CAP, keys=("band_id", "band_key")),
         "dedup_docs_simhash.bands")
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    cand = (
+    # r14: right-sized packed-key dedup — llm_extras._distinct_pairs
+    # sizing note; the band table above is the persisted pricing input.
+    cand = _distinct_pairs(
         left.join(right, ["band_id", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    )
+        .select("doc_a", "doc_b"),
+        left, right, ("band_id", "band_key"), "doc_a", "doc_b")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -70,7 +70,7 @@ def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the shuffle carries ids, never vectors or text. Oracle is
     the exact all-pairs form, so green = recall 1 end-to-end."""
     from silvia_spark.functions.llm_extras import (
-        _ANN_BUCKET_CAP, bucket_keys, cap_buckets)
+        _ANN_BUCKET_CAP, _distinct_pairs, bucket_keys, cap_buckets)
     from silvia_spark.functions.llm_ops import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -81,11 +81,14 @@ def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vb"),
                            "table_id", "bucket_key")
-    cand = (
+    # r14: same right-sized packed-key dedup as the sim_ann family —
+    # the candidate distinct is this query's only stage whose shuffle
+    # grows quadratically with bucket occupancy (llm_extras sizing note).
+    cand = _distinct_pairs(
         left.join(right, ["table_id", "bucket_key"])
         .where(F.col("va") < F.col("vb"))
-        .select("va", "vb").distinct()
-    )
+        .select("va", "vb"),
+        left, right, ("table_id", "bucket_key"), "va", "vb")
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     dups = (
