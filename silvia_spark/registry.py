@@ -54,18 +54,28 @@ _PRIORITY: tuple[str, ...] = (
     # ============ r14 packing (evidence ledger after r13: r08=32,
     # r09=43, r10=39, r11=24, r12=44, r13=50; zero failures ever).
     # Window arithmetic: tier 0 = 6 contracts whose implementation
-    # changed in r14 after their newest evidence (the SQL INSERT
-    # writer rewrite for evolved tables, the Delta sidecar + Iceberg
-    # position-delete interop paths, index-aware sim_ann_auto, the
-    # constraint-retry fix behind L24, commit_delete's predicate-mode
-    # refactor behind L21) + 7 NEW r14 contracts (SQL DML triangle,
-    # indexed ANN, OPTIMIZE/CTAS/INSERT OVERWRITE), then the FULL
-    # 32-key r08 tail drains, then r09 keys oldest-first fill the
-    # window to 50 (5 make the cut).
-    # After this round the oldest evidence is r09. ==========
-    # -- tier 0: implementation changed in r14 after newest evidence --
+    # changed in the r14 BUILD after their newest evidence (the SQL
+    # INSERT writer rewrite for evolved tables, the Delta sidecar +
+    # Iceberg position-delete interop paths, index-aware sim_ann_auto,
+    # the constraint-retry fix behind L24, commit_delete's
+    # predicate-mode refactor behind L21) + tier 0a = 16 contracts
+    # whose PLANS changed in the r14 OPTIMIZATION pass (results
+    # oracle-identical, re-proven by tests/parity — but a driver green
+    # must postdate the plan it vouches for; see OPTIMIZATION_r14.md
+    # per-query sections) + tier 0b = 7 NEW r14 contracts (SQL DML
+    # triangle, indexed ANN, OPTIMIZE/CTAS/INSERT OVERWRITE). 29 head
+    # slots; the r08 tail (32 − 3 promoted = 29 keys) fills the window
+    # to 50 with 21 — the oldest 8 r08 keys roll to r15's head. ======
+    # -- tier 0: implementation changed in the r14 build --
     "sink_sql_insert", "source_delta_interop", "source_iceberg_interop",
     "sim_ann_auto", "sink_append_constrained", "sink_delete_dv",
+    # -- tier 0a: plan changed in the r14 optimization pass --
+    "sim_ann_lsh", "sim_ann_lsh_multiprobe", "sim_ann_lsh_multiprobe2",
+    "dedup_docs_minhash", "dedup_docs_simhash", "dedup_docs_embedding",
+    "dedup_cluster_cc", "dedup_near_keep_best", "curation_pipeline",
+    "text_ngram_jaccard", "text_tfidf", "text_unigram_logprob",
+    "q15_top_supplier", "q11_important_parts", "stream_stateful_funnel",
+    "sim_ann_ivf_kmeans",
     # -- tier 0b: NEW in r14 (SQL DML triangle, verdict #1/#9;
     # index-served ANN, verdict #7; OPTIMIZE/CTAS/OVERWRITE DDL) --
     "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
@@ -73,18 +83,19 @@ _PRIORITY: tuple[str, ...] = (
     "sink_sql_insert_overwrite",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
-    # -- r08-era evidence (the whole 32-key tail drains this round) --
+    # -- r08-era evidence (29 keys after 3 promoted to tier 0a; the
+    # newest 21 fill the window, the oldest 8 roll to r15) --
     "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
     "q7_volume_shipping", "q8_market_share", "sample_stratified",
     "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
-    "sim_ann_ivf_kmeans", "sim_centroids", "sim_topk_cosine",
+    "sim_centroids", "sim_topk_cosine",
     "sink_partition_overwrite", "source_orc", "source_rate_stream",
     "stream_dedup_live", "stream_foreachbatch_upsert", "stream_funnel_live",
     "stream_session_live", "stream_static_join_live",
     "stream_stream_join_live", "stream_transform_with_state",
     "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
-    "text_ngram_jaccard", "text_pack_sequences", "text_pii_scrub",
-    "text_tfidf", "text_unicode_normalize", "window_gaps_islands",
+    "text_pack_sequences", "text_pii_scrub",
+    "text_unicode_normalize", "window_gaps_islands",
     "window_ignore_nulls",
     # -- r09-era evidence (oldest 8 make the window) --
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
@@ -103,8 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r10-era evidence --
     "agg_bool_quantifiers", "agg_collect_sorted", "agg_corr_exact",
     "agg_filtered_counts", "agg_percentiles", "agg_rollup_multires",
-    "agg_string_listagg", "dedup_docs_exact", "dedup_docs_minhash",
-    "dedup_docs_simhash", "dedup_near_keep_best", "dedup_url_canonical",
+    "agg_string_listagg", "dedup_docs_exact", "dedup_url_canonical",
     "embed_norm_stats", "etl_currency_convert", "etl_ip_geo_range",
     "etl_ua_referer_enrich", "events_attribution_touch",
     "events_funnel_conversion", "filter_null_semantics", "join_asof_nearest",
@@ -118,7 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r11-era evidence --
     "scan_partition_pruned", "source_python_datasource",
     "stream_dedup_exact", "stream_session_30m", "stream_sliding",
-    "stream_stateful_funnel", "stream_static_join", "stream_stream_join",
+    "stream_static_join", "stream_stream_join",
     "stream_tumbling_1h", "text_fingerprint", "text_fuzzy_pairs",
     "text_lang_profile", "text_quality_filter", "text_term_freq",
     "text_token_bpe", "text_tokenize_stats", "udaf_pandas_grouped",
@@ -126,10 +136,10 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_apply_in_pandas", "udtf_python", "window_first_last",
     "window_moving_frame",
     # -- r12-era evidence --
-    "agg_heavy_hitters", "curation_pipeline", "dedup_cluster_cc",
+    "agg_heavy_hitters",
     "events_retention_cohort", "filter_compound", "filter_like_regexp",
     "join_null_safe", "join_range_banded", "limit_offset", "pivot_unpivot",
-    "proj_distinct", "proj_select_alias", "q11_important_parts",
+    "proj_distinct", "proj_select_alias",
     "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
     "q20_dominant_suppliers", "q2_min_cost_supplier", "q6_forecast_revenue",
     "q9_product_profit", "scalar_array", "scalar_cast", "scalar_conditional",
@@ -143,21 +153,20 @@ _PRIORITY: tuple[str, ...] = (
     "stream_manifest_source", "stream_replicate_table",
     "window_percent_rank", "window_range_frame",
     # -- r13-era evidence --
-    "agg_mode_frequent", "agg_time_gapfill", "dedup_docs_embedding",
+    "agg_mode_frequent", "agg_time_gapfill",
     "etl_events_enriched", "multimodal_frame_sample", "multimodal_join",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q19_disjunctive", "q21_waiting_orders",
+    "q19_disjunctive", "q21_waiting_orders",
     "scalar_hash", "scalar_json", "scalar_map", "scalar_math",
     "scalar_regexp", "scalar_string", "scan_catalog_attached",
     "scan_manifest_changes", "scan_parquet", "scan_schema_evolution",
     "scan_table_clone", "scan_time_travel_ts", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe", "sim_ann_lsh_multiprobe2",
+    "set_union_all", "set_union_distinct",
     "sim_join_threshold", "sink_compaction_small_files",
     "sink_jdbc_postgres", "sink_merge_scd2", "sink_parquet_partitioned",
     "sink_python_datasource", "sort_multikey_nulls", "source_csv_tsv",
     "source_json_lines", "stream_changes_cdf", "stream_kafka_shim_live",
-    "subquery_scalar", "text_unigram_logprob", "topk_limit",
+    "subquery_scalar", "topk_limit",
 )
 
 
