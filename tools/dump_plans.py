@@ -52,10 +52,15 @@ AUDITED = [
     ("etl_events_enriched", ["WindowGroupLimit", "BroadcastHashJoin"],
      "the full ETL composite: dedup exchange pre-truncated map-side, "
      "dimension enrich is a broadcast hash lookup, rollup partial-aggs."),
-    ("sim_ann_lsh", ["HashAggregate", "SortMergeJoin"],
+    ("sim_ann_lsh", ["HashAggregate", "hashpartitioning(pk#"],
      "sign-projection GEMM folds into partial HashAggregates (codegen); "
      "candidates come from the bucket self-join, never an all-pairs "
-     "product."),
+     "product. r14: the candidate distinct is the packed-long "
+     "right-sized repartition (pk) feeding one HashAggregate with no "
+     "second exchange; the self-join strategy is deliberately LEFT to "
+     "size statistics (broadcast at test scale where the bucket cache "
+     "is ~1 MB, sort-merge at sf1+ where it exceeds the threshold), so "
+     "no join operator is pinned here."),
     ("sim_topk_cosine", ["HashAggregate", "BroadcastHashJoin",
                          "TakeOrderedAndProject"],
      "r04 kernel swap: corpus-vs-query scoring is GEMM-by-join — "
