@@ -8,14 +8,15 @@ module holds the scale-shaped variant:
 
 1. Per vector, compute ``T`` bucket keys (one per hash table). A key packs
    ``B`` sign bits; bit *(t,b)* is the sign of a dot product with a
-   Rademacher ±1 hyperplane (fixed seed). The dots are computed as a
-   GEMM-by-join: posexplode(embedding) ⋈ broadcast sign table (dim×T·B
-   rows) → hash-aggregate on (vec_id, proj_id) — every stage is
-   whole-stage-codegen HashAggregate/BroadcastHashJoin, no interpreted
-   higher-order lambdas. Dot terms are quantized to 1e-9 and summed as
-   BIGINT, so the sign bits are bit-reproducible under any partitioning
-   (a double sum's last-ulp order sensitivity could otherwise flip a
-   near-zero sign).
+   Rademacher ±1 hyperplane (fixed seed). The dots run as ONE numpy GEMM
+   per Arrow batch inside a map-only kernel (``_bucket_keys_np``, r14 —
+   measured 22× the r13 JVM GEMM-by-join at sf1; that posexplode ⋈
+   broadcast sign-table → hash-aggregate chain is retained as
+   ``_quantized_dots``, the reference the equality tests compare
+   against). Dot terms are quantized to 1e-9 and summed exactly as
+   integers, so the sign bits are bit-reproducible under any
+   partitioning and batch split (a double sum's last-ulp order
+   sensitivity could otherwise flip a near-zero sign).
 2. posexplode keys → self equi-join on ``(table_id, bucket_key)`` — only
    same-bucket pairs are ever materialized. This is the one shuffle that
    grows with candidates, keyed by 16 bytes, never by vectors.
@@ -32,10 +33,10 @@ proves recall = 1 on this corpus. For production thresholds (≥ 0.8,
 per-bit p ≈ 0.8) the same recall needs far fewer tables; tune (B, T) with
 the closed form. See SCALE.md §ANN.
 
-At 100 TB: map work is O(n·dim) explode + O(n·dim·T·B) multiply inside
-partial aggregation (map-side combine collapses the join fan-out before
-any shuffle); the alternative constant-factor upgrade is a numpy GEMM in
-an Arrow-batched Pandas UDF — same semantics, swap-in. Bucket skew (dense
+At 100 TB: index work is O(n·dim·T·B) multiply-adds at BLAS speed in a
+map-only stage — nothing shuffles until the bucket self-join, and the
+kernel ships only (vec_id, embedding) across the Arrow boundary (guide
+§4.1/§4.2). Bucket skew (dense
 clusters) is handled by AQE skew-join splitting PLUS the explicit
 ``cap_buckets`` guard: buckets over ``_ANN_BUCKET_CAP`` members are excluded
 from candidate generation, bounding the worst bucket's pair count at cap²
@@ -107,7 +108,14 @@ def _quantized_dots(spark: SparkSession, e: DataFrame, seed: int,
     close to zero — the same measure-zero class as the hyperplane passing
     through a point. Shared by every hyperplane family (base + multiprobe)
     so the quantization constant and sign derivation have exactly one
-    definition to fix."""
+    definition to fix.
+
+    r14: this JVM GEMM-by-join is no longer on the query path — the
+    bucket producers below moved to ``_bucket_keys_np`` (one numpy GEMM
+    per Arrow batch, same quantization, bit-identical outputs pinned in
+    tests/test_ann_numpy_kernel.py). Kept as the reference
+    implementation the equality test compares against, and as the
+    fallback shape documented in the module docstring."""
     hyper = _sign_table(spark, seed, nproj)
     ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     return (
@@ -116,6 +124,138 @@ def _quantized_dots(spark: SparkSession, e: DataFrame, seed: int,
         .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
                            * F.lit(1e9)).cast("bigint")).alias("dot_q"))
     )
+
+
+# Rademacher matrices are pure functions of (seed, nproj) — constants,
+# not data — so the collected form is memoized per process. The one
+# tiny job that fills a slot is the same collect-at-build pattern as
+# the _distinct_pairs sizing job.
+_SIGN_CACHE: dict = {}
+
+
+def _sign_matrix(spark: SparkSession, seed: int, nproj: int):
+    """The ``_sign_table`` family as a dim×nproj numpy ±1 matrix (the
+    exact same xxhash64-parity values, collected once per (seed, nproj)
+    per process — 16 k rows for the base family)."""
+    import numpy as np
+
+    key = (seed, nproj)
+    mat = _SIGN_CACHE.get(key)
+    if mat is None:
+        rows = _sign_table(spark, seed, nproj).collect()
+        mat = np.zeros((_ANN_DIM, nproj), dtype=np.float64)
+        for r in rows:
+            mat[r["pos"], r["proj_id"]] = r["sgn"]
+        mat.setflags(write=False)
+        _SIGN_CACHE[key] = mat
+    return mat
+
+
+def _round_half_up_1e9(X):
+    """``F.round(x * 1e9)`` (scale 0) semantics, vectorized: Spark rounds
+    doubles as decimal HALF_UP over the shortest decimal representation
+    (java BigDecimal.valueOf). copysign(floor(|v|+0.5), v) agrees with
+    that everywhere except when |v| sits within a float-add ulp of a
+    .5 boundary; those (measure-zero, usually zero per corpus) elements
+    are re-done through Python's Decimal(repr(v)) — the same
+    shortest-repr digits java's valueOf uses — so the kernel is
+    bit-identical to the JVM expression on EVERY input, not just
+    almost-every."""
+    import numpy as np
+
+    V = X * 1e9
+    A = np.abs(V)
+    R = np.floor(A + 0.5)
+    sus = np.abs(A - (np.floor(A) + 0.5)) <= np.spacing(A) * 4
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal("1")
+        flat_idx = np.flatnonzero(sus)
+        av = A.reshape(-1)
+        rv = R.reshape(-1)
+        for i in flat_idx:
+            rv[i] = float(Decimal(repr(float(av[i])))
+                          .quantize(one, rounding=ROUND_HALF_UP))
+    return np.copysign(R, V)
+
+
+def _bucket_keys_np(spark: SparkSession, e: DataFrame, seed: int,
+                    nproj: int, bits: int = _ANN_BITS,
+                    sample_proj: int | None = None) -> DataFrame:
+    """vec_id → (table_id, bucket_key, w0, w1): the whole hyperplane
+    index stage as ONE map-only Arrow/numpy pass (guide §4.2: hand whole
+    batches to vectorized native code; §2.4: the explode ⋈ sign-table →
+    two-exchange aggregate chain is gone outright — nothing shuffles
+    until the bucket self-join).
+
+    Semantics are bit-identical to the ``_quantized_dots`` JVM chain,
+    by construction (pinned in tests/test_ann_numpy_kernel.py):
+
+    - same hyperplanes: the collected ``_sign_table`` (xxhash64 parity);
+    - same quantization: ``_round_half_up_1e9`` replicates
+      ``F.round(x·sgn·1e9)`` exactly, and the int-valued float64 GEMM is
+      exact (|dot_q| < 2⁵³ by orders of magnitude), so ``dot_q`` matches
+      the JVM long sum bit for bit under any partitioning;
+    - same weak-bit order: stable argsort over |dot_q| ties to the lower
+      bit index — the JVM's lexicographic (|dot_q|, bit_pos) struct min;
+    - same null semantics: NULL/empty embeddings emit no rows (the JVM
+      posexplode emits nothing for them), short vectors contribute only
+      their present positions (missing terms = 0).
+
+    Measured (sf1, 20 k × 64-dim, 64 tables): 18.8 s JVM chain → 0.9 s
+    (see OPTIMIZATION_r14.md §10). w0/w1 are the two weakest bit
+    positions; base callers drop them, probe callers fold them into
+    probe keys with the same JVM xor expressions as before.
+    ``sample_proj`` serves the occupancy estimator: only the FIRST
+    ``sample_proj`` projections of the family are computed (the same
+    proj_id < n filter the estimator applied to the JVM dots)."""
+    S_full = _sign_matrix(spark, seed, nproj)
+    S = S_full[:, :sample_proj] if sample_proj else S_full
+    tables = S.shape[1] // bits
+    dim = S.shape[0]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        tab_ids = np.arange(tables, dtype=np.int64)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            embs = pdf["embedding"].to_numpy()
+            keep = np.fromiter(
+                (v is not None and len(v) > 0 for v in embs),
+                dtype=bool, count=len(embs))
+            if not keep.all():
+                pdf = pdf[keep]
+                embs = embs[keep]
+            n = len(embs)
+            if n == 0:
+                continue
+            X = np.zeros((n, dim), dtype=np.float64)
+            for i, v in enumerate(embs):
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                X[i, :a.shape[0]] = a
+            D = (_round_half_up_1e9(X) @ S).astype(np.int64)
+            B = D.reshape(n, tables, bits)
+            keys = ((B >= 0).astype(np.int64) * weights).sum(
+                axis=2, dtype=np.int64)
+            order = np.argsort(np.abs(B), axis=2, kind="stable")
+            w0 = order[:, :, 0]
+            w1 = order[:, :, 1] if bits > 1 else w0
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                "table_id": np.tile(tab_ids, n),
+                "bucket_key": keys.reshape(-1),
+                "w0": w0.reshape(-1).astype(np.int32),
+                "w1": w1.reshape(-1).astype(np.int32),
+            })
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id bigint, table_id bigint, bucket_key bigint, "
+             "w0 int, w1 int")
 
 
 # --- ANN variant chooser (r10 verdict item 4) ---------------------------------
@@ -186,27 +326,12 @@ def estimate_ann_candidates_per_vec(spark: SparkSession, e: DataFrame,
     # (nproj = sample slice) would hash DIFFERENT hyperplanes than the
     # 64-table index actually uses — a skew-aligned corpus would then
     # be priced against buckets that never exist (r11 review finding).
-    # Filtering the FULL family to the first projections keeps the
-    # GEMM cost at the sampled slice while matching bucket_keys bit
-    # for bit.
+    # sample_proj slices the FULL family's matrix to its first
+    # projections, keeping the GEMM cost at the sampled slice while
+    # matching bucket_keys bit for bit.
     nsample = sample_tables * _ANN_BITS
-    hyper = _sign_table(spark, _ANN_SEED, _N_PROJ).where(
-        F.col("proj_id") < nsample)
-    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    dots = (ev.join(F.broadcast(hyper), "pos")
-            .groupBy("vec_id", "proj_id")
-            .agg(F.sum(F.round(F.col("x").cast("double") * F.col("sgn")
-                               * F.lit(1e9)).cast("bigint"))
-                 .alias("dot_q")))
-    bit_val = F.when(
-        F.col("dot_q") >= 0,
-        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)
-    occ = (dots.select("vec_id",
-                       F.expr(f"proj_id div {_ANN_BITS}")
-                       .alias("table_id"),
-                       bit_val.alias("bv"))
-           .groupBy("vec_id", "table_id")
-           .agg(F.sum("bv").alias("bucket_key"))
+    occ = (_bucket_keys_np(spark, e, _ANN_SEED, _N_PROJ,
+                           sample_proj=nsample)
            .groupBy("table_id", "bucket_key")
            .agg(F.count(F.lit(1)).alias("c")))
     mass = occ.agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)
@@ -218,19 +343,10 @@ def estimate_ann_candidates_per_vec(spark: SparkSession, e: DataFrame,
 
 def bucket_keys(spark: SparkSession, e: DataFrame) -> DataFrame:
     """vec_id → (table_id, bucket_key) rows, one per hash table (see
-    ``_quantized_dots`` for the determinism argument)."""
-    dots = _quantized_dots(spark, e, _ANN_SEED, _N_PROJ)
-    bit_val = F.when(
-        F.col("dot_q") >= 0,
-        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")
-    ).otherwise(0)
-    return (
-        dots.select("vec_id",
-                    F.expr(f"proj_id div {_ANN_BITS}").alias("table_id"),
-                    bit_val.alias("bv"))
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bv").alias("bucket_key"))
-    )
+    ``_bucket_keys_np`` for the determinism argument — outputs are
+    bit-identical to the r13 JVM aggregate form)."""
+    return _bucket_keys_np(spark, e, _ANN_SEED, _N_PROJ).select(
+        "vec_id", "table_id", "bucket_key")
 
 
 # The oracle is the EXACT all-pairs query (same as J4): green hash ⇒ the LSH
@@ -409,26 +525,11 @@ def bucket_keys_multiprobe(spark: SparkSession, e: DataFrame) -> DataFrame:
     chosen by lexicographic min over (|dot|, bit_pos), so ties are
     deterministic under any partitioning (a bare min_by would pick the
     first-encountered row — partition-order dependent). The sign/GEMM
-    stage is the shared ``_quantized_dots`` kernel under the multiprobe
-    family's own seed."""
-    dots = _quantized_dots(spark, e, _MP_SEED, _MP_NPROJ)
-    bit_pos = F.expr(f"CAST(pmod(proj_id, {_ANN_BITS}) AS INT)")
-    bit_val = F.when(
-        F.col("dot_q") >= 0,
-        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)
-    per_tab = (
-        dots.select("vec_id",
-                    F.expr(f"proj_id div {_ANN_BITS}").alias("table_id"),
-                    bit_val.alias("bv"),
-                    F.struct(F.abs("dot_q").alias("m"),
-                             bit_pos.alias("p")).alias("margin"))
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bv").alias("bucket_key"),
-             F.min("margin").getField("p").alias("weak_bit"))
-    )
-    return per_tab.select(
+    stage is the shared ``_bucket_keys_np`` kernel under the multiprobe
+    family's own seed (w0 IS the stable-argsort weakest bit)."""
+    return _bucket_keys_np(spark, e, _MP_SEED, _MP_NPROJ).select(
         "vec_id", "table_id", "bucket_key",
-        F.expr("bucket_key ^ shiftleft(1, weak_bit)").alias("probe_key"))
+        F.expr("bucket_key ^ shiftleft(1, w0)").alias("probe_key"))
 
 
 @contract("sim_ann_lsh_multiprobe", oracle=_ANN_ORACLE)
@@ -502,29 +603,15 @@ def bucket_keys_multiprobe2(spark: SparkSession, e: DataFrame) -> DataFrame:
     key. The two weakest bits come from sort_array over the per-table
     (|dot|, bit_pos) structs — a full lexicographic sort of 4 elements,
     deterministic under any partition/collection order (same discipline
-    as multiprobe-1's min-struct, extended to rank 2)."""
-    dots = _quantized_dots(spark, e, _MP2_SEED, _MP2_NPROJ)
-    bit_pos = F.expr(f"CAST(pmod(proj_id, {_ANN_BITS}) AS INT)")
-    bit_val = F.when(
-        F.col("dot_q") >= 0,
-        F.expr(f"shiftleft(1, pmod(proj_id, {_ANN_BITS}))")).otherwise(0)
-    per_tab = (
-        dots.select("vec_id",
-                    F.expr(f"proj_id div {_ANN_BITS}").alias("table_id"),
-                    bit_val.alias("bv"),
-                    F.struct(F.abs("dot_q").alias("m"),
-                             bit_pos.alias("p")).alias("margin"))
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bv").alias("bucket_key"),
-             F.slice(F.sort_array(F.collect_list("margin")), 1, 2)
-             .alias("weak2"))
-    )
-    return per_tab.select(
+    as multiprobe-1's min-struct, extended to rank 2; the shared
+    ``_bucket_keys_np`` kernel's stable argsort realizes exactly that
+    order, w0/w1 = the two weakest bit positions)."""
+    return _bucket_keys_np(spark, e, _MP2_SEED, _MP2_NPROJ).select(
         "vec_id", "table_id", "bucket_key",
-        F.expr("bucket_key ^ shiftleft(1, weak2[0].p)").alias("probe1"),
-        F.expr("bucket_key ^ shiftleft(1, weak2[1].p)").alias("probe2"),
-        F.expr("bucket_key ^ shiftleft(1, weak2[0].p)"
-               " ^ shiftleft(1, weak2[1].p)").alias("probe12"))
+        F.expr("bucket_key ^ shiftleft(1, w0)").alias("probe1"),
+        F.expr("bucket_key ^ shiftleft(1, w1)").alias("probe2"),
+        F.expr("bucket_key ^ shiftleft(1, w0)"
+               " ^ shiftleft(1, w1)").alias("probe12"))
 
 
 @contract("sim_ann_lsh_multiprobe2", oracle=_ANN_ORACLE)
@@ -606,33 +693,18 @@ def bucket_keys_probed(spark: SparkSession, e: DataFrame, *,
     if probes not in (0, 1, 3):
         raise ValueError("probes must be 0, 1 or 3")
     nproj = tables * bits
-    dots = _quantized_dots(spark, e, seed, nproj)
-    bit_pos = F.expr(f"CAST(pmod(proj_id, {bits}) AS INT)")
-    bit_val = F.when(
-        F.col("dot_q") >= 0,
-        F.expr(f"shiftleft(1, pmod(proj_id, {bits}))")).otherwise(0)
-    per_tab = (
-        dots.select("vec_id",
-                    F.expr(f"proj_id div {bits}").alias("table_id"),
-                    bit_val.alias("bv"),
-                    F.struct(F.abs("dot_q").alias("m"),
-                             bit_pos.alias("p")).alias("margin"))
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bv").alias("bucket_key"),
-             F.slice(F.sort_array(F.collect_list("margin")), 1, 2)
-             .alias("weak2"))
-    )
+    per_tab = _bucket_keys_np(spark, e, seed, nproj, bits=bits)
     if probes == 0:
         probe_expr = F.expr("array()").cast("array<bigint>")
     elif probes == 1:
         probe_expr = F.expr(
-            "array(bucket_key ^ shiftleft(1, weak2[0].p))")
+            "array(bucket_key ^ shiftleft(1, w0))")
     else:
         probe_expr = F.expr(
-            "array(bucket_key ^ shiftleft(1, weak2[0].p),"
-            "      bucket_key ^ shiftleft(1, weak2[1].p),"
-            "      bucket_key ^ shiftleft(1, weak2[0].p)"
-            "                 ^ shiftleft(1, weak2[1].p))")
+            "array(bucket_key ^ shiftleft(1, w0),"
+            "      bucket_key ^ shiftleft(1, w1),"
+            "      bucket_key ^ shiftleft(1, w0)"
+            "                 ^ shiftleft(1, w1))")
     return per_tab.select("vec_id", "table_id", "bucket_key",
                           probe_expr.alias("probe_keys"))
 

@@ -43,10 +43,12 @@ def test_warm_index_skips_gemm_with_identical_output(spark, tmp_path):
     e = load_table(spark, SF, "embeddings")
     v = persist_ann_index(spark, e, idx)
     assert v == 1 and ann_index_fresh(e, idx)
-    # the GEMM is GONE from the warm bucket plan: no posexplode of the
+    # the GEMM is GONE from the warm bucket plan: no numpy index kernel
+    # (MapInPandas, the r14 form), no posexplode of the
     # embedding, no hyperplane hash-aggregate — a manifest scan only
     plan = _bucket_plan(spark, SF, idx)
     assert "posexplode" not in plan and "xxhash64" not in plan
+    assert "mapinpandas" not in plan.lower()
     # and the pair output is identical to the compute-every-time path
     assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
         _pairs(sim_ann_lsh(spark, SF))
@@ -90,7 +92,8 @@ def test_auto_routes_through_warm_index_gemm_free(spark, tmp_path,
     monkeypatch.setenv("SILVIA_ANN_INDEX_ROOT", idx)
     warm_df = sim_ann_auto(spark, SF)
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
-    assert "posexplode" not in plan and "xxhash64" not in plan, (
+    assert "posexplode" not in plan and "xxhash64" not in plan \
+        and "mapinpandas" not in plan.lower(), (
         "warm sim_ann_auto must not contain the hyperplane GEMM")
     assert _pairs(warm_df) == cold
     # the registered contract row serves the same pairs
@@ -123,8 +126,9 @@ def test_index_built_over_empty_corpus_then_grown(spark, tmp_path):
 
 def test_stale_or_missing_index_falls_back(spark, tmp_path):
     idx = os.path.join(str(tmp_path), "ann_idx")
-    # missing: compute path (GEMM present), correct output
+    # missing: compute path (the numpy GEMM kernel present), correct
+    # output
     plan = _bucket_plan(spark, SF, idx)
-    assert "posexplode" in plan.lower()
+    assert "mapinpandas" in plan.lower()
     assert _pairs(sim_ann_lsh_indexed(spark, SF, idx)) == \
         _pairs(sim_ann_lsh(spark, SF))
