@@ -79,13 +79,18 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification is the same exact-Jaccard kernel as J2, so false
     candidates never reach the output. At 100 TB the per-band bucket
     cap/salting guard of SCALE.md §ANN applies identically."""
-    from silvia_spark.functions.llm_ops import _shingles
+    from silvia_spark.functions.llm_ops import (_explode_shingle_hashes,
+                                                _shingles,
+                                                _verify_jaccard_pairs)
 
-    d = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("w"))
     sh = _shingles(d)
-    th = (sh.select("doc_id", F.explode("sh").alias("t"))
-          .select("doc_id", F.xxhash64("t").alias("h")))
+    # r14 §11: lambda-bound hash explode — shingling once per doc (the
+    # plain explode ran the interpreted shingling 3× per doc via
+    # InferFiltersFromGenerate; same fix as dedup_docs_minhash).
+    th = _explode_shingle_hashes(sh, lambda t: F.xxhash64(t))
     bits = (
         th.select("doc_id", "h",
                   F.explode(F.expr("sequence(0, 63)")).alias("j"))
@@ -122,17 +127,9 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b"),
         left, right, ("band_id", "band_key"), "doc_a", "doc_b")
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("j"))
-        .where(F.col("j") >= 0.8)
-        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    # r14 §11: candidate-pruned exact verify shared with
+    # dedup_docs_minhash (was: two more full-corpus shingle passes).
+    return _verify_jaccard_pairs(docs, cand, "dedup_docs_simhash")
 
 
 # --- IVF-pruned top-k ---------------------------------------------------------
