@@ -53,9 +53,10 @@ AUDITED = [
      "the full ETL composite: dedup exchange pre-truncated map-side, "
      "dimension enrich is a broadcast hash lookup, rollup partial-aggs."),
     ("sim_ann_lsh", ["HashAggregate", "hashpartitioning(pk#"],
-     "sign-projection GEMM folds into partial HashAggregates (codegen); "
-     "candidates come from the bucket self-join, never an all-pairs "
-     "product. r14: the candidate distinct is the packed-long "
+     "sign projections run as ONE map-only numpy GEMM per Arrow batch "
+     "(MapInPandas — r14 kernel swap, bit-identical to the retained JVM "
+     "reference); candidates come from the bucket self-join, never an "
+     "all-pairs product. r14: the candidate distinct is the packed-long "
      "right-sized repartition (pk) feeding one HashAggregate with no "
      "second exchange; the self-join strategy is deliberately LEFT to "
      "size statistics (broadcast at test scale where the bucket cache "
@@ -221,9 +222,10 @@ AUDITED = [
      "norm profile: zero-shuffle scan + label-keyed partial aggregate — "
      "the exchange carries label-cardinality rows, not vectors."),
     ("sim_ann_lsh_multiprobe", ["HashAggregate", "HashJoin"],
-     "multiprobe LSH: sign bits from integer-quantized GEMM partial "
-     "aggregates; candidates from the (table, key) equi-join with the "
-     "probe union on one side only — never an all-pairs product."),
+     "multiprobe LSH: sign bits + weak-bit margins from the map-only "
+     "numpy GEMM kernel (r14); candidates from the (table, key) "
+     "equi-join with the probe union on one side only — never an "
+     "all-pairs product."),
     ("scalar_variant", ["Project"],
      "VARIANT access is a pure codegen projection: one parse_json per "
      "row, typed variant_get path reads, zero shuffle."),
@@ -240,9 +242,9 @@ AUDITED = [
      "filter + sort_array — no Python eval node); one exchange for the "
      "canonical-key groupBy plus the output sort."),
     ("sim_ann_lsh_multiprobe2", ["HashAggregate", "HashJoin"],
-     "16-table GEMM via the shared quantized-dots kernel; stack() fans "
-     "each vector to its 3 flip probes on the probe side only; "
-     "same-bucket equi-join, capped buckets."),
+     "16-table index via the shared map-only numpy GEMM kernel (r14); "
+     "stack() fans each vector to its 3 flip probes on the probe side "
+     "only; same-bucket equi-join, capped buckets."),
     ("join_asof_nearest", ["Window", "HashJoin"],
      "nearest-direction as-of: bucket equi-join with the tolerance "
      "predicate bounding kept pairs, then the per-event arg-min window "
