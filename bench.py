@@ -164,10 +164,17 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "value_with_compile": round(total + compile_total, 4),
+        # r15 (r14 verdict item 4): per-query MARGINAL (t − floor_scan,
+        # the floor-normalized, cross-session-attributable number) rides
+        # the final line as an array aligned to the `queries` key order.
+        # Budget offsets (additions-only otherwise — the 13-query set,
+        # timing method and floor controls are untouched):
+        # value_with_compile (= value + plan_compile_sec) and
+        # marginal_sweep_sec (= sum(qm)) are DERIVABLE and moved to the
+        # diagnostics line along with the load_gate context field.
+        "qm": [marginal[k] for k in timings],
         "floor_sec": floor,
         "floor_scan_sec": floor_scan,
-        "marginal_sweep_sec": round(sum(marginal.values()), 4),
         "ratio_raw_geomean": _geo(ratios_raw),
         "ratio_marginal_geomean": _geo(ratios_marg),
         "raw_gate_breaches": breaches,
@@ -180,7 +187,6 @@ def headline_line(total, timings, compile_total, floor, floor_scan, marginal,
         # under the ~2000-char tail cap.
         "iterative": iterative,
         "loadavg": loadavg,
-        "load_gate": load_gate,
         "fb": floor_band or {},
         "sf": sf_val,
     }
@@ -420,6 +426,27 @@ def main() -> None:
             break
         time.sleep(float(os.environ.get(
             "SPARK_GRAFT_FLOOR_RETRY_SLEEP", "15")))
+    # r15 (r14 verdict item 6): the extended sim_ann_indexed row times
+    # the warm-index READBACK (the contract's documented semantics — the
+    # no-op persist + index-served query a warm session takes). Pair it
+    # with a COLD number so the artifact cannot be over-read: clear the
+    # index root, fresh plan, full build + query end-to-end, min over
+    # sweeps. Rides the diagnostics line (ann_index_cold_sec).
+    import hashlib
+    import shutil
+    import tempfile
+    idx_root = os.path.join(
+        tempfile.gettempdir(), "silvia_annidx_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    from silvia_spark.io import clear_caches
+    ann_cold = float("inf")
+    for _ in range(sweeps):
+        shutil.rmtree(idx_root, ignore_errors=True)
+        clear_caches()  # a warm bucket slot would mask the cold read
+        t0 = time.perf_counter()
+        registry.QUERIES["sim_ann_indexed"](spark, sf_dir).toArrow()
+        ann_cold = min(ann_cold, time.perf_counter() - t0)
+
     timings = {k: round(v, 4) for k, v in timings.items()}
     extended = {k: round(v, 3) for k, v in extended.items()}
     iterative = {k: round(v, 4) for k, v in iterative.items()}
@@ -457,12 +484,12 @@ def main() -> None:
         "plan_compile_sec": compile_total,
         "queries_compile_sec": compiles,
         "warmup_sec": warmup_sec,
-        "queries_marginal_sec": marginal,
         "floor_note": ("raw_gate_breaches (headline line) list marginal "
                        "beside raw: a breach whose marginal ratio is <=2 "
                        "is Spark's constant ~17ms local scheduling floor "
                        "on a ms-scale query, not marginal work; per-query "
-                       "marginal = t - floor_scan_sec, spelled out here"),
+                       "marginal = t - floor_scan_sec = the final line's "
+                       "qm array (aligned to its queries key order)"),
         "floor_band_hist": _floor_band(),
         "skew_aqe": _skew_aqe(),
         "sf1_raw_ratios": _sf1_ratios(),
@@ -478,10 +505,20 @@ def main() -> None:
                  "the scale-representative number to ratio against DuckDB "
                  "(whose floor is ~0.1ms). sim_topk_cosine / "
                  "dedup_docs_exact raw-gate breaches are floor-bound: "
-                 "marginal ratios sit inside the gate (per-query marginal "
-                 "is spelled out in queries_marginal_sec on THIS line; the "
-                 "headline line carries the sum, the geomeans, and the "
-                 "measured sf1 counter-ratios)."),
+                 "marginal ratios sit inside the gate. r15: per-query "
+                 "marginal rides the FINAL line as qm (r14 verdict item "
+                 "4); value_with_compile (= value + plan_compile_sec), "
+                 "marginal_sweep_sec (= sum(qm)) and the load_gate "
+                 "context moved HERE (derivable/context, line budget), "
+                 "spelled out below."),
+        # tail-capture-friendly ordering: these four ride LAST so the
+        # driver's ~2000-char stdout tail keeps them even when the
+        # prose above is truncated away.
+        "value_with_compile": round(total + compile_total, 4),
+        "marginal_sweep_sec": round(sum(marginal.values()), 4),
+        "ann_index_cold_sec": round(ann_cold, 4),
+        "load_gate": load_gate,
+        "queries_marginal_sec": marginal,
         "sf": sf_val,
     }))
     # 2x-gate ratios vs BASELINE.md's measured DuckDB numbers, raw and

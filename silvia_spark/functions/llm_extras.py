@@ -210,12 +210,26 @@ def _bucket_keys_np(spark: SparkSession, e: DataFrame, seed: int,
     ``sample_proj`` serves the occupancy estimator: only the FIRST
     ``sample_proj`` projections of the family are computed (the same
     proj_id < n filter the estimator applied to the JVM dots)."""
+    # r15 ADVICE hardening: bits < 2 would silently emit w1 == w0 where
+    # the JVM reference's weak2[1] is NULL (a self-probe instead of a
+    # null-propagating key); no caller uses bits < 2 — refuse loudly.
+    if bits < 2:
+        raise ValueError("_bucket_keys_np requires bits >= 2 (w1 is "
+                         "the rank-2 weak bit; see ADVICE r14)")
     S_full = _sign_matrix(spark, seed, nproj)
-    S = S_full[:, :sample_proj] if sample_proj else S_full
+    # `is not None`, not truthiness: sample_proj=0 must not silently
+    # select the full family (r15 ADVICE).
+    if sample_proj is not None:
+        if sample_proj <= 0 or sample_proj % bits:
+            raise ValueError("sample_proj must be a positive multiple "
+                             f"of bits={bits}, got {sample_proj}")
+        S = S_full[:, :sample_proj]
+    else:
+        S = S_full
     tables = S.shape[1] // bits
     dim = S.shape[0]
 
-    def gen(batches):
+    def _ann_gemm_gen(batches):
         import numpy as np
         import pandas as pd
 
@@ -238,13 +252,26 @@ def _bucket_keys_np(spark: SparkSession, e: DataFrame, seed: int,
             for i, v in enumerate(embs):
                 a = np.asarray(v, dtype=np.float64)[:dim]
                 X[i, :a.shape[0]] = a
+            # NULL ELEMENTS inside a vector contribute 0 in the JVM
+            # chain (the long sum skips null terms) — but Arrow ships
+            # them to this kernel as NaN, which un-fixed poisons every
+            # dot for that vector through the GEMM (r15 ADVICE; pinned
+            # in tests/test_ann_numpy_kernel.py). Zero them to match.
+            # True NaN elements are indistinguishable from NULL after
+            # the Arrow crossing and get the same 0-contribution here;
+            # the ANSI JVM reference instead THROWS on them
+            # (CAST_OVERFLOW casting NaN to bigint) — disclosed
+            # divergence on an input class the reference itself
+            # rejects.
+            if not np.isfinite(X).all():
+                X[np.isnan(X)] = 0.0
             D = (_round_half_up_1e9(X) @ S).astype(np.int64)
             B = D.reshape(n, tables, bits)
             keys = ((B >= 0).astype(np.int64) * weights).sum(
                 axis=2, dtype=np.int64)
             order = np.argsort(np.abs(B), axis=2, kind="stable")
             w0 = order[:, :, 0]
-            w1 = order[:, :, 1] if bits > 1 else w0
+            w1 = order[:, :, 1]
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
                 "table_id": np.tile(tab_ids, n),
@@ -253,9 +280,14 @@ def _bucket_keys_np(spark: SparkSession, e: DataFrame, seed: int,
                 "w1": w1.reshape(-1).astype(np.int32),
             })
 
+    # vec_id keeps the INPUT's type (r15 ADVICE: the replaced JVM
+    # aggregate preserved it; hardcoded bigint broke non-bigint corpora
+    # at the Arrow boundary).
+    vid_t = dict(e.dtypes)["vec_id"]
     return e.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_id bigint, table_id bigint, bucket_key bigint, "
-             "w0 int, w1 int")
+        _ann_gemm_gen,
+        f"vec_id {vid_t}, table_id bigint, bucket_key bigint, "
+        "w0 int, w1 int")
 
 
 # --- ANN variant chooser (r10 verdict item 4) ---------------------------------
@@ -452,8 +484,25 @@ def _verify_candidates(e: DataFrame, cand: DataFrame,
     cosine ≥ 0.4, round for output, order. ONE definition so the
     threshold/rounding contract cannot diverge between the base and
     multiprobe variants (their outputs are asserted set-equal in
-    tests/test_properties.py)."""
-    from silvia_spark.functions.llm_ops import score_pairs_threshold
+    tests/test_properties.py).
+
+    r15: gather-in-kernel first — ship only the id pair to Python and
+    row-gather the vectors from a broadcast matrix (the verify stage
+    was Arrow-TRANSFER-bound: ~100 GB of shipped embedding pairs at
+    sf1's 194 M candidates vs ~3 GB of ids; llm_ops.verify_pairs_gather
+    has the numbers and the bit-identity argument). The kernel
+    thresholds inside, so the 194 M-row scored barrier AND the pair
+    DISK_ONLY stage cut disappear with the transfer — mapInPandas
+    replaces its input (no scalar-eval result-rejoin queue, which was
+    what the r13 stage cut existed to protect). Corpora over the
+    per-task gather bound fall back to the r14 join + scalar-kernel
+    shape below, unchanged."""
+    from silvia_spark.functions.llm_ops import (score_pairs_threshold,
+                                                verify_pairs_gather)
+
+    out = verify_pairs_gather(e, cand, slot=f"verify.{slot}")
+    if out is not None:
+        return out
 
     a = e.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"))

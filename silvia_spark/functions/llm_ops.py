@@ -21,14 +21,17 @@ Design rules for this family:
 
 from __future__ import annotations
 
+import os
 import random
+import threading
 
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silvia_spark.io import load_table, load_tables
+from silvia_spark.io import (load_table, load_tables,
+                             register_cache_cleaner)
 from silvia_spark.registry import contract
 
 # --- shared vector kernels ----------------------------------------------------
@@ -192,6 +195,170 @@ def score_pairs_threshold(joined, tau: float = 0.4,
             .orderBy("vec_a", "vec_b"))
 
 
+# --- gather-in-kernel exact verify (r15) --------------------------------------
+# The r14 verify tail joined the embeddings onto each candidate pair and
+# shipped (ea, eb) through the scalar Arrow kernel: at sf1's 194 M
+# candidates that is ~100 GB JVM→Python where the bare ids are ~3 GB and
+# the WHOLE embedding table is ~10 MB. r15 (guide §8.4 "move big rows
+# once", §4.1 "control how many columns cross", §4.5 heavyweight init):
+# ship ONLY the id pair across the Arrow boundary, load the embedding
+# matrix once per task from a hand-built broadcast, and numpy-row-gather
+# + einsum inside the kernel — the same float64 rows and the same
+# per-row reduction as the scalar kernel, so cos_raw is bit-identical
+# (pinned in tests/test_determinism.py). Thresholding happens INSIDE the
+# kernel, so only survivors (a banding-selected handful) ever leave it —
+# no 194 M-row scored barrier to persist.
+#
+# Scale guard: the matrix must be per-task-loadable. Corpora whose
+# (n_vecs × dim × 8 B) exceeds SILVIA_GATHER_MAX_BYTES (default 256 MB —
+# comfortably inside one Python worker's share of executor overhead
+# memory; 100 TB corpora with ~10⁹ vectors exceed it and take the join)
+# fall back to the r14 join + scalar-kernel shape, which is correct at
+# any scale, just transfer-bound.
+
+_GATHER_MAX_BYTES = 256 * 1024 * 1024
+_GATHER_BCS: dict[str, object] = {}
+_GATHER_BCS_LOCK = threading.Lock()
+
+
+def _gather_bound() -> int:
+    return int(os.environ.get("SILVIA_GATHER_MAX_BYTES",
+                              _GATHER_MAX_BYTES))
+
+
+def _clear_gather_bcs() -> None:
+    with _GATHER_BCS_LOCK:
+        bcs = [_GATHER_BCS.pop(k) for k in list(_GATHER_BCS)]
+    for bc in bcs:
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
+register_cache_cleaner(_clear_gather_bcs)
+
+
+def _collect_embeddings(e: DataFrame):
+    """(ids, M, norms) numpy triple for the gather kernel, or None when
+    the corpus cannot be gathered: over the per-task byte bound, ragged
+    or zero dims, null embeddings (rows the matrix could not represent),
+    or non-integral ids. One tiny agg job prices the decision before
+    anything is collected — the same collect-at-build pattern as
+    llm_extras._distinct_pairs' sizing job."""
+    import numpy as np
+
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.count("embedding").alias("nn"),
+                F.min(F.size("embedding")).alias("dlo"),
+                F.max(F.size("embedding")).alias("dhi")).collect()[0]
+    n = int(row["n"] or 0)
+    if (n == 0 or row["nn"] != n or row["dlo"] is None
+            or row["dlo"] != row["dhi"] or int(row["dlo"]) <= 0):
+        return None
+    if n * int(row["dhi"]) * 8 > _gather_bound():
+        return None
+    tbl = e.select("vec_id", "embedding").toArrow()
+    try:
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.asarray(tbl.column("embedding").to_pylist(),
+                       dtype=np.float64)
+    except (TypeError, ValueError, OverflowError):
+        return None  # non-integral ids / malformed vectors: join path
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.ascontiguousarray(M[order])
+    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    return ids, M, norms
+
+
+def _gather_broadcast(spark: SparkSession, e: DataFrame, slot: str):
+    """Broadcast the corpus matrix, one live broadcast per slot (the
+    managed_persist discipline: replacing a slot frees the previous
+    run's executor copies; clear_caches() destroys them all)."""
+    data = _collect_embeddings(e)
+    if data is None:
+        return None
+    bc = spark.sparkContext.broadcast(data)
+    with _GATHER_BCS_LOCK:
+        prev = _GATHER_BCS.get(slot)
+        _GATHER_BCS[slot] = bc
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    return bc
+
+
+def _gather_score_hits(e: DataFrame, cand: DataFrame, tau: float,
+                       slot: str):
+    """Threshold survivors (ida, idb, cos_raw) of an ID-ONLY candidate
+    frame, scored by gather-in-kernel — or None when the corpus exceeds
+    the gather bound (callers fall back to the join form). cand must be
+    exactly the two id columns. cos_raw is bit-identical to the scalar
+    ``cosine`` kernel: same float64 rows, the same einsum row-dot for
+    the numerator, and per-vector norms from the identical einsum+sqrt
+    (a row's reduction does not depend on which batch carries it), so
+    num/den reproduces ``_np_cos`` exactly. NaN pairs (zero-norm) are
+    KEPT, replicating Spark's NaN-is-largest semantics in the JVM
+    ``cos_raw >= tau`` filter the fallback path applies."""
+    spark = cand.sparkSession
+    bc = _gather_broadcast(spark, e, slot)
+    if bc is None:
+        return None
+    pa, pb = cand.columns
+    dt = dict(cand.dtypes)
+    tau = float(tau)
+
+    def _gather_cos_gen(batches):
+        import numpy as np
+
+        ids, M, norms = bc.value
+        hi = len(ids) - 1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = pdf[pa].to_numpy()
+            vb = pdf[pb].to_numpy()
+            ia = np.minimum(np.searchsorted(ids, va), hi)
+            ib = np.minimum(np.searchsorted(ids, vb), hi)
+            if not (np.array_equal(ids[ia], va)
+                    and np.array_equal(ids[ib], vb)):
+                raise ValueError(
+                    "gather verify: candidate id not present in the "
+                    "corpus the matrix was collected from")
+            num = np.einsum("ij,ij->i", M[ia], M[ib])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = num / (norms[ia] * norms[ib])
+            keep = (cos >= tau) | np.isnan(cos)
+            yield pd.DataFrame({pa: va[keep], pb: vb[keep],
+                                "cos_raw": cos[keep]})
+
+    return cand.mapInPandas(
+        _gather_cos_gen,
+        f"{pa} {dt[pa]}, {pb} {dt[pb]}, cos_raw double")
+
+
+def verify_pairs_gather(e: DataFrame, cand: DataFrame, tau: float = 0.4,
+                        slot: str = "gather"):
+    """Finished contract verify tail over the gather kernel: threshold
+    inside the kernel, persist the (tiny) survivor set, JVM round +
+    global order. None when the corpus exceeds the gather bound. The
+    survivor persist exists for the orderBy: a global sort's
+    range-sampling pass re-executes its child — here the entire
+    candidate join — unless a materialization barrier sits between."""
+    from silvia_spark.io import managed_persist
+
+    hits = _gather_score_hits(e, cand, tau, slot)
+    if hits is None:
+        return None
+    pa, pb = cand.columns
+    hits = managed_persist(hits, f"score_pairs.{slot}.hits")
+    return (hits.select(pa, pb, F.round("cos_raw", 6).alias("cos_sim"))
+            .orderBy(pa, pb))
+
+
 _SQL_COS = """
 list_sum(list_transform(list_zip({a}, {b}),
          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -306,6 +473,13 @@ def _verify_jaccard_pairs(d: DataFrame, cand: DataFrame,
 
     d = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     cand = managed_persist(cand, f"{slot}.cand")
+    # Eager-materialize the slot (r15, r14 verdict item 2): the
+    # broadcast below otherwise executes the whole banded-candidate
+    # subtree under spark.sql.broadcastTimeout on a cold run — one
+    # count() at plan build fills the cache first, so the broadcast is
+    # built from the InMemoryRelation (the _distinct_pairs
+    # collect-at-build pattern).
+    cand.count()
     ids = (cand.select(F.col("doc_a").alias("doc_id"))
            .union(cand.select(F.col("doc_b").alias("doc_id")))
            .distinct())
@@ -459,11 +633,21 @@ def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is where vectorization pays, and the pair volume amortizes the
     Python stage's fixed cost across parallel tasks."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r15 gather-in-kernel verify: the all-pairs product is built over
+    # BARE IDS (16 B/pair instead of ~530 B with both vectors attached)
+    # and scored by broadcast-matrix row-gather — only ids cross the
+    # Python boundary (see verify_pairs_gather).
+    cand = (e.select(F.col("vec_id").alias("vec_a"))
+            .crossJoin(e.select(F.col("vec_id").alias("vec_b")))
+            .where(F.col("vec_a") < F.col("vec_b")))
+    out = verify_pairs_gather(e, cand, slot="sim_join_threshold")
+    if out is not None:
+        return out
+    # over the gather bound: the r13 join + scalar-kernel shape —
+    # scalar-UDF score into a persist barrier, JVM threshold over the
+    # cache, one Python crossing structurally (see score_pairs_threshold)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    # score_pairs_threshold: scalar-UDF score into a persist barrier,
-    # JVM threshold over the cache — one Python crossing, structurally
-    # (see its docstring for the r13 measurement)
     return score_pairs_threshold(
         a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")),
         slot="sim_join_threshold")

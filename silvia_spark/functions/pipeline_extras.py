@@ -44,6 +44,37 @@ from silvia_spark.registry import contract
 _SH_BANDS = 16
 _SH_BAND_BITS = 4
 
+# Occupancy guard (r15, r14 verdict item 5): the 16 × 4-bit geometry has
+# only 2⁴ key values per band, so candidate volume is STRUCTURALLY
+# O(n²/2^bits·bands) — a 500 k-doc corpus funnels ~31 k docs per bucket
+# (under the degenerate-bucket cap) and silently explodes into a
+# ~10⁹-pair candidate stream. Price the pair mass from the persisted
+# band table (one tiny job, the _distinct_pairs sizing pattern) and
+# REFUSE above the bound with a pointer to the guaranteed-sub-quadratic
+# MinHash banding. Override via SILVIA_SIMHASH_MAX_PAIR_MASS for
+# corpora where the quadratic cost is an accepted trade.
+_SIMHASH_MAX_PAIR_MASS = 200_000_000
+
+
+def _simhash_pair_mass_guard(bands: DataFrame) -> None:
+    import os
+
+    bound = int(os.environ.get("SILVIA_SIMHASH_MAX_PAIR_MASS",
+                               _SIMHASH_MAX_PAIR_MASS))
+    mass = (bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+            .collect()[0]["m"] or 0)
+    if mass > bound:
+        raise ValueError(
+            f"dedup_docs_simhash: banded candidate mass ~{int(mass):,} "
+            f"pairs exceeds the {bound:,} guard — the "
+            f"{_SH_BANDS}x{_SH_BAND_BITS}-bit band geometry is "
+            "quadratic on this corpus (see the geometry note above). "
+            "Use dedup_docs_minhash (same contract, sub-quadratic "
+            "banding) or raise SILVIA_SIMHASH_MAX_PAIR_MASS to accept "
+            "the cost.")
+
 # Oracle: the exact all-pairs shingle-Jaccard join (same as J2) — a green
 # hash proves the banded-SimHash candidate stage had recall 1 here.
 _SIMHASH_ORACLE = """
@@ -118,6 +149,9 @@ def dedup_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = managed_persist(
         cap_buckets(bands, _ANN_BUCKET_CAP, keys=("band_id", "band_key")),
         "dedup_docs_simhash.bands")
+    # r15: refuse silently-quadratic corpora BEFORE the self-join runs
+    # (prices the persisted band table; no-op on this corpus).
+    _simhash_pair_mass_guard(bands)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     # r14: right-sized packed-key dedup — llm_extras._distinct_pairs

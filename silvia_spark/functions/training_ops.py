@@ -89,13 +89,26 @@ def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("va") < F.col("vb"))
         .select("va", "vb"),
         left, right, ("table_id", "bucket_key"), "va", "vb")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    dups = (
-        cand.join(a, "va").join(b, "vb")
-        .where(cosine(F.col("ea"), F.col("eb")) >= _EMB_TAU)
-        .select("vb").distinct()
-    )
+    # r15 gather-in-kernel verify (llm_ops._gather_score_hits): only the
+    # id pair crosses the Python boundary; vectors are row-gathered from
+    # a broadcast matrix inside the kernel, thresholded there. Falls
+    # back to the r14 join + scalar-kernel shape over the gather bound.
+    from silvia_spark.functions.llm_ops import _gather_score_hits
+
+    hits = _gather_score_hits(e, cand, _EMB_TAU,
+                              slot="verify.dedup_docs_embedding")
+    if hits is not None:
+        dups = hits.select("vb").distinct()
+    else:
+        a = e.select(F.col("vec_id").alias("va"),
+                     F.col("embedding").alias("ea"))
+        b = e.select(F.col("vec_id").alias("vb"),
+                     F.col("embedding").alias("eb"))
+        dups = (
+            cand.join(a, "va").join(b, "vb")
+            .where(cosine(F.col("ea"), F.col("eb")) >= _EMB_TAU)
+            .select("vb").distinct()
+        )
     d = load_table(spark, sf_dir, "documents")
     # Broadcast the dup-id set: without the hint the left join plans SMJ
     # and shuffles DOCUMENTS by doc_id just to test membership in an

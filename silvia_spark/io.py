@@ -183,6 +183,18 @@ def managed_persist(df: DataFrame, slot: str,
     return out
 
 
+# Modules that hold non-DataFrame cached state tied to query runs (e.g.
+# the gather-verify embedding broadcasts in llm_ops) register a cleaner
+# so clear_caches() stays the ONE lifecycle entry point the bench/parity
+# harnesses call between reps — no cached artifact survives it.
+_EXTRA_CLEANERS: list = []
+
+
+def register_cache_cleaner(fn) -> None:
+    """Register a zero-arg callable invoked by every clear_caches()."""
+    _EXTRA_CLEANERS.append(fn)
+
+
 def clear_caches() -> None:
     """Unpersist every live slot. Call at end-of-round / end-of-session:
     without it the LAST invocation of each persisting contract pins its
@@ -195,3 +207,8 @@ def clear_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
+    for fn in list(_EXTRA_CLEANERS):
+        try:
+            fn()
+        except Exception:
+            pass  # a cleaner must never break cache clearing

@@ -92,8 +92,11 @@ def test_auto_routes_through_warm_index_gemm_free(spark, tmp_path,
     monkeypatch.setenv("SILVIA_ANN_INDEX_ROOT", idx)
     warm_df = sim_ann_auto(spark, SF)
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
+    # r15: the gather-verify MapInPandas (_gather_cos_gen) is part of
+    # every route's verify tail — the GEMM-free claim is about the
+    # hyperplane INDEX kernel (_ann_gemm_gen) and its JVM form.
     assert "posexplode" not in plan and "xxhash64" not in plan \
-        and "mapinpandas" not in plan.lower(), (
+        and "_ann_gemm_gen" not in plan, (
         "warm sim_ann_auto must not contain the hyperplane GEMM")
     assert _pairs(warm_df) == cold
     # the registered contract row serves the same pairs

@@ -102,3 +102,74 @@ def test_null_and_short_embeddings_match_posexplode_semantics(spark):
     # table
     assert {r[0] for r in got} == {1, 4}
     assert len(got) == 2 * lx._ANN_TABLES
+
+
+def test_null_elements_match_jvm_zero_contribution(spark):
+    """r15 ADVICE: a NULL ELEMENT inside a vector contributes 0 in the
+    JVM chain (the long sum skips null terms) — Arrow ships it to the
+    kernel as NaN, which un-fixed poisoned every dot for that vector
+    through the GEMM."""
+    dim = lx._ANN_DIM
+    v_null = [0.5] * dim
+    v_null[7] = None
+    rows = [(1, v_null), (3, [0.5] * dim)]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    new = lx._bucket_keys_np(spark, e, lx._ANN_SEED, lx._N_PROJ)
+    old = _jvm_bucket_keys(spark, e, lx._ANN_SEED, lx._N_PROJ)
+    assert set(map(tuple, new.collect())) == \
+        set(map(tuple, old.collect()))
+
+
+def test_nan_elements_zeroed_not_poisoning(spark):
+    """True NaN elements are indistinguishable from NULL after the
+    Arrow crossing: the kernel gives them the same 0-contribution (the
+    ANSI JVM reference instead throws CAST_OVERFLOW on them — an input
+    class the reference rejects outright, so 0-contribution is the
+    kernel's documented, non-poisoning behavior)."""
+    dim = lx._ANN_DIM
+    v_nan = [0.25] * dim
+    v_nan[3] = float("nan")
+    v_null = [0.25] * dim
+    v_null[3] = None
+    e = spark.createDataFrame(
+        [(1, v_nan), (2, v_null)],
+        "vec_id bigint, embedding array<double>")
+    rows = lx._bucket_keys_np(spark, e, lx._ANN_SEED,
+                              lx._N_PROJ).collect()
+    assert len(rows) == 2 * lx._ANN_TABLES
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], set()).add(
+            (r["table_id"], r["bucket_key"], r["w0"], r["w1"]))
+    # NaN and NULL land identically (both 0-contribution)
+    assert by_vec[1] == by_vec[2]
+
+
+def test_bits_below_two_refused(spark):
+    """r15 ADVICE: bits=1 would silently emit w1 == w0 (a self-probe)
+    where the JVM reference's rank-2 weak bit is NULL."""
+    e = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="bits >= 2"):
+        lx._bucket_keys_np(spark, e, lx._ANN_SEED, 8, bits=1)
+
+
+def test_sample_proj_zero_refused_not_full_family(spark):
+    """r15 ADVICE: sample_proj=0 was falsy and silently computed the
+    FULL projection family; it must be an error."""
+    e = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="sample_proj"):
+        lx._bucket_keys_np(spark, e, lx._ANN_SEED, lx._N_PROJ,
+                           sample_proj=0)
+
+
+def test_vec_id_type_preserved_by_kernel(spark):
+    """r15 ADVICE: the replaced JVM aggregate preserved the input's
+    vec_id type; the kernel schema must derive it, not hardcode
+    bigint."""
+    dim = lx._ANN_DIM
+    e = spark.createDataFrame([(7, [0.5] * dim)],
+                              "vec_id int, embedding array<double>")
+    out = lx._bucket_keys_np(spark, e, lx._ANN_SEED, lx._N_PROJ)
+    assert dict(out.dtypes)["vec_id"] == "int"
+    assert out.count() == lx._ANN_TABLES

@@ -84,10 +84,14 @@ def test_extended_and_iterative_ride_the_final_line():
     assert set(line["extended"]) == set(bench.EXTENDED)
     assert set(line["iterative"]) == set(bench.ITERATIVE)
     assert "floor_scan_sec" in line and "raw_gate_breaches" in line
-    # r08 verdict item 4: the artifact must carry the idle-box gate field
-    assert line["load_gate"] == {"deg": False, "gate": 2.0, "wait": 0}
-    # r12: and the in-run floor-band verdict
+    # r12: the in-run floor-band verdict
     assert line["fb"] == {}
+    # r15 (r14 verdict item 4): per-query marginal rides the final line,
+    # aligned to the queries key order; load_gate moved to diagnostics
+    # (main() emits it there — its presence is pinned by the r08 gate
+    # tests on _load_gate itself).
+    assert line["qm"] == [0.005] * len(bench.HEADLINE)
+    assert "load_gate" not in line
 
 
 def _baseline_md_headline_ms() -> dict[str, float]:

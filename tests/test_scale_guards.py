@@ -304,3 +304,33 @@ def test_ip_geo_one_row_per_event_no_fanout(spark):
     # one row per event: no event_id-keyed exchange anywhere (a fan-out
     # collapse would have to re-shuffle on the event key)
     assert "hashpartitioning(event_id" not in plan, plan
+
+
+# --- dedup_docs_simhash occupancy guard (r15) ----------------------------------
+
+def test_simhash_pair_mass_guard_refuses_quadratic_corpus(spark,
+                                                          monkeypatch):
+    """The 16x4-bit band geometry is structurally quadratic on large
+    corpora (r14 verdict item 5): the engine must refuse with a pointer
+    to the sub-quadratic MinHash banding instead of silently generating
+    an O(n²/256) candidate stream. Forced here by lowering the bound
+    under the corpus's true mass."""
+    import pytest
+
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    monkeypatch.setenv("SILVIA_SIMHASH_MAX_PAIR_MASS", "10")
+    with pytest.raises(ValueError, match="dedup_docs_minhash"):
+        registry.QUERIES["dedup_docs_simhash"](spark, SF_SMALL)
+
+
+def test_simhash_pair_mass_guard_noop_at_contract_scale(spark):
+    """Default bound: plan builds (the guard's sizing job passes) and
+    the contract output is unchanged — values are covered by the parity
+    suite; this pins that the guard itself does not fire."""
+    from silvia_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["dedup_docs_simhash"](spark, SF_SMALL)
+    assert df.count() >= 0  # builds and executes under the default bound
