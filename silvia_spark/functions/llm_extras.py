@@ -533,6 +533,193 @@ def _verify_candidates(e: DataFrame, cand: DataFrame,
         slot=f"verify.{slot}")
 
 
+# --- fused per-bucket GEMM candidates + threshold (r15) ------------------------
+# The candidate stage used to materialize the raw same-bucket pair
+# stream (~800 M 16-byte rows at sf1) into a right-sized packed-key
+# distinct exchange, then verify the ~194 M distinct pairs. When the
+# corpus matrix is per-task-loadable (the same gather bound as the
+# verify kernel), ALL of that collapses into one mapInPandas kernel
+# over the GROUPED bucket table: per bucket, gather the members' unit
+# rows from the broadcast matrix and take the whole bucket's pair
+# cosines as ONE dense dgemm block (guide §4.2 — hand whole batches to
+# native code; §2.4 — the 800 M-row exchange and its distinct hash
+# aggregate are gone outright; §2.3 — nothing heavier than the n·T
+# bucket rows ever shuffles). Only pairs passing the threshold leave
+# the kernel — a banding-selected handful — which a tiny distinct
+# dedups before the EXACT einsum rescore emits the contract values.
+#
+# Selection correctness: dgemm and the einsum row-dot may differ in the
+# last ulps (~1e-14 on unit vectors), so the kernel thresholds at
+# tau − _FUSED_EPS — a deliberate SUPERSET — and the exact rescore
+# (bit-identical to the scalar kernel, see llm_ops._gather_score_hits)
+# applies the real `>= tau`. A pair the exact kernel accepts cannot be
+# missed: that would need |dgemm − einsum| > 1e-9, six orders above the
+# worst-case float64 bound for 64-term unit dots. NaN (zero-norm) rows
+# propagate NaN through the dgemm and are KEPT, matching Spark's
+# NaN-is-largest `>=` semantics in every fallback shape.
+#
+# Work accounting: the dgemm prices Σ|bucket|² pairs (the RAW mass,
+# ~4× the distinct count) — but at BLAS density that is seconds where
+# the distinct's exchange was tens of seconds (measured below); the
+# duplicate-pair work the distinct used to save is cheaper to redo
+# than to dedup. Buckets are capped upstream (cap_buckets), so one
+# block is at most cap² comparisons, chunked to _FUSED_CHUNK elements.
+
+_FUSED_EPS = 1e-9
+_FUSED_CHUNK = 4_000_000  # max f64 elements per GEMM block (~32 MB)
+
+
+def _fused_candidate_hits(spark: SparkSession, e: DataFrame,
+                          grouped: DataFrame, mode: str,
+                          out_a: str, out_b: str, id_t: str,
+                          tau: float, slot: str):
+    """(survivor-pair DataFrame, shared broadcast) from a grouped
+    bucket table, or (None, None) when the corpus can't be gathered.
+    ``mode`` 'self': ``grouped`` carries `vids` (bucket self-join,
+    emits a < b); 'probe': `pv` + `bv` lists (probe ⋈ base, emits
+    least/greatest of l ≠ r). Output pairs are dgemm-thresholded at
+    tau − _FUSED_EPS (superset; see the module note) and may repeat
+    across buckets — callers dedup then exact-rescore."""
+    from silvia_spark.functions.llm_ops import _gather_broadcast
+
+    bc = _gather_broadcast(spark, e, f"verify.{slot}")
+    if bc is None:
+        return None, None
+    thr = float(tau) - _FUSED_EPS
+
+    def _fused_gemm_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, M, norms = bc.value
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Mn = M / norms[:, None]  # unit rows; NaN rows for zero-norm
+        hi = len(ids) - 1
+
+        def rows_of(v):
+            idx = np.minimum(np.searchsorted(ids, v), hi)
+            if not np.array_equal(ids[idx], v):
+                raise ValueError(
+                    "fused verify: bucket member id not present in the "
+                    "corpus the matrix was collected from")
+            return Mn[idx]
+
+        for pdf in batches:
+            acc_a: list = []
+            acc_b: list = []
+            if mode == "self":
+                pairs_iter = ((v, None) for v in pdf["vids"])
+            else:
+                pairs_iter = zip(pdf["pv"], pdf["bv"])
+            for a_ids, b_ids in pairs_iter:
+                va = np.sort(np.asarray(a_ids, dtype=np.int64))
+                if mode == "self":
+                    s = va.shape[0]
+                    if s < 2:
+                        continue
+                    A = rows_of(va)
+                    step = max(1, _FUSED_CHUNK // s)
+                    for i0 in range(0, s - 1, step):
+                        i1 = min(i0 + step, s)
+                        with np.errstate(invalid="ignore"):
+                            G = A[i0:i1] @ A.T
+                        keep = (G >= thr) | np.isnan(G)
+                        ii, jj = np.nonzero(keep)
+                        gi = ii + i0
+                        m = jj > gi  # strict upper triangle: a < b
+                        if m.any():
+                            acc_a.append(va[gi[m]])
+                            acc_b.append(va[jj[m]])
+                else:
+                    vb = np.sort(np.asarray(b_ids, dtype=np.int64))
+                    p, s = va.shape[0], vb.shape[0]
+                    if p == 0 or s == 0:
+                        continue
+                    P, B = rows_of(va), rows_of(vb)
+                    step = max(1, _FUSED_CHUNK // s)
+                    for i0 in range(0, p, step):
+                        i1 = min(i0 + step, p)
+                        with np.errstate(invalid="ignore"):
+                            G = P[i0:i1] @ B.T
+                        keep = (G >= thr) | np.isnan(G)
+                        ii, jj = np.nonzero(keep)
+                        lv = va[ii + i0]
+                        rv = vb[jj]
+                        m = lv != rv
+                        if m.any():
+                            lv, rv = lv[m], rv[m]
+                            acc_a.append(np.minimum(lv, rv))
+                            acc_b.append(np.maximum(lv, rv))
+            if acc_a:
+                yield pd.DataFrame({out_a: np.concatenate(acc_a),
+                                    out_b: np.concatenate(acc_b)})
+
+    surv = grouped.mapInPandas(_fused_gemm_gen,
+                               f"{out_a} {id_t}, {out_b} {id_t}")
+    return surv, bc
+
+
+def _fused_verify_self(spark: SparkSession, e: DataFrame,
+                       buckets: DataFrame, keys: tuple, vid: str,
+                       out_a: str, out_b: str, tau: float, slot: str):
+    """Fused bucket-SELF-join verify: grouped buckets → per-bucket GEMM
+    threshold kernel → tiny distinct → exact einsum rescore. Returns
+    the (ida, idb, cos_raw) exact survivors, or None when the corpus
+    can't be gathered (callers fall back to the join + distinct +
+    verify shape). The groupBy rides the persisted bucket table's
+    existing hash partitioning (cap_buckets' window exchange), so no
+    new corpus-scale shuffle exists anywhere on this path."""
+    from silvia_spark.functions.llm_ops import _gather_score_hits
+
+    grouped = buckets.groupBy(*keys).agg(
+        F.collect_list(vid).alias("vids"))
+    id_t = dict(buckets.dtypes)[vid]
+    surv, bc = _fused_candidate_hits(spark, e, grouped, "self",
+                                     out_a, out_b, id_t, tau, slot)
+    if surv is None:
+        return None
+    return _gather_score_hits(e, surv.distinct(), tau,
+                              f"verify.{slot}", bc=bc)
+
+
+def _fused_verify_probe(spark: SparkSession, e: DataFrame,
+                        probes: DataFrame, base: DataFrame, keys: tuple,
+                        lid: str, rid: str, out_a: str, out_b: str,
+                        tau: float, slot: str):
+    """Fused probe ⋈ base verify (the multiprobe join shape): tag the
+    two sides, group per bucket into probe/base member lists, per-bucket
+    P×B GEMM threshold, distinct, exact rescore. None when the corpus
+    can't be gathered."""
+    from silvia_spark.functions.llm_ops import _gather_score_hits
+
+    keys = list(keys)
+    tagged = (probes.select(F.col(lid).alias("v"), *keys,
+                            F.lit(True).alias("p"))
+              .union(base.select(F.col(rid).alias("v"), *keys,
+                                 F.lit(False).alias("p"))))
+    grouped = tagged.groupBy(*keys).agg(
+        F.collect_list(F.when(F.col("p"), F.col("v"))).alias("pv"),
+        F.collect_list(F.when(~F.col("p"), F.col("v"))).alias("bv"))
+    id_t = dict(probes.dtypes)[lid]
+    surv, bc = _fused_candidate_hits(spark, e, grouped, "probe",
+                                     out_a, out_b, id_t, tau, slot)
+    if surv is None:
+        return None
+    return _gather_score_hits(e, surv.distinct(), tau,
+                              f"verify.{slot}", bc=bc)
+
+
+def _finish_pair_hits(hits: DataFrame, out_a: str, out_b: str,
+                      slot: str) -> DataFrame:
+    """Contract tail over exact (ida, idb, cos_raw) survivors: persist
+    the tiny set (the global sort's range-sampling pass re-executes its
+    child otherwise), JVM round, order."""
+    hits = managed_persist(hits, f"score_pairs.verify.{slot}.hits")
+    return (hits.select(out_a, out_b,
+                        F.round("cos_raw", 6).alias("cos_sim"))
+            .orderBy(out_a, out_b))
+
+
 @contract("sim_ann_lsh", oracle=_ANN_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH similarity self-join at cosine ≥ 0.4 — the 100-TB
@@ -548,6 +735,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = managed_persist(
         cap_buckets(bucket_keys(spark, e), _ANN_BUCKET_CAP),
         "sim_ann_lsh.buckets")
+    # r15: fused per-bucket GEMM candidates + threshold (see the fused
+    # section note) — the raw-pair exchange and its distinct are gone.
+    hits = _fused_verify_self(spark, e, buckets,
+                              ("table_id", "bucket_key"), "vec_id",
+                              "vec_a", "vec_b", 0.4, slot="lsh")
+    if hits is not None:
+        return _finish_pair_hits(hits, "vec_a", "vec_b", "lsh")
     left = buckets.select(F.col("vec_id").alias("vec_a"),
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),
@@ -628,6 +822,12 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
               .union(flips))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
+    # r15: fused per-bucket P×B GEMM (see the fused section note)
+    hits = _fused_verify_probe(spark, e, probes, base,
+                               ("table_id", "k"), "vec_l", "vec_r",
+                               "vec_a", "vec_b", 0.4, slot="mp1")
+    if hits is not None:
+        return _finish_pair_hits(hits, "vec_a", "vec_b", "mp1")
     cand = _distinct_pairs(
         probes.join(base, ["table_id", "k"])
         .where(F.col("vec_l") != F.col("vec_r"))
@@ -711,6 +911,12 @@ def sim_ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
               .union(flips))
     base = buckets.select(F.col("vec_id").alias("vec_r"), "table_id",
                           F.col("bucket_key").alias("k"))
+    # r15: fused per-bucket P×B GEMM (see the fused section note)
+    hits = _fused_verify_probe(spark, e, probes, base,
+                               ("table_id", "k"), "vec_l", "vec_r",
+                               "vec_a", "vec_b", 0.4, slot="mp2")
+    if hits is not None:
+        return _finish_pair_hits(hits, "vec_a", "vec_b", "mp2")
     cand = _distinct_pairs(
         probes.join(base, ["table_id", "k"])
         .where(F.col("vec_l") != F.col("vec_r"))
@@ -931,6 +1137,12 @@ def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str,
         bk = bucket_keys(spark, e)
     buckets = managed_persist(
         cap_buckets(bk, _ANN_BUCKET_CAP), "sim_ann_lsh_indexed.buckets")
+    # r15: fused per-bucket GEMM candidates + threshold
+    hits = _fused_verify_self(spark, e, buckets,
+                              ("table_id", "bucket_key"), "vec_id",
+                              "vec_a", "vec_b", 0.4, slot="indexed")
+    if hits is not None:
+        return _finish_pair_hits(hits, "vec_a", "vec_b", "indexed")
     left = buckets.select(F.col("vec_id").alias("vec_a"),
                           "table_id", "bucket_key")
     right = buckets.select(F.col("vec_id").alias("vec_b"),

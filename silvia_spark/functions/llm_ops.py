@@ -292,7 +292,7 @@ def _gather_broadcast(spark: SparkSession, e: DataFrame, slot: str):
 
 
 def _gather_score_hits(e: DataFrame, cand: DataFrame, tau: float,
-                       slot: str):
+                       slot: str, bc=None):
     """Threshold survivors (ida, idb, cos_raw) of an ID-ONLY candidate
     frame, scored by gather-in-kernel — or None when the corpus exceeds
     the gather bound (callers fall back to the join form). cand must be
@@ -302,9 +302,12 @@ def _gather_score_hits(e: DataFrame, cand: DataFrame, tau: float,
     (a row's reduction does not depend on which batch carries it), so
     num/den reproduces ``_np_cos`` exactly. NaN pairs (zero-norm) are
     KEPT, replicating Spark's NaN-is-largest semantics in the JVM
-    ``cos_raw >= tau`` filter the fallback path applies."""
+    ``cos_raw >= tau`` filter the fallback path applies. Pass ``bc``
+    (a `_gather_broadcast` handle) to share one collected matrix with
+    an upstream kernel of the same query."""
     spark = cand.sparkSession
-    bc = _gather_broadcast(spark, e, slot)
+    if bc is None:
+        bc = _gather_broadcast(spark, e, slot)
     if bc is None:
         return None
     pa, pb = cand.columns

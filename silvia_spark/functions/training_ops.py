@@ -70,36 +70,37 @@ def dedup_docs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the shuffle carries ids, never vectors or text. Oracle is
     the exact all-pairs form, so green = recall 1 end-to-end."""
     from silvia_spark.functions.llm_extras import (
-        _ANN_BUCKET_CAP, _distinct_pairs, bucket_keys, cap_buckets)
+        _ANN_BUCKET_CAP, _distinct_pairs, _fused_verify_self,
+        bucket_keys, cap_buckets)
     from silvia_spark.functions.llm_ops import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
     buckets = managed_persist(
         cap_buckets(bucket_keys(spark, e), _ANN_BUCKET_CAP),
         "dedup_docs_embedding.buckets")
-    left = buckets.select(F.col("vec_id").alias("va"),
-                          "table_id", "bucket_key")
-    right = buckets.select(F.col("vec_id").alias("vb"),
-                           "table_id", "bucket_key")
-    # r14: same right-sized packed-key dedup as the sim_ann family —
-    # the candidate distinct is this query's only stage whose shuffle
-    # grows quadratically with bucket occupancy (llm_extras sizing note).
-    cand = _distinct_pairs(
-        left.join(right, ["table_id", "bucket_key"])
-        .where(F.col("va") < F.col("vb"))
-        .select("va", "vb"),
-        left, right, ("table_id", "bucket_key"), "va", "vb")
-    # r15 gather-in-kernel verify (llm_ops._gather_score_hits): only the
-    # id pair crosses the Python boundary; vectors are row-gathered from
-    # a broadcast matrix inside the kernel, thresholded there. Falls
-    # back to the r14 join + scalar-kernel shape over the gather bound.
-    from silvia_spark.functions.llm_ops import _gather_score_hits
-
-    hits = _gather_score_hits(e, cand, _EMB_TAU,
-                              slot="verify.dedup_docs_embedding")
+    # r15: fused per-bucket GEMM candidates + threshold (llm_extras
+    # fused section) — the raw-pair exchange, its right-sized distinct
+    # and the embedding-shipping verify all collapse into the grouped
+    # bucket kernel + an exact id-gather rescore of the survivors.
+    hits = _fused_verify_self(spark, e, buckets,
+                              ("table_id", "bucket_key"), "vec_id",
+                              "va", "vb", _EMB_TAU,
+                              slot="dedup_docs_embedding")
     if hits is not None:
         dups = hits.select("vb").distinct()
     else:
+        left = buckets.select(F.col("vec_id").alias("va"),
+                              "table_id", "bucket_key")
+        right = buckets.select(F.col("vec_id").alias("vb"),
+                               "table_id", "bucket_key")
+        # r14 fallback: right-sized packed-key dedup + scalar-kernel
+        # verify — the candidate distinct is this query's only stage
+        # whose shuffle grows quadratically with bucket occupancy.
+        cand = _distinct_pairs(
+            left.join(right, ["table_id", "bucket_key"])
+            .where(F.col("va") < F.col("vb"))
+            .select("va", "vb"),
+            left, right, ("table_id", "bucket_key"), "va", "vb")
         a = e.select(F.col("vec_id").alias("va"),
                      F.col("embedding").alias("ea"))
         b = e.select(F.col("vec_id").alias("vb"),
