@@ -51,53 +51,35 @@ def contract(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _NEW_CONTRACTS_HERE = "__new_contracts_here__"
 
 _PRIORITY: tuple[str, ...] = (
-    # ============ r14 packing (evidence ledger after r13: r08=32,
-    # r09=43, r10=39, r11=24, r12=44, r13=50; zero failures ever).
-    # Window arithmetic: tier 0 = 6 contracts whose implementation
-    # changed in the r14 BUILD after their newest evidence (the SQL
-    # INSERT writer rewrite for evolved tables, the Delta sidecar +
-    # Iceberg position-delete interop paths, index-aware sim_ann_auto,
-    # the constraint-retry fix behind L24, commit_delete's
-    # predicate-mode refactor behind L21) + tier 0a = 16 contracts
-    # whose PLANS changed in the r14 OPTIMIZATION pass (results
-    # oracle-identical, re-proven by tests/parity — but a driver green
-    # must postdate the plan it vouches for; see OPTIMIZATION_r14.md
-    # per-query sections) + tier 0b = 7 NEW r14 contracts (SQL DML
-    # triangle, indexed ANN, OPTIMIZE/CTAS/INSERT OVERWRITE). 29 head
-    # slots; the r08 tail (32 − 3 promoted = 29 keys) fills the window
-    # to 50 with 21 — the oldest 8 r08 keys roll to r15's head. ======
-    # -- tier 0: implementation changed in the r14 build --
-    "sink_sql_insert", "source_delta_interop", "source_iceberg_interop",
-    "sim_ann_auto", "sink_append_constrained", "sink_delete_dv",
-    # -- tier 0a: plan changed in the r14 optimization pass --
+    # ============ r15 packing (evidence ledger after r14: r08=8 left,
+    # r09=43, r10=39, r11=24, r12=44, r13=50, r14=50; zero failures
+    # ever). Window arithmetic: tier 0 = 10 contracts whose
+    # implementation/plan changed in the r15 OPTIMIZATION pass after
+    # their newest evidence (the gather-in-kernel verify + fused
+    # per-bucket GEMM across the six ANN-verify consumers and
+    # sim_join_threshold; the eager candidate materialization + the
+    # occupancy guard in the two banded dedups; the session-sort
+    # barrier — results oracle-identical, re-proven by tests/parity,
+    # but a driver green must postdate the plan it vouches for; see
+    # OPTIMIZATION_r15.md). No new contracts (optimization round).
+    # 10 head slots + the 8 r08 leftovers + the oldest 32 of the
+    # r09 tail fill the window to 50; oldest evidence after r15 = r09.
+    # The 42 keys whose newest evidence is r14 (the old tier 0/0a/0b
+    # minus the 8 re-touched here, plus the 21 r08 keys r14 checked)
+    # moved to the END as r14-era evidence. ======
+    # -- tier 0: implementation/plan changed in the r15 pass --
     "sim_ann_lsh", "sim_ann_lsh_multiprobe", "sim_ann_lsh_multiprobe2",
-    "dedup_docs_minhash", "dedup_docs_simhash", "dedup_docs_embedding",
-    "dedup_cluster_cc", "dedup_near_keep_best", "curation_pipeline",
-    "text_ngram_jaccard", "text_tfidf", "text_unigram_logprob",
-    "q15_top_supplier", "q11_important_parts", "stream_stateful_funnel",
-    "sim_ann_ivf_kmeans",
-    # -- tier 0b: NEW in r14 (SQL DML triangle, verdict #1/#9;
-    # index-served ANN, verdict #7; OPTIMIZE/CTAS/OVERWRITE DDL) --
-    "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
-    "sim_ann_indexed", "sink_sql_optimize", "sink_sql_ctas",
-    "sink_sql_insert_overwrite",
+    "sim_ann_auto", "sim_ann_indexed", "sim_join_threshold",
+    "dedup_docs_embedding", "dedup_docs_minhash", "dedup_docs_simhash",
+    "stream_session_30m",
     # -- new contracts registered mid-round slot in here --
     _NEW_CONTRACTS_HERE,
-    # -- r08-era evidence (29 keys after 3 promoted to tier 0a; the
-    # newest 21 fill the window, the oldest 8 roll to r15) --
-    "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
-    "q7_volume_shipping", "q8_market_share", "sample_stratified",
-    "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
-    "sim_centroids", "sim_topk_cosine",
-    "sink_partition_overwrite", "source_orc", "source_rate_stream",
-    "stream_dedup_live", "stream_foreachbatch_upsert", "stream_funnel_live",
-    "stream_session_live", "stream_static_join_live",
-    "stream_stream_join_live", "stream_transform_with_state",
+    # -- r08-era evidence (the 8 keys the r14 window could not hold) --
     "stream_tumbling_live", "stream_watermark_late", "text_lang_detect",
     "text_pack_sequences", "text_pii_scrub",
     "text_unicode_normalize", "window_gaps_islands",
     "window_ignore_nulls",
-    # -- r09-era evidence (oldest 8 make the window) --
+    # -- r09-era evidence (oldest 32 make the r15 window) --
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitwise",
     "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
     "agg_histogram_width", "agg_pricing_summary", "agg_rollup", "agg_stats",
@@ -127,7 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_trailing_interval",
     # -- r11-era evidence --
     "scan_partition_pruned", "source_python_datasource",
-    "stream_dedup_exact", "stream_session_30m", "stream_sliding",
+    "stream_dedup_exact", "stream_sliding",
     "stream_static_join", "stream_stream_join",
     "stream_tumbling_1h", "text_fingerprint", "text_fuzzy_pairs",
     "text_lang_profile", "text_quality_filter", "text_term_freq",
@@ -162,11 +144,30 @@ _PRIORITY: tuple[str, ...] = (
     "scan_manifest_changes", "scan_parquet", "scan_schema_evolution",
     "scan_table_clone", "scan_time_travel_ts", "set_except", "set_intersect",
     "set_union_all", "set_union_distinct",
-    "sim_join_threshold", "sink_compaction_small_files",
+    "sink_compaction_small_files",
     "sink_jdbc_postgres", "sink_merge_scd2", "sink_parquet_partitioned",
     "sink_python_datasource", "sort_multikey_nulls", "source_csv_tsv",
     "source_json_lines", "stream_changes_cdf", "stream_kafka_shim_live",
     "subquery_scalar", "topk_limit",
+    # -- r14-era evidence (the r14 window minus the 8 keys re-touched
+    # in r15's tier 0; the two other tier-0 keys were lifted out of
+    # their old era sections above — _PRIORITY stays duplicate-free) --
+    "sink_sql_insert", "source_delta_interop", "source_iceberg_interop",
+    "sink_append_constrained", "sink_delete_dv",
+    "dedup_cluster_cc", "dedup_near_keep_best", "curation_pipeline",
+    "text_ngram_jaccard", "text_tfidf", "text_unigram_logprob",
+    "q15_top_supplier", "q11_important_parts", "stream_stateful_funnel",
+    "sim_ann_ivf_kmeans",
+    "sink_sql_merge", "sink_sql_update", "sink_sql_delete",
+    "sink_sql_optimize", "sink_sql_ctas", "sink_sql_insert_overwrite",
+    "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q8_market_share", "sample_stratified",
+    "scan_dpp_join", "scan_schema_enforce", "sim_ann_ivf",
+    "sim_centroids", "sim_topk_cosine",
+    "sink_partition_overwrite", "source_orc", "source_rate_stream",
+    "stream_dedup_live", "stream_foreachbatch_upsert", "stream_funnel_live",
+    "stream_session_live", "stream_static_join_live",
+    "stream_stream_join_live", "stream_transform_with_state",
 )
 
 

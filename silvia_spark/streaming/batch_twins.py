@@ -126,13 +126,21 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     sess = flagged.select(
         "user_id", "ts", F.sum("brk").over(wsum).alias("session_no"))
-    return (
-        sess.groupBy("user_id", "session_no")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.min("ts").alias("session_start"),
-             F.max("ts").alias("session_end"))
-        .orderBy("user_id", "session_no")
-    )
+    agg = (sess.groupBy("user_id", "session_no")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end")))
+    # r15 (r14 verdict item 7): barrier before the global sort — the
+    # orderBy's range-sampling pass re-executed the whole windows+agg
+    # subtree on a cold run (measured −22% fresh-plan at sf0.1: 0.60 →
+    # 0.47 s; warm neutral, output identical INCLUDING order). The
+    # session-level aggregate is the natural cut: one cached copy feeds
+    # both the sampler and the sort, and managed_persist bounds a
+    # long-lived session to one live slot.
+    from silvia_spark.io import managed_persist
+
+    agg = managed_persist(agg, "stream_session_30m.agg")
+    return agg.orderBy("user_id", "session_no")
 
 
 # --- I5: exact dedup of at-least-once delivery -------------------------------

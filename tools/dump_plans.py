@@ -52,16 +52,20 @@ AUDITED = [
     ("etl_events_enriched", ["WindowGroupLimit", "BroadcastHashJoin"],
      "the full ETL composite: dedup exchange pre-truncated map-side, "
      "dimension enrich is a broadcast hash lookup, rollup partial-aggs."),
-    ("sim_ann_lsh", ["HashAggregate", "hashpartitioning(pk#"],
+    ("sim_ann_lsh", ["MapInPandas _fused_gemm_gen",
+                     "MapInPandas _gather_cos_gen", "HashAggregate"],
      "sign projections run as ONE map-only numpy GEMM per Arrow batch "
-     "(MapInPandas — r14 kernel swap, bit-identical to the retained JVM "
-     "reference); candidates come from the bucket self-join, never an "
-     "all-pairs product. r14: the candidate distinct is the packed-long "
-     "right-sized repartition (pk) feeding one HashAggregate with no "
-     "second exchange; the self-join strategy is deliberately LEFT to "
-     "size statistics (broadcast at test scale where the bucket cache "
-     "is ~1 MB, sort-merge at sf1+ where it exceeds the threshold), so "
-     "no join operator is pinned here."),
+     "(r14 kernel swap, bit-identical to the retained JVM reference). "
+     "r15: candidate generation + threshold are FUSED into a per-bucket "
+     "dgemm kernel over the grouped bucket table (_fused_gemm_gen) — "
+     "the raw-pair self-join, its 800M-row exchange and the packed "
+     "distinct are gone; the groupBy rides the persisted bucket "
+     "table's window partitioning. Survivors (a banding-selected "
+     "handful, thresholded at tau-1e-9 superset) are deduped tiny and "
+     "exactly rescored by the id-gather einsum kernel "
+     "(_gather_cos_gen) — only ids ever cross the Python boundary. "
+     "Gather-bound corpora fall back to the r14 join + right-sized "
+     "packed distinct + scalar-kernel verify."),
     ("sim_topk_cosine", ["HashAggregate", "BroadcastHashJoin",
                          "TakeOrderedAndProject"],
      "r04 kernel swap: corpus-vs-query scoring is GEMM-by-join — "
@@ -70,14 +74,16 @@ AUDITED = [
      "whole-stage-codegen JVM arithmetic (no interpreted zip_with/"
      "aggregate HOFs, no Python stage at all); top-k stays "
      "TakeOrderedAndProject."),
-    ("sim_join_threshold", ["ArrowEvalPython", "InMemoryTableScan"],
-     "r13 single-eval verify (score_pairs_threshold): the scalar "
-     "cosine UDF scores into a persisted (vec_a, vec_b, cos_raw) "
-     "frame — exactly ONE ArrowEvalPython, inside the cached plan — "
-     "and the threshold Filter scans the InMemoryTableScan (pushdown "
-     "stops at the InMemoryRelation, so Catalyst cannot substitute "
-     "the UDF into the predicate and re-evaluate it; measured 43 s "
-     "vs 150 s mapInPandas at sf1, ANN_VERIFY_KERNEL.json)."),
+    ("sim_join_threshold", ["MapInPandas _gather_cos_gen",
+                            "InMemoryTableScan"],
+     "r15 gather-in-kernel verify: the all-pairs product is built over "
+     "BARE IDS (16 B/pair, not ~530 B with both vectors attached) and "
+     "scored by ONE mapInPandas kernel that row-gathers vectors from a "
+     "broadcast matrix and thresholds inside — only ids cross the "
+     "Python boundary, only survivors leave the kernel. The tiny "
+     "survivor persist (InMemoryTableScan) keeps the global sort's "
+     "range-sampling pass from re-executing the product. Gather-bound "
+     "corpora fall back to the r13 scalar-kernel + persist shape."),
     ("text_ngram_jaccard", ["HashAggregate", "SortMergeJoin"],
      "inverted-index EQUI-join on shingle (plus the r04 document-frequency "
      "cap aggregate) — candidate pairs sort-merge-join on the shingle key "
@@ -221,11 +227,16 @@ AUDITED = [
     ("embed_norm_stats", ["HashAggregate"],
      "norm profile: zero-shuffle scan + label-keyed partial aggregate — "
      "the exchange carries label-cardinality rows, not vectors."),
-    ("sim_ann_lsh_multiprobe", ["HashAggregate", "HashJoin"],
+    ("sim_ann_lsh_multiprobe", ["MapInPandas _fused_gemm_gen",
+                                "MapInPandas _gather_cos_gen",
+                                "HashAggregate"],
      "multiprobe LSH: sign bits + weak-bit margins from the map-only "
-     "numpy GEMM kernel (r14); candidates from the (table, key) "
-     "equi-join with the probe union on one side only — never an "
-     "all-pairs product."),
+     "numpy GEMM kernel (r14). r15: the probe ⋈ base candidate join, "
+     "its exchange and the packed distinct are FUSED into the "
+     "per-bucket P×B dgemm kernel (probe/base member lists grouped per "
+     "bucket); survivors exact-rescored by the id-gather kernel — "
+     "never an all-pairs product, nothing heavier than bucket rows "
+     "shuffles."),
     ("scalar_variant", ["Project"],
      "VARIANT access is a pure codegen projection: one parse_json per "
      "row, typed variant_get path reads, zero shuffle."),
@@ -241,10 +252,14 @@ AUDITED = [
      "URL canonicalizer is pure codegen (parse_url + higher-order "
      "filter + sort_array — no Python eval node); one exchange for the "
      "canonical-key groupBy plus the output sort."),
-    ("sim_ann_lsh_multiprobe2", ["HashAggregate", "HashJoin"],
+    ("sim_ann_lsh_multiprobe2", ["MapInPandas _fused_gemm_gen",
+                                 "MapInPandas _gather_cos_gen",
+                                 "HashAggregate"],
      "16-table index via the shared map-only numpy GEMM kernel (r14); "
      "stack() fans each vector to its 3 flip probes on the probe side "
-     "only; same-bucket equi-join, capped buckets."),
+     "only; capped buckets. r15: candidates + threshold fused into the "
+     "per-bucket P×B dgemm kernel, survivors exact-rescored by the "
+     "id-gather kernel (see sim_ann_lsh)."),
     ("join_asof_nearest", ["Window", "HashJoin"],
      "nearest-direction as-of: bucket equi-join with the tolerance "
      "predicate bounding kept pairs, then the per-event arg-min window "
