@@ -1006,9 +1006,23 @@ def sim_ann_auto(spark: SparkSession, sf_dir: str,
     so recall is 1 and the hash is stable whichever path runs."""
     import os as _os
 
+    from silvia_spark.functions.llm_ops import _gather_feasible
+
     e = load_table(spark, sf_dir, "embeddings")
     index_root = index_root or _os.environ.get("SILVIA_ANN_INDEX_ROOT")
-    if index_root and ann_index_fresh(e, index_root):
+    # r15 re-pricing (ANN_INDEX.json regenerated after the fused
+    # kernel): on a GATHERABLE corpus the warm-index route measured 2×
+    # the whole compute path at sf1 (warm_query 8.0 s vs cold_base
+    # 3.9 s) — the fused/map-only GEMM made the skipped index work
+    # (~0.5 s) cheaper than reading the bucket table back from the
+    # manifest. The warm index therefore routes ONLY past the gather
+    # bound, where the fallback pipeline's GEMM + JVM candidate
+    # distinct is still the expensive side the index skips. Every
+    # route ends in the same exact verify, so the output is identical
+    # whichever path runs (oracle-proven; pinned in
+    # tests/test_ann_index.py).
+    if index_root and ann_index_fresh(e, index_root) \
+            and not _gather_feasible(e):
         return sim_ann_lsh_indexed(spark, sf_dir, index_root)
     est = estimate_ann_candidates_per_vec(spark, e)
     name, _cfg = choose_ann_variant(est_candidates_per_vec=est)

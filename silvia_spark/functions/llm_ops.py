@@ -239,6 +239,21 @@ def _clear_gather_bcs() -> None:
 register_cache_cleaner(_clear_gather_bcs)
 
 
+def _gather_feasible(e: DataFrame) -> bool:
+    """True iff the corpus can serve the gather/fused kernels: fixed
+    positive dims, no null embeddings, matrix under the per-task byte
+    bound. One tiny agg job (the collect-at-build sizing pattern)."""
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.count("embedding").alias("nn"),
+                F.min(F.size("embedding")).alias("dlo"),
+                F.max(F.size("embedding")).alias("dhi")).collect()[0]
+    n = int(row["n"] or 0)
+    if (n == 0 or row["nn"] != n or row["dlo"] is None
+            or row["dlo"] != row["dhi"] or int(row["dlo"]) <= 0):
+        return False
+    return n * int(row["dhi"]) * 8 <= _gather_bound()
+
+
 def _collect_embeddings(e: DataFrame):
     """(ids, M, norms) numpy triple for the gather kernel, or None when
     the corpus cannot be gathered: over the per-task byte bound, ragged
@@ -248,15 +263,7 @@ def _collect_embeddings(e: DataFrame):
     llm_extras._distinct_pairs' sizing job."""
     import numpy as np
 
-    row = e.agg(F.count(F.lit(1)).alias("n"),
-                F.count("embedding").alias("nn"),
-                F.min(F.size("embedding")).alias("dlo"),
-                F.max(F.size("embedding")).alias("dhi")).collect()[0]
-    n = int(row["n"] or 0)
-    if (n == 0 or row["nn"] != n or row["dlo"] is None
-            or row["dlo"] != row["dhi"] or int(row["dlo"]) <= 0):
-        return None
-    if n * int(row["dhi"]) * 8 > _gather_bound():
+    if not _gather_feasible(e):
         return None
     tbl = e.select("vec_id", "embedding").toArrow()
     try:

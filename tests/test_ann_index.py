@@ -77,12 +77,15 @@ def test_incremental_index_appends_delta_only(spark, tmp_path):
         _pairs(sim_ann_lsh(spark, SF))
 
 
-def test_auto_routes_through_warm_index_gemm_free(spark, tmp_path,
-                                                  monkeypatch):
-    """r14 (r13 verdict #7): sim_ann_auto probes the persisted index
-    first — warm index ⇒ the indexed route, no occupancy estimate,
-    no GEMM anywhere in the plan; cold ⇒ the r12 estimate+choose
-    path, unchanged. Output identical either way."""
+def test_auto_routes_by_gather_feasibility(spark, tmp_path,
+                                           monkeypatch):
+    """r15 re-pricing (ANN_INDEX.json after the fused kernel): on a
+    GATHERABLE corpus the compute path beats the warm-index readback
+    (sf1: 3.9 s vs 8.0 s), so sim_ann_auto takes compute even with a
+    fresh index; PAST the gather bound the warm index still skips the
+    GEMM feeding the heavy fallback pipeline and is routed to, with no
+    hyperplane GEMM anywhere in the plan. Output identical on every
+    route."""
     from silvia_spark.functions.llm_extras import sim_ann_auto
 
     idx = os.path.join(str(tmp_path), "ann_idx")
@@ -90,15 +93,28 @@ def test_auto_routes_through_warm_index_gemm_free(spark, tmp_path,
     cold = _pairs(sim_ann_auto(spark, SF))
     persist_ann_index(spark, e, idx)
     monkeypatch.setenv("SILVIA_ANN_INDEX_ROOT", idx)
+    # gatherable corpus: compute route (the fused kernel), index unread
     warm_df = sim_ann_auto(spark, SF)
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
-    # r15: the gather-verify MapInPandas (_gather_cos_gen) is part of
-    # every route's verify tail — the GEMM-free claim is about the
-    # hyperplane INDEX kernel (_ann_gemm_gen) and its JVM form.
-    assert "posexplode" not in plan and "xxhash64" not in plan \
-        and "_ann_gemm_gen" not in plan, (
-        "warm sim_ann_auto must not contain the hyperplane GEMM")
+    assert "_fused_gemm_gen" in plan, (
+        "gatherable corpus must take the fused compute route")
     assert _pairs(warm_df) == cold
+    # past the gather bound: the warm index is the route — no
+    # hyperplane GEMM (neither the numpy kernel nor the JVM form)
+    monkeypatch.setenv("SILVIA_GATHER_MAX_BYTES", "1")
+    from silvia_spark.io import clear_caches
+
+    clear_caches()
+    idx_df = sim_ann_auto(spark, SF)
+    plan2 = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan2 and "xxhash64" not in plan2 \
+        and "_ann_gemm_gen" not in plan2 \
+        and "_fused_gemm_gen" not in plan2, (
+        "past the bound, warm sim_ann_auto must serve the index with "
+        "no hyperplane GEMM")
+    assert _pairs(idx_df) == cold
+    monkeypatch.delenv("SILVIA_GATHER_MAX_BYTES")
+    clear_caches()
     # the registered contract row serves the same pairs
     from silvia_spark.functions.llm_extras import sim_ann_indexed
     assert _pairs(sim_ann_indexed(spark, SF)) == cold
